@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference viewing-behavior operators (SURVEY.md §2) re-targeted at
+  * the oracle testdata's `events` table (FIXTURES.md §2 mapping:
+  * user_id→Contract, event_type→AppName, value→TotalDuration).
+  *
+  * `event_type='error'` plays the unmapped-AppName "Error" sentinel and
+  * `user_id=0` plays the `'0'` invalid-contract sentinel, so the P3/P4
+  * filter semantics carry over exactly.
+  *
+  * All monetary/duration aggregates run on an integer-cents projection of
+  * the 2-decimal `value` column: exact associative Long arithmetic, so
+  * results are bit-stable under any partitioning / aggregation order —
+  * required by the hash-compare oracle, and the right call at 100 TB
+  * where float-sum ordering is nondeterministic by construction.
+  */
+object Viewing {
+
+  /** Pivot column order — fixed, alphabetical (explicit values: static
+    * schema, no hidden distinct job — SURVEY.md §7.4). */
+  val categories: Seq[String] =
+    Seq("ClickDuration", "PurchaseDuration", "SignupDuration", "ViewDuration")
+
+  /** Category → label, when-chain order; reuses the reference's
+    * UTF-8 Vietnamese labels (`ETL_full_output/ETL_full.py:101-106`) so
+    * label fidelity through parquet/oracle round-trips stays exercised. */
+  val catLabels: Seq[(String, String)] = Seq(
+    "ClickDuration" -> "Giải trí",
+    "PurchaseDuration" -> "Phim truyện",
+    "SignupDuration" -> "Thể thao",
+    "ViewDuration" -> "Truyền hình")
+
+  /** Exact integer cents of the 2-decimal `value` column. */
+  def cents: Column = round(col("value") * 100).cast("long")
+
+  /** E1 analog (`ETL_full_output/ETL_full.py:47-56`): first-match-wins
+    * when-chain over event_type; `isin` on the first two arms mirrors the
+    * reference's IN-list predicates; unmapped (incl. 'error') → "Error". */
+  def categorize(df: DataFrame): DataFrame =
+    df.withColumn("Type",
+      when(col("event_type").isin("view", "impression"), "ViewDuration")
+        .when(col("event_type").isin("click", "tap"), "ClickDuration")
+        .when(col("event_type") === "purchase", "PurchaseDuration")
+        .when(col("event_type") === "signup", "SignupDuration")
+        .otherwise("Error"))
+
+  /** P3+P4 analog (`ETL_full_output/ETL_full.py:59-60`). */
+  def validRows(df: DataFrame): DataFrame =
+    df.filter(col("user_id") =!= 0).filter(col("Type") =!= "Error")
+
+  /** A1 — cents per (user, category) (`ETL_full_output/ETL_full.py:61`).
+    * Spark plans this as partial (map-side) + final hash aggregate:
+    * the shuffle moves one row per (user, category) per partition, not
+    * raw events — the property that keeps it viable at 100 TB. */
+  def durationByCategory(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("Type"), cents.as("value_cents"))
+      .groupBy("user_id", "Type")
+      .agg(sum("value_cents").as("value_cents"))
+
+  /** A2 faithful (`ETL_full_output/ETL_full.py:42-45`): counts LOG ROWS
+    * pre-filter (includes Error rows), not distinct devices. */
+  def deviceCounts(df: DataFrame): DataFrame =
+    df.select("user_id", "props").groupBy("user_id").count()
+      .withColumnRenamed("count", "TotalDevices")
+
+  /** A2 fixed: the intended semantics — distinct devices (`props` plays
+    * the Mac column). countDistinct shuffles (user, props) pairs once. */
+  def deviceCountsDistinct(df: DataFrame): DataFrame =
+    df.groupBy("user_id").agg(countDistinct("props").as("TotalDevices"))
+
+  /** A3+E9 (`ETL_full_output/ETL_full.py:63`): explicit-values pivot +
+    * zero-fill. */
+  def pivotDurations(df: DataFrame, fillZero: Boolean = true): DataFrame = {
+    val wide = df.groupBy("user_id").pivot("Type", categories).sum("value_cents")
+    if (fillZero) wide.na.fill(0) else wide
+  }
+
+  /** §3.2 flagship shape: two aggregate branches over one scan,
+    * re-converging in J1, then E4–E7 enrichment. */
+  def fullPipeline(events: DataFrame): DataFrame = {
+    val devices = deviceCounts(events)
+    val stats = pivotDurations(durationByCategory(validRows(categorize(events))))
+    val joined = stats.join(devices, Seq("user_id"), "inner")
+    val enriched = Enrich.mostWatch(catLabels)(joined)
+    Enrich.activityLevel(categories)(Enrich.taste(catLabels)(enriched))
+  }
+
+  /** §3.1 one-day analog: filter to one calendar day, pivot WITHOUT
+    * zero-fill (faithful nulls), add the literal Date column (E8). */
+  def oneDayPipeline(events: DataFrame, date: String): DataFrame =
+    pivotDurations(
+      durationByCategory(validRows(categorize(
+        events.filter(to_date(col("ts")) === lit(date))))),
+      fillZero = false)
+      .withColumn("Date", lit(date))
+
+  /** U1 analog (method 2, `test_method2_eachFILE.py:116-133`): per-day
+    * aggregate + union. Kept for parity/benchmark comparison; the single
+    * multi-day scan (method 1) is the strategy to actually use at scale. */
+  def unionDays(events: DataFrame, dates: Seq[String]): DataFrame =
+    dates.map { d =>
+      durationByCategory(validRows(categorize(
+        events.filter(to_date(col("ts")) === lit(d)))))
+        .withColumn("Date", lit(d))
+    }.reduce(_.unionByName(_))
+}

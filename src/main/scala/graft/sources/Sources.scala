@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Parquet testdata loader (`/root/testdata/sfN/{name}.parquet`).
+  * Parquet scans are vectorized and support filter pushdown + column
+  * pruning out of the box — at 100 TB this is the only sane default.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The testdata parquet stores TIMESTAMP(NANOS) which Spark's reader
+    * rejects; read them as raw nanos longs (legacy conf) and rebuild
+    * proper timestamps with exact integer division (ns DIV 1000 → µs —
+    * a double division would lose precision at ~1.7e18 ns). */
+  private val tsCols = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+      else df
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+}
+
+/** Readers/writers for the reference's daily Elasticsearch-export JSONL
+  * files (SURVEY.md §2.1 S1/S2/S4/S5).
+  */
+object LogSource {
+
+  /** S1 — single daily file scan (`ETL_one_day/ETL_one_day.py:12-14`).
+    * Explicit schema: no inference pass over the input. */
+  def readDay(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.esEnvelope).json(path)
+
+  /** S2 — one scan over N daily files (`ETL_full_output/ETL_full.py:30-35`).
+    * A single multi-path scan gives file-level parallelism in one
+    * FileSourceScanExec — the reference measured this 2.45x faster than
+    * per-file union (`test_method1_readALL.py:119-123`). */
+  def readDays(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(Schemas.esEnvelope).json(paths: _*)
+
+  /** S4 — driver-side date-range → path list
+    * (`ETL_full_output/ETL_full.py:17-30`): inclusive [from, to],
+    * yyyyMMdd file names. */
+  def datePaths(base: String, fromDate: String, toDate: String): Seq[String] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val from = java.time.LocalDate.parse(fromDate, fmt)
+    val to = java.time.LocalDate.parse(toDate, fmt)
+    Iterator.iterate(from)(_.plusDays(1))
+      .takeWhile(!_.isAfter(to))
+      .map(d => s"$base/${d.format(fmt)}.json")
+      .toSeq
+  }
+
+  /** P1 — drop the ES envelope, keep the `_source` payload fields
+    * (`ETL_one_day/ETL_one_day.py:17` `select('_source.*')`). */
+  def flattenSource(df: DataFrame): DataFrame = df.select(col("_source.*"))
+}
+
+/** S5 — single-file CSV sink
+  * (`ETL_one_day/ETL_one_day.py:69` `repartition(1).write...csv`).
+  * `coalesce(1)` instead of `repartition(1)`: same single output file,
+  * no extra full shuffle. Only sane for small final results — never
+  * funnel a 100 TB result through one task.
+  */
+object CsvSink {
+  def writeSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}
