@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.Pipelines
+import graft.analytics.{ExtPipelines, Pipelines}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,20 @@ object SparkEntry {
     "g4_top_orders_global" -> (Pipelines.topOrdersGlobal _),
     "g5_distinct_segments" -> (Pipelines.distinctSegments _),
     "g6_customers_without_orders" -> (Pipelines.customersWithoutOrders _),
-    "g7_customer_order_stats" -> (Pipelines.customerOrderStats _)
+    "g7_customer_order_stats" -> (Pipelines.customerOrderStats _),
+    // training-data-pipeline operators (dedup / text / similarity)
+    "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
+    "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
+    "x3_neardup_jaccard" -> (ExtPipelines.neardupJaccard _),
+    "x4_neardup_minhash" -> (ExtPipelines.neardupMinhash _),
+    "x5_neardup_embedding" -> (ExtPipelines.neardupEmbedding _),
+    "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
+    "t1_token_stats" -> (ExtPipelines.tokenStats _),
+    "t2_quality_signals" -> (ExtPipelines.qualitySignals _),
+    "t3_lang_id" -> (ExtPipelines.langId _),
+    "t4_fingerprints" -> (ExtPipelines.fingerprints _),
+    "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
+    "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -57,7 +70,100 @@ object SparkEntry {
       |    CAST(COALESCE(SUM(CASE WHEN Type = 'SignupDuration' THEN value_cents END), 0) AS BIGINT) AS SignupDuration,
       |    CAST(COALESCE(SUM(CASE WHEN Type = 'ViewDuration' THEN value_cents END), 0) AS BIGINT) AS ViewDuration""".stripMargin
 
+  /** Shared jaccard-pairs oracle (x3 exact and x4 MinHash-LSH must agree:
+    * LSH recall at jaccard≥0.5-with-verification is ~1 for this banding). */
+  private val jaccardOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                               for i in range(1, len(w) - 1)])) AS s
+      |       FROM t WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+      |FROM inter JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+      |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT sha256(text) AS text_sha256, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "x2_dedup_keep_first" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "x3_neardup_jaccard" -> jaccardOracle,
+    "x4_neardup_minhash" -> jaccardOracle,
+
+    "x5_neardup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars_calc
+        |FROM documents""".stripMargin,
+
+    "t2_quality_signals" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','in','to','is','it','for','on'))) AS n_stop,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    length(text) AS len
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+        |  CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END AS punct_ratio,
+        |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(len - n_tokens + 1 AS DOUBLE) / n_tokens END AS mean_token_len,
+        |  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |   + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3
+        |   + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END) * 10.0, 1.0)) * 0.3) AS quality
+        |FROM sig""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+        |v AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','los','las','una','por','con','para'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','sich','auf'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','des','est','une','dans','pour','que'))) AS s_fr
+        |  FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN length(text) > 0
+        |            AND CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |                / length(text) > 0.3 THEN 'zh'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr' END AS lang_pred
+        |FROM v""".stripMargin,
+
+    "v1_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id ASC) AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+        |WHERE rk <= 5""".stripMargin,
+
     "e1_categorize" ->
       """SELECT event_id,
         |  CASE WHEN event_type IN ('view','impression') THEN 'ViewDuration'

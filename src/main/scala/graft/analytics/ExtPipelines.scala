@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Extended training-data-pipeline queries (dedup, similarity, text
+  * analysis) over `documents` / `embeddings` — SparkEntry entries with
+  * DuckDB oracles where expressible.
+  */
+object ExtPipelines {
+
+  // ---- dedup ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, dir))
+
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupKeepFirst(Tables.documents(spark, dir)).select("doc_id", "source")
+
+  def neardupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+
+  def neardupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+
+  def neardupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(spark, dir), threshold = 0.4)
+
+  def simhashDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), maxDist = 3)
+
+  // ---- text analysis ----
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+      size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_calc"))
+  }
+
+  def qualitySignals(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(
+      TextAnalysis.qualitySignals(Tables.documents(spark, dir)))
+      .select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+        "mean_token_len", "quality")
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  // ---- similarity ----
+
+  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, queryVecs(spark, dir), k = 5)
+  }
+
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // few bits + many tables: right recall/cost point for weakly-similar
+    // corpora (see SimilaritySpec recall measurement)
+    Similarity.lshTopK(emb, queryVecs(spark, dir), k = 5, nBits = 4, nTables = 16)
+  }
+}

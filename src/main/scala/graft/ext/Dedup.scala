@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash-LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale notes (the whole point of these designs):
+  *  - exact dedup is one hash-shuffle on a 64-char digest, not the text;
+  *  - the Jaccard self-join explodes on SHINGLES (3-grams), whose
+  *    document frequency is tiny compared to unigrams — the shuffle is
+  *    near-linear in corpus size instead of quadratic;
+  *  - MinHash-LSH replaces the all-pairs join with a bucket join on
+  *    (band, signature): only near-identical docs collide, candidates
+  *    are then verified with the exact Jaccard — the standard
+  *    sub-quadratic near-dup path for 100 TB corpora;
+  *  - frequent-shingle capping (maxShingleDf) bounds worst-case skew.
+  */
+object Dedup {
+
+  // ---- exact ----
+
+  /** Exact dedup groups: content digest → representative (min id) +
+    * multiplicity. Shuffles only (digest, id). */
+  def exactGroups(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_sha256"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup, keep-first-id semantics: returns the surviving rows.
+    * Deterministic (row_number ordered by id), unlike dropDuplicates
+    * whose survivor is partition-order dependent. */
+  def dedupKeepFirst(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---- shingling ----
+
+  /** Distinct word n-gram shingles of `textCol`, exploded to one row per
+    * (id, shingle). Docs shorter than n tokens produce no rows. */
+  def explodedShingles(df: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    df.filter(size(toks) >= n)
+      .select(col(idCol), explode(sh).as("shingle"))
+  }
+
+  /** All-pairs n-gram Jaccard ≥ threshold, via shingle self-join.
+    * Exact rational arithmetic (int intersection / int union) — the
+    * double division is a single deterministic op.
+    *
+    * @param maxShingleDf drop shingles appearing in more than this many
+    *        docs before the join (skew guard; None = off for oracle
+    *        parity on small data). */
+  def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh0 = explodedShingles(df, n, textCol, idCol)
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val rare = sh0.groupBy("shingle").count().filter(col("count") <= cap).select("shingle")
+        sh0.join(broadcast(rare), "shingle")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("a_id"), col("shingle"))
+    val b = sh.select(col(idCol).as("b_id"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ---- MinHash-LSH ----
+
+  /** MinHash signature: `numHashes` independent min-hashes of the shingle
+    * set (xxhash64 with per-function salt). */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs via banding: split the signature into `bands` bands
+    * of `rows` hashes; docs sharing any full band collide. One shuffle on
+    * (band, band-signature) — no all-pairs join. */
+  def lshCandidates(signatures: DataFrame, bands: Int = 8, rows: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    val banded = (0 until bands).map { bnd =>
+      val sig = hash((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*)
+      signatures.select(col(idCol), lit(bnd).as("band"), sig.as("sig"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"), Seq("band", "sig"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → collide
+    * → VERIFY with exact Jaccard (so precision is exact; recall is the
+    * LSH probability 1-(1-j^rows)^bands — at j≥0.9, bands=8, rows=2 the
+    * miss rate is ~1e-9). Output matches `jaccardPairs` whenever recall
+    * holds, at a fraction of the join cost. */
+  def minhashNearDups(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = explodedShingles(df, n, textCol, idCol)
+    val cands = lshCandidates(minhashSignatures(sh, numHashes, idCol), bands, rows, idCol)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col(idCol).as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash of the token multiset: per-bit majority vote of
+    * token hashes. Built from expressions only: for each bit, sum ±1
+    * over tokens, pack the sign bits. Near-dup docs differ in few bits
+    * (compare with [[hammingDist]]). */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    val bits = (0 until 64).map { b =>
+      // +1 if bit b of xxhash64(token) is set, else -1; sum over tokens
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64 bits into 4 16-bit chunks
+    * (any pair within Hamming distance 3 shares at least one chunk —
+    * pigeonhole), bucket-join on chunks, verify exact distance. */
+  def simhashNearDups(df: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val banded = (0 until 4).map { c =>
+      sigs.select(col(idCol), col("sh"), lit(c).as("chunk"),
+        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"), Seq("chunk", "key"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        hammingDist(col("x.sh"), col("y.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ---- embedding near-dup ----
+
+  /** Brute-force embedding-cosine near-dup pairs (exact; the LSH-bucketed
+    * scale path lives in [[Similarity]]). */
+  def embeddingNearDups(df: DataFrame, threshold: Double = 0.4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.cosineHof(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization + counts, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd built-in functions (no UDFs):
+  * per-row expression trees with no shuffle, so they scale linearly with
+  * input and stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish word/number/symbol tokens via regex — the pattern class
+    * split a byte-pair-encoder front-end would apply. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** Function-word markers per language for the voting language ID.
+    * Real function words — effective on natural text; deterministic
+    * first-match argmax on ties (order en→es→de→fr). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "pour", "que"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** Language ID: CJK charset short-circuit, then function-word voting
+    * with deterministic tie-break (highest count, first language wins). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    val vote = scores.tail.foldLeft(when(scores.head._2 === best, scores.head._1)) {
+      case (acc, (lang, s)) => acc.when(s === best, lang)
+    }
+    when(cjkRatio(text) > 0.3, "zh").otherwise(vote)
+  }
+
+  /** Fraction of CJK codepoints. */
+  def cjkRatio(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    when(length(text) === 0, 0.0).otherwise(cjk.cast("double") / length(text))
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "it", "for", "on")
+
+  /** Quality signals (all exact-integer-derived ratios → bit-stable):
+    * token count, stopword ratio, punctuation ratio, mean token length,
+    * and a composite score in [0,1]. */
+  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    val nPunct = length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", ""))
+    val len = length(col(textCol))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("stopword_ratio",
+        when(nTok === 0, 0.0).otherwise(nStop.cast("double") / nTok))
+      .withColumn("punct_ratio",
+        when(len === 0, 0.0).otherwise(nPunct.cast("double") / len))
+      .withColumn("mean_token_len",
+        when(nTok === 0, 0.0).otherwise((len - nTok + 1).cast("double") / nTok))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with some
+    * (but not all) stopwords and little punctuation. Pure arithmetic on
+    * the signals — deterministic. */
+  def qualityScore(df: DataFrame): DataFrame =
+    df.withColumn("quality",
+      (least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+        + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3
+        + (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3))
+
+  /** Rolling-hash document fingerprint (winnowing-style): hash every
+    * k-token window (polynomial, kept in [0, 2^31) to stay ANSI-overflow
+    * safe), then keep the minimum — robust to small edits at the ends.
+    * Not oracle-expressible (xxhash64 is Spark-specific); golden-tested. */
+  def fingerprint(text: Column, k: Int = 5): Column = {
+    val toks = tokens(text)
+    val windows = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    array_min(transform(windows, w => pmod(xxhash64(w), lit(2147483647L))))
+  }
+}

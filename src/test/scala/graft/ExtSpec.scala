@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+class ExtSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private lazy val docs = Tables.documents(spark, sf())
+  private lazy val emb = Tables.embeddings(spark, sf())
+
+  test("cosine: codegen expression, HOF fallback, and manual math agree") {
+    VectorFunctions.register(spark)
+    val pairs = emb.limit(10).select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      .crossJoin(emb.limit(10).select(col("vec_id").as("b_id"), col("embedding").as("vb")))
+      .filter(col("a_id") < col("b_id"))
+    val both = pairs.select(
+      VectorFunctions.cosine(col("va"), col("vb")).as("c1"),
+      VectorFunctions.cosineHof(col("va"), col("vb")).as("c2"),
+      col("va"), col("vb")).collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      val a = r.getSeq[Float](2).toArray
+      val b = r.getSeq[Float](3).toArray
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = a.map(x => x.toDouble * x.toDouble).sum
+      val nb = b.map(x => x.toDouble * x.toDouble).sum
+      val manual = dot / math.sqrt(na * nb)
+      assert(math.abs(r.getDouble(0) - manual) < 1e-9)
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    VectorFunctions.register(spark)
+    val got = emb.limit(20)
+      .select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    got.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("exact dedup finds planted duplicates and keeps min id") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb"), (2L, "cc dd"), (5L, "aa bb"), (9L, "aa bb"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups == Map(1L -> 3L, 2L -> 1L))
+    val kept = Dedup.dedupKeepFirst(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("LSH candidates cover every pair the exact jaccard finds (recall)") {
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // planted near-dups in the synthetic corpus
+    val lsh = Dedup.minhashNearDups(docs, n = 3, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical text → distance 0; near-dup pairs are close") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog").toDF("text")
+    val sh = df.select(Dedup.simhash(col("text")).as("s")).collect().map(_.getLong(0))
+    assert(sh(0) == sh(1))
+    // planted near-dups in the corpus: simhash distance well under random (~32)
+    val nd = Dedup.simhashNearDups(docs, maxDist = 10)
+    assert(nd.count() > 0)
+    assert(nd.agg(max("dist")).collect()(0).getInt(0) <= 10)
+  }
+
+  test("ANN LSH top-k has high recall@5 against brute force") {
+    VectorFunctions.register(spark)
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // corpus neighbors are weakly similar (max cos ~0.5), so use few bits
+    // and many tables: P(bucket match) = p^nBits per table, p = 1 - θ/π
+    val ann = Similarity.lshTopK(emb, queries, k = 5, nBits = 4, nTables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  test("langId identifies real multilingual sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("el perro corre por la calle con los niños", "es"),
+      ("der hund läuft auf die straße und das ist gut", "de"),
+      ("le chien court dans les rues et la ville est belle", "fr"),
+      ("这是一个中文句子用来测试语言识别", "zh"))
+    val got = samples.map(_._1).toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("l")).collect().map(_.getString(0))
+    assert(got.toSeq == samples.map(_._2))
+  }
+
+  test("fingerprint is stable under a suffix edit (rolling-min property)") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val df = Seq(base.trim, (base + "omega").trim).toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1)) // min over shared windows dominates
+  }
+
+  test("quality signals are bounded and deterministic") {
+    val q = graft.analytics.ExtPipelines.qualitySignals(spark, sf())
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+  }
+}
