@@ -48,7 +48,12 @@ object SparkEntry {
     "t3_lang_id" -> (ExtPipelines.langId _),
     "t4_fingerprints" -> (ExtPipelines.fingerprints _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
-    "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _)
+    "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
+    "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
+    "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
+    "s3_sessionize_stream" -> (ExtPipelines.sessionizeStream _),
+    "m1_media_meta" -> (ExtPipelines.mediaMeta _),
+    "m2_media_features" -> (ExtPipelines.mediaFeatures _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -86,7 +91,43 @@ object SparkEntry {
       |FROM inter JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5""".stripMargin
 
+  /** Shared sessionization oracle — the batch (window-function) and
+    * streaming (flatMapGroupsWithState) forms must both match it:
+    * equal-timestamp events always share a session, so replay order
+    * inside the state function can't diverge from the SQL ordering. */
+  private val sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |f AS (SELECT user_id, ts_us, cents,
+      |        CASE WHEN lag(ts_us) OVER w IS NULL
+      |                  OR ts_us - lag(ts_us) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |g AS (SELECT user_id, ts_us, cents,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      |      FROM f)
+      |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us,
+      |       count(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM g GROUP BY user_id, sess_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "s1_stream_daily_totals" ->
+      s"""$baseCte
+         |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, Type,
+         |       CAST(SUM(value_cents) AS BIGINT) AS value_cents
+         |FROM base
+         |WHERE user_id <> 0 AND Type <> 'Error'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "s2_sessionize_batch" -> sessionizeOracle,
+    "s3_sessionize_stream" -> sessionizeOracle,
+
+    "m1_media_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |       'application/octet-stream' AS mime
+        |FROM documents""".stripMargin,
+
     "x1_dedup_exact" ->
       """SELECT sha256(text) AS text_sha256, min(doc_id) AS keep_id,
         |       count(*) AS n_copies

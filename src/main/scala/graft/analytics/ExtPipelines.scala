@@ -67,6 +67,46 @@ object ExtPipelines {
     Similarity.bruteForceTopK(emb, queryVecs(spark, dir), k = 5)
   }
 
+  // ---- streaming ----
+
+  /** Tumbling 1-day windowed totals, run as a real Structured Streaming
+    * query against the static parquet (memory sink). */
+  def streamDailyTotals(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.dailyCategoryTotals(
+        graft.streaming.Streaming.eventsStream(spark, dir)))
+
+  /** Gap-based sessionization, batch form (window functions). */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.sessionizeBatch(Tables.events(spark, dir))
+
+  /** Same sessionization as a stateful streaming query
+    * (flatMapGroupsWithState) — verified against the same oracle as the
+    * batch form. */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    val ev = Streaming.eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[Streaming.SessEvent]
+    Streaming.runToBatch(spark, Streaming.sessionize(ev).toDF(),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  // ---- multimodal ----
+
+  /** Binary payload + typed metadata (oracle-checked byte lengths). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.withBinaryPayload(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("media_meta.byte_len").as("byte_len"),
+        col("media_meta.mime").as("mime"))
+
+  /** Batched per-partition feature extraction over the binary column
+    * (decode step stubbed — see Multimodal scaladoc). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.featurize(Tables.documents(spark, dir))
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // few bits + many tables: right recall/cost point for weakly-similar

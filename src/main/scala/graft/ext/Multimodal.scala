@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extraction
+  * runs batched per partition so a real codec would amortize model/
+  * library init once per partition, not per row.
+  *
+  * The DECODER IS A STUB — this container ships no image/audio codecs,
+  * so `decodeStub` stands in deterministically (byte histogram). The
+  * Spark-side plumbing (schema, partition batching, feature shape) is
+  * real and tested; swap [[decodeStub]] for the codec call in prod.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, byte_len: Long,
+      histogram: Array[Double])
+
+  /** Attach an opaque binary payload + typed metadata to each document.
+    * (Here the payload is the UTF-8 text bytes standing in for media.) */
+  def withBinaryPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        length(col("payload")).as("byte_len"),
+        lit("application/octet-stream").as("mime"),
+        lit(1).as("n_frames")))
+
+  /** STUB decoder: deterministic 16-bin byte histogram (normalized).
+    * In production this is the image/audio decode + feature model:
+    * replace the body, keep the signature. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+    val n = math.max(payload.length, 1)
+    hist.map(_ / n)
+  }
+
+  /** Batched feature extraction: one pass per partition over the binary
+    * column. `mapPartitions` is deliberate — a real decoder initializes
+    * its codec/model once per partition here, then streams rows through. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model weights)
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.payload.length.toLong, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** End-to-end: documents → binary payload → batched features. */
+  def featurize(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val media = withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRow]
+    extractFeatures(media).toDF()
+  }
+}

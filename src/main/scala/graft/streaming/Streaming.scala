@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.model.Schemas
+import graft.ops.Viewing
+
+/** Structured Streaming surface: the daily-file batch loop the reference
+  * runs (SURVEY.md §2.1 S4) is really a daily stream — these operators
+  * are its streaming-native form.
+  *
+  * Local verification runs the streams to completion against the static
+  * parquet via the memory sink; in production the same plans run
+  * unbounded with `readStream` on an arriving directory.
+  */
+object Streaming {
+
+  private val nameCounter = new AtomicInteger()
+
+  /** Run a streaming frame to completion against static input and hand
+    * back the materialized result (memory sink, unique table name). */
+  def runToBatch(spark: SparkSession, df: DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Events stream from the testdata parquet (nanos ts → µs rebuild,
+    * same normalization as the batch `Tables` loader). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanoSchema = org.apache.spark.sql.types.StructType(
+      Schemas.events.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+    spark.readStream.schema(nanoSchema)
+      .option("basePath", dir)          // file-stream source needs a dir base
+      .parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-day event-time window over the categorized stream —
+    * the streaming-native form of the reference's per-day aggregation.
+    * Watermark bounds state; UTC day windows align with calendar days. */
+  def dailyCategoryTotals(events: DataFrame): DataFrame =
+    Viewing.validRows(Viewing.categorize(events))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("Type"))
+      .agg(sum(Viewing.cents).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("Type"), col("value_cents"))
+
+  // ---- stateful sessionization ----
+
+  final case class SessEvent(user_id: Long, ts_us: Long, cents: Long)
+  final case class Session(user_id: Long, session_start_us: Long,
+      n_events: Long, total_cents: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events within
+    * `gapUs` of the previous event share a session. Single-batch replay
+    * sorts per group; the unbounded form keeps (lastTs, open session) as
+    * state and emits on timeout — custom state Spark's built-in windows
+    * can't express. */
+  def sessionize(events: Dataset[SessEvent], gapUs: Long = 30L * 60 * 1000000)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Session], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[List[Session]]) =>
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.cents))
+          val out = List.newBuilder[Session]
+          var start = -1L; var last = -1L; var n = 0L; var cents = 0L
+          evs.foreach { e =>
+            if (start < 0 || e.ts_us - last > gapUs) {
+              if (start >= 0) out += Session(user, start, n, cents)
+              start = e.ts_us; n = 0L; cents = 0L
+            }
+            last = e.ts_us; n += 1; cents += e.cents
+          }
+          if (start >= 0) out += Session(user, start, n, cents)
+          out.result().iterator
+      }
+  }
+
+  /** Batch-equivalent sessionization via window functions (lag → gap
+    * flag → running sum as session id). Same output as [[sessionize]];
+    * oracle-expressible, so it anchors the streaming op's correctness. */
+  def sessionizeBatch(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val flagged = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        Viewing.cents.as("cents"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "sess_id")
+      .agg(min("ts_us").as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        sum("cents").as("total_cents"))
+      .select("user_id", "session_start_us", "n_events", "total_cents")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+import graft.sources.Tables
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming sessionize equals batch window-function sessionize") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf())
+    val batch = Streaming.sessionizeBatch(events)
+    val ev = Streaming.eventsStream(spark, sf())
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[Streaming.SessEvent]
+    val streamed = Streaming.runToBatch(spark, Streaming.sessionize(ev).toDF(),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+
+  test("sessionize: a gap of exactly the threshold does NOT split; more does") {
+    import spark.implicits._
+    val gap = 30L * 60 * 1000000
+    val ev = Seq(
+      Streaming.SessEvent(1L, 0L, 10L),
+      Streaming.SessEvent(1L, gap, 20L),          // exactly 30min later → same session
+      Streaming.SessEvent(1L, 2 * gap + 1, 30L))  // 30min+1µs after → new session
+    val out = Streaming.sessionize(ev.toDS()).collect().sortBy(_.session_start_us)
+    assert(out.length == 2)
+    assert(out(0).n_events == 2 && out(0).total_cents == 30L)
+    assert(out(1).n_events == 1 && out(1).total_cents == 30L)
+  }
+
+  test("streaming daily totals match the batch group-by per day") {
+    val streamed = ExtRef.streamDailyTotals(spark, sf())
+    val events = Tables.events(spark, sf())
+    val batch = graft.ops.Viewing.validRows(graft.ops.Viewing.categorize(events))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("Type"))
+      .agg(sum(graft.ops.Viewing.cents).as("value_cents"))
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+
+  test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
+    val feats = Multimodal.featurize(Tables.documents(spark, sf()))
+    val bad = feats.select(col("doc_id"),
+      abs(aggregate(col("histogram"), lit(0.0), (a, v) => a + v) - 1.0).as("err"))
+      .filter(col("err") > 1e-9)
+    assert(bad.count() == 0)
+    val lens = Multimodal.withBinaryPayload(Tables.documents(spark, sf()))
+      .select(col("doc_id"), length(col("payload")).as("pl"), length(col("text")).as("tl"))
+      .filter(col("pl") =!= col("tl"))  // ASCII corpus: bytes == chars
+    assert(lens.count() == 0)
+  }
+
+  test("decodeStub is deterministic and batch-shape independent") {
+    val bytes = "some media payload bytes".getBytes("UTF-8")
+    assert(Multimodal.decodeStub(bytes).toSeq == Multimodal.decodeStub(bytes).toSeq)
+    assert(Multimodal.decodeStub(Array.emptyByteArray).sum == 0.0)
+  }
+}
+
+private object ExtRef {
+  def streamDailyTotals(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.analytics.ExtPipelines.streamDailyTotals(spark, dir)
+}
