@@ -26,6 +26,7 @@ object SparkEntry {
     "a2_devices_distinct" -> (Pipelines.devicesDistinct _),
     "a3_pivot_durations" -> (Pipelines.pivotDurations _),
     "flagship_profile" -> (Pipelines.flagshipProfile _),
+    "flagship_profile_fast" -> (Pipelines.flagshipProfileFast _),
     "e8_one_day" -> (Pipelines.oneDay _),
     "u1_union_days" -> (Pipelines.unionDays _),
     // generic relational coverage on the TPC-H-ish tables
@@ -110,6 +111,37 @@ object SparkEntry {
       |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us,
       |       count(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
       |FROM g GROUP BY user_id, sess_id""".stripMargin
+
+  /** Flagship oracle — shared by the faithful branch+join query and the
+    * single-pass variant (same semantics, different physical plan). */
+  private val flagshipOracle: String =
+    s"""$baseCte,
+       |devices AS (SELECT user_id, count(*) AS TotalDevices FROM base GROUP BY user_id),
+       |stats AS (
+       |  SELECT user_id,
+       |$pivotCols
+       |  FROM base
+       |  WHERE user_id <> 0 AND Type <> 'Error'
+       |  GROUP BY user_id),
+       |prof AS (
+       |  SELECT s.*, d.TotalDevices,
+       |    greatest(ClickDuration, PurchaseDuration, SignupDuration, ViewDuration) AS mx,
+       |    (ClickDuration + PurchaseDuration + SignupDuration + ViewDuration) / 86400.0 AS days
+       |  FROM stats s JOIN devices d USING (user_id))
+       |SELECT user_id, ClickDuration, PurchaseDuration, SignupDuration, ViewDuration, TotalDevices,
+       |  CASE WHEN ClickDuration = mx THEN 'Giải trí'
+       |       WHEN PurchaseDuration = mx THEN 'Phim truyện'
+       |       WHEN SignupDuration = mx THEN 'Thể thao'
+       |       WHEN ViewDuration = mx THEN 'Truyền hình' END AS most_watch,
+       |  concat_ws('-',
+       |    CASE WHEN ClickDuration <> 0 THEN 'Giải trí' END,
+       |    CASE WHEN PurchaseDuration <> 0 THEN 'Phim truyện' END,
+       |    CASE WHEN SignupDuration <> 0 THEN 'Thể thao' END,
+       |    CASE WHEN ViewDuration <> 0 THEN 'Truyền hình' END) AS Taste,
+       |  CASE WHEN days < 10 THEN 'Low'
+       |       WHEN days >= 10 AND days < 20 THEN 'Medium'
+       |       WHEN days >= 20 THEN 'High' END AS Active_day
+       |FROM prof""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_stream_daily_totals" ->
@@ -250,34 +282,8 @@ object SparkEntry {
          |WHERE user_id <> 0 AND Type <> 'Error'
          |GROUP BY user_id""".stripMargin,
 
-    "flagship_profile" ->
-      s"""$baseCte,
-         |devices AS (SELECT user_id, count(*) AS TotalDevices FROM base GROUP BY user_id),
-         |stats AS (
-         |  SELECT user_id,
-         |$pivotCols
-         |  FROM base
-         |  WHERE user_id <> 0 AND Type <> 'Error'
-         |  GROUP BY user_id),
-         |prof AS (
-         |  SELECT s.*, d.TotalDevices,
-         |    greatest(ClickDuration, PurchaseDuration, SignupDuration, ViewDuration) AS mx,
-         |    (ClickDuration + PurchaseDuration + SignupDuration + ViewDuration) / 86400.0 AS days
-         |  FROM stats s JOIN devices d USING (user_id))
-         |SELECT user_id, ClickDuration, PurchaseDuration, SignupDuration, ViewDuration, TotalDevices,
-         |  CASE WHEN ClickDuration = mx THEN 'Giải trí'
-         |       WHEN PurchaseDuration = mx THEN 'Phim truyện'
-         |       WHEN SignupDuration = mx THEN 'Thể thao'
-         |       WHEN ViewDuration = mx THEN 'Truyền hình' END AS most_watch,
-         |  concat_ws('-',
-         |    CASE WHEN ClickDuration <> 0 THEN 'Giải trí' END,
-         |    CASE WHEN PurchaseDuration <> 0 THEN 'Phim truyện' END,
-         |    CASE WHEN SignupDuration <> 0 THEN 'Thể thao' END,
-         |    CASE WHEN ViewDuration <> 0 THEN 'Truyền hình' END) AS Taste,
-         |  CASE WHEN days < 10 THEN 'Low'
-         |       WHEN days >= 10 AND days < 20 THEN 'Medium'
-         |       WHEN days >= 20 THEN 'High' END AS Active_day
-         |FROM prof""".stripMargin,
+    "flagship_profile" -> flagshipOracle,
+    "flagship_profile_fast" -> flagshipOracle,
 
     "e8_one_day" ->
       s"""$baseCte

@@ -42,9 +42,14 @@ object Pipelines {
   def pivotDurations(spark: SparkSession, dir: String): DataFrame =
     Viewing.pivotDurations(durationByCategory(spark, dir))
 
-  /** Flagship §3.2 pipeline (also `SparkEntry.entry`). */
+  /** Flagship §3.2 pipeline (also `SparkEntry.entry`), faithful
+    * branch+join shape. */
   def flagshipProfile(spark: SparkSession, dir: String): DataFrame =
     Viewing.fullPipeline(Tables.events(spark, dir))
+
+  /** Single-pass flagship (same result + oracle, one shuffle, no join). */
+  def flagshipProfileFast(spark: SparkSession, dir: String): DataFrame =
+    Viewing.fullPipelineFast(Tables.events(spark, dir))
 
   /** §3.1 one-day variant (E8 literal date, faithful null cells). */
   def oneDay(spark: SparkSession, dir: String): DataFrame =

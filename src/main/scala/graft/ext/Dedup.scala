@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash-LSH, SimHash, and embedding-cosine near-dup.
@@ -61,12 +62,15 @@ object Dedup {
       maxShingleDf: Option[Int] = None,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh0 = explodedShingles(df, n, textCol, idCol)
-    val sh = maxShingleDf match {
+    val shUncached = maxShingleDf match {
       case Some(cap) =>
         val rare = sh0.groupBy("shingle").count().filter(col("count") <= cap).select("shingle")
         sh0.join(broadcast(rare), "shingle")
       case None => sh0
     }
+    // the shingle table feeds both join sides + the size aggregate:
+    // persist so the tokenize+explode runs once (spills to disk at scale)
+    val sh = shUncached.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("a_id"), col("shingle"))
     val b = sh.select(col(idCol).as("b_id"), col("shingle"))
@@ -116,6 +120,7 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = explodedShingles(df, n, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds signatures, sizes, and verify
     val cands = lshCandidates(minhashSignatures(sh, numHashes, idCol), bands, rows, idCol)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = cands
@@ -150,12 +155,31 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Whole-table SimHash, computed the scalable way: explode tokens,
+    * hash once, then ONE codegen'd aggregation with 64 conditional sums
+    * (map-side partial + final), then pack the sign bits. Same result as
+    * [[simhash]] per row, but one pass over the tokens instead of 64
+    * interpreted higher-order-function traversals. */
+  def simhashTable(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val agg = hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), packed.as("sh"))
+  }
+
   /** SimHash near-dup pairs: band the 64 bits into 4 16-bit chunks
     * (any pair within Hamming distance 3 shares at least one chunk —
     * pigeonhole), bucket-join on chunks, verify exact distance. */
   def simhashNearDups(df: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val sigs = simhashTable(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = (0 until 4).map { c =>
       sigs.select(col(idCol), col("sh"), lit(c).as("chunk"),
         shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))

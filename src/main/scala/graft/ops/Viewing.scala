@@ -88,6 +88,34 @@ object Viewing {
     Enrich.activityLevel(categories)(Enrich.taste(catLabels)(enriched))
   }
 
+  /** Single-pass flagship: same output as [[fullPipeline]], better plan.
+    * The faithful shape (two aggregate branches + join, reference
+    * `ETL_full.py:74-90`) scans the input twice and shuffles three times;
+    * here both branches fold into ONE conditional aggregation —
+    * one scan, one shuffle, no join. At 100 TB that is the difference
+    * between reading 200 TB + three exchanges and reading 100 TB + one.
+    *
+    * Equivalence: TotalDevices counts all rows pre-filter (faithful A2);
+    * a user joins iff the stats branch kept ≥1 valid row, reproduced by
+    * `n_valid > 0`; pivot cells for absent categories are null → 0 via
+    * coalesce, matching na.fill(0). Checked against the same oracle SQL
+    * as the faithful query. */
+  def fullPipelineFast(events: DataFrame): DataFrame = {
+    val cat = categorize(events).withColumn("vc", cents)
+    val valid = col("user_id") =!= 0 && col("Type") =!= "Error"
+    val catSums = categories.map(c =>
+      coalesce(sum(when(valid && col("Type") === c, col("vc"))), lit(0L)).as(c))
+    val agg = cat.groupBy("user_id").agg(
+      catSums.head,
+      catSums.tail :+ count(lit(1)).as("TotalDevices")
+        :+ count(when(valid, lit(1))).as("n_valid"): _*)
+    val joined = agg
+      .filter(col("user_id") =!= 0 && col("n_valid") > 0)
+      .select(("user_id" +: categories :+ "TotalDevices").map(col): _*)
+    val enriched = Enrich.mostWatch(catLabels)(joined)
+    Enrich.activityLevel(categories)(Enrich.taste(catLabels)(enriched))
+  }
+
   /** §3.1 one-day analog: filter to one calendar day, pivot WITHOUT
     * zero-fill (faithful nulls), add the literal Date column (E8). */
   def oneDayPipeline(events: DataFrame, date: String): DataFrame =
