@@ -61,9 +61,12 @@ object Viewing {
       .agg(sum("value_cents").as("value_cents"))
 
   /** A2 faithful (`ETL_full_output/ETL_full.py:42-45`): counts LOG ROWS
-    * pre-filter (includes Error rows), not distinct devices. */
+    * pre-filter (includes Error rows), not distinct devices. (The
+    * reference's no-op `select(Contract, Mac)` projection is dropped
+    * here — Catalyst's column pruning makes it meaningless; the faithful
+    * form survives in ReferenceEtl.deviceCounts.) */
   def deviceCounts(df: DataFrame): DataFrame =
-    df.select("user_id", "props").groupBy("user_id").count()
+    df.groupBy("user_id").count()
       .withColumnRenamed("count", "TotalDevices")
 
   /** A2 fixed: the intended semantics — distinct devices (`props` plays

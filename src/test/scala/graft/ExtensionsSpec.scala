@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.VectorFunctions
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_cosine is callable from SQL after registration") {
+    VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(math.abs(got - 0.6) < 1e-7)
+  }
+
+  test("GraftExtensions injects graft_cosine into a session extensions set") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builder registered
+    // the injected builder constructs the expression
+    val expr = graft.functions.CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 0.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.6f, 0.8f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(math.abs(expr.eval(null).asInstanceOf[Double] - 0.6) < 1e-7)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Skew, Viewing}
+
+/** ScalaCheck property tests over generated event data. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val eventGen: Gen[List[(Long, String, Double)]] = Gen.listOfN(200,
+    for {
+      user <- Gen.chooseNum(0L, 20L)
+      et <- Gen.oneOf("view", "click", "purchase", "signup", "error", "junk")
+      cents <- Gen.chooseNum(1L, 50000L)
+    } yield (user, et, cents / 100.0))
+
+  test("property: pivot row-sums equal long-form sums on generated data") {
+    import spark.implicits._
+    check(Prop.forAll(eventGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("user_id", "event_type", "value")
+        val long = Viewing.durationByCategory(
+          Viewing.validRows(Viewing.categorize(df)))
+        val pivotTotal = Viewing.pivotDurations(long)
+          .select(Viewing.categories.map(col).reduce(_ + _).as("s"))
+          .agg(coalesce(sum("s"), lit(0L))).collect()(0).getLong(0)
+        val longTotal = long.agg(coalesce(sum("value_cents"), lit(0L)))
+          .collect()(0).getLong(0)
+        pivotTotal == longTotal
+      }
+    }, n = 10)
+  }
+
+  test("property: fast flagship equals faithful flagship on generated data") {
+    import spark.implicits._
+    check(Prop.forAll(eventGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("user_id", "event_type", "value")
+        val a = Viewing.fullPipeline(df)
+        val b = Viewing.fullPipelineFast(df)
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      }
+    }, n = 10)
+  }
+
+  test("property: salted sum/count equals plain groupBy") {
+    import spark.implicits._
+    check(Prop.forAll(eventGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("user_id", "event_type", "value")
+        val plain = df.groupBy("user_id")
+          .agg(sum("value").as("s"), count(lit(1)).as("c")).collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        val salted = Skew.saltedSumCount(df, "user_id", "value").collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        plain.keySet == salted.keySet && plain.forall { case (k, (s, c)) =>
+          math.abs(s - salted(k)._1) < 1e-6 && c == salted(k)._2
+        }
+      }
+    }, n = 10)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
+    val right = Seq((0L, "a"), (1L, "b"), (2L, "c"), (6L, "z")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"))
+    val salted = Skew.saltedJoin(left, right, "k")
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).isEmpty)
+  }
+}
