@@ -37,6 +37,15 @@ object SparkEntry {
     "g5_distinct_segments" -> (Pipelines.distinctSegments _),
     "g6_customers_without_orders" -> (Pipelines.customersWithoutOrders _),
     "g7_customer_order_stats" -> (Pipelines.customerOrderStats _),
+    "g8_rollup_summary" -> (Pipelines.rollupSummary _),
+    "g9_intersect_segments" -> (Pipelines.intersectSegments _),
+    "g10_except_segments" -> (Pipelines.exceptSegments _),
+    "g11_orders_with_big_lines" -> (Pipelines.ordersWithBigLines _),
+    "g12_string_functions" -> (Pipelines.stringFunctions _),
+    "g13_date_functions" -> (Pipelines.dateFunctions _),
+    "g14_explode_tokens" -> (Pipelines.explodeTokens _),
+    "g15_above_avg_balance" -> (Pipelines.aboveAvgBalance _),
+    "g16_approx_distinct_parts" -> (Pipelines.approxDistinctParts _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -357,6 +366,51 @@ object SparkEntry {
         |  count(o_orderkey) AS n_orders,
         |  CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey""".stripMargin
+        |GROUP BY c_custkey""".stripMargin,
+
+    "g8_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "g9_intersect_segments" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    "g10_except_segments" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    "g11_orders_with_big_lines" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 50)""".stripMargin,
+
+    "g12_string_functions" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  substr(c_name, 1, 8) AS name8,
+        |  length(c_name) AS name_len,
+        |  c_name || '-' || c_mktsegment AS name_seg,
+        |  regexp_replace(lower(c_name), 'customer', 'cust', 'g') AS name_replaced
+        |FROM customer""".stripMargin,
+
+    "g13_date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+        |FROM orders""".stripMargin,
+
+    "g14_explode_tokens" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "g15_above_avg_balance" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin
   )
 }

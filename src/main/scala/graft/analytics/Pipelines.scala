@@ -145,4 +145,76 @@ object Pipelines {
         count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(col("oc")), lit(0L)).as("total_cents"))
   }
+
+  /** ROLLUP coverage: subtotals + grand total in one pass. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** INTERSECT coverage: nations with customers in both segments. */
+  def intersectSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+      .intersect(c.filter(col("c_mktsegment") === "MACHINERY").select("c_nationkey"))
+  }
+
+  /** EXCEPT coverage: nations with BUILDING customers but no MACHINERY. */
+  def exceptSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+      .except(c.filter(col("c_mktsegment") === "MACHINERY").select("c_nationkey"))
+  }
+
+  /** Semi-join (EXISTS) coverage: orders with a max-quantity line. */
+  def ordersWithBigLines(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 50d).select("l_orderkey")
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_custkey")
+  }
+
+  /** String-function coverage (upper/substring/length/concat/replace). */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      substring(col("c_name"), 1, 8).as("name8"),
+      length(col("c_name")).as("name_len"),
+      concat(col("c_name"), lit("-"), col("c_mktsegment")).as("name_seg"),
+      regexp_replace(lower(col("c_name")), "customer", "cust").as("name_replaced"))
+
+  /** Date/time-function coverage (year/month/day/date_trunc/datediff). */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"))
+
+  /** Explode / lateral coverage: one row per token for a doc subset. */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
+  /** Scalar-subquery coverage: customers above the average balance.
+    * Implemented as a broadcast of the 1-row aggregate — the plan shape
+    * a decorrelated scalar subquery lowers to. */
+  def aboveAvgBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.agg(avg("c_acctbal").as("avg_bal"))
+    c.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .select("c_custkey", "c_acctbal")
+  }
+
+  /** Approximate distinct (HLL). No oracle — sketch values are
+    * engine-specific; ApproxSpec pins the error bound instead. */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"))
 }

@@ -89,3 +89,14 @@ object CsvSink {
   def writeSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }
+
+/** Scale-correct sink: day-partitioned parquet. This is what S5 becomes
+  * at 100 TB — readers prune partitions on the day column instead of
+  * scanning everything, and writes parallelize per partition. */
+object ParquetSink {
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("day")
+      .parquet(path)
+}
