@@ -46,6 +46,7 @@ object SparkEntry {
     "g14_explode_tokens" -> (Pipelines.explodeTokens _),
     "g15_above_avg_balance" -> (Pipelines.aboveAvgBalance _),
     "g16_approx_distinct_parts" -> (Pipelines.approxDistinctParts _),
+    "g17_asof_last_purchase" -> (Pipelines.asofLastPurchase _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -411,6 +412,15 @@ object SparkEntry {
 
     "g15_above_avg_balance" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+
+    "g17_asof_last_purchase" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type <> 'purchase'),
+        |     r AS (SELECT user_id, ts,
+        |                  CAST(round(value * 100) AS BIGINT) AS last_purchase_cents
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.last_purchase_cents
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
   )
 }

@@ -211,6 +211,21 @@ object Pipelines {
       .select("c_custkey", "c_acctbal")
   }
 
+  /** As-of join coverage: each non-purchase event enriched with the
+    * user's most recent purchase amount at that moment. Spark has no
+    * native as-of join — `ops.AsOfJoin` composes one (union + running
+    * last); DuckDB's ASOF LEFT JOIN is the oracle. */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        cents(col("value")).as("last_purchase_cents"))
+    graft.ops.AsOfJoin.asOf(left, right, "user_id", "ts", Seq("last_purchase_cents"))
+      .select("event_id", "user_id", "last_purchase_cents")
+  }
+
   /** Approximate distinct (HLL). No oracle — sketch values are
     * engine-specific; ApproxSpec pins the error bound instead. */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =

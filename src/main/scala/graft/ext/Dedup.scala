@@ -72,8 +72,15 @@ object Dedup {
     // persist so the tokenize+explode runs once (spills to disk at scale)
     val sh = shUncached.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("a_id"), col("shingle"))
-    val b = sh.select(col(idCol).as("b_id"), col("shingle"))
+    // semantics-preserving join prefilter: a shingle in exactly one doc
+    // cannot contribute to any intersection — drop it from the JOIN
+    // inputs (sizes above still count it toward the union). On a mostly-
+    // unique corpus this removes the bulk of the self-join shuffle.
+    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2).select("shingle")
+    val shJoin = sh.join(shared, Seq("shingle"))
+    val a = shJoin.select(col(idCol).as("a_id"), col("shingle"))
+    val b = shJoin.select(col(idCol).as("b_id"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
