@@ -54,6 +54,8 @@ object SparkEntry {
     "x4_neardup_minhash" -> (ExtPipelines.neardupMinhash _),
     "x5_neardup_embedding" -> (ExtPipelines.neardupEmbedding _),
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
+    "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
+    "t5_normalize" -> (ExtPipelines.normalizedDocs _),
     "t1_token_stats" -> (ExtPipelines.tokenStats _),
     "t2_quality_signals" -> (ExtPipelines.qualitySignals _),
     "t3_lang_id" -> (ExtPipelines.langId _),
@@ -189,6 +191,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "t5_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                      '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
 
     "t1_token_stats" ->
       """SELECT doc_id,

@@ -32,6 +32,15 @@ object ExtPipelines {
   def simhashDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), maxDist = 3)
 
+  def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.4)
+
+  /** Canonical normalization (lowercase, strip punctuation, collapse
+    * whitespace) — oracle-checked against the same regex pipeline. */
+  def normalizedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
+
   // ---- text analysis ----
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {

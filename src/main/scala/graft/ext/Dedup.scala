@@ -201,8 +201,18 @@ object Dedup {
 
   // ---- embedding near-dup ----
 
+  /** LSH-bucketed embedding near-dup: hyperplane-signature buckets over
+    * multiple tables, exact-cosine verification of candidates. The scale
+    * path for [[embeddingNearDups]] — candidates ∝ corpus/2^nBits per
+    * table instead of all pairs. Recall < 1 by construction (tunable via
+    * nTables); measured in ExtSpec, so no SQL oracle. */
+  def embeddingNearDupsLsh(df: DataFrame, threshold: Double = 0.4,
+      nBits: Int = 4, nTables: Int = 16, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    graft.ext.Similarity.lshNearDupPairs(df, threshold, nBits, nTables, seed, vecCol, idCol)
+
   /** Brute-force embedding-cosine near-dup pairs (exact; the LSH-bucketed
-    * scale path lives in [[Similarity]]). */
+    * scale path is [[embeddingNearDupsLsh]]). */
   def embeddingNearDups(df: DataFrame, threshold: Double = 0.4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))

@@ -57,6 +57,29 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** LSH-bucketed all-pairs near-dup: self-join within hyperplane
+    * buckets across `nTables` tables, then exact-cosine verification.
+    * Sub-quadratic: pairs only form inside buckets. */
+  def lshNearDupPairs(df: DataFrame, threshold: Double, nBits: Int,
+      nTables: Int, seed: Long, vecCol: String, idCol: String): DataFrame = {
+    val dim = 64
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(dim, nBits, seed + t)
+      val sig = df.select(col(idCol), col(vecCol),
+        lit(t).as("tbl"), signature(col(vecCol), planes).as("sig"))
+      sig.as("x").join(sig.as("y"), Seq("tbl", "sig"))
+        .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+          col(s"x.$vecCol").as("va"), col(s"y.$vecCol").as("vb"))
+    }
+    tables.reduce(_ unionByName _)
+      .select(col("a_id"), col("b_id"),
+        VectorFunctions.cosineHof(col("va"), col("vb")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id")
+  }
+
   /** LSH-bucketed ANN: corpus and queries are hashed with the same
     * seeded hyperplanes into `nBits`-bit signatures over `nTables`
     * independent tables; candidates = corpus rows sharing a bucket in

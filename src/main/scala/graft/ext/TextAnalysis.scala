@@ -80,6 +80,12 @@ object TextAnalysis {
         + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3
         + (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3))
 
+  /** Canonical text normalization for dedup/training pipelines:
+    * lowercase, strip non-alphanumerics to spaces, collapse runs of
+    * whitespace, trim. Pure codegen'd expressions. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Rolling-hash document fingerprint (winnowing-style): hash every
     * k-token window (polynomial, kept in [0, 2^31) to stay ANSI-overflow
     * safe), then keep the minimum — robust to small edits at the ends.

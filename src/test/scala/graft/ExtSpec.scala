@@ -86,6 +86,23 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("embedding LSH near-dup pairs: precision 1, measured recall vs brute force") {
+    val exact = Dedup.embeddingNearDups(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))                       // verification step => exact precision
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.6,
+      s"recall = ${lsh.size.toDouble / math.max(exact.size, 1)}")
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    import spark.implicits._
+    val got = Seq("  Hello,   WORLD!! 42 ").toDF("text")
+      .select(TextAnalysis.normalize(col("text"))).collect()(0).getString(0)
+    assert(got == "hello world 42")
+  }
+
   test("langId identifies real multilingual sentences") {
     import spark.implicits._
     val samples = Seq(
