@@ -56,6 +56,7 @@ object SparkEntry {
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
     "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
     "t5_normalize" -> (ExtPipelines.normalizedDocs _),
+    "t6_top_docs_per_source" -> (ExtPipelines.topDocsPerSource _),
     "t1_token_stats" -> (ExtPipelines.tokenStats _),
     "t2_quality_signals" -> (ExtPipelines.qualitySignals _),
     "t3_lang_id" -> (ExtPipelines.langId _),
@@ -197,6 +198,13 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
         |                      '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+
+    "t6_top_docs_per_source" ->
+      """SELECT source, CAST(rk AS INT) AS rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents) t WHERE rk <= 3""".stripMargin,
 
     "t1_token_stats" ->
       """SELECT doc_id,

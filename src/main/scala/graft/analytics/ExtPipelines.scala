@@ -65,6 +65,19 @@ object ExtPipelines {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Custom typed Aggregator coverage: exact top-3 docs per source by
+    * length — bounded k-entry buffers make the map-side partials tiny
+    * (vs a row_number window that shuffles every row). Oracle: the
+    * equivalent window query. */
+  def topDocsPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("top_ids"))
+      .select(col("source"), posexplode(col("top_ids")).as(Seq("rk0", "doc_id")))
+      .select(col("source"), (col("rk0") + 1).as("rk"), col("doc_id"))
+  }
+
   // ---- similarity ----
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =

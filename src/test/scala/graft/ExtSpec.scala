@@ -125,6 +125,16 @@ class ExtSpec extends SparkSpec {
     assert(fps(0) == fps(1)) // min over shared windows dominates
   }
 
+  test("TopKAggregator: bounded buffer, deterministic tie-break") {
+    val agg = new graft.functions.TopKAggregator(2)
+    val buf = Seq((5.0, 10L), (5.0, 3L), (7.0, 99L), (1.0, 1L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf.length == 2)                       // buffer never exceeds k
+    assert(agg.finish(buf) == Seq(99L, 3L))       // score desc, id asc on tie
+    val merged = agg.merge(buf, Seq((6.0, 42L)))
+    assert(agg.finish(merged) == Seq(99L, 42L))
+  }
+
   test("quality signals are bounded and deterministic") {
     val q = graft.analytics.ExtPipelines.qualitySignals(spark, sf())
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
