@@ -47,6 +47,7 @@ object SparkEntry {
     "g15_above_avg_balance" -> (Pipelines.aboveAvgBalance _),
     "g16_approx_distinct_parts" -> (Pipelines.approxDistinctParts _),
     "g17_asof_last_purchase" -> (Pipelines.asofLastPurchase _),
+    "g18_json_extract" -> (Pipelines.jsonExtract _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -437,6 +438,12 @@ object SparkEntry {
         |                  CAST(round(value * 100) AS BIGINT) AS last_purchase_cents
         |           FROM events WHERE event_type = 'purchase')
         |SELECT l.event_id, l.user_id, r.last_purchase_cents
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "g18_json_extract" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events""".stripMargin
   )
 }

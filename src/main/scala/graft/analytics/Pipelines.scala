@@ -226,6 +226,14 @@ object Pipelines {
       .select("event_id", "user_id", "last_purchase_cents")
   }
 
+  /** JSON scalar-function coverage: extract the `k` field from the
+    * JSON `props` column (path extraction + typed cast). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+
   /** Approximate distinct (HLL). No oracle — sketch values are
     * engine-specific; ApproxSpec pins the error bound instead. */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,46 @@
+package graft
+
+import graft.analytics.Pipelines
+
+/** Physical-plan assertions — the scale properties the engine promises,
+  * pinned so a regression (lost pushdown, join strategy flip, extra
+  * shuffle) fails CI instead of silently degrading 100 TB plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("g1: shipdate filter is pushed into the parquet scan") {
+    val p = plan(Pipelines.pricingSummary(spark, sf()))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("g1: scan schema is pruned to the used columns") {
+    val p = plan(Pipelines.pricingSummary(spark, sf()))
+    assert(p.contains("FileScan parquet [l_quantity#"), p)  // pruned column list
+    assert(!p.contains("l_orderkey"), "unused column not pruned from scan")
+    assert(!p.contains("l_partkey"), "unused column not pruned from scan")
+  }
+
+  test("g2: every dimension join is broadcast, none sort-merge") {
+    val p = plan(Pipelines.revenueByNation(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 5, p)
+  }
+
+  test("flagship fast plan has exactly one shuffle exchange") {
+    val p = plan(Pipelines.flagshipProfileFast(spark, sf()))
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$p")
+  }
+
+  test("faithful flagship plan has more shuffles than the fast variant") {
+    val p = plan(Pipelines.flagshipProfile(spark, sf()))
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles >= 2, s"expected >=2 shuffles, plan:\n$p")
+  }
+}
