@@ -58,6 +58,7 @@ object SparkEntry {
     "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
     "t5_normalize" -> (ExtPipelines.normalizedDocs _),
     "t6_top_docs_per_source" -> (ExtPipelines.topDocsPerSource _),
+    "t7_train_test_split" -> (ExtPipelines.trainTestSplit _),
     "t1_token_stats" -> (ExtPipelines.tokenStats _),
     "t2_quality_signals" -> (ExtPipelines.qualitySignals _),
     "t3_lang_id" -> (ExtPipelines.langId _),
@@ -199,6 +200,18 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
         |                      '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+
+    "t7_train_test_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT doc_id,
+        |       CASE WHEN bucket < 52428 THEN 'train' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     "t6_top_docs_per_source" ->
       """SELECT source, CAST(rk AS INT) AS rk, doc_id FROM (

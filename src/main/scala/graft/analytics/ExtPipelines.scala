@@ -65,6 +65,11 @@ object ExtPipelines {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Deterministic hash-bucket train/test split (80/20). */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.DataSplit.withSplit(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id")
+
   /** Custom typed Aggregator coverage: exact top-3 docs per source by
     * length — bounded k-entry buffers make the map-side partials tiny
     * (vs a row_number window that shuffles every row). Oracle: the

@@ -125,6 +125,15 @@ class ExtSpec extends SparkSpec {
     assert(fps(0) == fps(1)) // min over shared windows dominates
   }
 
+  test("train/test split is deterministic and near the 80/20 target") {
+    val a = graft.ext.DataSplit.withSplit(docs.select("doc_id"), "doc_id")
+    val b = graft.ext.DataSplit.withSplit(
+      docs.select("doc_id").repartition(13), "doc_id") // different partitioning
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) // partition-independent
+    val frac = a.filter(col("split") === "train").count().toDouble / a.count()
+    assert(frac > 0.72 && frac < 0.88, s"train fraction $frac")
+  }
+
   test("TopKAggregator: bounded buffer, deterministic tie-break") {
     val agg = new graft.functions.TopKAggregator(2)
     val buf = Seq((5.0, 10L), (5.0, 3L), (7.0, 99L), (1.0, 1L))
