@@ -44,6 +44,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
 }
 
+/** SQL surface: register every testdata table as a temp view so users
+  * can `spark.sql("SELECT ... FROM lineitem JOIN ...")` directly —
+  * the API the reference never had but a complete engine needs. */
+object Catalog {
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+}
+
 /** Readers/writers for the reference's daily Elasticsearch-export JSONL
   * files (SURVEY.md §2.1 S1/S2/S4/S5).
   */

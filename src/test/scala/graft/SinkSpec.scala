@@ -23,6 +23,16 @@ class SinkSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_.contains("day=2024-01-05")))
   }
 
+  test("Catalog views enable the spark.sql surface over all tables") {
+    graft.sources.Catalog.registerViews(spark, sf())
+    val got = spark.sql(
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(got.count() == 3)
+    assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) == 500)
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val li = Tables.lineitem(spark, sf())
     val exact = li.groupBy("l_returnflag")
