@@ -48,6 +48,7 @@ object SparkEntry {
     "g16_approx_distinct_parts" -> (Pipelines.approxDistinctParts _),
     "g17_asof_last_purchase" -> (Pipelines.asofLastPurchase _),
     "g18_json_extract" -> (Pipelines.jsonExtract _),
+    "g19_array_functions" -> (Pipelines.arrayFunctions _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -457,6 +458,13 @@ object SparkEntry {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "g19_array_functions" ->
+      """SELECT doc_id,
+        |  list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark
+        |FROM documents""".stripMargin
   )
 }
