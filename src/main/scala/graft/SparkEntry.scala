@@ -128,6 +128,51 @@ object SparkEntry {
       |       count(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
       |FROM g GROUP BY user_id, sess_id""".stripMargin
 
+  /** Shared exact embedding-pairs oracle (x5 exact and x7 multiprobe-LSH
+    * must agree: recall at cos≥0.4 with distance-1 probes over 16 tables
+    * is ~1-6e-6 per pair; precision is exact via the verify stage). */
+  private val embeddingPairsOracle: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin
+
+  /** Shared exact cosine top-k oracle (v1 brute-force and v2 multiprobe
+    * ANN must agree — see the v2 comment at the Map entry). */
+  private val cosineTopkOracle: String =
+    """SELECT query_id, neighbor_id, rk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         row_number() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+      |                    c.vec_id ASC) AS rk
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+      |WHERE rk <= 5""".stripMargin
+
+  /** Full SimHash pipeline recomputed in SQL — possible because the
+    * token hash is md5-derived (`Dedup.tokenHash60`), shared by both
+    * engines. The oracle does the all-pairs O(n^2) check; Spark does the
+    * pigeonhole-banded join — identical output, different cost shape. */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n        ")
+    val pack = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+       |b AS (SELECT doc_id,
+       |        $bitSums
+       |      FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, ($pack) AS sh FROM b)
+       |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |       CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
+       |FROM s x JOIN s y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
+  }
+
   /** Flagship oracle — shared by the faithful branch+join query and the
     * single-pass variant (same semantics, different physical plan). */
   private val flagshipOracle: String =
@@ -190,11 +235,14 @@ object SparkEntry {
     "x3_neardup_jaccard" -> jaccardOracle,
     "x4_neardup_minhash" -> jaccardOracle,
 
-    "x5_neardup_embedding" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "x5_neardup_embedding" -> embeddingPairsOracle,
+    // multiprobe LSH recall at these (bits, tables, probes) is 1-6e-6
+    // per pair; precision is exact (cosine verify) — so the exact-pairs
+    // SQL is the oracle, same precedent as x4-vs-x3 (ExtSpec measures
+    // recall explicitly).
+    "x7_neardup_embedding_lsh" -> embeddingPairsOracle,
+
+    "x6_simhash_dups" -> simhashOracle,
 
     "t5_normalize" ->
       """SELECT doc_id,
@@ -266,17 +314,11 @@ object SparkEntry {
         |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr' END AS lang_pred
         |FROM v""".stripMargin,
 
-    "v1_cosine_topk" ->
-      """SELECT query_id, neighbor_id, rk FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         row_number() OVER (
-        |           PARTITION BY q.vec_id
-        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
-        |                    c.vec_id ASC) AS rk
-        |  FROM embeddings q JOIN embeddings c
-        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
-        |WHERE rk <= 5""".stripMargin,
+    "v1_cosine_topk" -> cosineTopkOracle,
+    // distance-2 multiprobe over 16 tables: per-neighbor miss ~4e-10
+    // even at cos≈0 — the ANN result is rank-exact on this data, so the
+    // exact top-k SQL is the oracle (recall measured in SimilaritySpec).
+    "v2_ann_lsh_topk" -> cosineTopkOracle,
 
     "e1_categorize" ->
       """SELECT event_id,
@@ -462,9 +504,23 @@ object SparkEntry {
 
     "g19_array_functions" ->
       """SELECT doc_id,
-        |  list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m2_media_features" -> {
+      // 16-bin byte histogram of the UTF-8 payload, recomputed in SQL by
+      // splitting hex(payload) into byte pairs and counting by high nibble.
+      // count/n is a single exact IEEE division on both engines.
+      val hs = (0 until 16).map(i =>
+        s"  CAST(len(list_filter(bs, x -> x[1] = '${"0123456789ABCDEF"(i)}')) AS DOUBLE)" +
+        s" / greatest(len(bs), 1) AS h${f"$i%02d"}").mkString(",\n")
+      s"""WITH b AS (SELECT doc_id,
+         |  regexp_extract_all(upper(hex(encode(text))), '..') AS bs FROM documents)
+         |SELECT doc_id, CAST(len(bs) AS BIGINT) AS byte_len,
+         |$hs
+         |FROM b""".stripMargin
+    }
   )
 }

@@ -20,8 +20,14 @@ object ExtPipelines {
   def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupKeepFirst(Tables.documents(spark, dir)).select("doc_id", "source")
 
+  /** Jaccard near-dup with the frequent-shingle skew cap ON — the form
+    * that survives hot shingles at 100 TB. Semantics-preserving here:
+    * max shingle df is 7 at sf0.01 / 25 at sf0.1, far under the cap, so
+    * the exact-jaccard oracle still applies (DedupSpec pins cap-on ≡
+    * cap-off on non-skewed data). */
   def neardupJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+    Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
+      maxShingleDf = Some(100))
 
   def neardupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir), n = 3, threshold = 0.5)
@@ -130,9 +136,14 @@ object ExtPipelines {
         col("media_meta.mime").as("mime"))
 
   /** Batched per-partition feature extraction over the binary column
-    * (decode step stubbed — see Multimodal scaladoc). */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.Multimodal.featurize(Tables.documents(spark, dir))
+    * (decode step stubbed — see Multimodal scaladoc). The 16-bin
+    * histogram is exploded into scalar columns h00..h15 so the driver's
+    * oracle compare can sort/hash the rows. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.ext.Multimodal.featurize(Tables.documents(spark, dir))
+    val hcols = (0 until 16).map(i => col("histogram")(i).as(f"h$i%02d"))
+    feats.select(col("doc_id") +: col("byte_len") +: hcols: _*)
+  }
 
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

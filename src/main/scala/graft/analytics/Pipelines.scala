@@ -226,11 +226,14 @@ object Pipelines {
       .select("event_id", "user_id", "last_purchase_cents")
   }
 
-  /** Array-function coverage: distinct-sort-slice over token arrays. */
+  /** Array-function coverage: distinct-sort-slice over token arrays.
+    * The slice is emitted `concat_ws`-joined (a sortable scalar) so the
+    * driver's pandas-based oracle compare can hash the rows. */
   def arrayFunctions(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      slice(array_sort(array_distinct(split(col("text"), " "))), 1, 5).as("first5"),
+      concat_ws(",",
+        slice(array_sort(array_distinct(split(col("text"), " "))), 1, 5)).as("first5"),
       size(array_distinct(split(col("text"), " "))).as("n_distinct"),
       array_contains(split(col("text"), " "), "spark").as("has_spark"))
 

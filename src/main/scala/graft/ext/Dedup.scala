@@ -144,16 +144,27 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash of the token multiset: per-bit majority vote of
+  /** SimHash bit width: 60 bits = the top 15 hex digits of md5, which
+    * parse losslessly into a signed 64-bit int on BOTH Spark (`conv`)
+    * and ANSI SQL engines (`0x…` cast) — so the whole SimHash pipeline
+    * is oracle-checkable, unlike an engine-specific xxhash64. */
+  val SimhashBits = 60
+
+  /** 60-bit token hash shared with the DuckDB oracle: top 15 hex digits
+    * of md5 as an integer (< 2^60, so no ANSI overflow). */
+  private def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash of the token multiset: per-bit majority vote of
     * token hashes. Built from expressions only: for each bit, sum ±1
     * over tokens, pack the sign bits. Near-dup docs differ in few bits
     * (compare with [[hammingDist]]). */
   def simhash(text: Column): Column = {
     val toks = split(text, " ")
-    val bits = (0 until 64).map { b =>
-      // +1 if bit b of xxhash64(token) is set, else -1; sum over tokens
+    val bits = (0 until SimhashBits).map { b =>
+      // +1 if bit b of hash(token) is set, else -1; sum over tokens
       val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        (acc, t) => acc + when(shiftright(tokenHash60(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -163,25 +174,25 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Whole-table SimHash, computed the scalable way: explode tokens,
-    * hash once, then ONE codegen'd aggregation with 64 conditional sums
+    * hash once, then ONE codegen'd aggregation with 60 conditional sums
     * (map-side partial + final), then pack the sign bits. Same result as
-    * [[simhash]] per row, but one pass over the tokens instead of 64
+    * [[simhash]] per row, but one pass over the tokens instead of 60
     * interpreted higher-order-function traversals. */
   def simhashTable(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val hashed = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col(idCol), tokenHash60(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val agg = hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64)
+    val packed = (0 until SimhashBits)
       .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col(idCol), packed.as("sh"))
   }
 
-  /** SimHash near-dup pairs: band the 64 bits into 4 16-bit chunks
+  /** SimHash near-dup pairs: band the 60 bits into 4 15-bit chunks
     * (any pair within Hamming distance 3 shares at least one chunk —
     * pigeonhole), bucket-join on chunks, verify exact distance. */
   def simhashNearDups(df: DataFrame, maxDist: Int = 3,
@@ -189,7 +200,7 @@ object Dedup {
     val sigs = simhashTable(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = (0 until 4).map { c =>
       sigs.select(col(idCol), col("sh"), lit(c).as("chunk"),
-        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+        shiftright(col("sh"), c * 15).bitwiseAND(0x7FFFL).as("key"))
     }.reduce(_ unionByName _)
     banded.as("x").join(banded.as("y"), Seq("chunk", "key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))

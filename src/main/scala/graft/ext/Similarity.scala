@@ -1,8 +1,7 @@
 package graft.ext
 
 import scala.util.Random
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -12,16 +11,35 @@ import graft.functions.VectorFunctions
   * exact, O(|queries| x |corpus|), the right tool when |queries| is
   * small. Scale path: random-hyperplane LSH — bucket the corpus by
   * signature prefix, probe only matching buckets; sub-linear per query,
-  * recall tunable via bits/tables.
+  * recall tunable via bits/tables/probes.
+  *
+  * Both top-k variants re-rank with [[graft.functions.TopKAggregator]]
+  * (k-bounded map-side partials) instead of a `row_number` window: a
+  * window partitioned by query_id shuffles every candidate row into
+  * |queries| tasks — a fixed-parallelism bottleneck at 100 TB corpus
+  * size — while the aggregator ships at most k pairs per query per
+  * partition and parallelizes with the corpus scan.
   */
 object Similarity {
 
+  /** (query_id, neighbor_id, cos) -> exact top-k per query via the
+    * bounded typed aggregator; deterministic tie-break (cos desc,
+    * neighbor_id asc) matches a row_number window ordering. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("neighbor_id")).as("top_ids"))
+      .select(col("query_id"),
+        posexplode(col("top_ids")).as(Seq("rk0", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("rk0") + 1).as("rk"))
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
-    * The query set is broadcast, so the corpus never shuffles: one scan,
-    * one narrow window per query group — this is the plan you want even
-    * at 100 TB corpus size (queries x corpus dot products, no exchange
-    * of the corpus). Excludes self-matches. Deterministic tie-break on
-    * neighbor id. */
+    * The query set is broadcast, so the corpus never shuffles: one scan
+    * with map-side k-bounded partials; the only exchange carries
+    * ≤ k·partitions rows per query. Excludes self-matches.
+    * Deterministic tie-break on neighbor id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id",
       useCodegenCosine: Boolean = true): DataFrame = {
@@ -30,13 +48,9 @@ object Similarity {
     val cos =
       if (useCodegenCosine) VectorFunctions.cosine(col("qv"), col("cv"))
       else VectorFunctions.cosineHof(col("qv"), col("cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(q, col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "rk")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random hyperplanes (seeded) as literal arrays. */
@@ -57,9 +71,30 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** All signatures within Hamming distance `probeDist` of `sig` over
+    * the low `nBits` bits (multiprobe LSH): probing neighbor buckets
+    * multiplies per-table recall for the cost of a wider join fan-in on
+    * ONE side — far cheaper than the equivalent extra hash tables, which
+    * would recompute signatures AND widen the join. */
+  private[ext] def probeMasks(nBits: Int, probeDist: Int): Seq[Long] = {
+    val single = (0 until nBits).map(1L << _)
+    val dist1 = 0L +: single
+    if (probeDist <= 0) Seq(0L)
+    else if (probeDist == 1) dist1
+    else dist1 ++ (for {
+      i <- 0 until nBits; j <- (i + 1) until nBits
+    } yield (1L << i) | (1L << j))
+  }
+
+  private def probed(sig: Column, nBits: Int, probeDist: Int): Column =
+    explode(array(probeMasks(nBits, probeDist).map(m => sig.bitwiseXOR(lit(m))): _*))
+
   /** LSH-bucketed all-pairs near-dup: self-join within hyperplane
-    * buckets across `nTables` tables, then exact-cosine verification.
-    * Sub-quadratic: pairs only form inside buckets. */
+    * buckets across `nTables` tables (one side multiprobed to Hamming
+    * distance 1), then exact-cosine verification. Sub-quadratic: pairs
+    * only form inside buckets; precision is exact (verify step), recall
+    * at cos≥0.4 is 1-(1-P)^nTables with P = p^b + b·p^(b-1)(1-p) —
+    * ~1-6e-6 at the defaults. */
   def lshNearDupPairs(df: DataFrame, threshold: Double, nBits: Int,
       nTables: Int, seed: Long, vecCol: String, idCol: String): DataFrame = {
     val dim = 64
@@ -67,7 +102,9 @@ object Similarity {
       val planes = hyperplanes(dim, nBits, seed + t)
       val sig = df.select(col(idCol), col(vecCol),
         lit(t).as("tbl"), signature(col(vecCol), planes).as("sig"))
-      sig.as("x").join(sig.as("y"), Seq("tbl", "sig"))
+      val probedSig = sig.select(col(idCol), col(vecCol), col("tbl"),
+        probed(col("sig"), nBits, probeDist = 1).as("sig"))
+      sig.as("x").join(probedSig.as("y"), Seq("tbl", "sig"))
         .filter(col(s"x.$idCol") < col(s"y.$idCol"))
         .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
           col(s"x.$vecCol").as("va"), col(s"y.$vecCol").as("vb"))
@@ -82,12 +119,16 @@ object Similarity {
 
   /** LSH-bucketed ANN: corpus and queries are hashed with the same
     * seeded hyperplanes into `nBits`-bit signatures over `nTables`
-    * independent tables; candidates = corpus rows sharing a bucket in
-    * ANY table; candidates are re-ranked with exact cosine.
+    * independent tables; candidates = corpus rows sharing a bucket with
+    * any probe of a query signature (queries multiprobed to Hamming
+    * distance 2 — they are the tiny broadcast side, so the extra probes
+    * are nearly free); candidates are re-ranked with exact cosine via
+    * the k-bounded aggregator.
     *
     * The bucket join shuffles (table, signature) keys — each query
-    * touches ~corpus/2^nBits rows per table instead of the full corpus.
-    * Recall rises with nTables, cost with nTables/2^-nBits. */
+    * touches ~corpus/2^nBits rows per table-probe instead of the full
+    * corpus. Recall rises with nTables and probeDist, cost with
+    * nTables·probes/2^nBits. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nBits: Int = 8, nTables: Int = 4, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
@@ -98,18 +139,15 @@ object Similarity {
         lit(t).as("tbl"), signature(col(vecCol), planes).as("sig"))
       val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         lit(t).as("tbl"), signature(col(vecCol), planes).as("sig"))
-      cSig.join(broadcast(qSig), Seq("tbl", "sig"))
+      val qProbed = qSig.select(col("query_id"), col("qv"), col("tbl"),
+        probed(col("sig"), nBits, probeDist = 2).as("sig"))
+      cSig.join(broadcast(qProbed), Seq("tbl", "sig"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
     }
     val cands = tables.reduce(_ unionByName _).distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands
-      .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosineHof(col("qv"), col("cv")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "rk")
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      VectorFunctions.cosineHof(col("qv"), col("cv")).as("cos"))
+    topKPerQuery(scored, k)
   }
 }

@@ -23,8 +23,10 @@ object Skew {
     * hot keys exist, where map-side combine stops helping. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       saltBuckets: Int = 32): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id()
-      + monotonically_increasing_id(), lit(saltBuckets)))
+    // salt from row CONTENT (not monotonically_increasing_id), so the
+    // plan is deterministic under task retry / partition re-split
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
@@ -39,7 +41,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int = 8): DataFrame = {
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
     val explodedRight = right.withColumn("_salt",
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     saltedLeft.join(explodedRight, Seq(key, "_salt")).drop("_salt")

@@ -79,21 +79,33 @@ class ExtSpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // corpus neighbors are weakly similar (max cos ~0.5), so use few bits
-    // and many tables: P(bucket match) = p^nBits per table, p = 1 - θ/π
+    // and many tables, plus distance-2 multiprobe on the query side:
+    // per-table P(bucket match) = P(sig dist <= 2), miss ~4e-10 over 16
+    // tables even at cos~0 — rank-exact here, which the shared v1/v2
+    // oracle depends on
     val ann = Similarity.lshTopK(emb, queries, k = 5, nBits = 4, nTables = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (bf intersect ann).size.toDouble / bf.size
-    assert(recall >= 0.5, s"recall@5 = $recall")
+    assert(ann == bf, s"recall@5 = ${(bf intersect ann).size.toDouble / bf.size}")
   }
 
-  test("embedding LSH near-dup pairs: precision 1, measured recall vs brute force") {
+  test("embedding LSH near-dup pairs match brute force exactly (multiprobe)") {
     val exact = Dedup.embeddingNearDups(emb, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingNearDupsLsh(emb, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(exact))                       // verification step => exact precision
-    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.6,
-      s"recall = ${lsh.size.toDouble / math.max(exact.size, 1)}")
+    // verification step => exact precision; distance-1 multiprobe over
+    // 16 tables => per-pair miss ~6e-6 at cos 0.4 — equality is what the
+    // shared x5/x7 oracle depends on
+    assert(lsh == exact, s"recall = ${lsh.size.toDouble / math.max(exact.size, 1)}")
+  }
+
+  test("jaccard frequent-shingle cap is semantics-preserving on non-skewed data") {
+    val off = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val on = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5,
+      maxShingleDf = Some(100)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(on == off) // max shingle df here is far below the cap
   }
 
   test("normalize lowercases, strips punctuation, collapses whitespace") {

@@ -43,4 +43,13 @@ class PlanSpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning")
     assert(shuffles >= 2, s"expected >=2 shuffles, plan:\n$p")
   }
+
+  test("v1 top-k re-ranks via bounded aggregation, not a window exchange") {
+    // a row_number window partitioned by query_id caps parallelism at
+    // |queries| tasks; the TopKAggregator plan must carry no Window node
+    // and keep a partial (map-side) aggregation before the exchange
+    val p = plan(graft.analytics.ExtPipelines.cosineTopK(spark, sf()))
+    assert(!p.contains("Window"), s"window re-rank crept back:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$p")
+  }
 }
