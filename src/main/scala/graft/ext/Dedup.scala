@@ -40,13 +40,18 @@ object Dedup {
   // ---- shingling ----
 
   /** Distinct word n-gram shingles of `textCol`, exploded to one row per
-    * (id, shingle). Docs shorter than n tokens produce no rows. */
+    * (id, shingle) with the shingle already reduced to a 64-bit hash:
+    * every downstream shuffle/join/aggregate then moves 8-byte longs
+    * instead of ~n-word strings — the dominant cost of the near-dup
+    * joins at scale. Set equality over hashes equals set equality over
+    * shingles up to 64-bit collisions (~1e-9 for billions of shingles).
+    * Docs shorter than n tokens produce no rows. */
   def explodedShingles(df: DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = split(col(textCol), " ")
     val sh = array_distinct(transform(
       sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
     df.filter(size(toks) >= n)
       .select(col(idCol), explode(sh).as("shingle"))
   }
@@ -61,24 +66,30 @@ object Dedup {
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // the shingle table feeds both join sides + the size aggregate:
+    // persist so the tokenize+explode runs once (spills to disk at
+    // scale). Persisting the UNCAPPED table (before the skew filter)
+    // also lets a later MinHash pass over the same corpus cache-hit the
+    // identical shingle plan instead of re-exploding.
     val sh0 = explodedShingles(df, n, textCol, idCol)
-    val shUncached = maxShingleDf match {
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE document-frequency aggregation feeds both the skew cap and the
+    // join prefilter below
+    val dfc = sh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val sh = maxShingleDf match {
       case Some(cap) =>
-        val rare = sh0.groupBy("shingle").count().filter(col("count") <= cap).select("shingle")
-        sh0.join(broadcast(rare), "shingle")
+        val rare = dfc.filter(col("_df") <= cap).select("shingle")
+        sh0.join(broadcast(rare), "shingle").persist(StorageLevel.MEMORY_AND_DISK)
       case None => sh0
     }
-    // the shingle table feeds both join sides + the size aggregate:
-    // persist so the tokenize+explode runs once (spills to disk at scale)
-    val sh = shUncached.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // semantics-preserving join prefilter: a shingle in exactly one doc
     // cannot contribute to any intersection — drop it from the JOIN
     // inputs (sizes above still count it toward the union). On a mostly-
     // unique corpus this removes the bulk of the self-join shuffle.
-    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= 2).select("shingle")
-    val shJoin = sh.join(shared, Seq("shingle"))
+    val sharedMax = maxShingleDf.map(cap => col("_df") <= cap).getOrElse(lit(true))
+    val shared = dfc.filter(col("_df") >= 2 && sharedMax).select("shingle")
+    val shJoin = sh.join(broadcast(shared), Seq("shingle"))
     val a = shJoin.select(col(idCol).as("a_id"), col("shingle"))
     val b = shJoin.select(col(idCol).as("b_id"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
