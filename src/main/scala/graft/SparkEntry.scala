@@ -49,6 +49,9 @@ object SparkEntry {
     "g17_asof_last_purchase" -> (Pipelines.asofLastPurchase _),
     "g18_json_extract" -> (Pipelines.jsonExtract _),
     "g19_array_functions" -> (Pipelines.arrayFunctions _),
+    // bucketed co-located join: storage pre-shuffled on the join key,
+    // the whole agg+join plan runs with zero exchanges (PlanSpec)
+    "g20_bucketed_join" -> (graft.ops.Bucketed.orderLineStats _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -508,6 +511,14 @@ object SparkEntry {
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark
         |FROM documents""".stripMargin,
+
+    "g20_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus, n_lines, sum_qty, line_cents
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, count(*) AS n_lines, SUM(l_quantity) AS sum_qty,
+        |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS line_cents
+        |  FROM lineitem GROUP BY l_orderkey) l
+        |ON o_orderkey = l_orderkey""".stripMargin,
 
     "m2_media_features" -> {
       // 16-bin byte histogram of the UTF-8 payload, recomputed in SQL by

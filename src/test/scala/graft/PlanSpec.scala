@@ -44,6 +44,25 @@ class PlanSpec extends SparkSpec {
     assert(shuffles >= 2, s"expected >=2 shuffles, plan:\n$p")
   }
 
+  test("g20: bucketed agg+join plan has zero shuffle exchanges") {
+    // both the groupBy key and the join key are the bucket key: the
+    // storage is already hash-partitioned 8-ways on it, so the whole
+    // plan must run exchange-free even with broadcast disabled
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.ops.Bucketed.orderLineStats(spark, sf()))
+      assert(!p.contains("Exchange"), s"expected zero exchanges:\n$p")
+      assert(p.contains("Join"), p)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("SHOW TABLES").collect().map(_.getString(1))
+        .filter(_.startsWith("orders_bkt")).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("SHOW TABLES").collect().map(_.getString(1))
+        .filter(_.startsWith("lineitem_bkt")).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("spark-warehouse"))
+    }
+  }
+
   test("v1 top-k re-ranks via bounded aggregation, not a window exchange") {
     // a row_number window partitioned by query_id caps parallelism at
     // |queries| tasks; the TopKAggregator plan must carry no Window node
