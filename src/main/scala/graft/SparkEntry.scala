@@ -69,6 +69,7 @@ object SparkEntry {
     "t4_fingerprints" -> (ExtPipelines.fingerprints _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
+    "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
     "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
     "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
     "s3_sessionize_stream" -> (ExtPipelines.sessionizeStream _),
@@ -322,6 +323,10 @@ object SparkEntry {
     // even at cos≈0 — the ANN result is rank-exact on this data, so the
     // exact top-k SQL is the oracle (recall measured in SimilaritySpec).
     "v2_ann_lsh_topk" -> cosineTopkOracle,
+    // v3_ann_ivf_topk has no SQL oracle: probe membership depends on
+    // the trained coarse quantizer, which SQL can't recompute. ExtSpec
+    // pins the defining IVF property instead — exact top-k within the
+    // probed lists, plus a recall floor vs brute force.
 
     "e1_categorize" ->
       """SELECT event_id,

@@ -145,6 +145,18 @@ object ExtPipelines {
     feats.select(col("doc_id") +: col("byte_len") +: hcols: _*)
   }
 
+  /** IVF-Flat ANN — coarse-quantizer scale path (probes 8 of 16
+    * inverted lists per query). No SQL oracle (probe membership depends
+    * on the trained quantizer); ExtSpec pins exact-within-probed-lists
+    * and a recall floor. Recall here (~0.8) is the worst case: the test
+    * embeddings are near-random, so neighbors carry no cluster signal —
+    * real-world embedding corpora cluster, which is IVF's premise. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, queryVecs(spark, dir), k = 5,
+      nList = 16, nProbe = 8, nIters = 1)
+  }
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // few bits + many tables: right recall/cost point for weakly-similar

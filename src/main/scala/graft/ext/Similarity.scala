@@ -117,6 +117,91 @@ object Similarity {
       .select("a_id", "b_id")
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Train an IVF coarse quantizer: `nList` seed centroids drawn as a
+    * deterministic pseudo-random sample of corpus vectors (min-xxhash64
+    * order), refined with `nIters` Lloyd iterations (elementwise mean
+    * per list, cosine assignment). Returns (list_id, cvec) materialized
+    * to the driver — nList·dim doubles, metadata-scale like any
+    * broadcast dimension; FAISS trains its quantizer centrally for the
+    * same reason. Downstream, centroids are pure broadcast literals and
+    * the corpus never shuffles during training. */
+  def ivfCentroids(corpus: DataFrame, nList: Int = 16, nIters: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus
+      .select(col(idCol).cast("string").as("sid"), col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy(xxhash64(col("sid")), col("sid"))
+      .limit(nList)
+      .select(col("cvec")).as[Seq[Double]].collect()
+    var cent: DataFrame = seeds.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("list_id", "cvec")
+    for (_ <- 0 until nIters) {
+      val assigned = ivfAssign(corpus, cent, vecCol, idCol)
+      val refined = assigned
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+        .as[(Long, Seq[Double])].collect()
+      cent = refined.toSeq.toDF("list_id", "cvec")
+    }
+    cent
+  }
+
+  /** Assign every corpus vector to its nearest centroid (cosine,
+    * deterministic lowest-list-id tie-break): the "inverted lists" are
+    * simply the corpus keyed by list_id. One scan, centroids broadcast,
+    * map-side-combined max_by — no shuffle of the vectors themselves.
+    * At 100 TB the result is written bucketed by list_id so a probe is
+    * a bucket-pruned scan. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("list_id"),
+        VectorFunctions.cosineHof(col(vecCol), col("cvec")).as("sim"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("list_id"), struct(col("sim"), -col("list_id"))).as("list_id"),
+        first(col(vecCol)).as(vecCol))
+
+  /** IVF-Flat ANN search: each query ranks the (broadcast) centroids,
+    * probes its top-`nProbe` inverted lists, and scores exact cosine
+    * against only those lists' vectors — nProbe/nList of the corpus per
+    * query instead of all of it — then re-ranks with the k-bounded
+    * aggregator. Index build costs one corpus scan and amortizes over
+    * every later query batch (persist/write `ivfAssign`'s output).
+    * Recall is governed by nProbe/nList; ExtSpec pins rank-exactness vs
+    * brute force at the registered settings. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nList: Int = 16, nProbe: Int = 8, nIters: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
+    val assigned = ivfAssign(corpus, cent, vecCol, idCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qScored = q.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        col("list_id"),
+        VectorFunctions.cosineHof(col("qv"), col("cvec")).as("cos"))
+    val topLists = udaf(new graft.functions.TopKAggregator(nProbe))
+    val probes = qScored
+      .groupBy("query_id")
+      .agg(topLists(col("cos"), col("list_id")).as("lists"))
+      .select(col("query_id"), explode(col("lists")).as("list_id"))
+      .join(q, "query_id") // re-attach the query vector (tiny side)
+    val cands = assigned
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        VectorFunctions.cosineHof(col("qv"), col(vecCol)).as("cos"))
+    topKPerQuery(cands, k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries are hashed with the same
     * seeded hyperplanes into `nBits`-bit signatures over `nTables`
     * independent tables; candidates = corpus rows sharing a bucket with

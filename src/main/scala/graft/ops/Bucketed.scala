@@ -26,13 +26,33 @@ object Bucketed {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val ob = s"orders_bkt$tag"
     val lb = s"lineitem_bkt$tag"
-    if (!spark.catalog.tableExists(ob))
+    if (!spark.catalog.tableExists(ob)) {
+      clearStaleLocation(spark, ob)
       Tables.orders(spark, dir).write.mode("overwrite")
         .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ob)
-    if (!spark.catalog.tableExists(lb))
+    }
+    if (!spark.catalog.tableExists(lb)) {
+      clearStaleLocation(spark, lb)
       Tables.lineitem(spark, dir).write.mode("overwrite")
         .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(lb)
+    }
     (ob, lb)
+  }
+
+  /** A managed table's location can outlive the (in-memory) catalog
+    * entry across JVMs; CREATE then fails with LOCATION_ALREADY_EXISTS.
+    * If the catalog has no such table, the files are stale — remove them. */
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh))
+               else java.nio.file.Paths.get(wh)
+    val loc = base.resolve(table).toFile
+    if (loc.exists) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(loc)
+    }
   }
 
   /** Per-order line stats joined back to the order row. Both the

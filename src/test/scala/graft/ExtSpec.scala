@@ -88,6 +88,62 @@ class ExtSpec extends SparkSpec {
     assert(ann == bf, s"recall@5 = ${(bf intersect ann).size.toDouble / bf.size}")
   }
 
+  test("IVF top-k is exact within its probed lists, with a recall floor") {
+    VectorFunctions.register(spark)
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5,
+      nList = 16, nProbe = 8, nIters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // the defining IVF property: the result equals the EXACT top-k
+    // restricted to the probed lists — recompute probes + restricted
+    // brute force independently and demand equality
+    val cent = Similarity.ivfCentroids(emb, nList = 16, nIters = 1)
+    val assigned = Similarity.ivfAssign(emb, cent)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("list_id"),
+        VectorFunctions.cosineHof(col("qv"), col("cvec")).as("s"))
+    import org.apache.spark.sql.expressions.Window
+    val topProbes = probes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("s").desc, col("list_id"))))
+      .filter(col("rk") <= 8).select("query_id", "list_id")
+    val allowed = topProbes.join(assigned, "list_id")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scoredAll = cv.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineHof(col("qv"), col("cv")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = scoredAll
+      .filter(t => allowed.contains((t._1, t._2)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case (t, i) => (qid, t._2, i + 1) }
+      }.toSet
+    assert(ivf == expected, "IVF result must be the exact top-k over its probed lists")
+
+    // recall floor vs unrestricted brute force: this corpus is near-
+    // random (no cluster structure — IVF's worst case); real embedding
+    // corpora cluster and recall approaches 1
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf.map(t => (t._1, t._2))).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("IVF assignment covers every vector exactly once") {
+    val cent = Similarity.ivfCentroids(emb, nList = 16, nIters = 1)
+    val assigned = Similarity.ivfAssign(emb, cent)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("list_id").distinct().count() >= 2) // quantizer actually splits
+  }
+
   test("embedding LSH near-dup pairs match brute force exactly (multiprobe)") {
     val exact = Dedup.embeddingNearDups(emb, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
