@@ -73,6 +73,8 @@ object SparkEntry {
     "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
     "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
     "s3_sessionize_stream" -> (ExtPipelines.sessionizeStream _),
+    "s4_stream_enrich" -> (ExtPipelines.streamEnrich _),
+    "s5_stream_dedup" -> (ExtPipelines.streamDedup _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _)
   )
@@ -219,6 +221,13 @@ object SparkEntry {
 
     "s2_sessionize_batch" -> sessionizeOracle,
     "s3_sessionize_stream" -> sessionizeOracle,
+
+    "s4_stream_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment AS segment
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+
+    "s5_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "m1_media_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

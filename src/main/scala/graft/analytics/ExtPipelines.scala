@@ -127,6 +127,21 @@ object ExtPipelines {
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Stream-static broadcast join (stateless enrichment). */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.enrichWithSegment(
+        graft.streaming.Streaming.eventsStream(spark, dir),
+        Tables.customer(spark, dir)),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
+  /** Streaming exact dedup — first arrival of each key wins. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.dedupStream(
+        graft.streaming.Streaming.eventsStream(spark, dir)),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   // ---- multimodal ----
 
   /** Binary payload + typed metadata (oracle-checked byte lengths). */

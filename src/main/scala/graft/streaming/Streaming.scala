@@ -63,6 +63,36 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("Type"), col("value_cents"))
 
+  /** Stream-static enrichment join: the stream side joins a broadcast
+    * static dimension — stateless, and the stream never shuffles; the
+    * standard pattern for attaching slowly-changing dimensions to a
+    * firehose (the dimension re-broadcasts per micro-batch, so an
+    * updated dimension table is picked up without restarting). */
+  def enrichWithSegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"))
+
+  /** Streaming exact dedup: emit each (user_id, event_type) key once, on
+    * first arrival. Exact global dedup necessarily keeps one state row
+    * per distinct key (that IS the problem statement — same state bound
+    * as the batch groupBy, kept incrementally). When business rules
+    * tolerate re-emission after a quiet period, bound state with
+    * [[dedupStreamWithinWatermark]] instead. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.select("user_id", "event_type").dropDuplicates("user_id", "event_type")
+
+  /** Bounded-state variant: duplicates are only suppressed while the key
+    * is within the watermark horizon; state older than the delay is
+    * evicted. The right trade at 100 TB/day when duplicates only arise
+    * from short-horizon retries (at-least-once sources), not from
+    * genuine key recurrence. */
+  def dedupStreamWithinWatermark(events: DataFrame, delay: String = "1 day"): DataFrame =
+    events.select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   // ---- stateful sessionization ----
 
   final case class SessEvent(user_id: Long, ts_us: Long, cents: Long)

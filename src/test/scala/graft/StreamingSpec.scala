@@ -33,6 +33,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).n_events == 1 && out(1).total_cents == 30L)
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    val streamed = Streaming.runToBatch(spark,
+      Streaming.enrichWithSegment(
+        Streaming.eventsStream(spark, sf()), Tables.customer(spark, sf())),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = Tables.events(spark, sf()).select("event_id", "user_id")
+      .join(Tables.customer(spark, sf()),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"))
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+
+  test("streaming dedup emits each key exactly once; watermark variant bounds state") {
+    val streamed = Streaming.runToBatch(spark,
+      Streaming.dedupStream(Streaming.eventsStream(spark, sf())),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val distinct = Tables.events(spark, sf())
+      .select("user_id", "event_type").distinct()
+    assert(streamed.exceptAll(distinct).isEmpty && distinct.exceptAll(streamed).isEmpty)
+
+    // within-watermark variant: same keys on a single-batch replay (all
+    // rows inside one micro-batch → nothing falls beyond the horizon),
+    // but with evictable state — the bounded form for retry-only dupes
+    val wm = Streaming.runToBatch(spark,
+      Streaming.dedupStreamWithinWatermark(Streaming.eventsStream(spark, sf())),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("user_id", "event_type")
+    assert(wm.exceptAll(distinct).isEmpty && distinct.exceptAll(wm).isEmpty)
+  }
+
   test("streaming daily totals match the batch group-by per day") {
     val streamed = ExtRef.streamDailyTotals(spark, sf())
     val events = Tables.events(spark, sf())
