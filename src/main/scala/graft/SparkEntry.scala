@@ -52,6 +52,8 @@ object SparkEntry {
     // bucketed co-located join: storage pre-shuffled on the join key,
     // the whole agg+join plan runs with zero exchanges (PlanSpec)
     "g20_bucketed_join" -> (graft.ops.Bucketed.orderLineStats _),
+    "g21_percentiles" -> (Pipelines.percentiles _),
+    "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -533,6 +535,19 @@ object SparkEntry {
         |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS line_cents
         |  FROM lineitem GROUP BY l_orderkey) l
         |ON o_orderkey = l_orderkey""".stripMargin,
+
+    "g21_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)  AS p50,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "x8_skew_salted_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS cnt
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "m2_media_features" -> {
       // 16-bin byte histogram of the UTF-8 payload, recomputed in SQL by

@@ -251,4 +251,29 @@ object Pipelines {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+
+  /** Exact interpolated percentiles per group. The quantile points are
+    * exact binary fractions (1/4, 1/2, 3/4) over integer cents, so the
+    * type-7 interpolation is exact in ANY evaluation order and the
+    * DuckDB quantile_cont oracle matches bit-for-bit. At 100 TB swap in
+    * approx_percentile (t-digest, mergeable partials) — exact percentile
+    * must collect each group's values into one aggregation buffer. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+    li.groupBy("l_returnflag")
+      .agg(expr("percentile(c, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(col("l_returnflag"),
+        col("p")(0).as("p25"), col("p")(1).as("p50"), col("p")(2).as("p75"))
+  }
+
+  /** Two-stage salted aggregation registered as a query: salting is
+    * semantics-preserving (sum/count compose from partials), so the
+    * plain group-by SQL is the oracle. The salt spreads any hot user_id
+    * over 32 reducers — the shape that saves the job when one key holds
+    * 10% of a 100 TB table. */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedSumCount(
+      Tables.events(spark, dir).select(col("user_id"), cents(col("value")).as("cents")),
+      "user_id", "cents")
 }
