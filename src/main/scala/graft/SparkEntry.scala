@@ -78,7 +78,8 @@ object SparkEntry {
     "s4_stream_enrich" -> (ExtPipelines.streamEnrich _),
     "s5_stream_dedup" -> (ExtPipelines.streamDedup _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
-    "m2_media_features" -> (ExtPipelines.mediaFeatures _)
+    "m2_media_features" -> (ExtPipelines.mediaFeatures _),
+    "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -548,6 +549,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  count(*) AS cnt
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "m3_frame_sample" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
+        |n AS (SELECT doc_id, bl, (bl + 63) // 64 AS nf FROM b),
+        |s AS (SELECT doc_id, bl, nf,
+        |        unnest(list_distinct([j * nf // 4 for j in range(4)])) AS fi
+        |      FROM n WHERE nf > 0)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |       CAST(least(64, bl - fi * 64) AS INT) AS frame_len
+        |FROM s WHERE fi < nf""".stripMargin,
 
     "m2_media_features" -> {
       // 16-bin byte histogram of the UTF-8 payload, recomputed in SQL by

@@ -172,6 +172,21 @@ object ExtPipelines {
       nList = 16, nProbe = 8, nIters = 1)
   }
 
+  /** Frame-sampling plumbing over the binary column: up to 4 uniformly-
+    * spaced 64-byte frames per payload. The registered projection emits
+    * the structural scalars (index, length) the SQL oracle can
+    * recompute from octet_length alone; the binary frames + resize
+    * kernel are exercised in StreamingSpec/ExtSpec. */
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.ext.Multimodal.withBinaryPayload(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[graft.ext.Multimodal.MediaRow]
+    graft.ext.Multimodal.sampleFrames(media, frameBytes = 64, nSamples = 4).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("int").as("frame_len"))
+  }
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // few bits + many tables: right recall/cost point for weakly-similar

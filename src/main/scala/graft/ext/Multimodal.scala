@@ -59,4 +59,45 @@ object Multimodal {
       .as[MediaRow]
     extractFeatures(media).toDF()
   }
+
+  // ---- frame sampling / resize ----
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Deterministic uniform frame sampling: treat the payload as
+    * consecutive `frameBytes`-sized frames and emit up to `nSamples`
+    * uniformly-spaced ones (always including frame 0). This is the
+    * explode that turns a video table into a frame table for per-frame
+    * models — output size is bounded at nSamples rows per video no
+    * matter how long the video, so the downstream table can't blow up. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+      nSamples: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.payload.length
+      val nF = (len + frameBytes - 1) / frameBytes
+      (0 until nSamples).map(j => j * nF / nSamples).distinct
+        .filter(_ < nF)
+        .map { i =>
+          val from = i * frameBytes
+          Frame(r.doc_id, i, r.payload.slice(from, math.min(from + frameBytes, len)))
+        }
+    }
+  }
+
+  /** STUB resize: downsample a frame to at most `outBytes` by block
+    * averaging — stands in for an image resize kernel; deterministic,
+    * shape-correct, swap the body for the real kernel in prod. */
+  def resizeStub(frame: Array[Byte], outBytes: Int = 16): Array[Byte] = {
+    val len = frame.length
+    if (len <= outBytes) frame
+    else Array.tabulate(outBytes) { k =>
+      val from = k * len / outBytes
+      val until = (k + 1) * len / outBytes
+      var sum = 0L
+      var i = from
+      while (i < until) { sum += (frame(i) & 0xFF); i += 1 }
+      (sum / (until - from)).toByte
+    }
+  }
 }

@@ -84,6 +84,33 @@ class StreamingSpec extends SparkSpec {
     assert(lens.count() == 0)
   }
 
+  test("sampleFrames: bounded count, uniform spacing, exact frame bytes") {
+    import spark.implicits._
+    val payload = Array.tabulate(300)(i => (i % 251).toByte) // 5 frames of 64 (last=44)
+    val media = Seq(Multimodal.MediaRow(7L, payload)).toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, nSamples = 4)
+      .collect().sortBy(_.frame_idx)
+    // nF=5 → sampled idx = j*5/4 for j=0..3 → 0,1,2,3
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(frames.forall(f => f.frame.sameElements(
+      payload.slice(f.frame_idx * 64, math.min(f.frame_idx * 64 + 64, 300)))))
+    // shorter than one frame → exactly one sample
+    val one = Multimodal.sampleFrames(Seq(Multimodal.MediaRow(8L,
+      Array[Byte](1, 2, 3))).toDS(), 64, 4).collect()
+    assert(one.length == 1 && one(0).frame_idx == 0 && one(0).frame.length == 3)
+  }
+
+  test("resizeStub: block-average downsample, shape-correct, deterministic") {
+    val frame = Array.tabulate(64)(_.toByte)
+    val small = Multimodal.resizeStub(frame, outBytes = 16)
+    assert(small.length == 16)
+    // block k averages bytes [4k, 4k+4): (4k + 4k+1 + 4k+2 + 4k+3)/4 = 4k+1
+    assert(small.zipWithIndex.forall { case (b, k) => b == (4 * k + 1).toByte })
+    assert(small.sameElements(Multimodal.resizeStub(frame, 16)))
+    // already small enough → unchanged
+    assert(Multimodal.resizeStub(Array[Byte](9, 9), 16).sameElements(Array[Byte](9, 9)))
+  }
+
   test("decodeStub is deterministic and batch-shape independent") {
     val bytes = "some media payload bytes".getBytes("UTF-8")
     assert(Multimodal.decodeStub(bytes).toSeq == Multimodal.decodeStub(bytes).toSeq)
