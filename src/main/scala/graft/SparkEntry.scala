@@ -53,6 +53,7 @@ object SparkEntry {
     // the whole agg+join plan runs with zero exchanges (PlanSpec)
     "g20_bucketed_join" -> (graft.ops.Bucketed.orderLineStats _),
     "g21_percentiles" -> (Pipelines.percentiles _),
+    "g22_range_join" -> (Pipelines.attributionRangeJoin _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
@@ -543,6 +544,15 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)  AS p50,
         |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "g22_range_join" ->
+      """SELECT p.event_id, r.event_id AS purchase_id
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type <> 'purchase') p
+        |JOIN (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase') r
+        |ON p.user_id = r.user_id
+        |   AND p.ts_us >= r.ts_us AND p.ts_us < r.ts_us + 86400000000""".stripMargin,
 
     "x8_skew_salted_agg" ->
       """SELECT user_id,

@@ -267,6 +267,26 @@ object Pipelines {
         col("p")(0).as("p25"), col("p")(1).as("p50"), col("p")(2).as("p75"))
   }
 
+  /** Range join via bin bucketing: attribute each non-purchase event to
+    * every purchase by the same user in the preceding day. The binned
+    * equi-join on (user_id, day-bin) replaces the per-key quadratic
+    * sort-merge buffer a raw theta join would need. */
+  def attributionRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val dayUs = 86400000000L
+    val points = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val ranges = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("start_us"), (col("ts_us") + dayUs).as("end_us"))
+    graft.ops.RangeJoin.pointInRange(points, ranges,
+      key = "user_id", ptCol = "ts_us", startCol = "start_us",
+      endCol = "end_us", binWidth = dayUs)
+      .select("event_id", "purchase_id")
+  }
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

@@ -1,5 +1,46 @@
 package graft
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointInRange: half-open bounds, multi-bin ranges, bin-edge points") {
+    val points = Seq(
+      (1L, 100L, 0L),    // == start → included
+      (1L, 101L, 999L),  // just inside
+      (1L, 102L, 1000L), // == end → excluded
+      (1L, 103L, 2500L), // inside the long range only
+      (2L, 200L, 500L),  // right key, other user's range → excluded
+      (1L, 104L, 64L)    // exactly on a bin edge (binWidth 64)
+    ).toDF("user_id", "event_id", "ts_us")
+    val ranges = Seq(
+      (1L, 900L, 0L, 1000L),   // [0, 1000): spans bins 0..15 at width 64
+      (1L, 901L, 2000L, 3000L)
+    ).toDF("user_id", "range_id", "start_us", "end_us")
+    val out = graft.ops.RangeJoin.pointInRange(points, ranges,
+      "user_id", "ts_us", "start_us", "end_us", binWidth = 64L)
+      .select("event_id", "range_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 900L), (101L, 900L), (104L, 900L), (103L, 901L)))
+    // no dup pairs even though ranges span many bins
+    val n = graft.ops.RangeJoin.pointInRange(points, ranges,
+      "user_id", "ts_us", "start_us", "end_us", binWidth = 64L).count()
+    assert(n == 4)
+  }
+
+  test("pointInRange matches the naive theta join on real events") {
+    val ev = graft.sources.Tables.events(spark, sf())
+    val binned = graft.analytics.Pipelines.attributionRangeJoin(spark, sf())
+    val evUs = ev.selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "event_type")
+    val p = evUs.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_id", $"ts_us")
+    val r = evUs.filter($"event_type" === "purchase")
+      .select($"user_id".as("ru"), $"event_id".as("purchase_id"), $"ts_us".as("rts"))
+    val naive = p.join(r, $"user_id" === $"ru" &&
+        $"ts_us" >= $"rts" && $"ts_us" < $"rts" + 86400000000L)
+      .select("event_id", "purchase_id")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+  }
+}
+
 import java.sql.Timestamp
 import graft.ops.AsOfJoin
 

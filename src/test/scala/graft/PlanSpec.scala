@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("g22: range join plans as an equi-join, not nested-loop/cartesian") {
+    val p = plan(Pipelines.attributionRangeJoin(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p) // some hash/sort-merge equi-join on (key, bin)
+  }
+
   test("v1 top-k re-ranks via bounded aggregation, not a window exchange") {
     // a row_number window partitioned by query_id caps parallelism at
     // |queries| tasks; the TopKAggregator plan must carry no Window node
