@@ -33,6 +33,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a query that threw inside graft.Verify leaves NO output dir and
+    # would otherwise silently vanish from the compare — flag it
+    for name in sorted(oracle):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"FAIL {name}: no verify output (query threw in graft.Verify?)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
