@@ -55,6 +55,7 @@ object SparkEntry {
     "g21_percentiles" -> (Pipelines.percentiles _),
     "g22_range_join" -> (Pipelines.attributionRangeJoin _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
+    "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -251,6 +252,24 @@ object SparkEntry {
 
     "x3_neardup_jaccard" -> jaccardOracle,
     "x4_neardup_minhash" -> jaccardOracle,
+
+    // transitive closure of the jaccard pairs via recursive reachability;
+    // cluster label = component minimum, matching min-label propagation
+    "x9_dedup_clusters" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a_id, b_id FROM (
+         |$jaccardOracle
+         |  ) jp
+         |),
+         |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id AS id FROM edges),
+         |sym AS (SELECT a_id AS u, b_id AS v FROM edges
+         |        UNION ALL SELECT b_id AS u, a_id AS v FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "x5_neardup_embedding" -> embeddingPairsOracle,
     // multiprobe LSH recall at these (bits, tables, probes) is 1-6e-6

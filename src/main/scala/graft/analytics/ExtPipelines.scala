@@ -41,6 +41,14 @@ object ExtPipelines {
   def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** Dup clusters: transitive closure of the jaccard near-dup pairs,
+    * labeled by component-minimum doc id — the artifact a dedup pass
+    * actually deletes against (pair similarity is not transitive). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
+        maxShingleDf = Some(100)))
+
   /** Canonical normalization (lowercase, strip punctuation, collapse
     * whitespace) — oracle-checked against the same regex pipeline. */
   def normalizedDocs(spark: SparkSession, dir: String): DataFrame =

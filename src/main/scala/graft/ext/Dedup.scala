@@ -221,6 +221,53 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  // ---- dup clusters (connected components) ----
+
+  /** Connected components over near-dup pairs: every doc in a component
+    * gets the component's minimum doc id as `cluster_id` — the label a
+    * pipeline keeps to choose one canonical document per dup group
+    * (pairs alone can't: near-dup similarity is not transitive, the
+    * cluster closure is what dedup actually deletes against).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across the (symmetrized) edge list and keeps the per-node minimum;
+    * converges in O(component diameter) rounds — near-dup clusters are
+    * shallow (dups of dups of one original), so a handful. Each round is
+    * two shuffles on node id; labels are persisted and the loop stops on
+    * a fixpoint count, exactly the large-star/small-star join shape used
+    * for CC at web scale. The driver-side loop iterates ROUNDS (a dozen
+    * actions), never rows. */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id"), col("u").as("lbl"))
+      .groupBy("id").agg(min("lbl").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // candidate label for v = min over neighbors u of lbl(u); merge
+      // with own label, keep the minimum
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "u"), "u")
+        .groupBy(col("v").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ---- embedding near-dup ----
 
   /** LSH-bucketed embedding near-dup: hyperplane-signature buckets over

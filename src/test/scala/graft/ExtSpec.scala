@@ -88,6 +88,18 @@ class ExtSpec extends SparkSpec {
     assert(ann == bf, s"recall@5 = ${(bf intersect ann).size.toDouble / bf.size}")
   }
 
+  test("connectedComponents: multi-hop chains collapse to min-id clusters") {
+    import spark.implicits._
+    // 1-2-3-4-5 is a 4-hop chain (forces several propagation rounds);
+    // 10-11 a separate pair; edge direction deliberately mixed
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
+      .toDF("a_id", "b_id")
+    val cc = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF top-k is exact within its probed lists, with a recall floor") {
     VectorFunctions.register(spark)
     val queries = emb.filter(col("vec_id") < 20)
