@@ -71,6 +71,7 @@ object SparkEntry {
     "t2_quality_signals" -> (ExtPipelines.qualitySignals _),
     "t3_lang_id" -> (ExtPipelines.langId _),
     "t4_fingerprints" -> (ExtPipelines.fingerprints _),
+    "t8_top_ngrams" -> (ExtPipelines.topNgrams _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
@@ -304,6 +305,13 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY n_chars DESC, doc_id ASC) AS rk
         |  FROM documents) t WHERE rk <= 3""".stripMargin,
+
+    "t8_top_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+        |      FROM t WHERE len(w) >= 2)
+        |SELECT ngram, count(*) AS n FROM b
+        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "t1_token_stats" ->
       """SELECT doc_id,

@@ -79,6 +79,24 @@ object ExtPipelines {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Corpus-level top-20 bigrams by frequency (deterministic total-order
+    * tie-break). The plan is scan → explode → partial-combined count →
+    * TakeOrderedAndProject: the global sort never materializes, each
+    * partition ships only its top 20 — the shape that survives a 100 TB
+    * corpus where the naive orderBy would sort billions of ngram rows. */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(20)
+  }
+
   /** Deterministic hash-bucket train/test split (80/20). */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     graft.ext.DataSplit.withSplit(
