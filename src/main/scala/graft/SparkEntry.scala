@@ -80,6 +80,7 @@ object SparkEntry {
     "s3_sessionize_stream" -> (ExtPipelines.sessionizeStream _),
     "s4_stream_enrich" -> (ExtPipelines.streamEnrich _),
     "s5_stream_dedup" -> (ExtPipelines.streamDedup _),
+    "s6_stream_range_join" -> (ExtPipelines.streamRangeJoin _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _)
@@ -234,6 +235,18 @@ object SparkEntry {
 
     "s5_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // same closure as the batch g22 range join — stream-stream interval
+    // joins with matching watermarks emit exactly the batch result on a
+    // bounded replay
+    "s6_stream_range_join" ->
+      """SELECT p.event_id, r.event_id AS purchase_id
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type <> 'purchase') p
+        |JOIN (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase') r
+        |ON p.user_id = r.user_id
+        |   AND p.ts_us >= r.ts_us AND p.ts_us < r.ts_us + 86400000000""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

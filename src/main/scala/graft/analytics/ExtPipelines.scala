@@ -168,6 +168,12 @@ object ExtPipelines {
         graft.streaming.Streaming.eventsStream(spark, dir)),
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** Stream-stream interval join (watermarked state both sides). */
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.attributionStream(spark, dir),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   // ---- multimodal ----
 
   /** Binary payload + typed metadata (oracle-checked byte lengths). */

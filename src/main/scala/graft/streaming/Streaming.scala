@@ -93,6 +93,29 @@ object Streaming {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: non-purchase events join purchases by
+    * the same user within the preceding day. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state
+    * store evicts rows once they can no longer match — bounded state on
+    * an unbounded stream, keyed (and shuffled) only on user_id. The
+    * batch twin is `Pipelines.attributionRangeJoin` (same oracle). */
+  def attributionStream(spark: SparkSession, dir: String): DataFrame = {
+    val points = eventsStream(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("event_id").as("purchase_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", "1 day")
+    points.join(purchases,
+      col("user_id") === col("r_user") &&
+        col("p_ts") >= col("r_ts") &&
+        col("p_ts") < col("r_ts") + expr("INTERVAL 1 DAY"))
+      .select("event_id", "purchase_id")
+  }
+
   // ---- stateful sessionization ----
 
   final case class SessEvent(user_id: Long, ts_us: Long, cents: Long)
