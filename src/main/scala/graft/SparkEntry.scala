@@ -72,6 +72,7 @@ object SparkEntry {
     "t3_lang_id" -> (ExtPipelines.langId _),
     "t4_fingerprints" -> (ExtPipelines.fingerprints _),
     "t8_top_ngrams" -> (ExtPipelines.topNgrams _),
+    "t9_redact_pii" -> (ExtPipelines.redactedDocs _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
@@ -318,6 +319,16 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY n_chars DESC, doc_id ASC) AS rk
         |  FROM documents) t WHERE rk <= 3""".stripMargin,
+
+    "t9_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "t8_top_ngrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -75,6 +75,10 @@ object ExtPipelines {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
 
+  def redactedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("redacted"))
+
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

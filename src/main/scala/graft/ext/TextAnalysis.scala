@@ -86,6 +86,21 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** PII redaction: replace emails, long digit runs (phone/account
+    * numbers), and URLs with typed placeholder tokens — the scrub every
+    * training corpus needs before anything else sees the text. Pure
+    * per-row regexp_replace chain (codegen'd, no shuffle); the patterns
+    * stay in the regex subset Java and RE2 interpret identically, so
+    * the DuckDB oracle recomputes the exact same output. Order matters:
+    * emails first (their local part would otherwise be eaten by the
+    * digit rule), then URLs, then digit runs. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): hash every
     * k-token window (polynomial, kept in [0, 2^31) to stay ANSI-overflow
     * safe), then keep the minimum — robust to small edits at the ends.

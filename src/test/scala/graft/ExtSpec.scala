@@ -88,6 +88,21 @@ class ExtSpec extends SparkSpec {
     assert(ann == bf, s"recall@5 = ${(bf intersect ann).size.toDouble / bf.size}")
   }
 
+  test("redactPii replaces emails, urls, and number runs with typed tokens") {
+    import spark.implicits._
+    val out = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "call +1 (555) 123-4567 or 555 867 5309 now",
+      "see https://example.com/a?b=1 and http://x.io",
+      "clean text stays clean 42"
+    ).toDF("text").select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect().toSeq
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "call +<NUMBER> or <NUMBER> now")
+    assert(out(2) == "see <URL> and <URL>")
+    assert(out(3) == "clean text stays clean 42") // short digits untouched
+  }
+
   test("connectedComponents: multi-hop chains collapse to min-id clusters") {
     import spark.implicits._
     // 1-2-3-4-5 is a 4-hop chain (forces several propagation rounds);

@@ -65,6 +65,31 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("property: binned range join equals naive theta join on random intervals") {
+    import spark.implicits._
+    val pointsGen = Gen.listOfN(60, for {
+      k <- Gen.chooseNum(0L, 5L); id <- Gen.chooseNum(0L, 10000L)
+      t <- Gen.chooseNum(0L, 2000L)
+    } yield (k, id, t))
+    val rangesGen = Gen.listOfN(25, for {
+      k <- Gen.chooseNum(0L, 5L); id <- Gen.chooseNum(0L, 10000L)
+      s <- Gen.chooseNum(0L, 1900L); len <- Gen.chooseNum(1L, 400L)
+    } yield (k, id, s, s + len))
+    check(Prop.forAll(pointsGen, rangesGen) { (ps, rs) =>
+      ps.isEmpty || rs.isEmpty || {
+        val points = ps.toDF("k", "pid", "t")
+        val ranges = rs.toDF("k", "rid", "s", "e")
+        val binned = graft.ops.RangeJoin.pointInRange(
+          points, ranges, "k", "t", "s", "e", binWidth = 128L)
+          .select("pid", "rid", "t", "s")
+        val naive = points.join(ranges.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") && col("t") >= col("s") && col("t") < col("e"))
+          .select("pid", "rid", "t", "s")
+        binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty
+      }
+    }, n = 10)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
