@@ -73,6 +73,7 @@ object SparkEntry {
     "t4_fingerprints" -> (ExtPipelines.fingerprints _),
     "t8_top_ngrams" -> (ExtPipelines.topNgrams _),
     "t9_redact_pii" -> (ExtPipelines.redactedDocs _),
+    "t10_sample_per_source" -> (ExtPipelines.samplePerSource _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
@@ -319,6 +320,13 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY n_chars DESC, doc_id ASC) AS rk
         |  FROM documents) t WHERE rk <= 3""".stripMargin,
+
+    "t10_sample_per_source" ->
+      """SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t WHERE rk <= 5""".stripMargin,
 
     "t9_redact_pii" ->
       """SELECT doc_id,

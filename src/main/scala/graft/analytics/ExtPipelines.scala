@@ -101,6 +101,22 @@ object ExtPipelines {
       .limit(20)
   }
 
+  /** Deterministic fixed-k per-group sample: order docs inside each
+    * source by md5(doc_id) — a stable pseudo-random shuffle both engines
+    * compute identically — and keep the first 5. The re-runnable way to
+    * cut eval subsets from a moving corpus (rand()-based sampling isn't
+    * reproducible across partitionings; hash order is). */
+  def samplePerSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
+  }
+
   /** Deterministic hash-bucket train/test split (80/20). */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     graft.ext.DataSplit.withSplit(

@@ -70,6 +70,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p) // some hash/sort-merge equi-join on (key, bin)
   }
 
+  test("t2/t9: pure expression pipelines stay in one codegen stage, no shuffle") {
+    for (q <- Seq("t2_quality_signals", "t9_redact_pii")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf()))
+      // "*(n) " prefixes mark whole-stage-codegen'd operators
+      assert(p.contains("*(1)"), s"$q lost codegen:\n$p")
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+  }
+
   test("v1 top-k re-ranks via bounded aggregation, not a window exchange") {
     // a row_number window partitioned by query_id caps parallelism at
     // |queries| tasks; the TopKAggregator plan must carry no Window node
