@@ -31,9 +31,12 @@ object Dedup {
 
   /** Exact dedup, keep-first-id semantics: returns the surviving rows.
     * Deterministic (row_number ordered by id), unlike dropDuplicates
-    * whose survivor is partition-order dependent. */
+    * whose survivor is partition-order dependent. Partitions on the
+    * sha2 digest, not the raw text: the exchange hash and the window
+    * sort then work on a 64-char key instead of comparing full document
+    * strings (same collision model as [[exactGroups]]). */
   def dedupKeepFirst(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
