@@ -56,6 +56,7 @@ object SparkEntry {
     "g22_range_join" -> (Pipelines.attributionRangeJoin _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
+    "x10_contamination" -> (ExtPipelines.contamination _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -268,6 +269,28 @@ object SparkEntry {
 
     "x3_neardup_jaccard" -> jaccardOracle,
     "x4_neardup_minhash" -> jaccardOracle,
+
+    // the train/test split is t7's md5 bucket rule; shingles are the
+    // same distinct word 3-grams as the jaccard oracle
+    "x10_contamination" ->
+      """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |tw AS (SELECT doc_id, bucket, string_split(text, ' ') AS w FROM b),
+        |sh AS (SELECT doc_id, bucket,
+        |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                               for i in range(1, len(w) - 1)])) AS s
+        |       FROM tw WHERE len(w) >= 3),
+        |tr AS (SELECT doc_id, s FROM sh WHERE bucket < 52428),
+        |te AS (SELECT doc_id, s FROM sh WHERE bucket >= 52428)
+        |SELECT te.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
+        |FROM te JOIN tr ON te.s = tr.s
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5""".stripMargin,
 
     // transitive closure of the jaccard pairs via recursive reachability;
     // cluster label = component minimum, matching min-label propagation

@@ -49,6 +49,19 @@ object ExtPipelines {
       Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
         maxShingleDf = Some(100)))
 
+  /** Decontamination: 3-gram overlap between the t7 train/test split's
+    * halves — every (test, train) pair sharing ≥5 distinct 3-grams.
+    * Skew cap on the train side (semantics-preserving at this scale,
+    * same argument as x3). */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.ext.DataSplit.withSplit(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    Dedup.contaminationPairs(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"),
+      n = 3, minShared = 5, maxShingleDf = Some(100))
+  }
+
   /** Canonical normalization (lowercase, strip punctuation, collapse
     * whitespace) — oracle-checked against the same regex pipeline. */
   def normalizedDocs(spark: SparkSession, dir: String): DataFrame =

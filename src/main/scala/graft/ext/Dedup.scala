@@ -106,6 +106,31 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Cross-corpus n-gram contamination (decontamination check): pairs
+    * (test doc, train doc) sharing at least `minShared` distinct
+    * n-grams — the overlap scan run before any eval set is trusted.
+    * One equi-join on shingle hashes; `maxShingleDf` (computed on the
+    * train side, the big side at scale) caps boilerplate n-grams that
+    * would otherwise fan out the join. */
+  def contaminationPairs(train: DataFrame, test: DataFrame, n: Int = 3,
+      minShared: Int = 5, maxShingleDf: Option[Int] = None,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tr0 = explodedShingles(train, n, textCol, idCol)
+    val tr = maxShingleDf match {
+      case Some(cap) =>
+        val rare = tr0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).select("shingle")
+        tr0.join(broadcast(rare), "shingle")
+      case None => tr0
+    }
+    val te = explodedShingles(test, n, textCol, idCol)
+    te.select(col(idCol).as("test_id"), col("shingle"))
+      .join(tr.select(col(idCol).as("train_id"), col("shingle")), "shingle")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- MinHash-LSH ----
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle
