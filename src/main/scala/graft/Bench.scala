@@ -37,6 +37,19 @@ object Bench {
     "v1_cosine_topk",
     "s2_sessionize_batch")
 
+  /** Round-2 operators, timed and reported separately — NOT part of
+    * "total", which stays the same 14-query set across rounds so the
+    * driver's round-over-round comparison is apples-to-apples.
+    * (g20's first run builds the bucketed tables; best-of-2 reports the
+    * steady-state query.) */
+  val extended: Seq[String] = Seq(
+    "g20_bucketed_join",
+    "g22_range_join",
+    "t8_top_ngrams",
+    "x9_dedup_clusters",
+    "x10_contamination",
+    "v3_ann_ivf_topk")
+
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -84,6 +97,10 @@ object Bench {
       name -> time(runNoop(SparkEntry.queries(name)(spark, sfDir)))
     }
 
+    val extResults = extended.map { name =>
+      name -> time(runNoop(SparkEntry.queries(name)(spark, sfDir)))
+    }
+
     // reference-derived sanity experiment (BASELINE.md): one multi-day
     // scan vs per-day pipeline + union over the full 30-day range
     val allDays = (1 to 30).map(d => f"2024-01-$d%02d")
@@ -100,8 +117,11 @@ object Bench {
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val eqs = extResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
+      s""""extended_queries":$eqs,""" +
       s""""sf":"$sfDir","m1_scan_sec":${f"$m1Sec%.4f"},"m2_union_sec":${f"$m2Sec%.4f"},""" +
       s""""m2_over_m1":${f"${m2Sec / math.max(m1Sec, 1e-9)}%.2f"},""" +
       s""""etl_rows":$nEvents,"etl_sec":${f"$etlSec%.4f"},"etl_rows_per_sec":${f"$rowsPerSec%.0f"}}"""
