@@ -54,6 +54,7 @@ object SparkEntry {
     "g20_bucketed_join" -> (graft.ops.Bucketed.orderLineStats _),
     "g21_percentiles" -> (Pipelines.percentiles _),
     "g22_range_join" -> (Pipelines.attributionRangeJoin _),
+    "g23_profile_stats" -> (Pipelines.profileStats _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -635,6 +636,16 @@ object SparkEntry {
         |      WHERE event_type = 'purchase') r
         |ON p.user_id = r.user_id
         |   AND p.ts_us >= r.ts_us AND p.ts_us < r.ts_us + 86400000000""".stripMargin,
+
+    "g23_profile_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+        |  count(DISTINCT event_type) AS n_event_types,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
 
     "x8_skew_salted_agg" ->
       """SELECT user_id,

@@ -287,6 +287,21 @@ object Pipelines {
       .select("event_id", "purchase_id")
   }
 
+  /** Data-profiling stats in ONE pass: row count, null counts, ranges,
+    * and distinct cardinality for the events table — the data-quality
+    * gate a pipeline runs before trusting a new drop. Single scan,
+    * single aggregation; at 100 TB swap count(DISTINCT) for
+    * approx_count_distinct (g16 covers the sketch path). */
+  def profileStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_id"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+      min(unix_micros(col("ts"))).as("min_ts_us"),
+      max(unix_micros(col("ts"))).as("max_ts_us"),
+      countDistinct(col("event_type")).as("n_event_types"),
+      countDistinct(col("user_id")).as("n_users"))
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

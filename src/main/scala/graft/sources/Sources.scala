@@ -107,4 +107,28 @@ object ParquetSink {
       .write.mode("overwrite")
       .partitionBy("day")
       .parquet(path)
+
+  /** Reprocess-one-day writes: dynamic partition overwrite replaces ONLY
+    * the day partitions present in `df` and leaves every other partition
+    * untouched — the daily-backfill primitive. (Static overwrite, the
+    * default, would wipe the whole dataset.) */
+  def overwriteDays(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Small-files compaction: rewrite a parquet dataset into ~`targetMB`
+    * files using the optimizer's size estimate. `coalesce`, not
+    * `repartition` — merging partitions needs no shuffle. The
+    * maintenance job that keeps a streaming/daily sink from degrading
+    * every later scan with tiny files. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 128): Unit = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / (targetMB.toLong * 1024 * 1024)).toInt.max(1)
+    df.coalesce(parts).write.mode("overwrite").parquet(outPath)
+  }
 }

@@ -23,6 +23,42 @@ class SinkSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_.contains("day=2024-01-05")))
   }
 
+  test("dynamic partition overwrite replaces only the written days") {
+    val out = Files.createTempDirectory("graft-dyn").resolve("events").toString
+    val events = Tables.events(spark, sf())
+    ParquetSink.writePartitionedByDay(events, "ts", out)
+    val before = spark.read.parquet(out)
+    val otherDaysBefore = before.filter(col("day") =!= "2024-01-05").count()
+
+    // reprocess one day with a marker value
+    val oneDay = events.filter(to_date(col("ts")) === "2024-01-05")
+      .withColumn("value", lit(0.0))
+    ParquetSink.overwriteDays(oneDay, "ts", out)
+
+    val after = spark.read.parquet(out)
+    // untouched days intact, target day fully replaced with marker rows
+    assert(after.filter(col("day") =!= "2024-01-05").count() == otherDaysBefore)
+    val replaced = after.filter(col("day") === "2024-01-05")
+    assert(replaced.count() == oneDay.count())
+    assert(replaced.filter(col("value") =!= 0.0).count() == 0)
+  }
+
+  test("compaction merges small files without changing the data") {
+    val base = Files.createTempDirectory("graft-compact")
+    val frag = base.resolve("frag").toString
+    val tidy = base.resolve("tidy").toString
+    val events = Tables.events(spark, sf())
+    events.repartition(37).write.parquet(frag) // deliberately fragmented
+    assert(spark.read.parquet(frag).select(input_file_name())
+      .distinct().count() == 37)
+
+    ParquetSink.compact(spark, frag, tidy, targetMB = 128)
+    val back = spark.read.parquet(tidy)
+    assert(back.select(input_file_name()).distinct().count() == 1) // tiny data → 1 file
+    assert(back.count() == events.count())
+    assert(back.exceptAll(spark.read.parquet(frag)).isEmpty)
+  }
+
   test("Catalog views enable the spark.sql surface over all tables") {
     graft.sources.Catalog.registerViews(spark, sf())
     val got = spark.sql(
