@@ -27,11 +27,14 @@ object RangeJoin {
       ptCol: String, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // integral DIV, not floor(x / w): double division loses exactness
+    // past 2^53 (nanosecond-scale epochs), silently mis-binning points.
+    // Instants here are non-negative, where DIV == floor-div.
     val binned = ranges.withColumn("_bin",
       explode(sequence(
-        floor(col(startCol) / binWidth),
-        floor((col(endCol) - 1) / binWidth))))
-    points.withColumn("_bin", floor(col(ptCol) / binWidth))
+        expr(s"`$startCol` DIV $binWidth"),
+        expr(s"(`$endCol` - 1) DIV $binWidth"))))
+    points.withColumn("_bin", expr(s"`$ptCol` DIV $binWidth"))
       .join(binned, Seq(key, "_bin"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bin")
