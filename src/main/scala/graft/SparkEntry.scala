@@ -55,6 +55,7 @@ object SparkEntry {
     "g21_percentiles" -> (Pipelines.percentiles _),
     "g22_range_join" -> (Pipelines.attributionRangeJoin _),
     "g23_profile_stats" -> (Pipelines.profileStats _),
+    "g24_window_analytics" -> (Pipelines.windowAnalytics _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -636,6 +637,24 @@ object SparkEntry {
         |      WHERE event_type = 'purchase') r
         |ON p.user_id = r.user_id
         |   AND p.ts_us >= r.ts_us AND p.ts_us < r.ts_us + 86400000000""".stripMargin,
+
+    "g24_window_analytics" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |             o_orderdate
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        |  AVG(cents) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_cents,
+        |  CAST(cents - lag(cents, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_diff,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+        |FROM o""".stripMargin,
 
     "g23_profile_stats" ->
       """SELECT count(*) AS n_rows,

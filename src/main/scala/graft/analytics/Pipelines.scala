@@ -287,6 +287,27 @@ object Pipelines {
       .select("event_id", "purchase_id")
   }
 
+  /** Window-analytics breadth in one pass over one window spec: running
+    * total, 3-row moving average, lead/lag deltas, and quartile bucket
+    * per customer's order history. One shuffle on o_custkey; every
+    * function shares the same sort, so Spark evaluates them in a single
+    * Window operator. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val c = cents(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), c.as("cents"),
+        col("o_orderdate"))
+      .withColumn("running_cents", sum("cents").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ma3_cents", avg("cents").over(w.rowsBetween(-2, 0)))
+      .withColumn("prev_diff", (col("cents") - lag("cents", 1).over(w)).cast("long"))
+      .withColumn("quartile", ntile(4).over(w))
+      .select("o_custkey", "o_orderkey", "cents", "running_cents",
+        "ma3_cents", "prev_diff", "quartile")
+  }
+
   /** Data-profiling stats in ONE pass: row count, null counts, ranges,
     * and distinct cardinality for the events table — the data-quality
     * gate a pipeline runs before trusting a new drop. Single scan,
