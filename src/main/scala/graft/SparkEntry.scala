@@ -56,6 +56,7 @@ object SparkEntry {
     "g22_range_join" -> (Pipelines.attributionRangeJoin _),
     "g23_profile_stats" -> (Pipelines.profileStats _),
     "g24_window_analytics" -> (Pipelines.windowAnalytics _),
+    "g25_cube_summary" -> (Pipelines.cubeSummary _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -637,6 +638,10 @@ object SparkEntry {
         |      WHERE event_type = 'purchase') r
         |ON p.user_id = r.user_id
         |   AND p.ts_us >= r.ts_us AND p.ts_us < r.ts_us + 86400000000""".stripMargin,
+
+    "g25_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "g24_window_analytics" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

@@ -287,6 +287,14 @@ object Pipelines {
       .select("event_id", "purchase_id")
   }
 
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    * in one pass (rollup's sibling — g8 covers the hierarchy case,
+    * this the full lattice). */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+
   /** Window-analytics breadth in one pass over one window spec: running
     * total, 3-row moving average, lead/lag deltas, and quartile bucket
     * per customer's order history. One shuffle on o_custkey; every
