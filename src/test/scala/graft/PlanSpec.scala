@@ -79,6 +79,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("g24: all window functions share one Window operator and one shuffle") {
+    val p = plan(Pipelines.windowAnalytics(spark, sf()))
+    assert(p.sliding("Window".length).count(_ == "Window") == 1,
+      s"expected exactly one Window node:\n$p")
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"expected one shuffle:\n$p")
+  }
+
   test("v1 top-k re-ranks via bounded aggregation, not a window exchange") {
     // a row_number window partitioned by query_id caps parallelism at
     // |queries| tasks; the TopKAggregator plan must carry no Window node
