@@ -79,10 +79,16 @@ object Dedup {
     // ONE document-frequency aggregation feeds both the skew cap and the
     // join prefilter below
     val dfc = sh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // No broadcast hint on the prefilter sets: "rare" and "shared" are
+    // corpus-sized on a duplicate-heavy corpus (the exact case dedup
+    // targets), so a forced broadcast would blow the driver/broadcast
+    // limit at scale. Unhinted, AQE broadcasts them automatically
+    // whenever they actually fit and degrades to a shuffle join when
+    // they don't.
     val sh = maxShingleDf match {
       case Some(cap) =>
         val rare = dfc.filter(col("_df") <= cap).select("shingle")
-        sh0.join(broadcast(rare), "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+        sh0.join(rare, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
       case None => sh0
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -92,7 +98,7 @@ object Dedup {
     // unique corpus this removes the bulk of the self-join shuffle.
     val sharedMax = maxShingleDf.map(cap => col("_df") <= cap).getOrElse(lit(true))
     val shared = dfc.filter(col("_df") >= 2 && sharedMax).select("shingle")
-    val shJoin = sh.join(broadcast(shared), Seq("shingle"))
+    val shJoin = sh.join(shared, Seq("shingle"))
     val a = shJoin.select(col(idCol).as("a_id"), col("shingle"))
     val b = shJoin.select(col(idCol).as("b_id"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -118,9 +124,11 @@ object Dedup {
     val tr0 = explodedShingles(train, n, textCol, idCol)
     val tr = maxShingleDf match {
       case Some(cap) =>
+        // unhinted for the same reason as in jaccardPairs: "rare" is
+        // train-corpus-sized; AQE picks broadcast only when it fits
         val rare = tr0.groupBy("shingle").agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= cap).select("shingle")
-        tr0.join(broadcast(rare), "shingle")
+        tr0.join(rare, "shingle")
       case None => tr0
     }
     val te = explodedShingles(test, n, textCol, idCol)
@@ -257,14 +265,18 @@ object Dedup {
     * (pairs alone can't: near-dup similarity is not transitive, the
     * cluster closure is what dedup actually deletes against).
     *
-    * Iterative min-label propagation: each round joins current labels
-    * across the (symmetrized) edge list and keeps the per-node minimum;
-    * converges in O(component diameter) rounds — near-dup clusters are
-    * shallow (dups of dups of one original), so a handful. Each round is
-    * two shuffles on node id; labels are persisted and the loop stops on
-    * a fixpoint count, exactly the large-star/small-star join shape used
-    * for CC at web scale. The driver-side loop iterates ROUNDS (a dozen
-    * actions), never rows. */
+    * Iterative min-label propagation with POINTER DOUBLING: each round
+    * (a) pulls the minimum neighbor label across the (symmetrized) edge
+    * list, then (b) shortcuts every label to its label's label. The
+    * shortcut halves the remaining path to the component minimum, so
+    * convergence is O(log diameter) rounds — maxIters=20 covers
+    * components of diameter ~2^20, far past any real dup-chain. Each
+    * round is a few shuffles on node id; labels are persisted and the
+    * loop stops on a fixpoint count — the join shape used for CC at web
+    * scale. The driver-side loop iterates ROUNDS, never rows.
+    *
+    * Throws IllegalStateException if the iteration cap is hit without a
+    * fixpoint — partial labels are silently wrong, never returned. */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
       maxIters: Int = 20): DataFrame = {
@@ -283,16 +295,29 @@ object Dedup {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "u"), "u")
         .groupBy(col("v").as("id")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(fromNeighbors, Seq("id"), "left")
+      val pulled = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: lbl := lbl(lbl). Labels only ever decrease and
+      // every label is itself a node id, so the lookup always hits; the
+      // shortcut jumps straight to wherever the label's own label has
+      // already propagated, halving the remaining chain each round.
+      val next = pulled
+        .join(pulled.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
+      pulled.unpersist()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxIters rounds — " +
+        "partial labels would be silently wrong; raise maxIters")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
