@@ -280,13 +280,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
       maxIters: Int = 20): DataFrame = {
+    // Eager localCheckpoint (not persist): fully materializes every
+    // partition up front AND truncates lineage. With plain persist, the
+    // limit(1) convergence probe below can materialize only a few
+    // partitions of the round's result; once the previous round's cache
+    // is dropped, later rounds recompute uncached partitions through the
+    // full multi-round join lineage — including the (possibly expensive)
+    // near-dup pair-generation plan feeding `edges`.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id"), col("u").as("lbl"))
       .groupBy("id").agg(min("lbl").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -295,6 +302,8 @@ object Dedup {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "u"), "u")
         .groupBy(col("v").as("id")).agg(min("lbl").as("nlbl"))
+      // persisted (not checkpointed): consumed twice by the self-join
+      // right below, then dropped — the round's only transient
       val pulled = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -305,11 +314,12 @@ object Dedup {
       val next = pulled
         .join(pulled.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
+      // probe runs against two fully-materialized checkpoints — cheap,
+      // and free of the partial-cache hazard
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
       pulled.unpersist()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
