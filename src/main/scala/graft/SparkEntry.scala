@@ -57,6 +57,7 @@ object SparkEntry {
     "g23_profile_stats" -> (Pipelines.profileStats _),
     "g24_window_analytics" -> (Pipelines.windowAnalytics _),
     "g25_cube_summary" -> (Pipelines.cubeSummary _),
+    "g26_promo_revenue" -> (Pipelines.promoRevenue _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -642,6 +643,17 @@ object SparkEntry {
     "g25_cube_summary" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "g26_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      ELSE 0 END) AS BIGINT) AS promo_c4,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_c4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY strftime(l_shipdate, '%Y-%m')""".stripMargin,
 
     "g24_window_analytics" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

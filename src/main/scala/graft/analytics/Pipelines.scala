@@ -100,6 +100,23 @@ object Pipelines {
       .agg(sum(revCents).as("revenue_c4"))
   }
 
+  /** TPC-H Q14-shaped promo-revenue share by ship month — the
+    * fact-to-midsize-dimension join shape (lineitem ⋈ part). `part` is
+    * explicitly broadcast: at 100 TB the part dimension is still orders
+    * of magnitude smaller than the fact table, so the fact side never
+    * shuffles for this join. Revenue in exact c4 units (cents × pct) so
+    * the monthly sums are bit-stable under any aggregation order. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val revC4 = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revC4).otherwise(lit(0L))).as("promo_c4"),
+        sum(revC4).as("total_c4"))
+  }
+
   /** Window-function coverage: top-3 orders per customer, deterministic
     * tie-break on o_orderkey. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {

@@ -276,24 +276,47 @@ object Dedup {
     * scale. The driver-side loop iterates ROUNDS, never rows.
     *
     * Throws IllegalStateException if the iteration cap is hit without a
-    * fixpoint — partial labels are silently wrong, never returned. */
+    * fixpoint — partial labels are silently wrong, never returned.
+    *
+    * Checkpoint strategy: if the session has a RELIABLE checkpoint dir
+    * (`sc.setCheckpointDir`), each round's labels go through
+    * `Dataset.checkpoint()` — files on fault-tolerant storage that
+    * survive executor loss / dynamic-allocation downscale, which is what
+    * a multi-round iterative job needs on a real cluster. Otherwise it
+    * falls back to `localCheckpoint()` — executor-block storage, fast
+    * and fine for single-JVM runs, but NOT fault-tolerant: losing an
+    * executor mid-loop fails the job (and localCheckpoint is documented
+    * unsafe with dynamic allocation). Cluster callers should set a
+    * checkpoint dir. Either way each round eagerly materializes AND
+    * truncates lineage (plain persist would let the limit(1) convergence
+    * probe materialize only a few partitions, so later rounds recompute
+    * uncached partitions through the full multi-round join lineage —
+    * including the possibly-expensive near-dup pair plan feeding
+    * `edges`); superseded rounds' blocks are freed explicitly rather
+    * than waiting on ContextCleaner GC. */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
       maxIters: Int = 20): DataFrame = {
-    // Eager localCheckpoint (not persist): fully materializes every
-    // partition up front AND truncates lineage. With plain persist, the
-    // limit(1) convergence probe below can materialize only a few
-    // partitions of the round's result; once the previous round's cache
-    // is dropped, later rounds recompute uncached partitions through the
-    // full multi-round join lineage — including the (possibly expensive)
-    // near-dup pair-generation plan feeding `edges`.
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Free a superseded localCheckpoint's executor blocks NOW instead of
+    // whenever ContextCleaner notices the RDD is dereferenced — up to
+    // maxIters label tables would otherwise pile up in executor
+    // memory/disk. (Reliable checkpoint files are left for ContextCleaner
+    // / job teardown: they're on stable storage, not executor memory.)
+    def free(df: DataFrame): Unit = if (!reliable)
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    val edges = ckpt(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id"), col("u").as("lbl"))
-      .groupBy("id").agg(min("lbl").as("lbl"))
-      .localCheckpoint()
+      .distinct())
+    var labels = ckpt(edges.select(col("u").as("id"), col("u").as("lbl"))
+      .groupBy("id").agg(min("lbl").as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -311,15 +334,15 @@ object Dedup {
       // every label is itself a node id, so the lookup always hits; the
       // shortcut jumps straight to wherever the label's own label has
       // already propagated, halving the remaining chain each round.
-      val next = pulled
+      val next = ckpt(pulled
         .join(pulled.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       // probe runs against two fully-materialized checkpoints — cheap,
       // and free of the partial-cache hazard
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).limit(1).count()
       pulled.unpersist()
+      free(labels) // superseded round — release its blocks eagerly
       labels = next
       converged = changed == 0
       iter += 1

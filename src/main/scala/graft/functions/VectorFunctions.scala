@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst cosine similarity over `array<float>` embeddings.
   *
@@ -19,8 +20,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // no ExpectsInputTypes: AbstractDataType is private[sql]. Callers pass
-  // array<float> columns; anything else fails at eval, which our tests pin.
+  // ExpectsInputTypes is unavailable (AbstractDataType is private[sql]),
+  // so the type contract is enforced directly: a non-array<float> argument
+  // fails at ANALYSIS with a readable message, not at eval with a
+  // ClassCastException deep inside a 100 TB job.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>) arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: at equal timestamps the right row sorts first
   * (side 0 < side 1), so `<=` is inclusive, matching DuckDB's
-  * `ASOF JOIN ... ON l.ts >= r.ts` oracle. Right-side payload values
-  * must be non-null (a null payload is indistinguishable from "no
-  * match"); pre-coalesce if needed.
+  * `ASOF JOIN ... ON l.ts >= r.ts` oracle. Payload values may be null:
+  * the whole payload rides in ONE struct that is non-null exactly for
+  * right rows, so `last(ignoreNulls)` skips left rows but still carries
+  * a right row whose payload fields are null — and the window runs once
+  * regardless of payload width. A left row with no prior right row gets
+  * null in every payload column (left-join semantics).
   */
 object AsOfJoin {
 
@@ -32,18 +35,17 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = payload.foldLeft(left.withColumn("_side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r = right.select((key +: tsCol +: payload).map(col): _*)
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select(Seq(key, tsCol).map(col) :+
+        struct(payload.map(col): _*).as("_payload"): _*)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payload.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).select((leftCols ++ payload).map(col): _*)
+    u.withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"_payload.`$c`").as(c)): _*)
   }
 }

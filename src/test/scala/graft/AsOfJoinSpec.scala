@@ -69,6 +69,30 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some(200L), 5L -> None))
   }
 
+  test("asOf carries NULL payload values (matched-null ≠ no-match)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // before any right row → no match
+      (2L, 10L, ts("2024-01-01 13:00:00")),  // after A (null amount) → matched null
+      (3L, 10L, ts("2024-01-01 21:00:00")))  // after B → 200
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 12:00:00"), Option.empty[Long], "A"),
+      (10L, ts("2024-01-01 20:00:00"), Some(200L), "B"))
+      .toDF("user_id", "ts", "amount", "tag")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("amount", "tag"))
+      .select("event_id", "amount", "tag")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          Option(r.getString(2)))).toMap
+    // event 2 matched row A: tag carried, amount genuinely null —
+    // distinguishable from event 1's no-match (both columns null)
+    assert(out == Map(
+      1L -> (None, None),
+      2L -> (None, Some("A")),
+      3L -> (Some(200L), Some("B"))))
+  }
+
   test("asOf keeps left row count (1:1, no explosion)") {
     val out = graft.analytics.Pipelines.asofLastPurchase(spark, sf())
     val nLeft = graft.sources.Tables.events(spark, sf())

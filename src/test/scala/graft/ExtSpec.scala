@@ -115,6 +115,26 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents uses reliable checkpoints when a dir is set") {
+    import spark.implicits._
+    // NOTE: SparkContext has no unset API, so the shared session keeps
+    // this dir — later CC calls in this JVM also run in reliable mode,
+    // which is the mode a real cluster would use anyway. The temp dir is
+    // valid for the JVM's lifetime.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
+      .toDF("a_id", "b_id")
+    val cc = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // checkpoint files actually landed on (fault-tolerant) storage
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under the dir")
+  }
+
   test("IVF top-k is exact within its probed lists, with a recall floor") {
     VectorFunctions.register(spark)
     val queries = emb.filter(col("vec_id") < 20)

@@ -13,6 +13,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got - 0.6) < 1e-7)
   }
 
+  test("graft_cosine rejects non-array<float> arguments at analysis time") {
+    VectorFunctions.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      // array<double> literals (no FLOAT cast) — must fail analysis with
+      // a readable message, not ClassCastException at eval
+      spark.sql("SELECT graft_cosine(array(1.0, 0.0), array(0.6, 0.8))").collect()
+    }
+    assert(err.getMessage.contains("graft_cosine"))
+  }
+
   test("GraftExtensions injects graft_cosine into a session extensions set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder registered
