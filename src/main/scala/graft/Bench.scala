@@ -11,11 +11,16 @@ import graft.sources.Tables
   *  - every query materializes through the `noop` sink, so the full plan
   *    executes (a bare `.count()` would let Catalyst prune the very
   *    expressions being measured);
-  *  - one untimed warmup (session init + codegen JIT) before timing;
+  *  - per query: one untimed warmup, then best of 3 (see [[time]]);
+  *  - the per-query set is HOT-CACHE (base tables cached once up front,
+  *    so times measure operators, not repeated scans); `etl_cold_sec`
+  *    is the honest cold counterpart — the very first job of the JVM
+  *    reading parquet from disk, like BASELINE.md's cold 114.2s run;
   *  - extra fields beyond the required shape: per-query seconds, the
   *    method1-vs-method2 scan-strategy ratio the reference measured
-  *    (2.45x, BASELINE.md), and flagship ETL rows/sec for comparison
-  *    with the reference's ~420K rows/s end-to-end.
+  *    (2.45x, BASELINE.md) in both full-scan and day-partition-pruned
+  *    form, and flagship ETL rows/sec for comparison with the
+  *    reference's ~420K rows/s end-to-end.
   */
 object Bench {
 
@@ -73,8 +78,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Best of 2 — the box is shared, single runs are noisy by 2-5x. */
-  private def time(f: => Unit): Double = math.min(timeOnce(f), timeOnce(f))
+  /** One untimed warmup, then best of 3. The box is shared and single
+    * runs stall by whole seconds under neighbor load: round-4 best-of-2
+    * let a 6.6x phantom regression through (t2 0.35→2.33s with zero code
+    * change on a spec-pinned zero-shuffle plan; re-measured 0.34s). The
+    * warmup absorbs per-query codegen/JIT; min-of-3 makes a multi-second
+    * stall need to hit all three reps to distort the floor. */
+  private def time(f: => Unit): Double = {
+    timeOnce(f)
+    Seq.fill(3)(timeOnce(f)).min
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +101,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // COLD flagship ETL: very first job of the JVM, parquet read from
+    // disk, nothing cached — the honest counterpart to BASELINE.md's
+    // cold end-to-end 114.2s. Includes session/codegen first-run cost by
+    // construction (so did the reference's number).
+    val etlColdSec = timeOnce(
+      runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir)))
 
     // warmup: session + parquet footers + codegen paths
     cacheBaseTables(spark, sfDir)
@@ -109,12 +129,35 @@ object Bench {
       Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(events)))))
     val m2Sec = time(runNoop(Viewing.unionDays(events, allDays)))
 
-    // flagship ETL throughput (reference: ~420K rows/s end-to-end);
-    // best-of-3 — this single number is compared against the baseline,
-    // so it gets one more rep against box noise than the per-query set
+    // Same experiment on a DAY-PARTITIONED copy — the apples-to-apples
+    // analog of the reference's per-FILE layout. Above, every one of the
+    // 30 union branches filters the full cached table (30x the scanned
+    // data → the ~20x ratio); the reference's method 2 read 1/30 per
+    // iteration, hence its 2.45x. With partition pruning each branch
+    // reads only its own day directory, so m2p/m1p isolates the real
+    // per-branch overhead (30 jobs + union) exactly like the reference's
+    // per-file loop did. Both sides read from disk (not cache). At sf0.1
+    // a day is only ~3.3K rows, so fixed per-branch cost (scan setup +
+    // its own shuffle) still dominates and the ratio sits above the
+    // reference's 2.45x (measured at ~1.6M rows/file); it converges
+    // toward theirs as per-day volume grows.
+    val partDir = "/tmp/graft_bench_events_by_day"
+    sources.ParquetSink.writePartitionedByDay(events, "ts", partDir)
+    def readPart() = spark.read.parquet(partDir)
+    val m1pSec = time(runNoop(
+      Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(readPart())))))
+    val m2pSec = time(runNoop(
+      allDays.map { d =>
+        // filter on the PARTITION column: pruned scan, 1 day per branch
+        Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(
+          readPart().filter(col("day") === d))))
+          .withColumn("Date", lit(d))
+      }.reduce(_.unionByName(_))))
+
+    // flagship ETL throughput, hot (reference: ~420K rows/s end-to-end)
     val nEvents = events.count()
-    val etlSec = Seq.fill(3)(timeOnce(
-      runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir)))).min
+    val etlSec = time(
+      runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir)))
     val rowsPerSec = if (etlSec > 0) nEvents / etlSec else 0.0
 
     val total = results.map(_._2).sum
@@ -127,6 +170,9 @@ object Bench {
       s""""extended_queries":$eqs,""" +
       s""""sf":"$sfDir","m1_scan_sec":${f"$m1Sec%.4f"},"m2_union_sec":${f"$m2Sec%.4f"},""" +
       s""""m2_over_m1":${f"${m2Sec / math.max(m1Sec, 1e-9)}%.2f"},""" +
+      s""""m1_pruned_sec":${f"$m1pSec%.4f"},"m2_pruned_sec":${f"$m2pSec%.4f"},""" +
+      s""""m2_over_m1_pruned":${f"${m2pSec / math.max(m1pSec, 1e-9)}%.2f"},""" +
+      s""""etl_cold_sec":${f"$etlColdSec%.4f"},""" +
       s""""etl_rows":$nEvents,"etl_sec":${f"$etlSec%.4f"},"etl_rows_per_sec":${f"$rowsPerSec%.0f"}}"""
     // the JSON must survive sbt's log-noise sandwich: write it to a file
     // AND print it twice, the second time after spark.stop() so it is the
