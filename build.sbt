@@ -15,6 +15,9 @@ run / fork := true
 // forked-output strategy prefixes every line with "[info] " and sbt
 // appends a "[success] Total time" trailer — both break that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Deliberately global (not scoped to `run`): [success] trailers add no
+// signal here, and sbt offers no per-task scope for showSuccess — the
+// driver's JSON parse must never see one after the bench line.
 Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

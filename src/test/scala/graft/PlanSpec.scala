@@ -30,6 +30,13 @@ class PlanSpec extends SparkSpec {
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 5, p)
   }
 
+  test("g26: part join is broadcast and aggregation is partial (map-side)") {
+    val p = plan(Pipelines.promoRevenue(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)   // the fact side never shuffles for the join
+    assert(p.contains("partial_sum"), p)      // map-side combine before the one shuffle
+  }
+
   test("flagship fast plan has exactly one shuffle exchange") {
     val p = plan(Pipelines.flagshipProfileFast(spark, sf()))
     val shuffles = p.sliding("Exchange hashpartitioning".length)
