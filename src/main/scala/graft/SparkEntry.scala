@@ -61,6 +61,7 @@ object SparkEntry {
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
+    "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
@@ -295,6 +296,52 @@ object SparkEntry {
         |FROM te JOIN tr ON te.s = tr.s
         |GROUP BY 1, 2
         |HAVING count(*) >= 5""".stripMargin,
+
+    // the composite pipeline: dedup keep-first → t7 split → x10
+    // decontamination (train side) → t2 quality ≥ 0.5. CTEs mirror the
+    // verified per-stage oracles exactly.
+    "x11_clean_corpus" ->
+      """WITH dd AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |b AS (SELECT doc_id, source, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM (SELECT doc_id, source, text,
+        |              md5(CAST(doc_id AS VARCHAR)) AS m FROM dd)),
+        |tw AS (SELECT doc_id, bucket, string_split(text, ' ') AS w FROM b),
+        |sh AS (SELECT doc_id, bucket,
+        |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                               for i in range(1, len(w) - 1)])) AS s
+        |       FROM tw WHERE len(w) >= 3),
+        |tr AS (SELECT doc_id, s FROM sh WHERE bucket < 52428),
+        |te AS (SELECT doc_id, s FROM sh WHERE bucket >= 52428),
+        |dirty AS (SELECT DISTINCT train_id FROM (
+        |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id
+        |  FROM te JOIN tr ON te.s = tr.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)),
+        |clean AS (SELECT doc_id, source, text FROM b
+        |          WHERE bucket < 52428
+        |            AND doc_id NOT IN (SELECT train_id FROM dirty)),
+        |sig AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','in','to','is','it','for','on'))) AS n_stop,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    length(text) AS len
+        |  FROM clean)
+        |SELECT doc_id, source, n_tokens, quality FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |     + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3
+        |     + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END) * 10.0, 1.0)) * 0.3) AS quality
+        |  FROM sig) q
+        |WHERE quality >= 0.5""".stripMargin,
 
     // transitive closure of the jaccard pairs via recursive reachability;
     // cluster label = component minimum, matching min-label propagation

@@ -62,6 +62,29 @@ object ExtPipelines {
       n = 3, minShared = 5, maxShingleDf = Some(100))
   }
 
+  /** The composite training-data deliverable: exact-dedup (keep first),
+    * deterministic t7 split, decontaminate train against test (x10's
+    * shingle-overlap rule), drop low-quality docs — the clean training
+    * corpus a 100 TB text pipeline actually materializes. Every stage is
+    * an already-oracle-verified operator; this pins their COMPOSITION
+    * (dedup before split, anti-join on distinct contaminated train ids,
+    * quality filter last). Scale notes: the anti-join's build side is
+    * contaminated-id singletons (tiny — AQE broadcasts it), and the
+    * stages chain without any driver-side materialization. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.dedupKeepFirst(Tables.documents(spark, dir))
+    val split = graft.ext.DataSplit.withSplit(deduped, "doc_id")
+    val train = split.filter(col("split") === "train")
+    val test = split.filter(col("split") === "test")
+    val dirty = Dedup.contaminationPairs(train, test, n = 3, minShared = 5,
+        maxShingleDf = Some(100))
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = train.join(dirty, Seq("doc_id"), "left_anti")
+    TextAnalysis.qualityScore(TextAnalysis.qualitySignals(clean))
+      .filter(col("quality") >= 0.5)
+      .select("doc_id", "source", "n_tokens", "quality")
+  }
+
   /** Canonical normalization (lowercase, strip punctuation, collapse
     * whitespace) — oracle-checked against the same regex pipeline. */
   def normalizedDocs(spark: SparkSession, dir: String): DataFrame =
