@@ -119,6 +119,21 @@ object ParquetSink {
       .partitionBy("day")
       .parquet(path)
 
+  /** Sorted, range-partitioned layout: `repartitionByRange` on the sort
+    * key, then `sortWithinPartitions` before writing. Each output file
+    * then covers a disjoint key range and parquet row-group min/max
+    * statistics line up with the sort, so a selective key-range filter
+    * touches only the files/row-groups that can match (data skipping) —
+    * the layout that makes selective scans cheap at 100 TB when the
+    * predicate column is too fine-grained for directory partitioning
+    * (e.g. a timestamp or a user id). One range shuffle at write time
+    * buys every later scan its skipping. */
+  def writeSorted(df: DataFrame, sortCol: String, path: String,
+      numFiles: Int = 32): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Small-files compaction: rewrite a parquet dataset into ~`targetMB`
     * files using the optimizer's size estimate. `coalesce`, not
     * `repartition` — merging partitions needs no shuffle. The

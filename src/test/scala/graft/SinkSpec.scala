@@ -23,6 +23,25 @@ class SinkSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_.contains("day=2024-01-05")))
   }
 
+  test("sorted range-partitioned layout confines a key range to few files") {
+    val out = Files.createTempDirectory("graft-sorted").resolve("events").toString
+    val events = Tables.events(spark, sf())
+    ParquetSink.writeSorted(events, "ts", out, numFiles = 8)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+
+    // one day of a 30-day range must be correct AND live in at most 2 of
+    // the 8 range files (a boundary can straddle one file edge) — the
+    // disjoint-range property that lets parquet min/max stats skip
+    // everything else on a selective scan
+    val oneDay = back.filter(to_date(col("ts")) === "2024-01-05")
+    val expected = events.filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(oneDay.count() == expected && expected > 0)
+    val nFiles = oneDay.select(input_file_name()).distinct().count()
+    assert(nFiles <= 2, s"day spread over $nFiles files; range layout broken")
+  }
+
   test("dynamic partition overwrite replaces only the written days") {
     val out = Files.createTempDirectory("graft-dyn").resolve("events").toString
     val events = Tables.events(spark, sf())
