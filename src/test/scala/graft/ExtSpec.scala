@@ -115,6 +115,17 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("x11 clean-corpus anti-join converts to broadcast under AQE") {
+    val df = graft.analytics.ExtPipelines.cleanCorpus(spark, sf())
+    df.write.format("noop").mode("overwrite").save()
+    // after execution AQE has finalized the plan: the contaminated-id
+    // build side is tiny, so the decontamination anti-join must run as
+    // a broadcast join, not the statically-planned sort-merge
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected AQE broadcast anti-join, got:\n$plan")
+  }
+
   test("connectedComponents uses reliable checkpoints when a dir is set") {
     import spark.implicits._
     // NOTE: SparkContext has no unset API, so the shared session keeps
