@@ -27,6 +27,7 @@ object SparkEntry {
     "a3_pivot_durations" -> (Pipelines.pivotDurations _),
     "flagship_profile" -> (Pipelines.flagshipProfile _),
     "flagship_profile_fast" -> (Pipelines.flagshipProfileFast _),
+    "flagship_profile_incremental" -> (Pipelines.incrementalProfile _),
     "e8_one_day" -> (Pipelines.oneDay _),
     "u1_union_days" -> (Pipelines.unionDays _),
     // generic relational coverage on the TPC-H-ish tables
@@ -521,6 +522,9 @@ object SparkEntry {
 
     "flagship_profile" -> flagshipOracle,
     "flagship_profile_fast" -> flagshipOracle,
+    // incremental (state-merge) form must be indistinguishable from the
+    // batch recompute — associativity of every state cell, oracle-pinned
+    "flagship_profile_incremental" -> flagshipOracle,
 
     "e8_one_day" ->
       s"""$baseCte

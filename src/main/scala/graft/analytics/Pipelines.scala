@@ -51,6 +51,14 @@ object Pipelines {
   def flagshipProfileFast(spark: SparkSession, dir: String): DataFrame =
     Viewing.fullPipelineFast(Tables.events(spark, dir))
 
+  /** Incremental flagship: mergeable per-user state over a history slice
+    * + a fresh slice, merged and finalized — hash-identical to the
+    * single-pass flagship (same oracle). The daily-job form: at 100 TB
+    * only the new day is aggregated from raw events; history rides as
+    * per-user state. */
+  def incrementalProfile(spark: SparkSession, dir: String): DataFrame =
+    Viewing.incrementalProfile(Tables.events(spark, dir), "2024-01-15")
+
   /** §3.1 one-day variant (E8 literal date, faithful null cells). */
   def oneDay(spark: SparkSession, dir: String): DataFrame =
     Viewing.oneDayPipeline(Tables.events(spark, dir), "2024-01-10")

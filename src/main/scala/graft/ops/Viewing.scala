@@ -103,20 +103,54 @@ object Viewing {
     * `n_valid > 0`; pivot cells for absent categories are null → 0 via
     * coalesce, matching na.fill(0). Checked against the same oracle SQL
     * as the faithful query. */
-  def fullPipelineFast(events: DataFrame): DataFrame = {
+  def fullPipelineFast(events: DataFrame): DataFrame =
+    profileFinalize(profileState(events))
+
+  /** Mergeable per-user aggregation STATE of the flagship pipeline: the
+    * four per-category cent sums plus the device/valid row counts. Every
+    * cell is an associative sum/count, so states computed over disjoint
+    * event slices merge exactly via [[mergeProfileStates]] — the
+    * property that turns the flagship into an INCREMENTAL daily job at
+    * 100 TB: aggregate only the new day (tiny), merge with yesterday's
+    * state (per-user rows, orders of magnitude smaller than raw events),
+    * finalize. No history rescan, ever. */
+  def profileState(events: DataFrame): DataFrame = {
     val cat = categorize(events).withColumn("vc", cents)
     val valid = col("user_id") =!= 0 && col("Type") =!= "Error"
     val catSums = categories.map(c =>
       coalesce(sum(when(valid && col("Type") === c, col("vc"))), lit(0L)).as(c))
-    val agg = cat.groupBy("user_id").agg(
+    cat.groupBy("user_id").agg(
       catSums.head,
       catSums.tail :+ count(lit(1)).as("TotalDevices")
         :+ count(when(valid, lit(1))).as("n_valid"): _*)
-    val joined = agg
+  }
+
+  /** Merge two disjoint-slice states: per-user cell-wise sums. */
+  def mergeProfileStates(a: DataFrame, b: DataFrame): DataFrame = {
+    val cells = categories ++ Seq("TotalDevices", "n_valid")
+    a.unionByName(b).groupBy("user_id")
+      .agg(sum(cells.head).as(cells.head),
+        cells.tail.map(c => sum(c).as(c)): _*)
+  }
+
+  /** Finalize a state into the flagship output: drop users with no valid
+    * rows (join semantics of the faithful shape), then E4–E7 enrich. */
+  def profileFinalize(state: DataFrame): DataFrame = {
+    val joined = state
       .filter(col("user_id") =!= 0 && col("n_valid") > 0)
       .select(("user_id" +: categories :+ "TotalDevices").map(col): _*)
     val enriched = Enrich.mostWatch(catLabels)(joined)
     Enrich.activityLevel(categories)(Enrich.taste(catLabels)(enriched))
+  }
+
+  /** Incremental flagship: state over the history slice merged with
+    * state over the new slice, finalized — hash-identical to the
+    * single-pass [[fullPipelineFast]] (same oracle) because every state
+    * cell is associative. `splitDate` models the history/new-day cut. */
+  def incrementalProfile(events: DataFrame, splitDate: String): DataFrame = {
+    val history = events.filter(to_date(col("ts")) <= lit(splitDate))
+    val fresh = events.filter(to_date(col("ts")) > lit(splitDate))
+    profileFinalize(mergeProfileStates(profileState(history), profileState(fresh)))
   }
 
   /** §3.1 one-day analog: filter to one calendar day, pivot WITHOUT
