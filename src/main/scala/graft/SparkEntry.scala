@@ -90,6 +90,7 @@ object SparkEntry {
     "s4_stream_enrich" -> (ExtPipelines.streamEnrich _),
     "s5_stream_dedup" -> (ExtPipelines.streamDedup _),
     "s6_stream_range_join" -> (ExtPipelines.streamRangeJoin _),
+    "s7_stream_profile" -> (ExtPipelines.streamProfile _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _)
@@ -522,9 +523,10 @@ object SparkEntry {
 
     "flagship_profile" -> flagshipOracle,
     "flagship_profile_fast" -> flagshipOracle,
-    // incremental (state-merge) form must be indistinguishable from the
-    // batch recompute — associativity of every state cell, oracle-pinned
+    // incremental (state-merge) and streaming (state-store) forms must be
+    // indistinguishable from the batch recompute — one oracle, three plans
     "flagship_profile_incremental" -> flagshipOracle,
+    "s7_stream_profile" -> flagshipOracle,
 
     "e8_one_day" ->
       s"""$baseCte

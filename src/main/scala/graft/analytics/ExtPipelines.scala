@@ -191,6 +191,13 @@ object ExtPipelines {
       graft.streaming.Streaming.dailyCategoryTotals(
         graft.streaming.Streaming.eventsStream(spark, dir)))
 
+  /** Streaming flagship (Complete mode, per-user state) — same oracle as
+    * the batch and incremental flagship forms. */
+  def streamProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.profileStream(
+        graft.streaming.Streaming.eventsStream(spark, dir)))
+
   /** Gap-based sessionization, batch form (window functions). */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.sessionizeBatch(Tables.events(spark, dir))
