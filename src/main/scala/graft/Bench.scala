@@ -84,9 +84,17 @@ object Bench {
     * change on a spec-pinned zero-shuffle plan; re-measured 0.34s). The
     * warmup absorbs per-query codegen/JIT; min-of-3 makes a multi-second
     * stall need to hit all three reps to distort the floor. */
-  private def time(f: => Unit): Double = {
+  private def time(f: => Unit): Double = timeStats(f)._1
+
+  /** (best, spread) where spread = max/best over the 3 timed reps. A
+    * spread near 1.0 means the floor is trustworthy; a large spread
+    * flags box contention during THIS run — so a round-over-round delta
+    * can be attributed to noise vs regression per query, from the
+    * artifact alone. */
+  private def timeStats(f: => Unit): (Double, Double) = {
     timeOnce(f)
-    Seq.fill(3)(timeOnce(f)).min
+    val reps = Seq.fill(3)(timeOnce(f))
+    (reps.min, reps.max / math.max(reps.min, 1e-9))
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,11 +122,11 @@ object Bench {
     runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir))
 
     val results = headline.map { name =>
-      name -> time(runNoop(SparkEntry.queries(name)(spark, sfDir)))
+      name -> timeStats(runNoop(SparkEntry.queries(name)(spark, sfDir)))
     }
 
     val extResults = extended.map { name =>
-      name -> time(runNoop(SparkEntry.queries(name)(spark, sfDir)))
+      name -> timeStats(runNoop(SparkEntry.queries(name)(spark, sfDir)))
     }
 
     // reference-derived sanity experiment (BASELINE.md): one multi-day
@@ -160,14 +168,17 @@ object Bench {
       runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir)))
     val rowsPerSec = if (etlSec > 0) nEvents / etlSec else 0.0
 
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val total = results.map(_._2._1).sum
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val eqs = extResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val eqs = extResults.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val spreads = (results ++ extResults)
+      .map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
-      s""""extended_queries":$eqs,""" +
+      s""""extended_queries":$eqs,"rep_spread":$spreads,""" +
       s""""sf":"$sfDir","m1_scan_sec":${f"$m1Sec%.4f"},"m2_union_sec":${f"$m2Sec%.4f"},""" +
       s""""m2_over_m1":${f"${m2Sec / math.max(m1Sec, 1e-9)}%.2f"},""" +
       s""""m1_pruned_sec":${f"$m1pSec%.4f"},"m2_pruned_sec":${f"$m2pSec%.4f"},""" +
