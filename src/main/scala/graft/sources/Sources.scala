@@ -69,6 +69,28 @@ object LogSource {
   def readDays(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.schema(Schemas.esEnvelope).json(paths: _*)
 
+  /** Fault-tolerant daily scan: PERMISSIVE parse with the malformed raw
+    * line captured in `_corrupt` instead of poisoning the job (FAILFAST)
+    * or silently vanishing (DROPMALFORMED). At 100 TB/day some lines ARE
+    * malformed; the split lets the pipeline proceed on the good rows and
+    * quarantine the bad ones for inspection/replay. Returns
+    * (good rows — envelope columns only, corrupt raw lines). Spark
+    * requires caching the parsed frame before a `_corrupt`-only query
+    * (the parser needs the data columns to decide malformed-ness). */
+  def readDayPermissive(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      Schemas.esEnvelope.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .cache()
+    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")))
+  }
+
   /** S4 — driver-side date-range → path list
     * (`ETL_full_output/ETL_full.py:17-30`): inclusive [from, to],
     * yyyyMMdd file names. */

@@ -47,6 +47,22 @@ class ReferenceEtlSpec extends SparkSpec {
     assert(flat.count() == 400)
   }
 
+  test("permissive scan splits good rows from quarantined corrupt lines") {
+    val dir = Files.createTempDirectory("graft-corrupt")
+    val lines = Seq(
+      """{"_index":"history","_type":"vod","_id":"a","_score":0,"_source":{"Contract":"HNH1","Mac":"M1","TotalDuration":10,"AppName":"VOD"}}""",
+      """{"_index":"history","_type":"vod","_id":"b","_score":0,"_source":{"Contract":"HNH2",""",  // truncated mid-object
+      """not json at all""",
+      """{"_index":"history","_type":"kplus","_id":"c","_score":0,"_source":{"Contract":"HNH3","Mac":"M3","TotalDuration":30,"AppName":"KPLUS"}}""")
+    Files.write(dir.resolve("day.json"), lines.mkString("\n").getBytes("UTF-8"))
+    val (good, bad) = LogSource.readDayPermissive(spark, s"$dir/day.json")
+    assert(good.count() == 2)
+    assert(LogSource.flattenSource(good).columns.toSeq ==
+      Seq("Contract", "Mac", "TotalDuration", "AppName"))
+    val raw = bad.collect().map(_.getString(0))
+    assert(raw.length == 2 && raw.exists(_.contains("not json")))
+  }
+
   test("E1: all 14 app codes map to their category; unknown maps to Error") {
     import spark.implicits._
     val expected = Map(
