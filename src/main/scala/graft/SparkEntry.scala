@@ -59,6 +59,7 @@ object SparkEntry {
     "g24_window_analytics" -> (Pipelines.windowAnalytics _),
     "g25_cube_summary" -> (Pipelines.cubeSummary _),
     "g26_promo_revenue" -> (Pipelines.promoRevenue _),
+    "g27_map_functions" -> (Pipelines.mapFunctions _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -572,6 +573,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "g27_map_functions" ->
+      """WITH s AS (SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty,
+        |       CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS INT) AS n_statuses
+        |FROM s""".stripMargin,
 
     "g3_top_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (

@@ -125,6 +125,23 @@ object Pipelines {
         sum(revC4).as("total_c4"))
   }
 
+  /** Map-type function coverage (the one complex-type family g12-g19
+    * leave out): build a per-returnflag map linestatus→qty with
+    * `map_from_entries`, read its cardinality with `size`, explode it
+    * back to rows. Exploding back makes the result map-order-independent
+    * and plain-SQL oracle-checkable. */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val perStatus = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("qty"))
+    val asMap = perStatus.groupBy("l_returnflag")
+      .agg(map_from_entries(collect_list(struct(col("l_linestatus"), col("qty"))))
+        .as("qty_by_status"))
+    asMap.select(col("l_returnflag"), size(col("qty_by_status")).as("n_statuses"),
+        explode(col("qty_by_status")).as(Seq("l_linestatus", "sum_qty")))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "n_statuses")
+  }
+
   /** Window-function coverage: top-3 orders per customer, deterministic
     * tie-break on o_orderkey. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
