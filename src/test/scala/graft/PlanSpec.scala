@@ -44,6 +44,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle, plan:\n$p")
   }
 
+  test("incremental flagship merge adds no exchange beyond the two slice states") {
+    val p = plan(Pipelines.incrementalProfile(spark, sf()))
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    // one shuffle per slice state; the union is already hash-partitioned
+    // on user_id so the merge aggregation reuses it — co-partitioned merge
+    assert(shuffles == 2, s"expected 2 shuffles, plan:\n$p")
+  }
+
   test("faithful flagship plan has more shuffles than the fast variant") {
     val p = plan(Pipelines.flagshipProfile(spark, sf()))
     val shuffles = p.sliding("Exchange hashpartitioning".length)
