@@ -279,7 +279,12 @@ object SparkEntry {
     "x4_neardup_minhash" -> jaccardOracle,
 
     // the train/test split is t7's md5 bucket rule; shingles are the
-    // same distinct word 3-grams as the jaccard oracle
+    // same distinct word 3-grams as the jaccard oracle. `rare` mirrors
+    // the maxShingleDf=100 train-side cap the Spark pipeline applies
+    // (ExtPipelines.contamination → Dedup.contaminationPairs): shingles
+    // in >100 train docs are dropped BEFORE the overlap join, so a
+    // boilerplate trigram can neither create pairs nor count toward
+    // n_shared.
     "x10_contamination" ->
       """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
         |b AS (SELECT doc_id, text,
@@ -293,7 +298,9 @@ object SparkEntry {
         |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                               for i in range(1, len(w) - 1)])) AS s
         |       FROM tw WHERE len(w) >= 3),
-        |tr AS (SELECT doc_id, s FROM sh WHERE bucket < 52428),
+        |tr0 AS (SELECT doc_id, s FROM sh WHERE bucket < 52428),
+        |rare AS (SELECT s FROM tr0 GROUP BY s HAVING count(*) <= 100),
+        |tr AS (SELECT tr0.doc_id, tr0.s FROM tr0 JOIN rare USING (s)),
         |te AS (SELECT doc_id, s FROM sh WHERE bucket >= 52428)
         |SELECT te.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
         |FROM te JOIN tr ON te.s = tr.s
@@ -302,7 +309,8 @@ object SparkEntry {
 
     // the composite pipeline: dedup keep-first → t7 split → x10
     // decontamination (train side) → t2 quality ≥ 0.5. CTEs mirror the
-    // verified per-stage oracles exactly.
+    // verified per-stage oracles exactly, including x10's
+    // maxShingleDf=100 train-side cap (rare/tr below).
     "x11_clean_corpus" ->
       """WITH dd AS (
         |  SELECT doc_id, source, text FROM (
@@ -321,7 +329,9 @@ object SparkEntry {
         |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                               for i in range(1, len(w) - 1)])) AS s
         |       FROM tw WHERE len(w) >= 3),
-        |tr AS (SELECT doc_id, s FROM sh WHERE bucket < 52428),
+        |tr0 AS (SELECT doc_id, s FROM sh WHERE bucket < 52428),
+        |rare AS (SELECT s FROM tr0 GROUP BY s HAVING count(*) <= 100),
+        |tr AS (SELECT tr0.doc_id, tr0.s FROM tr0 JOIN rare USING (s)),
         |te AS (SELECT doc_id, s FROM sh WHERE bucket >= 52428),
         |dirty AS (SELECT DISTINCT train_id FROM (
         |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id

@@ -301,15 +301,22 @@ object Dedup {
     val reliable = sc.getCheckpointDir.isDefined
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    // Free a superseded localCheckpoint's executor blocks NOW instead of
-    // whenever ContextCleaner notices the RDD is dereferenced — up to
-    // maxIters label tables would otherwise pile up in executor
-    // memory/disk. (Reliable checkpoint files are left for ContextCleaner
-    // / job teardown: they're on stable storage, not executor memory.)
-    def free(df: DataFrame): Unit = if (!reliable)
+    // Free a superseded round NOW instead of waiting: localCheckpoint
+    // blocks pile up in executor memory/disk, and reliable checkpoint
+    // files are NOT auto-removed (cleanCheckpoints defaults to false and
+    // non-final files survive app exit) — without this, up to maxIters
+    // label snapshots accumulate per invocation. Safe because free() is
+    // only called after the next round's checkpoint has fully
+    // materialized and the convergence probe has run.
+    def free(df: DataFrame): Unit =
       df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
+          if (reliable)
+            lr.rdd.getCheckpointFile.foreach { f =>
+              val p = new org.apache.hadoop.fs.Path(f)
+              p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+            }
+          else lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
     val edges = ckpt(pairs.select(col(aCol).as("u"), col(bCol).as("v"))

@@ -148,7 +148,12 @@ object Viewing {
     * single-pass [[fullPipelineFast]] (same oracle) because every state
     * cell is associative. `splitDate` models the history/new-day cut. */
   def incrementalProfile(events: DataFrame, splitDate: String): DataFrame = {
-    val history = events.filter(to_date(col("ts")) <= lit(splitDate))
+    // null ts satisfies neither <= nor > — route it to the history slice
+    // explicitly so every row lands in exactly one slice (the single-pass
+    // flagship counts null-ts rows; dropping them would break the
+    // hash-identity this function promises)
+    val history = events.filter(
+      to_date(col("ts")) <= lit(splitDate) || col("ts").isNull)
     val fresh = events.filter(to_date(col("ts")) > lit(splitDate))
     profileFinalize(mergeProfileStates(profileState(history), profileState(fresh)))
   }

@@ -73,11 +73,13 @@ object LogSource {
     * line captured in `_corrupt` instead of poisoning the job (FAILFAST)
     * or silently vanishing (DROPMALFORMED). At 100 TB/day some lines ARE
     * malformed; the split lets the pipeline proceed on the good rows and
-    * quarantine the bad ones for inspection/replay. Returns
-    * (good rows — envelope columns only, corrupt raw lines). Spark
-    * requires caching the parsed frame before a `_corrupt`-only query
-    * (the parser needs the data columns to decide malformed-ness). */
-  def readDayPermissive(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    * quarantine the bad ones for inspection/replay. Spark requires
+    * caching the parsed frame before a `_corrupt`-only query (the
+    * parser needs the data columns to decide malformed-ness) — the
+    * returned handle owns that cache: call [[PermissiveScan.unpersist]]
+    * once both splits are consumed, or a daily loop leaks one cached
+    * frame per day into executor storage. */
+  def readDayPermissive(spark: SparkSession, path: String): PermissiveScan = {
     val withCorrupt = org.apache.spark.sql.types.StructType(
       Schemas.esEnvelope.fields :+
         org.apache.spark.sql.types.StructField("_corrupt",
@@ -87,8 +89,10 @@ object LogSource {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
       .cache()
-    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
-      parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")))
+    PermissiveScan(
+      parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")),
+      parsed)
   }
 
   /** S4 — driver-side date-range → path list
@@ -107,6 +111,14 @@ object LogSource {
   /** P1 — drop the ES envelope, keep the `_source` payload fields
     * (`ETL_one_day/ETL_one_day.py:17` `select('_source.*')`). */
   def flattenSource(df: DataFrame): DataFrame = df.select(col("_source.*"))
+}
+
+/** Result of [[LogSource.readDayPermissive]]: the good/quarantined
+  * splits plus the shared cached parse backing both. The caller owns
+  * the cache lifetime — consume both splits, then `unpersist()`. */
+final case class PermissiveScan(good: DataFrame, corrupt: DataFrame,
+    parsed: DataFrame) {
+  def unpersist(): Unit = { parsed.unpersist(); () }
 }
 
 /** S5 — single-file CSV sink

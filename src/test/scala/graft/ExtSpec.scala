@@ -126,6 +126,29 @@ class ExtSpec extends SparkSpec {
       s"expected AQE broadcast anti-join, got:\n$plan")
   }
 
+  test("contaminationPairs maxShingleDf drops boilerplate shingles before the join") {
+    import spark.implicits._
+    // `common` appears in 4 train docs (> cap 2) so it must not count
+    // toward overlap: (E1, T1) share 5 shingles but one is boilerplate
+    // → 4 after the cap → excluded at minShared=5. (E2, T2) share 5
+    // rare shingles → kept. Unigram shingles (n=1) keep the sets exact.
+    val train = Seq(
+      (1L, "common r1 r2 r3 r4"),
+      (2L, "common s1 s2 s3 s4 s5"),
+      (3L, "common x1"),
+      (4L, "common x2")).toDF("doc_id", "text")
+    val test = Seq(
+      (101L, "common r1 r2 r3 r4"),
+      (102L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val capped = Dedup.contaminationPairs(train, test, n = 1, minShared = 5,
+      maxShingleDf = Some(2)).as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((102L, 2L, 5L)))
+    // control: without the cap the boilerplate shingle completes (E1, T1)
+    val uncapped = Dedup.contaminationPairs(train, test, n = 1, minShared = 5,
+      maxShingleDf = None).as[(Long, Long, Long)].collect().toSet
+    assert(uncapped == Set((101L, 1L, 5L), (102L, 2L, 5L)))
+  }
+
   test("connectedComponents uses reliable checkpoints when a dir is set") {
     import spark.implicits._
     // NOTE: SparkContext has no unset API, so the shared session keeps
@@ -144,6 +167,14 @@ class ExtSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "expected reliable checkpoint files under the dir")
+    // superseded rounds' snapshots were deleted eagerly (cleanCheckpoints
+    // is off by default and would never remove them) — only the edges
+    // table and the final labels remain on disk
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isDirectory(p)
+        && p.getFileName.toString.startsWith("rdd-")).count()
+    assert(rddDirs == 2,
+      s"expected exactly edges + final labels checkpoints, found $rddDirs")
   }
 
   test("IVF top-k is exact within its probed lists, with a recall floor") {

@@ -55,12 +55,17 @@ class ReferenceEtlSpec extends SparkSpec {
       """not json at all""",
       """{"_index":"history","_type":"kplus","_id":"c","_score":0,"_source":{"Contract":"HNH3","Mac":"M3","TotalDuration":30,"AppName":"KPLUS"}}""")
     Files.write(dir.resolve("day.json"), lines.mkString("\n").getBytes("UTF-8"))
-    val (good, bad) = LogSource.readDayPermissive(spark, s"$dir/day.json")
-    assert(good.count() == 2)
-    assert(LogSource.flattenSource(good).columns.toSeq ==
+    val scan = LogSource.readDayPermissive(spark, s"$dir/day.json")
+    assert(scan.good.count() == 2)
+    assert(LogSource.flattenSource(scan.good).columns.toSeq ==
       Seq("Contract", "Mac", "TotalDuration", "AppName"))
-    val raw = bad.collect().map(_.getString(0))
+    val raw = scan.corrupt.collect().map(_.getString(0))
     assert(raw.length == 2 && raw.exists(_.contains("not json")))
+    // the handle releases the shared cached parse (a daily loop would
+    // otherwise leak one cached frame per day)
+    assert(scan.parsed.storageLevel.useMemory)
+    scan.unpersist()
+    assert(!scan.parsed.storageLevel.useMemory)
   }
 
   test("E1: all 14 app codes map to their category; unknown maps to Error") {

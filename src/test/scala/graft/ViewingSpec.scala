@@ -36,6 +36,23 @@ class ViewingSpec extends SparkSpec {
       kept.count() + cat.filter(col("user_id") === 0 || col("Type") === "Error").count())
   }
 
+  test("incremental flagship routes null-ts rows to history, not the void") {
+    // rows with ts IS NULL satisfy neither `<= splitDate` nor `>` — the
+    // incremental split must still count them exactly once to keep its
+    // hash-identity with the single-pass flagship (which never looks at ts)
+    val bump = events.filter(col("user_id") =!= 0 && col("event_type") === "view")
+      .limit(5)
+      .withColumn("ts", lit(null).cast(events.schema("ts").dataType))
+      .withColumn("value", lit(1.0e7))
+    val withNulls = events.unionByName(bump)
+    val inc = Viewing.incrementalProfile(withNulls, "2024-01-15")
+    val fast = Viewing.fullPipelineFast(withNulls)
+    assert(inc.exceptAll(fast).isEmpty && fast.exceptAll(inc).isEmpty)
+    // guard against vacuous pass: dropping the null-ts rows WOULD change
+    // the profile, so the identity above proves they were counted
+    assert(inc.exceptAll(Viewing.fullPipelineFast(events)).count() > 0)
+  }
+
   test("faithful device counts include Error rows; distinct counts are <= faithful") {
     val faithful = Viewing.deviceCounts(events).withColumnRenamed("TotalDevices", "f")
     val distinct = Viewing.deviceCountsDistinct(events).withColumnRenamed("TotalDevices", "d")
