@@ -82,6 +82,10 @@ object SparkEntry {
     "t8_top_ngrams" -> (ExtPipelines.topNgrams _),
     "t9_redact_pii" -> (ExtPipelines.redactedDocs _),
     "t10_sample_per_source" -> (ExtPipelines.samplePerSource _),
+    "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
+    "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
+    "t13_token_shards" -> (ExtPipelines.tokenShards _),
+    "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
@@ -414,6 +418,80 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) t WHERE rk <= 5""".stripMargin,
+
+    // Gopher-style repetition signals; the Spark side computes them with
+    // a per-row sorted-array scan, the oracle with explode+group — same
+    // exact integers either way
+    "t11_repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ucnt AS (SELECT doc_id, tok, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1, 2),
+        |ustat AS (SELECT doc_id, max(c) AS top_word_n, sum(c) AS n_words
+        |          FROM ucnt GROUP BY 1),
+        |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |       FROM t, unnest(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+        |bcnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, max(c) AS top_bigram_n,
+        |                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bigram_n,
+        |                 sum(c) AS n_bigrams FROM bcnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(top_word_n, 0) AS BIGINT) AS top_word_n,
+        |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |  CAST(COALESCE(dup_bigram_n, 0) AS BIGINT) AS dup_bigram_n
+        |FROM documents d
+        |LEFT JOIN ustat USING (doc_id) LEFT JOIN bstat USING (doc_id)""".stripMargin,
+
+    // weighted mixing: same 16-bit md5 bucket rule as t7, salted with
+    // '#mix' so the sampling decision is independent of the split;
+    // thresholds are exact 1/65536ths (32768 = .5, 16384 = .25, 49152 = .75)
+    "t12_corpus_mix" ->
+      """WITH h AS (SELECT doc_id, source,
+        |             md5(CAST(doc_id AS VARCHAR) || '#mix') AS m FROM documents),
+        |b AS (SELECT doc_id, source,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |c AS (SELECT doc_id, source,
+        |  CASE WHEN source = 'src0' THEN 2
+        |       WHEN source = 'src1' THEN 1 + (CASE WHEN bucket < 32768 THEN 1 ELSE 0 END)
+        |       WHEN source = 'src2' THEN (CASE WHEN bucket < 16384 THEN 1 ELSE 0 END)
+        |       ELSE (CASE WHEN bucket < 49152 THEN 1 ELSE 0 END) END AS copies
+        |  FROM b)
+        |SELECT doc_id, source, CAST(t.copy_idx AS BIGINT) AS copy_idx
+        |FROM c, unnest(range(copies)) AS t(copy_idx) WHERE copies > 0""".stripMargin,
+
+    // token-offset sharding: the oracle IS the naive global window the
+    // Spark side deliberately avoids — bit-identical by construction
+    "t13_token_shards" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS tok_offset
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok_offset,
+        |  tok_offset // 2048 AS seq_id,
+        |  ((tok_offset + n_tokens - 1) // 2048) - (tok_offset // 2048) + 1 AS n_seqs
+        |FROM o""".stripMargin,
+
+    // sub-document boilerplate removal: 8-word segments in >2 docs drop,
+    // survivors reassemble in original order
+    "x12_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |seg AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS s
+        |        FROM w, unnest(range(1, len(w) + 1, 8)) AS t(i)),
+        |keep AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM seg)
+        |         GROUP BY s HAVING count(*) <= 2),
+        |kept AS (SELECT seg.doc_id, seg.pos, seg.s FROM seg JOIN keep USING (s)),
+        |re AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(re.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
 
     "t9_redact_pii" ->
       """SELECT doc_id,

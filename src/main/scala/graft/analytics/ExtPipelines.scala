@@ -158,6 +158,35 @@ object ExtPipelines {
     graft.ext.DataSplit.withSplit(
       Tables.documents(spark, dir).select("doc_id"), "doc_id")
 
+  /** Gopher-style repetition signals (most-frequent word/bigram
+    * multiplicity, duplicated-bigram mass) — zero-shuffle per-row scans. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(spark, dir))
+
+  /** Deterministic weighted corpus mixing: src0 ×2, src1 ×1.5, src2
+    * ×0.25, everything else ×0.75 — epoch up-sampling of curated
+    * sources, down-sampling of the crawl tail. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.DataSplit.mix(
+      Tables.documents(spark, dir).select("doc_id", "source"), "doc_id",
+      Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25),
+      defaultWeight = 0.75)
+
+  /** GPT-style token-offset sharding of the doc_id-ordered token stream
+    * into 2048-token training sequences (two-pass prefix sum — no
+    * single-partition global window). */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.tokenOffsets(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+      seqLen = 2048)
+
+  /** Sub-document boilerplate removal: 8-word segments occurring in >2
+    * docs are dropped, docs reassembled in order. */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSegments(Tables.documents(spark, dir), segWords = 8, maxDf = 2)
+
   /** Custom typed Aggregator coverage: exact top-3 docs per source by
     * length — bounded k-entry buffers make the map-side partials tiny
     * (vs a row_number window that shuffles every row). Oracle: the

@@ -25,4 +25,40 @@ object DataSplit {
 
   def withSplit(df: DataFrame, idCol: String, trainPct: Double = 0.8): DataFrame =
     df.withColumn("split", split(col(idCol), trainPct))
+
+  /** [[bucket]] with a salt appended to the id before hashing, so
+    * independent sampling decisions (mixing vs train/test split) are
+    * decorrelated — without the salt, "keep 50% of src1" would keep
+    * exactly the first half of the train split's hash range. */
+  def bucketSalted(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 4), 16, 10)
+      .cast("int")
+
+  /** Deterministic weighted corpus mixing: each source's rows are
+    * repeated `weight` times in expectation — floor(weight) full copies
+    * for every row, plus one more when the row's salted bucket falls
+    * under the fractional part. Weights >1 model epoch up-sampling of
+    * high-quality sources; weights <1 down-sample. A pure per-row
+    * decision (codegen'd CASE + explode, ZERO shuffle), stable across
+    * runs and cluster sizes — `df.sample()` is neither. Emits one row
+    * per copy with `copy_idx` (0-based) so downstream shuffles spread
+    * the copies. Weights should be expressible in 1/65536ths (the
+    * bucket granularity) to stay engine-portable. */
+  def mix(df: DataFrame, idCol: String, weights: Map[String, Double],
+      defaultWeight: Double, sourceCol: String = "source",
+      salt: String = "#mix"): DataFrame = {
+    val bkt = bucketSalted(col(idCol), salt)
+    def copiesFor(w: Double): Column = {
+      require(w >= 0, s"negative mix weight $w")
+      val nFull = math.floor(w).toLong
+      val thresh = math.round((w - nFull) * 65536).toInt
+      lit(nFull) + when(bkt < thresh, 1L).otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1).foldRight(copiesFor(defaultWeight)) {
+      case ((s, w), acc) => when(col(sourceCol) === s, copiesFor(w)).otherwise(acc)
+    }
+    df.withColumn("copy_idx",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<long>"))))
+  }
 }

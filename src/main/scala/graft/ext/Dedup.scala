@@ -139,6 +139,41 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Sub-document exact dedup (RefinedWeb-style line dedup, adapted to
+    * the single-line corpus): split each doc into fixed `segWords`-word
+    * segments, drop every segment that occurs in more than `maxDf`
+    * distinct docs (boilerplate), and reassemble the survivors in
+    * original order. Two shuffles — segment df (on the 8-byte segment
+    * hash, never the text) and the per-doc reassembly — both keyed the
+    * same way the shingle ops are, so the 100 TB argument carries over.
+    * Docs whose every segment is boilerplate come back with empty text
+    * (kept, not dropped: the caller decides). */
+  def dedupSegments(df: DataFrame, segWords: Int = 8, maxDf: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nSeg = floor((size(toks) + lit(segWords - 1)).cast("double") / segWords)
+      .cast("int")
+    val segs = when(size(toks) > 0,
+      transform(sequence(lit(0), nSeg - 1),
+        i => struct((i * segWords + 1).as("pos"),
+          concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords))).as("seg"))))
+      .otherwise(array().cast("array<struct<pos:int,seg:string>>"))
+    val exploded = df.select(col(idCol), explode(segs).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.seg").as("seg"))
+      .withColumn("h", xxhash64(col("seg")))
+    val keep = exploded.select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("h")
+    val reassembled = exploded.join(keep, "h")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---- MinHash-LSH ----
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle

@@ -126,6 +126,96 @@ class ExtSpec extends SparkSpec {
       s"expected AQE broadcast anti-join, got:\n$plan")
   }
 
+  test("repetitionSignals per-row scan equals an independent explode+group computation") {
+    import spark.implicits._
+    val got = TextAnalysis.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // independent formulation: explode words/bigrams, count per doc
+    val toks = split(col("text"), " ")
+    val words = docs.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("top"), sum("count").as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    val bigrams = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))).as("b"))
+      .groupBy("doc_id", "b").count()
+      .groupBy("doc_id").agg(max("count").as("top"), sum("count").as("n"),
+        sum(when(col("count") >= 2, col("count")).otherwise(0L)).as("dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1), r.getLong(3)))).toMap
+    got.foreach { case (id, (nw, topw, nb, topb, dupb)) =>
+      val (wN, wTop) = words(id)
+      assert((nw, topw) == ((wN, wTop)), s"word stats diverge for doc $id")
+      val (bN, bTop, bDup) = bigrams.getOrElse(id, (0L, 0L, 0L))
+      assert((nb, topb, dupb) == ((bN, bTop, bDup)), s"bigram stats diverge for doc $id")
+    }
+  }
+
+  test("repetitionSignals plan has no shuffle — pure per-row scan") {
+    val p = TextAnalysis.repetitionSignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected shuffle-free plan:\n$p")
+  }
+
+  test("mix emits floor(w) copies plus a deterministic fractional extra") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("source"))
+    val mixed = graft.ext.DataSplit.mix(base, "doc_id",
+      Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25), defaultWeight = 0.75)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val nSrc = base.groupBy("source").count().as[(String, Long)].collect().toMap
+    // src0 ×2.0 exactly — no fractional part, so the count is exact
+    assert(bySrc("src0") == 2 * nSrc("src0"))
+    // fractional sources land between floor and ceil of w * n
+    assert(bySrc("src1") >= nSrc("src1") && bySrc("src1") <= 2 * nSrc("src1"))
+    assert(bySrc.getOrElse("src2", 0L) <= nSrc("src2"))
+    // copy_idx is a dense 0-based range per row
+    val maxIdx = mixed.groupBy("doc_id").agg(
+      max("copy_idx").as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c") - 1).count()
+    assert(maxIdx == 0, "copy_idx must be dense 0..copies-1")
+    // deterministic: a second evaluation is identical
+    val again = graft.ext.DataSplit.mix(base, "doc_id",
+      Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25), defaultWeight = 0.75)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+  }
+
+  test("tokenOffsets two-pass prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val got = graft.ext.Packing.tokenOffsets(withTok, seqLen = 100,
+      bucketSize = 16)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = withTok
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("tok_offset"),
+        expr("tok_offset DIV 100").as("seq_id"),
+        (expr("(tok_offset + n_tokens - 1) DIV 100")
+          - expr("tok_offset DIV 100") + 1).as("n_seqs"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("dedupSegments drops cross-doc boilerplate, keeps rare segments in order") {
+    import spark.implicits._
+    // segment size 2: "b1 b2" is boilerplate (3 docs); each doc's other
+    // segments are unique and must survive in original order
+    val corpus = Seq(
+      (1L, "b1 b2 u1 u2 u3 u4"),
+      (2L, "b1 b2 v1 v2"),
+      (3L, "b1 b2"),
+      (4L, "w1 w2 w3")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(corpus, segWords = 2, maxDf = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "u1 u2 u3 u4",
+      2L -> "v1 v2",
+      3L -> "",            // all segments boilerplate — kept as empty, not dropped
+      4L -> "w1 w2 w3"))   // trailing partial segment "w3" survives
+  }
+
   test("contaminationPairs maxShingleDf drops boilerplate shingles before the join") {
     import spark.implicits._
     // `common` appears in 4 train docs (> cap 2) so it must not count
