@@ -88,6 +88,7 @@ object SparkEntry {
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
+    "v4_ann_quantized_topk" -> (ExtPipelines.annQuantizedTopK _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
     "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
     "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
@@ -560,6 +561,10 @@ object SparkEntry {
     // even at cos≈0 — the ANN result is rank-exact on this data, so the
     // exact top-k SQL is the oracle (recall measured in SimilaritySpec).
     "v2_ann_lsh_topk" -> cosineTopkOracle,
+    // int8 quantization error ≤ maxAbs/254 per element; the exact
+    // re-rank of a 4× over-fetch makes the result rank-identical to the
+    // full-precision top-k (ExtSpec pins v4 ≡ v1), so v1's SQL applies.
+    "v4_ann_quantized_topk" -> cosineTopkOracle,
     // v3_ann_ivf_topk has no SQL oracle: probe membership depends on
     // the trained coarse quantizer, which SQL can't recompute. ExtSpec
     // pins the defining IVF property instead — exact top-k within the

@@ -211,6 +211,15 @@ object ExtPipelines {
     Similarity.bruteForceTopK(emb, queryVecs(spark, dir), k = 5)
   }
 
+  /** Int8-quantized brute force with exact re-rank — v1's memory-scale
+    * path (1 byte/dim on the hot scan). Rank-identical to v1, so it
+    * shares the exact top-k SQL oracle. */
+  def annQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.quantizedTopK(emb, queryVecs(spark, dir), k = 5)
+  }
+
   // ---- streaming ----
 
   /** Tumbling 1-day windowed totals, run as a real Structured Streaming

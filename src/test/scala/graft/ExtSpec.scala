@@ -126,6 +126,29 @@ class ExtSpec extends SparkSpec {
       s"expected AQE broadcast anti-join, got:\n$plan")
   }
 
+  test("int8-quantized top-k with exact re-rank is rank-identical to brute force") {
+    VectorFunctions.register(spark)
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val quant = rows(Similarity.quantizedTopK(emb, queries, k = 5))
+    assert(quant == exact, "quantized+re-ranked top-k must equal full precision")
+    // the storage claim: quantized vectors really are 1 byte/dim
+    val qz = Similarity.quantize(emb)
+    assert(qz.schema("qvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    // dequantization error is bounded by half a quantization step
+    val err = qz.join(emb, "vec_id")
+      .select(max(aggregate(
+        zip_with(col("qvec"), col("embedding"),
+          (q, x) => abs(q.cast("double") * col("qscale") - x.cast("double"))),
+        lit(0.0), (m, e) => greatest(m, e))
+        - col("qscale").cast("double") * 0.5).as("worst"))
+      .collect()(0).getDouble(0)
+    assert(err <= 1e-6, s"per-element error above qscale/2: $err")
+  }
+
   test("repetitionSignals per-row scan equals an independent explode+group computation") {
     import spark.implicits._
     val got = TextAnalysis.repetitionSignals(docs).collect()
