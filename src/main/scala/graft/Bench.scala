@@ -53,7 +53,13 @@ object Bench {
     "t8_top_ngrams",
     "x9_dedup_clusters",
     "x10_contamination",
-    "v3_ann_ivf_topk")
+    "v3_ann_ivf_topk",
+    // round-6 operators
+    "t11_repetition_signals",
+    "t12_corpus_mix",
+    "t13_token_shards",
+    "x12_segment_dedup",
+    "v4_ann_quantized_topk")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

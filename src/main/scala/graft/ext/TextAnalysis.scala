@@ -101,14 +101,17 @@ object TextAnalysis {
     regexp_replace(url, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
   }
 
-  /** Scan a SORTED array once and return struct(top, dup): the highest
-    * multiplicity of any element and the total occurrences of elements
-    * appearing ≥2 times. Runs of equal values are contiguous after the
-    * sort, so one pass with (prev, run) state suffices; `dup` adds 2
-    * when a run reaches length 2 (both occurrences become duplicates)
-    * and 1 per further repeat. The init prev=""/run=0 is safe even if
-    * the first element IS "" — the run still starts at 0+1=1. */
-  private def repeatStats(arr: Column): Column =
+  /** HOF formulation of [[graft.functions.RepeatStats]] — scan a SORTED
+    * array once for struct(top, dup): the highest multiplicity of any
+    * element and the total occurrences of elements appearing ≥2 times.
+    * Runs of equal values are contiguous after the sort, so one pass
+    * with (prev, run) state suffices; `dup` adds 2 when a run reaches
+    * length 2 (both occurrences become duplicates) and 1 per further
+    * repeat. The init prev=""/run=0 is safe even if the first element
+    * IS "" — the run still starts at 0+1=1. Kept as the independent
+    * cross-check for the native expression (ExtSpec); ~10× slower
+    * (interpreted per-element tree), so the pipeline uses the native. */
+  private[graft] def repeatStatsHof(arr: Column): Column =
     aggregate(
       array_sort(arr),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("top"), lit(0L).as("dup")),
@@ -128,23 +131,22 @@ object TextAnalysis {
     * most frequent word and bigram and the fraction-of-occurrences
     * covered by repeated bigrams — the filters that catch boilerplate
     * and degenerate (looping) text. Computed per row with a single
-    * sorted-array scan per signal ([[repeatStats]]) — ZERO shuffle,
-    * unlike the explode+groupBy formulation, so at 100 TB it rides the
-    * scan like the other quality signals. Integer outputs (exact, hash-
-    * stable); callers derive ratios. */
+    * sort+scan per signal (native [[graft.functions.RepeatStats]]
+    * expression — one tight JVM loop, measured ~10× the interpreted HOF
+    * chain) — ZERO shuffle, unlike the explode+groupBy formulation, so
+    * at 100 TB it rides the scan like the other quality signals.
+    * Integer outputs (exact, hash-stable); callers derive ratios. */
   def repetitionSignals(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    import graft.functions.TextExpressions.repeatStats
     val toks = tokens(col(textCol))
     val nTok = size(toks)
-    val bigrams = when(nTok >= 2,
-      transform(sequence(lit(1), nTok - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
     df.select(col(idCol),
         nTok.cast("long").as("n_words"),
-        repeatStats(toks).as("_w"),
+        repeatStats(toks, 1).as("_w"),
         greatest(nTok - 1, lit(0)).cast("long").as("n_bigrams"),
-        repeatStats(bigrams).as("_b"))
+        repeatStats(toks, 2).as("_b"))
       .select(col(idCol), col("n_words"),
         col("_w.top").as("top_word_n"),
         col("n_bigrams"),

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native repetition statistics over the `ngram`-grams of an
+  * `array<string>`: returns struct(top, dup) where `top` is the highest
+  * multiplicity of any n-gram and `dup` the total occurrences of
+  * n-grams appearing ≥2 times — the inner loop of the Gopher
+  * repetition filters.
+  *
+  * A custom expression instead of the equivalent
+  * `aggregate(array_sort(transform(sequence(...))))` HOF chain:
+  * higher-order functions evaluate an interpreted expression tree per
+  * ELEMENT (the bigram-building `transform` alone dominated the t11
+  * query), while this builds the n-grams AND sorts AND scans in one
+  * tight JVM loop over Tungsten `UTF8String`s (binary order — any
+  * total order groups equal elements). CodegenFallback is deliberate:
+  * the array loop dominates, codegen'ing it buys little. Null ELEMENTS
+  * sort as empty strings (split() never produces them; defensive).
+  */
+case class RepeatStats(child: Expression, ngram: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = ngram
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, ngram.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if ngram.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable int), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_repeat_stats"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any, nv: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val ng = nv.asInstanceOf[Int]
+    val n = arr.numElements()
+    val m = n - ng + 1
+    if (ng < 1 || m <= 0) return new GenericInternalRow(Array[Any](0L, 0L))
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+      i += 1
+    }
+    val a = new Array[AnyRef](m)
+    if (ng == 1) {
+      System.arraycopy(toks, 0, a, 0, m)
+    } else {
+      val window = new Array[UTF8String](ng)
+      i = 0
+      while (i < m) {
+        var j = 0
+        while (j < ng) { window(j) = toks(i + j); j += 1 }
+        a(i) = UTF8String.concatWs(sep, window: _*)
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(a)
+    var top = 1L
+    var dup = 0L
+    var run = 1L
+    i = 1
+    while (i < m) {
+      if ((a(i) eq a(i - 1)) || a(i).equals(a(i - 1))) {
+        run += 1
+        dup += (if (run == 2) 2L else 1L)
+        if (run > top) top = run
+      } else run = 1L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](top, dup))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, ngram = newRight)
+}
+
+object TextExpressions {
+
+  /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_repeat_stats",
+        exprs => RepeatStats(exprs(0),
+          if (exprs.length > 1) exprs(1) else Literal(1)), "built-in")
+
+  /** struct(top, dup) repetition stats over the token array's
+    * `ngram`-grams (requires [[register]]). */
+  def repeatStats(arr: Column, ngram: Int = 1): Column =
+    call_function("graft_repeat_stats", arr, lit(ngram))
+}

@@ -173,6 +173,15 @@ class ExtSpec extends SparkSpec {
       val (bN, bTop, bDup) = bigrams.getOrElse(id, (0L, 0L, 0L))
       assert((nb, topb, dupb) == ((bN, bTop, bDup)), s"bigram stats diverge for doc $id")
     }
+    // third formulation: the pure-HOF sorted-scan agrees with the native
+    // expression the pipeline actually uses
+    val hof = docs.select(col("doc_id"),
+        TextAnalysis.repeatStatsHof(split(col("text"), " ")).as("s"))
+      .select(col("doc_id"), col("s.top"), col("s.dup")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (_, topw, _, _, _)) =>
+      assert(hof(id) == topw, s"HOF vs native diverge for doc $id")
+    }
   }
 
   test("repetitionSignals plan has no shuffle — pure per-row scan") {
