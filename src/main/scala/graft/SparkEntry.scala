@@ -85,6 +85,7 @@ object SparkEntry {
     "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
+    "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
@@ -479,6 +480,27 @@ object SparkEntry {
         |  tok_offset // 2048 AS seq_id,
         |  ((tok_offset + n_tokens - 1) // 2048) - (tok_offset // 2048) + 1 AS n_seqs
         |FROM o""".stripMargin,
+
+    // the per-(sequence, doc) slice manifest over t13's offsets: lateral
+    // range-unnest mirrors Spark's explode(sequence(...)); arithmetic is
+    // exact integer token offsets
+    "t14_seq_manifest" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS tok_offset
+        |      FROM t),
+        |e AS (SELECT doc_id, n_tokens, tok_offset,
+        |        tok_offset // 2048 AS s0,
+        |        (tok_offset + n_tokens - 1) // 2048 AS s1
+        |      FROM o WHERE n_tokens > 0)
+        |SELECT CAST(u.s AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(tok_offset, u.s * 2048) - u.s * 2048 AS BIGINT) AS seq_start,
+        |  CAST(least(tok_offset + n_tokens, (u.s + 1) * 2048)
+        |       - greatest(tok_offset, u.s * 2048) AS BIGINT) AS n_tok
+        |FROM e, unnest(range(s0, s1 + 1)) AS u(s)""".stripMargin,
 
     // sub-document boilerplate removal: 8-word segments in >2 docs drop,
     // survivors reassemble in original order

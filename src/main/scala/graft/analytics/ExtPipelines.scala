@@ -182,6 +182,11 @@ object ExtPipelines {
           size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
       seqLen = 2048)
 
+  /** The packed-sequence manifest over t13's offsets: one row per
+    * (sequence, doc) slice; each sequence's slices tile [0, 2048). */
+  def seqManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.sequenceManifest(tokenShards(spark, dir), seqLen = 2048)
+
   /** Sub-document boilerplate removal: 8-word segments occurring in >2
     * docs are dropped, docs reassembled in order. */
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =

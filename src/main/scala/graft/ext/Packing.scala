@@ -51,4 +51,26 @@ object Packing {
         (expr(s"(tok_offset + `$nTokCol` - 1) DIV $seqLen")
           - expr(s"tok_offset DIV $seqLen") + 1).as("n_seqs"))
   }
+
+  /** Explode a [[tokenOffsets]] result into the per-(sequence, doc)
+    * manifest a training data loader consumes: for every sequence a doc
+    * touches, where inside the sequence the doc's tokens start
+    * (`seq_start`) and how many land there (`n_tok`). Every sequence's
+    * rows tile [0, seqLen) exactly (spec-pinned), so a loader can
+    * materialize sequence `s` by concatenating its rows ordered by
+    * `seq_start` — a pure per-row explode over the offsets, no extra
+    * shuffle beyond [[tokenOffsets]]'s own. */
+  def sequenceManifest(offsets: DataFrame, seqLen: Int = 2048,
+      idCol: String = "doc_id", nTokCol: String = "n_tokens"): DataFrame = {
+    val s = col("seq")
+    val start = greatest(col("tok_offset"), s * seqLen)
+    offsets.filter(col(nTokCol) > 0)
+      .withColumn("seq",
+        explode(sequence(col("seq_id"), col("seq_id") + col("n_seqs") - 1)))
+      .select(
+        s.as("seq_id"), col(idCol),
+        (start - s * seqLen).as("seq_start"),
+        (least(col("tok_offset") + col(nTokCol), (s + 1) * seqLen) - start)
+          .as("n_tok"))
+  }
 }

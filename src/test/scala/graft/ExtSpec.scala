@@ -230,6 +230,29 @@ class ExtSpec extends SparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("sequenceManifest tiles every sequence exactly with no gaps or overlaps") {
+    val withTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val offsets = graft.ext.Packing.tokenOffsets(withTok, seqLen = 100, bucketSize = 64)
+    val man = graft.ext.Packing.sequenceManifest(offsets, seqLen = 100)
+    // every sequence except the final partial one holds exactly seqLen
+    // tokens; within a sequence the slices start where the previous ended
+    val bySeq = man.groupBy("seq_id").agg(
+      sum("n_tok").as("tot"), min("seq_start").as("first"),
+      max(col("seq_start") + col("n_tok")).as("end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastSeq = bySeq.map(_._1).max
+    bySeq.foreach { case (s, tot, first, end) =>
+      assert(first == 0L, s"seq $s does not start at 0")
+      assert(end == tot, s"seq $s has gaps or overlaps")
+      if (s != lastSeq) assert(tot == 100L, s"seq $s holds $tot tokens, not 100")
+    }
+    // total tokens conserved: manifest slices sum to the corpus total
+    val corpusTokens = withTok.agg(sum(col("n_tokens").cast("long")))
+      .collect()(0).getLong(0)
+    assert(bySeq.map(_._2).sum == corpusTokens)
+  }
+
   test("dedupSegments drops cross-doc boilerplate, keeps rare segments in order") {
     import spark.implicits._
     // segment size 2: "b1 b2" is boilerplate (3 docs); each doc's other
