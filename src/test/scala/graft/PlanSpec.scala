@@ -112,4 +112,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window re-rank crept back:\n$p")
     assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$p")
   }
+
+  test("t13: token offsets use a bucket-partitioned window, never a global one") {
+    // a windowspecdefinition with no partition key runs in ONE task;
+    // the two-pass prefix sum must window within _bkt partitions only
+    val p = plan(graft.analytics.ExtPipelines.tokenShards(spark, sf()))
+    assert(p.contains("windowspecdefinition(_bkt"),
+      s"window must partition by _bkt:\n$p")
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"expected exactly one shuffle (on _bkt):\n$p")
+    assert(p.contains("Exchange hashpartitioning(_bkt"), p)
+  }
+
+  test("t12: corpus mixing is a pure per-row plan — no shuffle, no join") {
+    val p = plan(graft.analytics.ExtPipelines.corpusMix(spark, sf()))
+    assert(!p.contains("Exchange"), s"mixing must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"mixing must not join:\n$p")
+    assert(p.contains("Generate"), p) // the explode emitting copies
+  }
 }
