@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, RepeatStats}
 
 /** Library-style registration: inject graft's custom expressions into any
   * session via config — no code changes in the host application:
@@ -11,8 +11,9 @@ import graft.functions.CosineSim
   * }}}
   *
   * or programmatically: `SparkSession.builder().withExtensions(new GraftExtensions)`.
-  * After injection, `graft_cosine(a, b)` is available in SQL and via
-  * `call_function` — same expression `VectorFunctions.register` installs
+  * After injection, `graft_cosine(a, b)` and `graft_repeat_stats(arr[, n])`
+  * are available in SQL and via `call_function` — the same expressions
+  * `VectorFunctions.register` / `TextExpressions.register` install
   * imperatively.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -23,5 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_repeat_stats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RepeatStats].getName, "graft_repeat_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RepeatStats(exprs(0),
+          if (exprs.length > 1) exprs(1)
+          else org.apache.spark.sql.catalyst.expressions.Literal(1))))
   }
 }

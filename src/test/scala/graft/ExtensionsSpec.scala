@@ -23,6 +23,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("graft_cosine"))
   }
 
+  test("graft_repeat_stats is callable from SQL with and without the n-gram arg") {
+    graft.functions.TextExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_repeat_stats(array('a','b','a','a'))").collect()(0).getStruct(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L) // top run 'a'×3, dup mass 3
+    val bg = spark.sql(
+      "SELECT graft_repeat_stats(array('a','b','a','b','a'), 2)").collect()(0).getStruct(0)
+    // bigrams: (a b), (b a), (a b), (b a) → top 2, all 4 duplicated
+    assert(bg.getLong(0) == 2L && bg.getLong(1) == 4L)
+  }
+
   test("GraftExtensions injects graft_cosine into a session extensions set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder registered
