@@ -59,6 +59,7 @@ object Bench {
     "t12_corpus_mix",
     "t13_token_shards",
     "x12_segment_dedup",
+    "x13_span_dedup",
     "v4_ann_quantized_topk")
 
   private def runNoop(df: DataFrame): Unit =

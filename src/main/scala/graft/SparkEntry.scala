@@ -87,6 +87,7 @@ object SparkEntry {
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
+    "x13_span_dedup" -> (ExtPipelines.spanDedup _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
     "v4_ann_quantized_topk" -> (ExtPipelines.annQuantizedTopK _),
@@ -512,6 +513,26 @@ object SparkEntry {
         |         GROUP BY s HAVING count(*) <= 2),
         |kept AS (SELECT seg.doc_id, seg.pos, seg.s FROM seg JOIN keep USING (s)),
         |re AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(re.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
+
+    // span-removal substring dedup: overlapping 8-token windows shared
+    // by ≥2 docs excise every covered token; coverage tested per token
+    // position so overlapping hits merge into spans
+    "x13_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, i AS s, array_to_string(w[i:i+7], ' ') AS wd
+        |        FROM w, unnest(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8),
+        |dup AS (SELECT wd FROM (SELECT DISTINCT doc_id, wd FROM win)
+        |        GROUP BY wd HAVING count(*) > 1),
+        |ds AS (SELECT win.doc_id, win.s FROM win JOIN dup USING (wd)),
+        |tok AS (SELECT doc_id, w[t.pos] AS tok, t.pos AS pos
+        |        FROM w, unnest(range(1, len(w) + 1)) AS t(pos)),
+        |kept AS (SELECT tok.* FROM tok WHERE NOT EXISTS (
+        |           SELECT 1 FROM ds WHERE ds.doc_id = tok.doc_id
+        |             AND tok.pos BETWEEN ds.s AND ds.s + 7)),
+        |re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
         |       FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(re.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,

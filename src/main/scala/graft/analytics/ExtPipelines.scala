@@ -192,6 +192,11 @@ object ExtPipelines {
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupSegments(Tables.documents(spark, dir), segWords = 8, maxDf = 2)
 
+  /** Exact substring dedup via overlapping 8-token windows — duplicated
+    * spans excised at any alignment. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(Tables.documents(spark, dir), window = 8)
+
   /** Custom typed Aggregator coverage: exact top-3 docs per source by
     * length — bounded k-entry buffers make the map-side partials tiny
     * (vs a row_number window that shuffles every row). Oracle: the

@@ -174,6 +174,43 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact substring dedup with SPAN removal (the Lee-et-al-style pass
+    * big-corpus pipelines run after whole-doc dedup): hash every
+    * OVERLAPPING `window`-token window, find windows shared by ≥2
+    * distinct docs, and excise every token covered by a shared window —
+    * overlapping hits merge into spans naturally because coverage is
+    * per-token. Catches duplicated passages at any alignment, which
+    * [[dedupSegments]]'s fixed grid cannot. Removal is symmetric (all
+    * occurrences go): run [[dedupKeepFirst]] first so exact-dup docs
+    * keep one copy; what remains here is true cross-doc boilerplate.
+    * Shuffles carry only 8-byte window hashes + int starts; the final
+    * coverage test is per-row (starts list is per-doc-bounded). */
+  def dedupSpans(df: DataFrame, window: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val wins = when(n >= window,
+      transform(sequence(lit(1), n - window + 1),
+        s => struct(s.as("s"),
+          xxhash64(concat_ws(" ", slice(toks, s, lit(window)))).as("h"))))
+      .otherwise(array().cast("array<struct<s:int,h:bigint>>"))
+    val exploded = df.select(col(idCol), explode(wins).as("w"))
+      .select(col(idCol), col("w.s").as("s"), col("w.h").as("h"))
+    val dupH = exploded.select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > 1).select("h")
+    val dupStarts = exploded.join(dupH, "h")
+      .groupBy(idCol).agg(sort_array(collect_list(col("s"))).as("starts"))
+    df.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), {
+        val starts = coalesce(col("starts"), array().cast("array<int>"))
+        val kept = filter(sequence(lit(1), n),
+          p => !exists(starts, s0 => s0 <= p && p < s0 + window))
+        concat_ws(" ", transform(kept, p => element_at(toks, p)))
+          .as("clean_text")
+      })
+  }
+
   // ---- MinHash-LSH ----
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle

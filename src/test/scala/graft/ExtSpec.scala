@@ -271,6 +271,24 @@ class ExtSpec extends SparkSpec {
       4L -> "w1 w2 w3"))   // trailing partial segment "w3" survives
   }
 
+  test("dedupSpans excises shared spans at any alignment, merging overlaps") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token run "d1 d2 d3 d4" at DIFFERENT
+    // offsets (the fixed-grid segment dedup would miss this); with
+    // window=3 the duplicated windows are (d1 d2 d3) and (d2 d3 d4),
+    // whose coverage merges into the single span d1..d4. Doc 3 is clean.
+    val corpus = Seq(
+      (1L, "a1 a2 d1 d2 d3 d4 a3"),
+      (2L, "d1 d2 d3 d4 b1 b2 b3"),
+      (3L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(corpus, window = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "a1 a2 a3",
+      2L -> "b1 b2 b3",
+      3L -> "c1 c2 c3 c4 c5"))
+  }
+
   test("contaminationPairs maxShingleDf drops boilerplate shingles before the join") {
     import spark.implicits._
     // `common` appears in 4 train docs (> cap 2) so it must not count
