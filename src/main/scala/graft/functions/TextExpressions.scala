@@ -96,6 +96,75 @@ case class RepeatStats(child: Expression, ngram: Expression)
     copy(child = newLeft, ngram = newRight)
 }
 
+/** All OVERLAPPING `window`-token window hashes of an `array<string>`,
+  * as array<struct<s:int, h:bigint>> with 1-based start positions — the
+  * candidate-generation step of span-removal substring dedup
+  * ([[graft.ext.Dedup.dedupSpans]]).
+  *
+  * Native for the same reason as [[RepeatStats]]: the equivalent
+  * `transform(sequence(...), s -> xxhash64(concat_ws(slice(...))))`
+  * chain interprets an expression tree per window AND re-concatenates
+  * each token `window` times. Here every token is xxhash64'd ONCE
+  * (XXH64 over its UTF8 bytes) and each window chains the 8 token
+  * hashes — O(n·window) long-mixes, no string building. Hash values are
+  * internal candidate keys only (equal token sequences ⇒ equal hash;
+  * 64-bit collisions are the same accepted risk as the shingle ops), so
+  * they never need to match any SQL-recomputable value.
+  */
+case class WindowHashes(child: Expression, window: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = window
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, window.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if window.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable int), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(v: Any, wv: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = v.asInstanceOf[ArrayData]
+    val w = wv.asInstanceOf[Int]
+    val n = arr.numElements()
+    val m = n - w + 1
+    if (w < 1 || m <= 0) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      th(i) = if (s == null) 42L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < w) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = new GenericInternalRow(Array[Any](i + 1, h))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, window = newRight)
+}
+
 object TextExpressions {
 
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
@@ -110,4 +179,16 @@ object TextExpressions {
     * `ngram`-grams (requires [[register]]). */
   def repeatStats(arr: Column, ngram: Int = 1): Column =
     call_function("graft_repeat_stats", arr, lit(ngram))
+
+  /** Register `graft_window_hashes`. Idempotent. */
+  def registerWindowHashes(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_window_hashes",
+        exprs => WindowHashes(exprs(0), exprs(1)), "built-in")
+
+  /** array<struct<s,h>> overlapping window hashes (requires
+    * [[registerWindowHashes]]). */
+  def windowHashes(arr: Column, window: Int): Column =
+    call_function("graft_window_hashes", arr, lit(window))
 }
