@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, RepeatStats}
+import graft.functions.{CosineSim, Ngrams, RepeatStats}
 
 /** Library-style registration: inject graft's custom expressions into any
   * session via config — no code changes in the host application:
@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepeatStats(exprs(0),
           if (exprs.length > 1) exprs(1)
           else org.apache.spark.sql.catalyst.expressions.Literal(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Ngrams].getName, "graft_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Ngrams(exprs(0), exprs(1))))
   }
 }

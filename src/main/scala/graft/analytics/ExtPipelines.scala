@@ -125,12 +125,11 @@ object ExtPipelines {
     * partition ships only its top 20 — the shape that survives a 100 TB
     * corpus where the naive orderBy would sort billions of ngram rows. */
   def topNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.registerNgrams(spark)
     val toks = split(col("text"), " ")
     Tables.documents(spark, dir)
       .filter(size(toks) >= 2)
-      .select(explode(transform(
-        sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .select(explode(graft.functions.TextExpressions.ngrams(toks, 2))
         .as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)

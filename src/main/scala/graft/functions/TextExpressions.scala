@@ -165,6 +165,63 @@ case class WindowHashes(child: Expression, window: Expression)
     copy(child = newLeft, window = newRight)
 }
 
+/** All overlapping space-joined `n`-grams of an `array<string>`, as
+  * array<string>. Native for the same reason as [[WindowHashes]], but
+  * for consumers that need the n-gram TEXT (corpus-level top-ngram
+  * counting): one loop of `UTF8String.concatWs` per window beats the
+  * interpreted `transform(sequence(...), concat_ws(element_at...))`
+  * tree that otherwise runs per window. */
+case class Ngrams(child: Expression, ngram: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = ngram
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, ngram.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if ngram.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable int), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any, nv: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = v.asInstanceOf[ArrayData]
+    val ng = nv.asInstanceOf[Int]
+    val n = arr.numElements()
+    val m = n - ng + 1
+    if (ng < 1 || m <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+      i += 1
+    }
+    val out = new Array[Any](m)
+    val window = new Array[UTF8String](ng)
+    i = 0
+    while (i < m) {
+      var j = 0
+      while (j < ng) { window(j) = toks(i + j); j += 1 }
+      out(i) = if (ng == 1) toks(i) else UTF8String.concatWs(sep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, ngram = newRight)
+}
+
 object TextExpressions {
 
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
@@ -191,4 +248,15 @@ object TextExpressions {
     * [[registerWindowHashes]]). */
   def windowHashes(arr: Column, window: Int): Column =
     call_function("graft_window_hashes", arr, lit(window))
+
+  /** Register `graft_ngrams`. Idempotent. */
+  def registerNgrams(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_ngrams",
+        exprs => Ngrams(exprs(0), exprs(1)), "built-in")
+
+  /** array<string> overlapping n-grams (requires [[registerNgrams]]). */
+  def ngrams(arr: Column, n: Int): Column =
+    call_function("graft_ngrams", arr, lit(n))
 }

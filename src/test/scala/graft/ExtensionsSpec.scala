@@ -34,6 +34,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(bg.getLong(0) == 2L && bg.getLong(1) == 4L)
   }
 
+  test("graft_ngrams is callable from SQL") {
+    graft.functions.TextExpressions.registerNgrams(spark)
+    val r = spark.sql("SELECT graft_ngrams(array('a','b','c'), 2)")
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("a b", "b c"))
+  }
+
   test("GraftExtensions injects graft_cosine into a session extensions set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder registered
