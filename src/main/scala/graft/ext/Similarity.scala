@@ -270,11 +270,15 @@ object Similarity {
       overFetch: Int = 4, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val qz = quantize(corpus, vecCol, idCol)
-    val dq = transform(col("qvec"), x => x.cast("float") * col("qscale"))
+    // dequantize ONCE per corpus row (below the join) — inlining the
+    // transform into the cosine argument would re-run it per
+    // (query, neighbor) PAIR, |queries|× the work
+    val dqz = qz.withColumn("dqv",
+      transform(col("qvec"), x => x.cast("float") * col("qscale")))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val approx = qz.join(q, col("query_id") =!= col(idCol))
+    val approx = dqz.join(q, col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        VectorFunctions.cosine(col("qv"), dq).as("cos"))
+        VectorFunctions.cosine(col("qv"), col("dqv")).as("cos"))
     val cand = topKPerQuery(approx, k * overFetch)
       .select("query_id", "neighbor_id")
     val exact = cand
