@@ -88,6 +88,7 @@ object SparkEntry {
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
+    "x14_clean_corpus_v2" -> (ExtPipelines.cleanCorpusV2 _),
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
     "v4_ann_quantized_topk" -> (ExtPipelines.annQuantizedTopK _),
@@ -536,6 +537,47 @@ object SparkEntry {
         |       FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(re.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
+
+    // round-6 composite: keep-first dedup → span dedup → repetition
+    // gate; CTEs mirror the x2/x13/t11 oracles stage by stage, and the
+    // thresholds are integer arithmetic (top word ≤ 1/5 of tokens,
+    // duplicated-bigram mass ≤ 3/10 of bigrams)
+    "x14_clean_corpus_v2" ->
+      """WITH dd AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+        |win AS (SELECT doc_id, i AS s, array_to_string(w[i:i+7], ' ') AS wd
+        |        FROM w, unnest(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8),
+        |dup AS (SELECT wd FROM (SELECT DISTINCT doc_id, wd FROM win)
+        |        GROUP BY wd HAVING count(*) > 1),
+        |ds AS (SELECT win.doc_id, win.s FROM win JOIN dup USING (wd)),
+        |tok AS (SELECT doc_id, w[t.pos] AS tok, t.pos AS pos
+        |        FROM w, unnest(range(1, len(w) + 1)) AS t(pos)),
+        |kept AS (SELECT tok.* FROM tok WHERE NOT EXISTS (
+        |           SELECT 1 FROM ds WHERE ds.doc_id = tok.doc_id
+        |             AND tok.pos BETWEEN ds.s AND ds.s + 7)),
+        |re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |       FROM kept GROUP BY doc_id),
+        |cw AS (SELECT dd.doc_id, dd.source,
+        |         string_split(COALESCE(re.clean_text, ''), ' ') AS w
+        |       FROM dd LEFT JOIN re USING (doc_id)),
+        |ucnt AS (SELECT doc_id, tok, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS tok FROM cw) GROUP BY 1, 2),
+        |ustat AS (SELECT doc_id, max(c) AS top_word_n, sum(c) AS n_words
+        |          FROM ucnt GROUP BY 1),
+        |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |       FROM cw, unnest(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+        |bcnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id,
+        |                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bigram_n,
+        |                 sum(c) AS n_bigrams FROM bcnt GROUP BY 1)
+        |SELECT cw.doc_id, cw.source, CAST(n_words AS BIGINT) AS n_words
+        |FROM cw JOIN ustat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+        |WHERE n_words >= 5 AND top_word_n * 5 <= n_words
+        |  AND COALESCE(dup_bigram_n, 0) * 10 <= COALESCE(n_bigrams, 0) * 3""".stripMargin,
 
     "t9_redact_pii" ->
       """SELECT doc_id,

@@ -196,6 +196,22 @@ object ExtPipelines {
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupSpans(Tables.documents(spark, dir), window = 8)
 
+  /** Round-6 composite, pinning the NEW operators' composition the way
+    * x11 pins the round-3 set: exact-dedup keep-first → span-removal
+    * substring dedup on the survivors → repetition gate (≥5 words,
+    * top word ≤20% of tokens, duplicated-bigram mass ≤30%) — integer
+    * threshold arithmetic so the oracle is exact. */
+  def cleanCorpusV2(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.dedupKeepFirst(Tables.documents(spark, dir))
+    val spans = Dedup.dedupSpans(deduped, window = 8)
+    val sig = TextAnalysis.repetitionSignals(spans, textCol = "clean_text")
+    sig.join(deduped.select("doc_id", "source"), "doc_id")
+      .filter(col("n_words") >= 5 &&
+        col("top_word_n") * 5 <= col("n_words") &&
+        col("dup_bigram_n") * 10 <= col("n_bigrams") * 3)
+      .select("doc_id", "source", "n_words")
+  }
+
   /** Custom typed Aggregator coverage: exact top-3 docs per source by
     * length — bounded k-entry buffers make the map-side partials tiny
     * (vs a row_number window that shuffles every row). Oracle: the
