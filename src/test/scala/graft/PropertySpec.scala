@@ -90,6 +90,34 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("property: mix emits floor(w) or ceil(w) copies per row, deterministically") {
+    import spark.implicits._
+    val weightsGen = for {
+      w0 <- Gen.chooseNum(0, 8); w1 <- Gen.chooseNum(0, 8)
+      d <- Gen.chooseNum(0, 8)
+    } yield (w0 / 4.0, w1 / 4.0, d / 4.0) // quarters — exact 1/65536ths
+    val rowsGen = Gen.listOfN(80, for {
+      id <- Gen.chooseNum(0L, 5000L)
+      src <- Gen.oneOf("sA", "sB", "sC")
+    } yield (id, src))
+    check(Prop.forAll(rowsGen, weightsGen) { case (rows, (wA, wB, d)) =>
+      rows.isEmpty || {
+        val df = rows.distinct.toDF("doc_id", "source")
+        val weights = Map("sA" -> wA, "sB" -> wB)
+        val mixed = graft.ext.DataSplit.mix(df, "doc_id", weights, d)
+        val counts = mixed.groupBy("doc_id", "source").count()
+          .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        val perRowOk = df.collect().forall { r =>
+          val w = weights.getOrElse(r.getString(1), d)
+          val c = counts.getOrElse((r.getLong(0), r.getString(1)), 0L)
+          c == math.floor(w).toLong || c == math.ceil(w).toLong
+        }
+        val again = graft.ext.DataSplit.mix(df, "doc_id", weights, d)
+        perRowOk && mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty
+      }
+    }, n = 10)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
