@@ -41,6 +41,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == Seq("a b", "b c"))
   }
 
+  test("native text expressions handle empty and too-short arrays") {
+    graft.functions.TextExpressions.register(spark)
+    graft.functions.TextExpressions.registerNgrams(spark)
+    graft.functions.TextExpressions.registerWindowHashes(spark)
+    val rows = spark.sql(
+      """SELECT graft_ngrams(array('a'), 2) AS ng_short,
+        |       graft_ngrams(array('a'), 1) AS ng_one,
+        |       graft_ngrams(CAST(array() AS ARRAY<STRING>), 2) AS ng_empty,
+        |       size(graft_window_hashes(array('a','b'), 3)) AS wh_short,
+        |       graft_repeat_stats(CAST(array() AS ARRAY<STRING>), 1) AS rs_empty,
+        |       graft_repeat_stats(array('a','b'), 3) AS rs_short""".stripMargin)
+      .collect()(0)
+    assert(rows.getSeq[String](0) == Seq())
+    assert(rows.getSeq[String](1) == Seq("a"))
+    assert(rows.getSeq[String](2) == Seq())
+    assert(rows.getInt(3) == 0)
+    assert(rows.getStruct(4).getLong(0) == 0L && rows.getStruct(4).getLong(1) == 0L)
+    assert(rows.getStruct(5).getLong(0) == 0L && rows.getStruct(5).getLong(1) == 0L)
+  }
+
   test("GraftExtensions injects graft_cosine into a session extensions set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder registered
