@@ -455,11 +455,14 @@ object Dedup {
     * scale path is [[embeddingNearDupsLsh]]). */
   def embeddingNearDups(df: DataFrame, threshold: Double = 0.4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        graft.functions.VectorFunctions.cosineHof(col("va"), col("vb")).as("cos"))
+        // codegen'd cosine: this is the O(n²) exact twin — the one place
+        // the per-pair expression cost multiplies hardest
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
   }

@@ -97,6 +97,7 @@ object Similarity {
     * ~1-6e-6 at the defaults. */
   def lshNearDupPairs(df: DataFrame, threshold: Double, nBits: Int,
       nTables: Int, seed: Long, vecCol: String, idCol: String): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
     val dim = 64
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, seed + t)
@@ -111,7 +112,7 @@ object Similarity {
     }
     tables.reduce(_ unionByName _)
       .select(col("a_id"), col("b_id"),
-        VectorFunctions.cosineHof(col("va"), col("vb")).as("cos"))
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
@@ -159,16 +160,24 @@ object Similarity {
     * At 100 TB the result is written bucketed by list_id so a probe is
     * a bucket-pruned scan. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    // cast the centroid vectors to float ONCE on the broadcast side so
+    // the per-(row, centroid) scoring runs the codegen'd float cosine —
+    // the interpreted HOF over the double centroids evaluated an
+    // expression tree per element per pair
+    val centF = centroids.select(col("list_id"),
+      col("cvec").cast("array<float>").as("cvec"))
     corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centF))
       .select(col(idCol), col(vecCol),
         col("list_id"),
-        VectorFunctions.cosineHof(col(vecCol), col("cvec")).as("sim"))
+        VectorFunctions.cosine(col(vecCol), col("cvec")).as("sim"))
       .groupBy(col(idCol))
       .agg(
         max_by(col("list_id"), struct(col("sim"), -col("list_id"))).as("list_id"),
         first(col(vecCol)).as(vecCol))
+  }
 
   /** IVF-Flat ANN search: each query ranks the (broadcast) centroids,
     * probes its top-`nProbe` inverted lists, and scores exact cosine
@@ -181,13 +190,16 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nList: Int = 16, nProbe: Int = 8, nIters: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
     val assigned = ivfAssign(corpus, cent, vecCol, idCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qScored = q.crossJoin(broadcast(cent))
+    val centF = cent.select(col("list_id"),
+      col("cvec").cast("array<float>").as("cvec"))
+    val qScored = q.crossJoin(broadcast(centF))
       .select(col("query_id"),
         col("list_id"),
-        VectorFunctions.cosineHof(col("qv"), col("cvec")).as("cos"))
+        VectorFunctions.cosine(col("qv"), col("cvec")).as("cos"))
     val topLists = udaf(new graft.functions.TopKAggregator(nProbe))
     val probes = qScored
       .groupBy("query_id")
@@ -198,7 +210,7 @@ object Similarity {
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        VectorFunctions.cosineHof(col("qv"), col(vecCol)).as("cos"))
+        VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
     topKPerQuery(cands, k)
   }
 
@@ -217,6 +229,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nBits: Int = 8, nTables: Int = 4, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val dim = 64
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, seed + t)
@@ -232,7 +245,7 @@ object Similarity {
     }
     val cands = tables.reduce(_ unionByName _).distinct()
     val scored = cands.select(col("query_id"), col("neighbor_id"),
-      VectorFunctions.cosineHof(col("qv"), col("cv")).as("cos"))
+      VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
     topKPerQuery(scored, k)
   }
 
