@@ -92,6 +92,8 @@ object SparkEntry {
     "v1_cosine_topk" -> (ExtPipelines.cosineTopK _),
     "v2_ann_lsh_topk" -> (ExtPipelines.annLshTopK _),
     "v4_ann_quantized_topk" -> (ExtPipelines.annQuantizedTopK _),
+    "v5_filtered_ann" -> (ExtPipelines.filteredCosineTopK _),
+    "t15_vocabulary" -> (ExtPipelines.vocabulary _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
     "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
     "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
@@ -650,6 +652,25 @@ object SparkEntry {
     // re-rank of a 4× over-fetch makes the result rank-identical to the
     // full-precision top-k (ExtSpec pins v4 ≡ v1), so v1's SQL applies.
     "v4_ann_quantized_topk" -> cosineTopkOracle,
+    // metadata-filtered search: v1's exact SQL with the corpus-side
+    // label predicate
+    "v5_filtered_ann" ->
+      """SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id ASC) AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND c.label < 5) t
+        |WHERE rk <= 5""".stripMargin,
+
+    "t15_vocabulary" ->
+      """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word HAVING count(*) >= 3""".stripMargin,
     // v3_ann_ivf_topk has no SQL oracle: probe membership depends on
     // the trained coarse quantizer, which SQL can't recompute. ExtSpec
     // pins the defining IVF property instead — exact top-k within the

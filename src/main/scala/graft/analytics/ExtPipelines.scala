@@ -157,6 +157,17 @@ object ExtPipelines {
     graft.ext.DataSplit.withSplit(
       Tables.documents(spark, dir).select("doc_id"), "doc_id")
 
+  /** Vocabulary extraction for tokenizer training: every word with its
+    * corpus count and document frequency, floored at minCount=3. One
+    * explode + one partial-combined aggregation; no windows, no sorts —
+    * the downstream tokenizer trainer consumes the whole table. */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+      .filter(col("n") >= 3)
+
   /** Gopher-style repetition signals (most-frequent word/bigram
     * multiplicity, duplicated-bigram mass) — zero-shuffle per-row scans. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
@@ -243,6 +254,18 @@ object ExtPipelines {
     VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     Similarity.quantizedTopK(emb, queryVecs(spark, dir), k = 5)
+  }
+
+  /** Metadata-filtered vector search (the vector-DB "filtered ANN"):
+    * top-k restricted to corpus rows with label < 5. The predicate is a
+    * plain scan filter, so it pushes into the parquet reader
+    * (PushedFilters — PlanSpec) and composes with every search path;
+    * at 100 TB the filtered scan reads only matching row groups. */
+  def filteredCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb.filter(col("label") < 5),
+      queryVecs(spark, dir), k = 5)
   }
 
   // ---- streaming ----

@@ -125,6 +125,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(_bkt"), p)
   }
 
+  test("v5: the filtered-ANN label predicate reaches the parquet scan") {
+    val p = plan(graft.analytics.ExtPipelines.filteredCosineTopK(spark, sf()))
+    assert(p.contains("IsNotNull(label)") && p.contains("LessThan(label,5)"),
+      s"label filter must push into the corpus scan:\n$p")
+  }
+
   test("t12: corpus mixing is a pure per-row plan — no shuffle, no join") {
     val p = plan(graft.analytics.ExtPipelines.corpusMix(spark, sf()))
     assert(!p.contains("Exchange"), s"mixing must not shuffle:\n$p")
