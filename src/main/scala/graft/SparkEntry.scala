@@ -94,6 +94,7 @@ object SparkEntry {
     "v4_ann_quantized_topk" -> (ExtPipelines.annQuantizedTopK _),
     "v5_filtered_ann" -> (ExtPipelines.filteredCosineTopK _),
     "t15_vocabulary" -> (ExtPipelines.vocabulary _),
+    "t16_cluster_split" -> (ExtPipelines.clusterSplit _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
     "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
     "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
@@ -383,6 +384,37 @@ object SparkEntry {
          |  SELECT reach.id, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u
          |)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // leakage-safe split: x9's recursive closure labels the clusters,
+    // then t7's md5 bucket rule runs on the cluster key (own id for
+    // singletons) — near-dup docs land on the same side by construction
+    "t16_cluster_split" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a_id, b_id FROM (
+         |$jaccardOracle
+         |  ) jp
+         |),
+         |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id AS id FROM edges),
+         |sym AS (SELECT a_id AS u, b_id AS v FROM edges
+         |        UNION ALL SELECT b_id AS u, a_id AS v FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS key
+         |      FROM documents d LEFT JOIN cl USING (doc_id)),
+         |h AS (SELECT doc_id, md5(CAST(key AS VARCHAR)) AS m FROM k),
+         |b AS (SELECT doc_id,
+         |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+         |      FROM h)
+         |SELECT doc_id,
+         |       CASE WHEN bucket < 52428 THEN 'train' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "x5_neardup_embedding" -> embeddingPairsOracle,
     // multiprobe LSH recall at these (bits, tables, probes) is 1-6e-6

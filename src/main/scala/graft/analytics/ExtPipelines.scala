@@ -157,6 +157,22 @@ object ExtPipelines {
     graft.ext.DataSplit.withSplit(
       Tables.documents(spark, dir).select("doc_id"), "doc_id")
 
+  /** Leakage-safe train/test split: hash-bucket on the near-dup CLUSTER
+    * id (x9's connected components), not the doc id, so near-duplicate
+    * docs can never straddle the split — the leakage a naive per-doc
+    * split silently allows. Unclustered docs split by their own id
+    * (each is its own singleton cluster). */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val clusters = Dedup.connectedComponents(
+      Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
+        maxShingleDf = Some(100)))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.ext.DataSplit.split(coalesce(col("cluster_id"), col("doc_id")))
+          .as("split"))
+  }
+
   /** Vocabulary extraction for tokenizer training: every word with its
     * corpus count and document frequency, floored at minCount=3. One
     * explode + one partial-combined aggregation; no windows, no sorts —

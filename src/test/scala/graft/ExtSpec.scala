@@ -271,6 +271,23 @@ class ExtSpec extends SparkSpec {
       4L -> "w1 w2 w3"))   // trailing partial segment "w3" survives
   }
 
+  test("cluster split never separates a near-dup pair across train/test") {
+    val split = graft.analytics.ExtPipelines.clusterSplit(spark, sf())
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5,
+      maxShingleDf = Some(100))
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("split", "sa"), "a_id")
+      .join(split.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("split", "sb"), "b_id")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0, s"$straddling near-dup pairs straddle the split")
+    // and it still splits: both sides non-empty
+    val sides = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.getOrElse("train", 0L) > 0 && sides.getOrElse("test", 0L) > 0)
+  }
+
   test("dedupSpans excises shared spans at any alignment, merging overlaps") {
     import spark.implicits._
     // docs 1 and 2 share the 4-token run "d1 d2 d3 d4" at DIFFERENT
