@@ -28,6 +28,40 @@ object EtlOneDay {
   }
 }
 
+/** End-to-end training-corpus build over a `documents.parquet` dir —
+  * the library's one-command corpus deliverable:
+  *   1. exact dedup (keep first), then span-removal substring dedup
+  *   2. repetition gate (x14's integer thresholds)
+  *   3. leakage-safe cluster split on the ORIGINAL near-dup clusters
+  *   4. weighted source mixing on the train side
+  * Writes `clean/`, `split/`, `mixed/` parquet under <outDir>.
+  * usage: CorpusBuild <documentsDir> <outDir>
+  */
+object CorpusBuild {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: CorpusBuild <documentsDir> <outDir>")
+      sys.exit(2)
+    }
+    val Array(dataDir, outDir) = args
+    val spark = GraftSession.local(appName = "graft-corpus-build")
+    val clean = graft.analytics.ExtPipelines.cleanCorpusV2(spark, dataDir)
+    clean.write.mode("overwrite").parquet(s"$outDir/clean")
+    val split = graft.analytics.ExtPipelines.clusterSplit(spark, dataDir)
+      .join(clean.select("doc_id", "source"), "doc_id")
+    split.write.mode("overwrite").parquet(s"$outDir/split")
+    val mixed = graft.ext.DataSplit.mix(
+      split.filter(org.apache.spark.sql.functions.col("split") === "train")
+        .select("doc_id", "source"),
+      "doc_id", Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25),
+      defaultWeight = 0.75)
+    mixed.write.mode("overwrite").parquet(s"$outDir/mixed")
+    println(s"[graft] corpus build: clean=${clean.count()} " +
+      s"split=${split.count()} mixed=${mixed.count()} → $outDir")
+    spark.stop()
+  }
+}
+
 /** Replaces `ETL_full_output/ETL_full.py` (and the faster of the two
   * benchmark variants — one multi-file scan, `test_method1_readALL.py`):
   * usage: EtlFull <logDir> <outCsvDir> <fromDate yyyyMMdd> <toDate yyyyMMdd> */
