@@ -103,6 +103,7 @@ object SparkEntry {
     "s5_stream_dedup" -> (ExtPipelines.streamDedup _),
     "s6_stream_range_join" -> (ExtPipelines.streamRangeJoin _),
     "s7_stream_profile" -> (ExtPipelines.streamProfile _),
+    "s8_stream_quality_gate" -> (ExtPipelines.streamQualityGate _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _)
@@ -759,6 +760,23 @@ object SparkEntry {
     // indistinguishable from the batch recompute — one oracle, three plans
     "flagship_profile_incremental" -> flagshipOracle,
     "s7_stream_profile" -> flagshipOracle,
+    // stateless ingest gate: identical to the batch quality filter
+    "s8_stream_quality_gate" ->
+      """WITH sig AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','in','to','is','it','for','on'))) AS n_stop,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    length(text) AS len
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens, quality FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |     + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3
+        |     + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END) * 10.0, 1.0)) * 0.3) AS quality
+        |  FROM sig) q
+        |WHERE quality >= 0.5""".stripMargin,
 
     "e8_one_day" ->
       s"""$baseCte

@@ -326,6 +326,14 @@ object ExtPipelines {
         Tables.customer(spark, dir)),
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** Streaming corpus-ingest quality gate (stateless Append) — same
+    * semantics and oracle as the batch quality filter. */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.qualityGate(
+        graft.streaming.Streaming.documentsStream(spark, dir)),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   /** Streaming exact dedup — first arrival of each key wins. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.runToBatch(spark,

@@ -51,6 +51,31 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Documents stream from the testdata parquet — the streaming ingest
+    * path of the corpus pipeline (new corpus files land, the gate
+    * filters them as they arrive). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.*")
+  }
+
+  /** Streaming corpus quality gate: the stateless per-row quality
+    * filter applied at INGEST, so low-quality docs never land in the
+    * corpus at all. Pure codegen'd expressions — no state, no
+    * watermark, Append mode; identical semantics to the batch filter
+    * (same oracle). */
+  def qualityGate(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.qualityScore(
+      graft.ext.TextAnalysis.qualitySignals(docs))
+      .filter(col("quality") >= 0.5)
+      .select("doc_id", "source", "n_tokens", "quality")
+
   /** Tumbling 1-day event-time window over the categorized stream —
     * the streaming-native form of the reference's per-day aggregation.
     * Watermark bounds state; UTC day windows align with calendar days. */
