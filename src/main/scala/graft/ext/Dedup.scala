@@ -155,14 +155,11 @@ object Dedup {
     * (kept, not dropped: the caller decides). */
   def dedupSegments(df: DataFrame, segWords: Int = 8, maxDf: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.TextExpressions.registerGridSegments(df.sparkSession)
     val toks = split(col(textCol), " ")
-    val nSeg = floor((size(toks) + lit(segWords - 1)).cast("double") / segWords)
-      .cast("int")
-    val segs = when(size(toks) > 0,
-      transform(sequence(lit(0), nSeg - 1),
-        i => struct((i * segWords + 1).as("pos"),
-          concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords))).as("seg"))))
-      .otherwise(array().cast("array<struct<pos:int,seg:string>>"))
+    // native grid segmentation (one concatWs loop) — see WindowHashes
+    // for why the interpreted transform/slice tree loses
+    val segs = graft.functions.TextExpressions.gridSegments(toks, segWords)
     val exploded = df.select(col(idCol), explode(segs).as("s"))
       .select(col(idCol), col("s.pos").as("pos"), col("s.seg").as("seg"))
       .withColumn("h", xxhash64(col("seg")))

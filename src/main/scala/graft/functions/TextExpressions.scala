@@ -222,6 +222,67 @@ case class Ngrams(child: Expression, ngram: Expression)
     copy(child = newLeft, ngram = newRight)
 }
 
+/** NON-overlapping fixed-grid `window`-token segments of an
+  * `array<string>`, as array<struct<pos:int, seg:string>> with 1-based
+  * token start positions (the trailing segment may be shorter) — the
+  * segmentation step of fixed-grid sub-document dedup
+  * ([[graft.ext.Dedup.dedupSegments]]). Native for the same reason as
+  * [[Ngrams]]: one concatWs loop instead of an interpreted
+  * transform/slice tree per segment. */
+case class GridSegments(child: Expression, window: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = window
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, window.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if window.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable int), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("seg", StringType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_grid_segments"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any, wv: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = v.asInstanceOf[ArrayData]
+    val w = wv.asInstanceOf[Int]
+    val n = arr.numElements()
+    if (w < 1 || n == 0) return new GenericArrayData(Array.empty[Any])
+    val m = (n + w - 1) / w
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val start = i * w
+      val len = math.min(w, n - start)
+      val window = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) {
+        val s = arr.getUTF8String(start + j)
+        window(j) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        j += 1
+      }
+      out(i) = new GenericInternalRow(Array[Any](start + 1,
+        if (len == 1) window(0) else UTF8String.concatWs(sep, window: _*)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, window = newRight)
+}
+
 object TextExpressions {
 
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
@@ -259,4 +320,16 @@ object TextExpressions {
   /** array<string> overlapping n-grams (requires [[registerNgrams]]). */
   def ngrams(arr: Column, n: Int): Column =
     call_function("graft_ngrams", arr, lit(n))
+
+  /** Register `graft_grid_segments`. Idempotent. */
+  def registerGridSegments(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_grid_segments",
+        exprs => GridSegments(exprs(0), exprs(1)), "built-in")
+
+  /** array<struct<pos,seg>> fixed-grid segments (requires
+    * [[registerGridSegments]]). */
+  def gridSegments(arr: Column, window: Int): Column =
+    call_function("graft_grid_segments", arr, lit(window))
 }
