@@ -204,14 +204,12 @@ object Dedup {
       .filter(col("_df") > 1).select("h")
     val dupStarts = exploded.join(dupH, "h")
       .groupBy(idCol).agg(sort_array(collect_list(col("s"))).as("starts"))
+    graft.functions.TextExpressions.registerRemoveSpans(df.sparkSession)
     df.join(dupStarts, Seq(idCol), "left")
-      .select(col(idCol), {
-        val starts = coalesce(col("starts"), array().cast("array<int>"))
-        val kept = filter(sequence(lit(1), n),
-          p => !exists(starts, s0 => s0 <= p && p < s0 + window))
-        concat_ws(" ", transform(kept, p => element_at(toks, p)))
-          .as("clean_text")
-      })
+      .select(col(idCol),
+        graft.functions.TextExpressions.removeSpans(toks,
+          coalesce(col("starts"), array().cast("array<int>")), window)
+          .as("clean_text"))
   }
 
   // ---- MinHash-LSH ----

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -283,6 +283,67 @@ case class GridSegments(child: Expression, window: Expression)
     copy(child = newLeft, window = newRight)
 }
 
+/** Rebuild a document with every token covered by a duplicated
+  * `window`-token span removed: `starts` holds the 1-based start
+  * positions of the duplicated windows (sorted ascending), and a token
+  * at position p is dropped iff some start s satisfies s ≤ p < s +
+  * window. One merged-interval sweep — O(n + |starts|) — instead of the
+  * interpreted `filter(sequence, p -> !exists(starts, ...))` chain,
+  * which is O(n·|starts|) with a tree-eval per position. The final step
+  * of [[graft.ext.Dedup.dedupSpans]]. */
+case class RemoveSpans(toks: Expression, starts: Expression,
+    window: Expression) extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = toks
+  override def second: Expression = starts
+  override def third: Expression = window
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (toks.dataType, starts.dataType, window.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _), IntegerType)
+          if window.foldable => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>, foldable int), " +
+        s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_remove_spans"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(t: Any, s: Any, wv: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val st = s.asInstanceOf[ArrayData]
+    val w = wv.asInstanceOf[Int]
+    val n = arr.numElements()
+    val m = st.numElements()
+    val kept = new Array[UTF8String](n)
+    var nKept = 0
+    var idx = 0
+    var curEnd = 0L
+    var pos = 1
+    while (pos <= n) {
+      while (idx < m && st.getInt(idx) <= pos) {
+        val end = st.getInt(idx).toLong + w - 1
+        if (end > curEnd) curEnd = end
+        idx += 1
+      }
+      if (pos > curEnd) {
+        val tok = arr.getUTF8String(pos - 1)
+        kept(nKept) = if (tok == null) UTF8String.EMPTY_UTF8 else tok
+        nKept += 1
+      }
+      pos += 1
+    }
+    UTF8String.concatWs(sep, java.util.Arrays.copyOf(kept, nKept): _*)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(toks = newFirst, starts = newSecond, window = newThird)
+}
+
 object TextExpressions {
 
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
@@ -332,4 +393,15 @@ object TextExpressions {
     * [[registerGridSegments]]). */
   def gridSegments(arr: Column, window: Int): Column =
     call_function("graft_grid_segments", arr, lit(window))
+
+  /** Register `graft_remove_spans`. Idempotent. */
+  def registerRemoveSpans(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_remove_spans",
+        exprs => RemoveSpans(exprs(0), exprs(1), exprs(2)), "built-in")
+
+  /** Span-removal rebuild (requires [[registerRemoveSpans]]). */
+  def removeSpans(toks: Column, starts: Column, window: Int): Column =
+    call_function("graft_remove_spans", toks, starts, lit(window))
 }
