@@ -260,13 +260,10 @@ object Similarity {
     * qscale 0 and an all-zero qvec. */
   def quantize(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val scale = (aggregate(col(vecCol), lit(0.0f), (m, x) => greatest(m, abs(x)))
-      / 127.0d).cast("float")
-    df.select(col(idCol), scale.as("qscale"),
-      transform(col(vecCol), x =>
-        when(scale === 0.0f, lit(0))
-          .otherwise(round(x.cast("double") / scale).cast("int"))
-          .cast("tinyint")).as("qvec"))
+    VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol), VectorFunctions.quantizeVec(col(vecCol)).as("_q"))
+      .select(col(idCol), col("_q.qscale").as("qscale"),
+        col("_q.qvec").as("qvec"))
   }
 
   /** Brute-force top-k over the int8-quantized corpus with exact
@@ -284,10 +281,10 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     val qz = quantize(corpus, vecCol, idCol)
     // dequantize ONCE per corpus row (below the join) — inlining the
-    // transform into the cosine argument would re-run it per
+    // expression into the cosine argument would re-run it per
     // (query, neighbor) PAIR, |queries|× the work
     val dqz = qz.withColumn("dqv",
-      transform(col("qvec"), x => x.cast("float") * col("qscale")))
+      VectorFunctions.dequantizeVec(col("qvec"), col("qscale")))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val approx = dqz.join(q, col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),

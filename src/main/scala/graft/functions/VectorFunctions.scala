@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, StructField, StructType}
 
 /** Native Catalyst cosine similarity over `array<float>` embeddings.
   *
@@ -85,18 +86,118 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-vector symmetric int8 quantization of an `array<float>`:
+  * returns struct(qscale float, qvec array<tinyint>) with qscale =
+  * maxAbs/127 and elements rounded into [-127, 127] (all-zero vector →
+  * qscale 0, zero qvec). One loop over the Tungsten floats instead of
+  * the interpreted aggregate(maxAbs) + transform(round/cast) pair. */
+case class QuantizeVec(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("qscale", FloatType, nullable = false),
+    StructField("qvec", ArrayType(ByteType, containsNull = false),
+      nullable = false)))
+
+  override def prettyName: String = "graft_quantize_vec"
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      val x = math.abs(arr.getFloat(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = (maxAbs / 127.0).toFloat
+    val q = new Array[Byte](n)
+    if (scale != 0.0f) {
+      i = 0
+      while (i < n) {
+        // clamp: float rounding of the scale can push maxAbs/scale a
+        // hair past 127, and 128.toByte would wrap to -128
+        val r = math.round(arr.getFloat(i) / scale.toDouble)
+        q(i) = (if (r > 127L) 127L else if (r < -127L) -127L else r).toByte
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](scale, new GenericArrayData(q)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dequantize an int8 vector back to `array<float>` (qvec[i] * qscale)
+  * — the inverse of [[QuantizeVec]], one loop. */
+case class DequantizeVec(qvec: Expression, qscale: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = qvec
+  override def right: Expression = qscale
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (qvec.dataType, qscale.dataType) match {
+      case (ArrayType(ByteType, _), FloatType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<tinyint>, float), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_dequantize_vec"
+
+  override def nullSafeEval(q: Any, s: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = q.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Float]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = arr.getByte(i) * scale; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(qvec = newLeft, qscale = newRight)
+}
+
 object VectorFunctions {
 
-  /** Register `graft_cosine` in the session's function registry so it is
-    * callable from both the Column API (via [[cosine]]) and SQL. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  /** Register `graft_cosine` / `graft_quantize_vec` /
+    * `graft_dequantize_vec` in the session's function registry so they
+    * are callable from both the Column API and SQL. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_cosine",
-        exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize_vec",
+      exprs => QuantizeVec(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dequantize_vec",
+      exprs => DequantizeVec(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Codegen'd cosine similarity column (requires [[register]] first). */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** struct(qscale, qvec) int8 quantization (requires [[register]]). */
+  def quantizeVec(v: Column): Column = call_function("graft_quantize_vec", v)
+
+  /** array<float> dequantization (requires [[register]]). */
+  def dequantizeVec(qvec: Column, qscale: Column): Column =
+    call_function("graft_dequantize_vec", qvec, qscale)
 
   /** Pure-built-in fallback via higher-order functions — same math
     * (double accumulation, dot/sqrt(na*nb)), no custom expression.

@@ -137,7 +137,8 @@ class ExtSpec extends SparkSpec {
     // the storage claim: quantized vectors really are 1 byte/dim
     val qz = Similarity.quantize(emb)
     assert(qz.schema("qvec").dataType ==
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false))
     // dequantization error is bounded by half a quantization step
     val err = qz.join(emb, "vec_id")
       .select(max(aggregate(
