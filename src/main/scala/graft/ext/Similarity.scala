@@ -54,15 +54,23 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (seeded) as literal arrays. */
-  private[ext] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new Random(seed)
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection signature: bit i = sign(v . plane_i). */
-  private[ext] def signature(vec: Column, planes: Seq[Array[Double]]): Column = {
+  /** Sign-random-projection signature: bit i = sign(v . plane_i).
+    * Native [[graft.functions.SignBits]] — callers register via their
+    * own VectorFunctions.register call. */
+  private[ext] def signature(vec: Column, planes: Seq[Array[Double]]): Column =
+    VectorFunctions.signBits(vec, planes)
+
+  /** HOF formulation of [[signature]], kept as the independent
+    * cross-check (ExtSpec) — interprets a tree per element per plane,
+    * so the pipelines use the native form. */
+  private[graft] def signatureHof(vec: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       val dot = aggregate(
         zip_with(vec, planeLit, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)

@@ -173,6 +173,54 @@ case class DequantizeVec(qvec: Expression, qscale: Expression)
     copy(qvec = newLeft, qscale = newRight)
 }
 
+/** Sign-random-projection signature: bit i of the result is set iff
+  * `vec · planes[i] >= 0`. `planes` is a foldable literal
+  * array<array<double>> (the seeded hyperplanes). One nested loop —
+  * the HOF formulation (`aggregate(zip_with(...))` per plane)
+  * interprets an expression tree per element per plane per row, the
+  * hottest loop of the LSH paths. Accumulation order matches the HOF
+  * (left to right), so signatures are bit-identical. */
+case class SignBits(vec: Expression, planes: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = planes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, planes.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if planes.foldable => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, foldable array<array<double>>), " +
+        s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sign_bits"
+
+  override def nullSafeEval(v: Any, p: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val ps = p.asInstanceOf[ArrayData]
+    val nBits = ps.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < nBits) {
+      val plane = ps.getArray(i)
+      val dim = math.min(arr.numElements(), plane.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += arr.getFloat(j).toDouble * plane.getDouble(j); j += 1 }
+      if (dot >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, planes = newRight)
+}
+
 object VectorFunctions {
 
   /** Register `graft_cosine` / `graft_quantize_vec` /
@@ -187,6 +235,8 @@ object VectorFunctions {
       exprs => QuantizeVec(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_dequantize_vec",
       exprs => DequantizeVec(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sign_bits",
+      exprs => SignBits(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd cosine similarity column (requires [[register]] first). */
@@ -198,6 +248,12 @@ object VectorFunctions {
   /** array<float> dequantization (requires [[register]]). */
   def dequantizeVec(qvec: Column, qscale: Column): Column =
     call_function("graft_dequantize_vec", qvec, qscale)
+
+  /** Hyperplane sign-bit signature over literal planes (requires
+    * [[register]]). */
+  def signBits(vec: Column, planes: Seq[Array[Double]]): Column =
+    call_function("graft_sign_bits", vec,
+      array(planes.map(p => array(p.toIndexedSeq.map(lit): _*)): _*))
 
   /** Pure-built-in fallback via higher-order functions — same math
     * (double accumulation, dot/sqrt(na*nb)), no custom expression.

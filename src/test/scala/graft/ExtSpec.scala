@@ -126,6 +126,16 @@ class ExtSpec extends SparkSpec {
       s"expected AQE broadcast anti-join, got:\n$plan")
   }
 
+  test("native sign-bit signature is bit-identical to the HOF formulation") {
+    VectorFunctions.register(spark)
+    val planes = Similarity.hyperplanes(dim = 64, nBits = 8, seed = 7L)
+    val both = emb.limit(200).select(
+      VectorFunctions.signBits(col("embedding"), planes).as("n"),
+      Similarity.signatureHof(col("embedding"), planes).as("h"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("int8-quantized top-k with exact re-rank is rank-identical to brute force") {
     VectorFunctions.register(spark)
     val queries = emb.filter(col("vec_id") < 20)
