@@ -56,8 +56,13 @@ object CorpusBuild {
       "doc_id", Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25),
       defaultWeight = 0.75)
     mixed.write.mode("overwrite").parquet(s"$outDir/mixed")
-    println(s"[graft] corpus build: clean=${clean.count()} " +
-      s"split=${split.count()} mixed=${mixed.count()} → $outDir")
+    // count the WRITTEN parquet, not the source frames: re-counting the
+    // frames would re-execute all three pipelines (including the
+    // iterative connected-components job) just for this log line,
+    // whereas counting the output is a footer-metadata read
+    def written(sub: String): Long = spark.read.parquet(s"$outDir/$sub").count()
+    println(s"[graft] corpus build: clean=${written("clean")} " +
+      s"split=${written("split")} mixed=${written("mixed")} → $outDir")
     spark.stop()
   }
 }

@@ -15,13 +15,17 @@ object Packing {
     *
     * The naive formulation is one global window
     * (`sum over (order by doc_id)`), which Spark executes in a SINGLE
-    * partition — a non-starter at 100 TB. This is the scalable two-pass
-    * prefix sum instead: (1) per-bucket token subtotals (buckets are
-    * fixed doc_id ranges, so the layout is deterministic and partition-
-    * independent), (2) a driver-side running sum over the subtotals —
-    * metadata scale, nDocs/bucketSize entries, same justification as the
-    * IVF centroid collect — broadcast back, (3) a window WITHIN each
-    * bucket. Output is bit-identical to the global window.
+    * partition — a non-starter at 100 TB. This is a TWO-LEVEL
+    * distributed prefix sum instead: (1) per-bucket token subtotals
+    * (buckets are fixed doc_id ranges, so the layout is deterministic
+    * and partition-independent), (2) per-SUPERBUCKET subtotals over
+    * those, and only the superbucket totals — nDocs/bucketSize² entries,
+    * ~6K tuples even at 10¹¹ docs — reach the driver for the running
+    * sum, (3) a bounded window (≤ bucketSize rows per partition) turns
+    * superbucket bases into bucket bases, (4) a window WITHIN each
+    * bucket places the docs. Output is bit-identical to the global
+    * window. Null ids or token counts fail LOUDLY at execution (they
+    * would silently poison every downstream offset).
     *
     * Returns (idCol, nTokCol, tok_offset, seq_id, n_seqs): the doc's
     * first token lands in `seq_id` = tok_offset DIV seqLen and the doc
@@ -32,18 +36,34 @@ object Packing {
       idCol: String = "doc_id", nTokCol: String = "n_tokens"): DataFrame = {
     require(seqLen > 0 && bucketSize > 0)
     val spark = df.sparkSession
-    val bucketed = df.select(col(idCol), col(nTokCol).cast("long").as(nTokCol))
+    import spark.implicits._
+    // coalesce(col, raise_error) — free when the schema already proves
+    // non-null (Catalyst folds it away), a per-row guard otherwise
+    val bucketed = df.select(
+        coalesce(col(idCol), raise_error(
+          lit(s"Packing.tokenOffsets: null `$idCol`"))).as(idCol),
+        coalesce(col(nTokCol).cast("long"), raise_error(
+          lit(s"Packing.tokenOffsets: null `$nTokCol`"))).as(nTokCol))
       .withColumn("_bkt", expr(s"`$idCol` DIV $bucketSize"))
-    val totals = bucketed.groupBy("_bkt")
-      .agg(sum(nTokCol).as("_tot"))
+    val bktTotals = bucketed.groupBy("_bkt").agg(sum(nTokCol).as("_tot"))
+      .withColumn("_sbkt", expr(s"_bkt DIV $bucketSize"))
+    val superTotals = bktTotals.groupBy("_sbkt").agg(sum("_tot").as("_stot"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val bases = totals.map { case (b, t) => val base = (b, acc); acc += t; base }
-    import spark.implicits._
-    val baseDf = bases.toSeq.toDF("_bkt", "_base")
+    val superBases = superTotals.map { case (b, t) =>
+      val base = (b, acc); acc += t; base }
+    val superBaseDf = superBases.toSeq.toDF("_sbkt", "_sbase")
+    val wb = Window.partitionBy("_sbkt").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktBases = bktTotals.join(F.broadcast(superBaseDf), "_sbkt")
+      .withColumn("_base",
+        col("_sbase") + coalesce(sum(col("_tot")).over(wb), lit(0L)))
+      .select("_bkt", "_base")
     val w = Window.partitionBy("_bkt").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(F.broadcast(baseDf), "_bkt")
+    // bucket-bases side is nDocs/bucketSize rows — AQE broadcasts it at
+    // test scale and shuffles both sides on _bkt beyond broadcast size
+    bucketed.join(bktBases, "_bkt")
       .withColumn("tok_offset",
         col("_base") + coalesce(sum(col(nTokCol)).over(w), lit(0L)))
       .select(col(idCol), col(nTokCol), col("tok_offset"),

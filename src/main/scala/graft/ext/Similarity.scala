@@ -166,7 +166,20 @@ object Similarity {
     * simply the corpus keyed by list_id. One scan, centroids broadcast,
     * map-side-combined max_by — no shuffle of the vectors themselves.
     * At 100 TB the result is written bucketed by list_id so a probe is
-    * a bucket-pruned scan. */
+    * a bucket-pruned scan.
+    *
+    * Precision note: centroids are trained in double (Lloyd means) but
+    * scored here in FLOAT — the broadcast side is cast once so the
+    * per-(row, centroid) loop runs the codegen'd float cosine instead of
+    * an interpreted double HOF (~10× on the assignment scan). A vector
+    * sitting within float epsilon of the midpoint between two centroids
+    * can therefore land in the neighboring list vs a double-scored
+    * assignment. That is acceptable for a COARSE quantizer: list
+    * assignment only partitions the candidate space, final ranking is
+    * exact cosine against the probed lists' original vectors, and recall
+    * is governed by nProbe/nList (a midpoint vector is by definition
+    * reachable through either list). ExtSpec pins rank-exactness vs
+    * brute force at the registered settings. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)

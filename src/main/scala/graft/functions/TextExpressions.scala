@@ -318,14 +318,31 @@ case class RemoveSpans(toks: Expression, starts: Expression,
     val w = wv.asInstanceOf[Int]
     val n = arr.numElements()
     val m = st.numElements()
+    // The merged-interval sweep needs `starts` ascending. The internal
+    // caller (Dedup.dedupSpans) emits sorted starts, but the function is
+    // SQL-exposed as graft_remove_spans — copy + validate, sorting if a
+    // caller hands us unsorted input instead of silently keeping spans
+    // that should have been removed. Null elements are rejected loudly:
+    // a null start has no meaning and would otherwise corrupt the sweep.
+    val starts = new Array[Int](m)
+    var sorted = true
+    var si = 0
+    while (si < m) {
+      if (st.isNullAt(si)) throw new IllegalArgumentException(
+        s"$prettyName: starts array must not contain null elements")
+      starts(si) = st.getInt(si)
+      if (si > 0 && starts(si) < starts(si - 1)) sorted = false
+      si += 1
+    }
+    if (!sorted) java.util.Arrays.sort(starts)
     val kept = new Array[UTF8String](n)
     var nKept = 0
     var idx = 0
     var curEnd = 0L
     var pos = 1
     while (pos <= n) {
-      while (idx < m && st.getInt(idx) <= pos) {
-        val end = st.getInt(idx).toLong + w - 1
+      while (idx < m && starts(idx) <= pos) {
+        val end = starts(idx).toLong + w - 1
         if (end > curEnd) curEnd = end
         idx += 1
       }

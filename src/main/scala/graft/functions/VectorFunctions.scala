@@ -189,7 +189,15 @@ case class SignBits(vec: Expression, planes: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (vec.dataType, planes.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _))
-          if planes.foldable => TypeCheckResult.TypeCheckSuccess
+          if planes.foldable =>
+        // the signature is one Long, bit i = 1L << i: more than 64
+        // planes would silently alias bits (1L << 64 wraps to bit 0).
+        // planes is foldable, so the count is known at analysis time.
+        val n = Option(planes.eval(null))
+          .map(_.asInstanceOf[ArrayData].numElements()).getOrElse(0)
+        if (n > 64) TypeCheckResult.TypeCheckFailure(
+          s"$prettyName supports at most 64 planes (long signature), got $n")
+        else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<float>, foldable array<array<double>>), " +
         s"got (${l.catalogString}, ${r.catalogString})")

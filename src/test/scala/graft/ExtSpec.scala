@@ -224,12 +224,10 @@ class ExtSpec extends SparkSpec {
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
   }
 
-  test("tokenOffsets two-pass prefix sum equals the naive global window") {
+  test("tokenOffsets two-level prefix sum equals the naive global window") {
     import org.apache.spark.sql.expressions.Window
     val withTok = docs.select(col("doc_id"),
       size(split(col("text"), " ")).as("n_tokens"))
-    val got = graft.ext.Packing.tokenOffsets(withTok, seqLen = 100,
-      bucketSize = 16)
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     val naive = withTok
       .withColumn("tok_offset", coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
@@ -238,7 +236,28 @@ class ExtSpec extends SparkSpec {
         expr("tok_offset DIV 100").as("seq_id"),
         (expr("(tok_offset + n_tokens - 1) DIV 100")
           - expr("tok_offset DIV 100") + 1).as("n_seqs"))
-    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // two bucket sizes: 4 exercises many superbuckets (sbkt = bkt DIV 4),
+    // 16 exercises fewer, larger ones — both must be bit-identical to
+    // the single-partition global window
+    for (bs <- Seq(4L, 16L)) {
+      val got = graft.ext.Packing.tokenOffsets(withTok, seqLen = 100,
+        bucketSize = bs)
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"bucketSize=$bs diverges from the global window")
+    }
+  }
+
+  test("tokenOffsets fails loudly on null ids or token counts") {
+    import spark.implicits._
+    val bad = Seq((Some(1L), Some(10L)), (Some(2L), None))
+      .toDF("doc_id", "n_tokens")
+    val err = intercept[Exception] {
+      graft.ext.Packing.tokenOffsets(bad, seqLen = 100, bucketSize = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("Packing.tokenOffsets")),
+      s"expected a loud null failure, got: ${messages(err).mkString(" | ")}")
   }
 
   test("sequenceManifest tiles every sequence exactly with no gaps or overlaps") {

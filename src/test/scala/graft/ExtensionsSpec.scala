@@ -61,6 +61,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.getStruct(5).getLong(0) == 0L && rows.getStruct(5).getLong(1) == 0L)
   }
 
+  test("graft_sign_bits rejects more than 64 planes at analysis time") {
+    VectorFunctions.register(spark)
+    // 64 planes is the Long-signature ceiling; 65 must fail ANALYSIS
+    // (planes is foldable, so the count is known before any row runs)
+    // instead of silently aliasing bit 64 onto bit 0
+    def planesSql(n: Int) = (1 to n).map(_ => "array(CAST(1.0 AS DOUBLE))")
+      .mkString("array(", ", ", ")")
+    val ok = spark.sql(
+      s"SELECT graft_sign_bits(array(CAST(1.0 AS FLOAT)), ${planesSql(64)})")
+      .collect()(0).getLong(0)
+    assert(ok == -1L) // every dot product positive → all 64 bits set
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        s"SELECT graft_sign_bits(array(CAST(1.0 AS FLOAT)), ${planesSql(65)})")
+        .collect()
+    }
+    assert(err.getMessage.contains("at most 64"))
+  }
+
+  test("graft_remove_spans sorts unsorted starts and rejects null elements") {
+    graft.functions.TextExpressions.registerRemoveSpans(spark)
+    // unsorted starts [3, 1] with window 2 cover positions 1-4; the
+    // merged-interval sweep must yield the same text as sorted [1, 3]
+    val unsorted = spark.sql(
+      "SELECT graft_remove_spans(array('a','b','c','d','e'), array(3, 1), 2)")
+      .collect()(0).getString(0)
+    assert(unsorted == "e", s"unsorted starts mishandled: got '$unsorted'")
+    // a null start has no meaning — must fail loudly, not corrupt output
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_remove_spans(array('a','b','c'), array(1, CAST(NULL AS INT)), 2)")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("must not contain null")))
+  }
+
   test("GraftExtensions injects graft_cosine into a session extensions set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder registered

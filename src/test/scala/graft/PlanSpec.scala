@@ -113,16 +113,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$p")
   }
 
-  test("t13: token offsets use a bucket-partitioned window, never a global one") {
-    // a windowspecdefinition with no partition key runs in ONE task;
-    // the two-pass prefix sum must window within _bkt partitions only
+  test("t13: token offsets use bucket-partitioned windows, never a global one") {
+    // a windowspecdefinition with no partition key runs in ONE task; the
+    // two-LEVEL prefix sum must window within _bkt partitions for the
+    // docs and within _sbkt for the (tiny) bucket-totals side — every
+    // window and every shuffle keyed on a bucket column, none global
     val p = plan(graft.analytics.ExtPipelines.tokenShards(spark, sf()))
     assert(p.contains("windowspecdefinition(_bkt"),
-      s"window must partition by _bkt:\n$p")
+      s"doc window must partition by _bkt:\n$p")
+    assert(p.contains("windowspecdefinition(_sbkt"),
+      s"bucket-base window must partition by _sbkt:\n$p")
+    val windows = p.sliding("windowspecdefinition(".length)
+      .count(_ == "windowspecdefinition(")
+    val bucketKeyed =
+      p.sliding("windowspecdefinition(_bkt".length).count(_ == "windowspecdefinition(_bkt") +
+      p.sliding("windowspecdefinition(_sbkt".length).count(_ == "windowspecdefinition(_sbkt")
+    assert(windows == bucketKeyed, s"a global window crept in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange — the global prefix sum is back:\n$p")
+    // the doc-bearing side shuffles ONCE on _bkt; the extra exchanges
+    // belong to the nDocs/bucketSize-row totals side, also bucket-keyed
     val shuffles = p.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning")
-    assert(shuffles == 1, s"expected exactly one shuffle (on _bkt):\n$p")
-    assert(p.contains("Exchange hashpartitioning(_bkt"), p)
+    val bucketShuffles =
+      p.sliding("Exchange hashpartitioning(_bkt".length).count(_ == "Exchange hashpartitioning(_bkt") +
+      p.sliding("Exchange hashpartitioning(_sbkt".length).count(_ == "Exchange hashpartitioning(_sbkt")
+    assert(shuffles == bucketShuffles, s"non-bucket-keyed shuffle:\n$p")
   }
 
   test("v5: the filtered-ANN label predicate reaches the parquet scan") {
