@@ -11,7 +11,9 @@ import graft.sources.Tables
   *  - every query materializes through the `noop` sink, so the full plan
   *    executes (a bare `.count()` would let Catalyst prune the very
   *    expressions being measured);
-  *  - per query: one untimed warmup, then best of 3 (see [[time]]);
+  *  - per query: one untimed warmup, then MEDIAN of 5, with the
+  *    max/min spread and the best rep published alongside (see
+  *    [[timeStats]]);
   *  - the per-query set is HOT-CACHE (base tables cached once up front,
   *    so times measure operators, not repeated scans); `etl_cold_sec`
   *    is the honest cold counterpart — the very first job of the JVM
@@ -85,23 +87,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One untimed warmup, then best of 3. The box is shared and single
+  /** One untimed warmup, then MEDIAN of 5. The box is shared and single
     * runs stall by whole seconds under neighbor load: round-4 best-of-2
     * let a 6.6x phantom regression through (t2 0.35→2.33s with zero code
-    * change on a spec-pinned zero-shuffle plan; re-measured 0.34s). The
-    * warmup absorbs per-query codegen/JIT; min-of-3 makes a multi-second
-    * stall need to hit all three reps to distort the floor. */
+    * change on a spec-pinned zero-shuffle plan; re-measured 0.34s), and
+    * the r6→r7 best-of-3 comparison moved +31% on byte-identical code
+    * (per-query spreads to 8.5x). The warmup absorbs per-query
+    * codegen/JIT; the median is robust to up to two stalled reps in
+    * either direction, where min-of-N still tracks the single luckiest
+    * scheduling window. */
   private def time(f: => Unit): Double = timeStats(f)._1
 
-  /** (best, spread) where spread = max/best over the 3 timed reps. A
-    * spread near 1.0 means the floor is trustworthy; a large spread
-    * flags box contention during THIS run — so a round-over-round delta
-    * can be attributed to noise vs regression per query, from the
-    * artifact alone. */
-  private def timeStats(f: => Unit): (Double, Double) = {
+  /** (median, spread, best) over 5 timed reps after one untimed warmup;
+    * spread = max/min. A spread near 1.0 means the number is
+    * trustworthy; a large spread flags box contention during THIS run —
+    * so a round-over-round delta can be attributed to noise vs
+    * regression per query, from the artifact alone. `best` is kept in
+    * the JSON for continuity with rounds ≤7, whose headline was
+    * best-of-3. */
+  private def timeStats(f: => Unit): (Double, Double, Double) = {
     timeOnce(f)
-    val reps = Seq.fill(3)(timeOnce(f))
-    (reps.min, reps.max / math.max(reps.min, 1e-9))
+    val reps = Seq.fill(5)(timeOnce(f)).sorted
+    (reps(2), reps.last / math.max(reps.head, 1e-9), reps.head)
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,16 +183,21 @@ object Bench {
     val rowsPerSec = if (etlSec > 0) nEvents / etlSec else 0.0
 
     val total = results.map(_._2._1).sum
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val eqs = extResults.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.4f" }
+    val eqs = extResults.map { case (k, (v, _, _)) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val spreads = (results ++ extResults)
-      .map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.2f" }
+      .map { case (k, (_, s, _)) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
+    val bests = (results ++ extResults)
+      .map { case (k, (_, _, b)) => "\"" + k + "\":" + f"$b%.4f" }
+      .mkString("{", ",", "}")
+    val totalBest = results.map(_._2._3).sum
     val json =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
-      s""""extended_queries":$eqs,"rep_spread":$spreads,""" +
+      s""""extended_queries":$eqs,"rep_spread":$spreads,"queries_best":$bests,""" +
+      s""""total_best":${f"$totalBest%.4f"},""" +
       s""""sf":"$sfDir","m1_scan_sec":${f"$m1Sec%.4f"},"m2_union_sec":${f"$m2Sec%.4f"},""" +
       s""""m2_over_m1":${f"${m2Sec / math.max(m1Sec, 1e-9)}%.2f"},""" +
       s""""m1_pruned_sec":${f"$m1pSec%.4f"},"m2_pruned_sec":${f"$m2pSec%.4f"},""" +
