@@ -47,6 +47,7 @@ object SparkEntry {
     "g14_explode_tokens" -> (Pipelines.explodeTokens _),
     "g15_above_avg_balance" -> (Pipelines.aboveAvgBalance _),
     "g16_approx_distinct_parts" -> (Pipelines.approxDistinctParts _),
+    "g16b_hll_bounded" -> (Pipelines.approxDistinctBounded _),
     "g17_asof_last_purchase" -> (Pipelines.asofLastPurchase _),
     "g18_json_extract" -> (Pipelines.jsonExtract _),
     "g19_array_functions" -> (Pipelines.arrayFunctions _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "t2_quality_signals" -> (ExtPipelines.qualitySignals _),
     "t3_lang_id" -> (ExtPipelines.langId _),
     "t4_fingerprints" -> (ExtPipelines.fingerprints _),
+    "t4b_fingerprint_bounded" -> (ExtPipelines.fingerprintBounded _),
     "t8_top_ngrams" -> (ExtPipelines.topNgrams _),
     "t9_redact_pii" -> (ExtPipelines.redactedDocs _),
     "t10_sample_per_source" -> (ExtPipelines.samplePerSource _),
@@ -96,6 +98,7 @@ object SparkEntry {
     "t15_vocabulary" -> (ExtPipelines.vocabulary _),
     "t16_cluster_split" -> (ExtPipelines.clusterSplit _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
+    "v3b_ivf_recall_bounded" -> (ExtPipelines.annIvfRecallBounded _),
     "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
     "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
     "s3_sessionize_stream" -> (ExtPipelines.sessionizeStream _),
@@ -708,6 +711,23 @@ object SparkEntry {
     // the trained coarse quantizer, which SQL can't recompute. ExtSpec
     // pins the defining IVF property instead — exact top-k within the
     // probed lists, plus a recall floor vs brute force.
+
+    // Driver-checkable BOUNDS for the three engine-specific queries
+    // (g16 HLL, t4 fingerprints, v3 IVF): the oracle recomputes the
+    // exact/structural side and pins the ok-flag TRUE, so a value
+    // drifting out of its contract hash-fails the row even though the
+    // engine-specific value itself is not SQL-expressible.
+    "g16b_hll_bounded" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "t4b_fingerprint_bounded" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
+        |       TRUE AS fp_ok
+        |FROM documents""".stripMargin,
+    "v3b_ivf_recall_bounded" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "e1_categorize" ->
       """SELECT event_id,

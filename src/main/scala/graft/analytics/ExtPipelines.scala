@@ -119,6 +119,25 @@ object ExtPipelines {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Driver-checkable bounds for t4: the fingerprint VALUES live in the
+    * xxhash64 domain no oracle can recompute, but their structural
+    * contract is checkable — identical texts must share a fingerprint
+    * (distinct fp ≤ distinct text), collisions must be rare (≥ 90% of
+    * distinct texts keep distinct fingerprints), and every value stays
+    * in the pmod range [0, 2^31). The oracle recomputes the corpus
+    * counts and pins `fp_ok = TRUE`. */
+  def fingerprintBounded(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("text"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(col("fp")).as("nfp"),
+        min("fp").as("minfp"), max("fp").as("maxfp"))
+      .select(col("n_docs"), col("n_distinct_text"),
+        (col("nfp") <= col("n_distinct_text") &&
+          col("nfp") >= col("n_distinct_text") * lit(0.9) &&
+          col("minfp") >= 0 && col("maxfp") < 2147483647L).as("fp_ok"))
+
   /** Corpus-level top-20 bigrams by frequency (deterministic total-order
     * tie-break). The plan is scan → explode → partial-combined count →
     * TakeOrderedAndProject: the global sort never materializes, each
@@ -375,6 +394,30 @@ object ExtPipelines {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(emb, queryVecs(spark, dir), k = 5,
       nList = 16, nProbe = 8, nIters = 1)
+  }
+
+  /** Driver-checkable bound for v3: recall@5 of the IVF index against
+    * the exact brute-force top-5, per query. The oracle enumerates the
+    * query ids and pins `recall_ok = TRUE`; a quantizer regression that
+    * drops recall below 3/5 hash-fails the row. The floor is
+    * deliberately below the ~0.8 observed on these near-random test
+    * embeddings (the IVF worst case — no cluster signal): the bound
+    * catches breakage, the ExtSpec equality pin catches drift. */
+  def annIvfRecallBounded(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVecs(spark, dir)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(emb, q, k = 5,
+      nList = 16, nProbe = 8, nIters = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
   }
 
   /** Frame-sampling plumbing over the binary column: up to 4 uniformly-

@@ -294,6 +294,21 @@ object Pipelines {
       .groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey").as("approx_parts"))
 
+  /** Driver-checkable bound for g16: no ANSI SQL can recompute the HLL
+    * sketch value itself, but the ±5% accuracy CONTRACT is checkable —
+    * the oracle recomputes the exact distinct count and pins
+    * `hll_ok = TRUE`, so an estimate drifting out of band hash-fails
+    * the row. HLL is deterministic for fixed data (no RNG), so this is
+    * a stable bound, not a flaky statistical one. */
+  def approxDistinctBounded(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct("l_partkey").as("hll"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("hll") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.05)).as("hll_ok"))
+
   /** Exact interpolated percentiles per group. The quantile points are
     * exact binary fractions (1/4, 1/2, 3/4) over integer cents, so the
     * type-7 interpolation is exact in ANY evaluation order and the
