@@ -47,8 +47,8 @@ object Bench {
   /** Round-2 operators, timed and reported separately — NOT part of
     * "total", which stays the same 14-query set across rounds so the
     * driver's round-over-round comparison is apples-to-apples.
-    * (g20's first run builds the bucketed tables; best-of-2 reports the
-    * steady-state query.) */
+    * (the discarded warmup rep absorbs g20's bucketed-table build;
+    * median-of-5 reports the steady-state query.) */
   val extended: Seq[String] = Seq(
     "g20_bucketed_join",
     "g22_range_join",

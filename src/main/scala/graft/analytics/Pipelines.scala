@@ -295,16 +295,20 @@ object Pipelines {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"))
 
   /** Driver-checkable bound for g16: no ANSI SQL can recompute the HLL
-    * sketch value itself, but the ±5% accuracy CONTRACT is checkable —
-    * the oracle recomputes the exact distinct count and pins
+    * sketch value itself, but the accuracy CONTRACT is checkable — the
+    * oracle recomputes the exact distinct count and pins
     * `hll_ok = TRUE`, so an estimate drifting out of band hash-fails
-    * the row. HLL is deterministic for fixed data (no RNG), so this is
-    * a stable bound, not a flaky statistical one. */
+    * the row. HLL is deterministic for fixed data (no RNG), so the
+    * check is reproducible run-to-run — but rsd is a STANDARD error,
+    * not a guaranteed bound, so the pinned band must dominate it: the
+    * sketch here runs at rsd=0.01 against a ±5% band (5 standard
+    * errors), which holds across data/scale tiers rather than only on
+    * the datasets it happened to be tuned on. */
   def approxDistinctBounded(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("exact_parts"),
-        approx_count_distinct("l_partkey").as("hll"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("hll"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("hll") - col("exact_parts"))
           <= col("exact_parts") * lit(0.05)).as("hll_ok"))

@@ -121,14 +121,27 @@ class PropertySpec extends SparkSpec {
   test("single-scan method1 beats per-day-union method2 (reference's 2.45x)") {
     // the one reproducible RELATIVE number BASELINE.md publishes: the
     // reference's single multi-file scan beat its per-day pipeline+union
-    // 2.45x. Exercise the direction (ratio > 1) continuously, not just
-    // in the bench artifact. Best-of-2 per side after a warmup so a
-    // single box stall can't invert a ~10x-at-this-scale gap.
+    // 2.45x. Two checks, strongest first:
+    // (1) LOGICAL work — deterministic on any box: the per-day plan
+    //     carries one scan leaf per day, the single-scan plan exactly
+    //     one. This is WHY method1 wins, load-independent.
+    // (2) wall clock — best-of-2 per side after a warmup, and because
+    //     this suite shares a box whose bench spreads reach 8x, one
+    //     retry on inversion before failing (a genuine regression
+    //     inverts every time; neighbor load doesn't).
     val events = graft.sources.Tables.events(spark, sf())
     val allDays = (1 to 30).map(d => f"2024-01-$d%02d")
     def m1() = Viewing.durationByCategory(
       Viewing.validRows(Viewing.categorize(events)))
     def m2() = Viewing.unionDays(events, allDays)
+    // logical-plan leaves, not executedPlan — AQE wraps the physical
+    // plan in a single AdaptiveSparkPlanExec leaf
+    def scanLeaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collectLeaves().size
+    val (l1, l2) = (scanLeaves(m1()), scanLeaves(m2()))
+    assert(l2 >= allDays.size && l1 < l2,
+      s"per-day union should plan one scan per day ($l2 leaves) vs the " +
+        s"single scan's $l1")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def best2(f: => Unit): Double = {
@@ -138,9 +151,12 @@ class PropertySpec extends SparkSpec {
       math.min(once(), once())
     }
     run(m1()); run(m2()) // warmup: codegen + parquet footers
-    val (t1, t2) = (best2(run(m1())), best2(run(m2())))
-    assert(t2 > t1,
-      f"per-day union ($t2%.3fs) should be slower than single scan ($t1%.3fs)")
+    val m2Slower = (1 to 2).exists { _ =>
+      val (t1, t2) = (best2(run(m1())), best2(run(m2())))
+      t2 > t1
+    }
+    assert(m2Slower, "per-day union measured faster than single scan " +
+      "twice in a row (best-of-2 each) — investigate a real regression")
   }
 
   test("salted join equals plain join") {
