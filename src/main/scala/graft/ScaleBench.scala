@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** Empirical scale check: does every headline operator scale ~linearly
+  * from sf0.1 to a 10x tier, or does one hide super-linear work that a
+  * 1000x step to 100 TB would expose?
+  *
+  * The 10x tier is materialized ONCE under `target/scale/sf1` by
+  * replicating the driver-generated sf0.1 tables with per-replica key
+  * offsets — NOT by naive row duplication, which would corrupt the work
+  * profile of exactly the operators worth measuring:
+  *
+  *   - every foreign-key family (orderkey/custkey/partkey/suppkey,
+  *     event user_id, doc_id, vec_id) is offset by `replica * STRIDE`,
+  *     so join fan-outs and group cardinalities scale with the data the
+  *     way a real SF step scales them (10x groups of the same size, not
+  *     same groups 10x taller);
+  *   - document text is token-salted per replica (`tok` -> `tok_r3`),
+  *     so exact/near-dup structure is preserved WITHIN each replica and
+  *     absent ACROSS replicas — naive duplication would instead make
+  *     every doc a 10-way duplicate group and blow the minhash/simhash
+  *     candidate-pair count up quadratically, measuring an artifact of
+  *     the copy, not the operator;
+  *   - ANN query sets are pinned by `vec_id < k` predicates, so only
+  *     replica 0 qualifies: fixed queries against a 10x corpus — the
+  *     scaling an ANN index actually faces in production.
+  *
+  * Fixed dimension tables (region, nation) are copied as-is, mirroring
+  * TPC-H SF semantics.
+  *
+  * Emits one JSON line: per-tier per-query median seconds and the
+  * sf1/sf0.1 ratio. Linear-or-better operators land at or below ~10
+  * (usually well below — sf0.1 partitions underfill 32 cores); a ratio
+  * far above 10 flags super-linear work.
+  */
+object ScaleBench {
+
+  /** Key stride between replicas — far above any sf0.1 key. */
+  private val Stride = 1000000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Headline operators with distinct scaling risks: scan+agg (g1,
+    * flagship), exact dedup shuffle (x1), LSH banding (x4), per-row
+    * codegen (t2, t3), distributed prefix sum (t13), span dedup (x13),
+    * brute-force + bucketed ANN (v1, v2), stateful sessionization (s2).
+    */
+  val queries: Seq[String] = Seq(
+    "flagship_profile",
+    "g1_pricing_summary",
+    "x1_dedup_exact",
+    "x4_neardup_minhash",
+    "t2_quality_signals",
+    "t3_lang_id",
+    "t13_token_shards",
+    "x13_span_dedup",
+    "v1_cosine_topk",
+    "v2_ann_lsh_topk",
+    "s2_sessionize_batch")
+
+  def replicate(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    for (name <- Tables.all) {
+      val src = Tables(spark, srcDir, name)
+      val out = keyCols.get(name) match {
+        case None => src // fixed dims: region, nation
+        case Some(keys) =>
+          val rep = src.withColumn("_r",
+            explode(sequence(lit(0L), lit(replicas - 1L))))
+          val keyed = keys.foldLeft(rep)((df, k) =>
+            df.withColumn(k, col(k) + col("_r") * lit(Stride)))
+          val salted =
+            if (name != "documents") keyed
+            else keyed
+              .withColumn("text", when(col("_r") === 0, col("text"))
+                .otherwise(concat_ws(" ",
+                  transform(split(col("text"), " "),
+                    t => concat(t, lit("_"), col("_r"))))))
+              .withColumn("n_chars", when(col("_r") === 0, col("n_chars"))
+                .otherwise(length(col("text")).cast("long")))
+          salted.drop("_r")
+      }
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+  }
+
+  private def timeOnce(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One untimed warmup then median of 3 (same rationale as
+    * [[Bench.timeStats]]; 3 not 5 because the sf1 tier multiplies every
+    * rep by ~10x). */
+  private def med3(f: => Unit): Double = {
+    timeOnce(f)
+    Seq.fill(3)(timeOnce(f)).sorted.apply(1)
+  }
+
+  private def cacheTables(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach(n =>
+      Tables(spark, dir, n).persist(StorageLevel.MEMORY_AND_DISK).count())
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.headOption.getOrElse("target/scale/sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      val t = timeOnce(replicate(spark, srcDir, outDir, replicas))
+      System.err.println(f"[scale] materialized ${replicas}x tier at $outDir in $t%.1fs")
+    }
+
+    def runNoop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val tiers = Seq("sf0.1" -> srcDir, s"sf${0.1 * replicas}" -> outDir)
+    val results = tiers.map { case (label, dir) =>
+      cacheTables(spark, dir)
+      val times = queries.map { q =>
+        val sec = try med3(runNoop(SparkEntry.queries(q)(spark, dir)))
+          catch { case e: Exception =>
+            System.err.println(s"[scale] $q failed at $label: $e"); -1.0 }
+        System.err.println(f"[scale] $label $q $sec%.3fs")
+        q -> sec
+      }
+      spark.catalog.clearCache()
+      label -> times
+    }
+
+    val Seq((l0, t0), (l1, t1)) = results
+    def fmt(ts: Seq[(String, Double)]): String =
+      ts.map { case (q, s) => f""""$q":$s%.4f""" }.mkString("{", ",", "}")
+    val ratios = t0.zip(t1).map { case ((q, a), (_, b)) =>
+      f""""$q":${if (a > 0 && b > 0) b / a else -1.0}%.2f"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_ratio_10x","replicas":$replicas,""" +
+      s""""tiers":{"$l0":${fmt(t0)},"$l1":${fmt(t1)}},"ratio":$ratios}""")
+    spark.stop()
+  }
+}
