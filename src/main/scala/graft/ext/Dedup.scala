@@ -402,8 +402,13 @@ object Dedup {
     val edges = ckpt(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct())
-    var labels = ckpt(edges.select(col("u").as("id"), col("u").as("lbl"))
-      .groupBy("id").agg(min("lbl").as("lbl")))
+    // seed labels with min(self, min neighbor): the symmetrized edge
+    // list already pairs every node with all its neighbors, so this is
+    // round 1's pull for the cost of one groupBy (no join) — diameter-2
+    // dup clusters (the common case) then converge in a single round
+    var labels = ckpt(edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("lbl"))
+      .select(col("u").as("id"), col("lbl")))
     // Option-wrapped: an empty edge set sums to null and converges on
     // the first probe
     def checksum(df: DataFrame): Option[java.math.BigDecimal] =
