@@ -68,6 +68,17 @@ object Dedup {
     * Exact rational arithmetic (int intersection / int union) — the
     * double division is a single deterministic op.
     *
+    * Design note: a prefix-filtered variant (AllPairs/PPJoin candidate
+    * bound — index only each doc's |S|−⌈τ|S|⌉+1 globally-rarest
+    * shingles, verify with array_intersect) was built and measured at
+    * sf0.1: candidates dropped 1.13M → 310K, but the per-doc rarity
+    * window + second pass made it ~40% SLOWER end-to-end on this
+    * corpus, whose shingle-df distribution is near-flat (max df 25) —
+    * prefix filtering pays off on Zipfian df where boilerplate
+    * shingles dominate the join, which is what `maxShingleDf` already
+    * caps here. Kept the hash-agg formulation on measurement; x4's
+    * MinHash-LSH remains the sub-quadratic scale path.
+    *
     * @param maxShingleDf drop shingles appearing in more than this many
     *        docs before the join (skew guard; None = off for oracle
     *        parity on small data). */
