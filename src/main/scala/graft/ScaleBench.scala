@@ -66,6 +66,8 @@ object ScaleBench {
     "t3_lang_id",
     "t13_token_shards",
     "x13_span_dedup",
+    "x9_dedup_clusters",
+    "x10_contamination",
     "v1_cosine_topk",
     "v2_ann_lsh_topk",
     "s2_sessionize_batch")
