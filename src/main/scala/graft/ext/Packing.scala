@@ -45,16 +45,21 @@ object Packing {
         coalesce(col(nTokCol).cast("long"), raise_error(
           lit(s"Packing.tokenOffsets: null `$nTokCol`"))).as(nTokCol))
       .withColumn("_bkt", expr(s"`$idCol` DIV $bucketSize"))
-    // localCheckpoint (eager): the bucket-totals aggregation runs ONCE —
-    // the superbucket collect below and the bktBases branch of the final
+    // eager checkpoint: the bucket-totals aggregation runs ONCE — the
+    // superbucket collect below and the bktBases branch of the final
     // plan both read the materialized blocks instead of re-scanning the
     // source. Chosen over persist(): no CacheManager entry to leak
-    // across calls (blocks are freed by the ContextCleaner when the
-    // returned frame is GC'd), and nDocs/bucketSize rows (~24M at 10^11
-    // docs) sit comfortably in executor storage.
-    val bktTotals = bucketed.groupBy("_bkt").agg(sum(nTokCol).as("_tot"))
+    // across calls (local blocks are freed by the ContextCleaner when
+    // the returned frame is GC'd), and nDocs/bucketSize rows (~24M at
+    // 10^11 docs) sit comfortably in executor storage. Same policy as
+    // connectedComponents: a RELIABLE checkpoint (survives executor
+    // loss) when the session has a checkpoint dir, localCheckpoint as
+    // the single-JVM fallback.
+    val bktTotals0 = bucketed.groupBy("_bkt").agg(sum(nTokCol).as("_tot"))
       .withColumn("_sbkt", expr(s"_bkt DIV $bucketSize"))
-      .localCheckpoint(true)
+    val bktTotals =
+      if (spark.sparkContext.getCheckpointDir.isDefined) bktTotals0.checkpoint()
+      else bktTotals0.localCheckpoint(true)
     val superTotals = bktTotals.groupBy("_sbkt").agg(sum("_tot").as("_stot"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
