@@ -159,6 +159,35 @@ class PropertySpec extends SparkSpec {
       "twice in a row (best-of-2 each) — investigate a real regression")
   }
 
+  test("property: connectedComponents equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    // random sparse graphs over ≤ 40 nodes: chains, triangles, stars and
+    // isolated pairs all arise; the oracle is a classic union-find with
+    // min-id relabeling — exercises the seeded first pull, the pointer
+    // doubling and the checksum fixpoint probe against ground truth
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(60,
+      for { a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L) if a != b }
+        yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = graft.ext.Dedup.connectedComponents(
+            edges.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }, n = 8)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
