@@ -96,6 +96,9 @@ object ScaleBench {
       }
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
+    // written LAST: its presence proves every table landed (an
+    // interrupted build must rebuild, not half-skip)
+    new java.io.File(s"$outDir/_REPLICATED").createNewFile()
   }
 
   private def timeOnce(f: => Unit): Double = {
@@ -129,7 +132,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+    if (!new java.io.File(s"$outDir/_REPLICATED").exists()) {
       val t = timeOnce(replicate(spark, srcDir, outDir, replicas))
       System.err.println(f"[scale] materialized ${replicas}x tier at $outDir in $t%.1fs")
     }
