@@ -115,6 +115,15 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: empty edge set returns empty labels, no iteration blow-up") {
+    import spark.implicits._
+    // a fully-unique corpus produces zero near-dup pairs — the checksum
+    // probe must converge immediately (null sum == null sum), not spin
+    // to the maxIters failure
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(graft.ext.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("x11 clean-corpus anti-join converts to broadcast under AQE") {
     val df = graft.analytics.ExtPipelines.cleanCorpus(spark, sf())
     df.write.format("noop").mode("overwrite").save()
