@@ -194,7 +194,20 @@ object Bench {
       .map { case (k, (_, _, b)) => "\"" + k + "\":" + f"$b%.4f" }
       .mkString("{", ",", "}")
     val totalBest = results.map(_._2._3).sum
-    val json =
+    // Two artifacts with distinct jobs:
+    //  - `full` carries every diagnostic (extended queries, per-rep
+    //    spreads, best-of, scan-strategy ratios) → bench.json + an early
+    //    stdout line, for humans and for the repo history;
+    //  - `headlineJson` is the line the DRIVER parses. The driver keeps
+    //    only the LAST 2000 chars of stdout; round 8's single combined
+    //    line grew to ~2050 chars, its head fell outside that window,
+    //    and BENCH_r08.json recorded `parsed: null`. So the final
+    //    printed line must stay compact (~600 chars for 14 queries) and
+    //    carry only the required shape plus totals.
+    val headlineJson =
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
+      s""""total_best":${f"$totalBest%.4f"},"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
       s""""extended_queries":$eqs,"rep_spread":$spreads,"queries_best":$bests,""" +
       s""""total_best":${f"$totalBest%.4f"},""" +
@@ -204,13 +217,11 @@ object Bench {
       s""""m2_over_m1_pruned":${f"${m2pSec / math.max(m1pSec, 1e-9)}%.2f"},""" +
       s""""etl_cold_sec":${f"$etlColdSec%.4f"},""" +
       s""""etl_rows":$nEvents,"etl_sec":${f"$etlSec%.4f"},"etl_rows_per_sec":${f"$rowsPerSec%.0f"}}"""
-    // the JSON must survive sbt's log-noise sandwich: write it to a file
-    // AND print it twice, the second time after spark.stop() so it is the
-    // final non-sbt line of the run
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
     spark.stop()
-    println(json)
+    // final non-sbt line of the run — MUST fit the driver's tail window
+    println(headlineJson)
   }
 }
