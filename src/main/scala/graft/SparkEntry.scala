@@ -71,6 +71,7 @@ object SparkEntry {
     "x3_neardup_jaccard" -> (ExtPipelines.neardupJaccard _),
     "x4_neardup_minhash" -> (ExtPipelines.neardupMinhash _),
     "x5_neardup_embedding" -> (ExtPipelines.neardupEmbedding _),
+    "x15_semantic_dedup" -> (ExtPipelines.semanticDedup _),
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
     "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
     "t5_normalize" -> (ExtPipelines.normalizedDocs _),
@@ -421,6 +422,36 @@ object SparkEntry {
          |FROM b""".stripMargin,
 
     "x5_neardup_embedding" -> embeddingPairsOracle,
+
+    // x15 recomputes the whole SemDeDup pipeline in SQL: same md5-drawn
+    // seed centroids, same argmax assignment (row_number rk=1 ≡ Spark's
+    // max_by tie-break), same intra-cluster pair removal. Possible
+    // because the nIters=0 centroids are RAW corpus vectors — no Lloyd
+    // averaging, so both engines score identical doubles.
+    "x15_semantic_dedup" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 8),
+        |assign AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                           s.cvec) DESC,
+        |                    s.seed_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |a AS (SELECT vec_id, seed_id AS list_id FROM assign WHERE rk = 1),
+        |removed AS (
+        |  SELECT DISTINCT y.vec_id AS b_id
+        |  FROM a x JOIN a y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+        |                               CAST(ey.embedding AS DOUBLE[])) >= 0.4)
+        |SELECT a.vec_id, a.list_id
+        |FROM a LEFT JOIN removed r ON a.vec_id = r.b_id
+        |WHERE r.b_id IS NULL""".stripMargin,
     // multiprobe LSH recall at these (bits, tables, probes) is 1-6e-6
     // per pair; precision is exact (cosine verify) — so the exact-pairs
     // SQL is the oracle, same precedent as x4-vs-x3 (ExtSpec measures

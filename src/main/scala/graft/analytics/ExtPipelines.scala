@@ -41,6 +41,13 @@ object ExtPipelines {
   def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** x15: SemDeDup-style clustered semantic dedup at oracle-parity
+    * settings (assignment-only clustering, md5-drawn seed centroids —
+    * see [[graft.ext.Dedup.semanticDedup]]). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, dir),
+      nClusters = 8, eps = 0.4, nIters = 0)
+
   /** Dup clusters: transitive closure of the jaccard near-dup pairs,
     * labeled by component-minimum doc id — the artifact a dedup pass
     * actually deletes against (pair similarity is not transitive). */

@@ -492,4 +492,76 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into embedding clusters,
+    * then drop every document whose cosine similarity to an
+    * earlier-id document IN THE SAME CLUSTER reaches `eps`. Clustering
+    * is what makes this tractable at 100 TB — the quadratic
+    * pair-verify runs per cluster (corpus²/k pairs in expectation for
+    * k balanced clusters, vs corpus² for [[embeddingNearDups]]), at
+    * the price of missing cross-cluster pairs; scale k with the corpus
+    * to hold cluster size constant. Plan shape: the cluster
+    * assignment is one scan with the k centroids broadcast (map-side
+    * argmax, no vector shuffle); the verify self-join shuffles each
+    * cluster's vectors to one hash bucket, so cluster size — not
+    * corpus size — bounds task memory.
+    *
+    * Removal rule: `b` is dropped iff some `a < b` in the same cluster
+    * has cosine ≥ eps — a pure pair predicate (NOT chained through
+    * whether `a` itself survived), deterministic, and recomputable in
+    * one SQL CTE. Same keep-first-id convention as [[keepFirst]].
+    *
+    * Two clustering paths:
+    *  - `nIters = 0` (oracle parity): centroids are the `nClusters`
+    *    corpus vectors with the lowest md5(id) — a deterministic
+    *    pseudo-random draw both engines reproduce — and assignment is
+    *    argmax double-cosine with a lowest-seed-id tie-break. No Lloyd
+    *    averaging, so no float-summation-order divergence from the
+    *    DuckDB recompute; the HOF cosine keeps the math in double like
+    *    the oracle's `list_cosine_similarity` over `DOUBLE[]`.
+    *  - `nIters > 0` (production): Lloyd-refined centroids via
+    *    [[Similarity.ivfCentroids]]/[[Similarity.ivfAssign]] give
+    *    balanced clusters on real corpora; engine-specific (float
+    *    scoring, averaged centroids), spec-pinned rather than
+    *    SQL-oracled — the same split as x3 (exact twin) vs x4 (scale
+    *    path).
+    *
+    * @return (idCol, list_id) for every KEPT document. */
+  def semanticDedup(df: DataFrame, nClusters: Int = 8, eps: Double = 0.4,
+      nIters: Int = 0, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val assigned: DataFrame =
+      if (nIters == 0) {
+        val seeds = df
+          .select(col(idCol).cast("long").as("seed_id"),
+            col(vecCol).cast("array<double>").as("cvec"))
+          .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
+          .limit(nClusters)
+        df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+          .crossJoin(broadcast(seeds))
+          .select(col(idCol), col("seed_id"),
+            graft.functions.VectorFunctions.cosineHof(col("_v"), col("cvec")).as("sim"))
+          .groupBy(col(idCol))
+          // max over (sim, -seed_id): highest similarity, then lowest id
+          .agg(max_by(col("seed_id"), struct(col("sim"), -col("seed_id"))).as("list_id"))
+      } else {
+        val cent = Similarity.ivfCentroids(df, nClusters, nIters, vecCol, idCol)
+        Similarity.ivfAssign(df, cent, vecCol, idCol)
+          .select(col(idCol), col("list_id"))
+      }
+    val withList = df.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val a = withList.select(col("list_id"), col(idCol).as("a_id"), col(vecCol).as("_va"))
+    val b = withList.select(col("list_id"), col(idCol).as("b_id"), col(vecCol).as("_vb"))
+    val removed = a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      // threshold compare on the codegen'd float cosine — the x5/x7
+      // precedent (oracle compares in double; no pair sits within float
+      // epsilon of the threshold on this corpus, pinned by the oracle)
+      .filter(graft.functions.VectorFunctions.cosine(col("_va"), col("_vb")) >= eps)
+      .select(col("b_id")).distinct()
+    withList.select(col(idCol), col("list_id"))
+      .join(removed, col(idCol) === col("b_id"), "left_anti")
+  }
 }

@@ -463,6 +463,56 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact, s"recall = ${lsh.size.toDouble / math.max(exact.size, 1)}")
   }
 
+  test("semantic dedup: removal rule recomputed brute-force on the driver") {
+    val kept = Dedup.semanticDedup(emb, nClusters = 8, eps = 0.4, nIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side recompute: same seeds (lowest md5), same argmax
+    // assignment, same pair rule — over the full fixture corpus
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val seedIds = vecs.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(8)
+    val assign = vecs.map { case (id, v) =>
+      id -> seedIds.map(s => (s, cos(v, vecs(s)))).minBy { case (s, c) => (-c, s) }._1
+    }
+    val removedSet = (for {
+      a <- vecs.keys; b <- vecs.keys
+      if a < b && assign(a) == assign(b) && cos(vecs(a), vecs(b)) >= 0.4
+    } yield b).toSet
+    val expected = vecs.keys.filterNot(removedSet).map(id => id -> assign(id)).toMap
+    assert(kept == expected)
+  }
+
+  test("semantic dedup production path (Lloyd iters): partition + dedup invariants") {
+    val kept = Dedup.semanticDedup(emb, nClusters = 8, eps = 0.4, nIters = 1)
+    // schema is identical to the oracle path
+    assert(kept.columns.toSeq == Seq("vec_id", "list_id"))
+    val rows = kept.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // kept set is unique and a subset of the corpus
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length <= emb.count())
+    // within every surviving cluster, no remaining pair reaches eps
+    VectorFunctions.register(spark)
+    val keptDf = kept.join(emb, "vec_id")
+    val a = keptDf.select(col("list_id"), col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = keptDf.select(col("list_id"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val survivors = a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.4)
+    // the greedy pair rule guarantees the kept set is eps-separated
+    // WITHIN clusters (pairs are dropped by lower-id precedence, and
+    // any surviving b with a surviving similar a<b would contradict
+    // the removal rule)
+    assert(survivors.count() == 0)
+  }
+
   test("jaccard frequent-shingle cap is semantics-preserving on non-skewed data") {
     val off = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
