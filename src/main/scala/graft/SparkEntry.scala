@@ -88,6 +88,7 @@ object SparkEntry {
     "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
+    "t17_shuffled_shards" -> (ExtPipelines.shuffledShards _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -551,6 +552,26 @@ object SparkEntry {
         |  tok_offset // 2048 AS seq_id,
         |  ((tok_offset + n_tokens - 1) // 2048) - (tok_offset // 2048) + 1 AS n_seqs
         |FROM o""".stripMargin,
+
+    // t17 mirrors DataSplit.shuffledShards: same salted md5 (salt
+    // appended to the id's decimal string), same 4-hex-char bucket mod
+    // nShards (the strpos expansion is the engine-portable hex→int, t7
+    // precedent), same (md5, id) within-shard ordering.
+    "t17_shuffled_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |             md5(CAST(doc_id AS VARCHAR) || '#shard') AS m
+        |           FROM documents),
+        |b AS (SELECT doc_id, m,
+        |        CAST(((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 8
+        |          AS INT) AS shard
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id)
+        |            AS INT) AS pos
+        |FROM b""".stripMargin,
 
     // the per-(sequence, doc) slice manifest over t13's offsets: lateral
     // range-unnest mirrors Spark's explode(sequence(...)); arithmetic is

@@ -41,6 +41,14 @@ object ExtPipelines {
   def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** t17: deterministic pre-shuffled shard assignment for training
+    * export — the query form of [[graft.sources.JsonlShardSink]]'s
+    * layout (shard = salted-md5 bucket, pos = within-shard rank). */
+  def shuffledShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.DataSplit.shuffledShards(
+        Tables.documents(spark, dir), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+
   /** x15: SemDeDup-style clustered semantic dedup at oracle-parity
     * settings (assignment-only clustering, md5-drawn seed centroids —
     * see [[graft.ext.Dedup.semanticDedup]]). */

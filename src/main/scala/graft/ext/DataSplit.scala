@@ -61,4 +61,33 @@ object DataSplit {
       explode(when(copies > 0, sequence(lit(0L), copies - 1))
         .otherwise(array().cast("array<long>"))))
   }
+
+  /** Deterministic global shuffle + shard assignment — the step between
+    * a cleaned corpus and its training-export files. Training loaders
+    * stream shards sequentially, so inter-example randomness must be
+    * baked in at export time; `orderBy(rand())` is seed-, plan- and
+    * partitioning-dependent, while this is a pure function of
+    * (id, salt): `shard` = salted md5 bucket mod `nShards`, `pos` =
+    * rank of the full md5 hex within the shard. Stable across runs,
+    * engines, and cluster sizes — re-exporting an unchanged corpus
+    * yields byte-identical shards (appending docs keeps every existing
+    * row's SHARD but can shift later `pos` ranks within it).
+    *
+    * Scale shape: one hash-partition exchange on `shard` and a
+    * per-shard sort — no global sort, no single-task funnel. The
+    * per-shard `row_number` window means parallelism = `nShards`;
+    * at 100 TB pick `nShards` >= cluster cores (training exports want
+    * thousands of shards anyway, so this is the natural regime). */
+  def shuffledShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "#shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_k"), col(idCol))
+    df.withColumn("_k", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("_k"), 1, 4), 16, 10).cast("int"), lit(nShards)))
+      .withColumn("pos", row_number().over(w))
+      .drop("_k")
+  }
 }

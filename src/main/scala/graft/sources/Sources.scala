@@ -181,3 +181,35 @@ object ParquetSink {
     df.coalesce(parts).write.mode("overwrite").parquet(outPath)
   }
 }
+
+/** Training-export sink: the corpus as `nShards` JSONL files under
+  * `shard=N/` directories, pre-shuffled — the layout training loaders
+  * stream directly. Shard assignment and within-shard order come from
+  * [[graft.ext.DataSplit.shuffledShards]] (salted-md5: deterministic
+  * across runs, engines, and cluster sizes — re-exporting an unchanged
+  * corpus is byte-identical, unlike anything `rand()`-based).
+  *
+  * Exactly ONE file per shard directory, with rows in `pos` order:
+  * `repartition(nShards, $"shard")` puts all of a shard's rows in one
+  * task (a task may hold several shards — hash collisions are fine),
+  * `sortWithinPartitions(shard, pos)` fixes the line order, and
+  * `partitionBy("shard")` then splits each task's output per shard, one
+  * file each. No single-task funnel: writes parallelize across shards,
+  * so throughput scales with the cluster up to `nShards` tasks. */
+object JsonlShardSink {
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+      salt: String = "#shard"): Unit =
+    graft.ext.DataSplit.shuffledShards(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").json(path)
+
+  /** Per-shard manifest of an export written by [[writeShards]]:
+    * (shard, n_rows, file) — the index a loader uses to plan epochs
+    * without listing/scanning the shards themselves. */
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+      .select(col("shard"), input_file_name().as("file"))
+      .groupBy("shard", "file").agg(count(lit(1)).as("n_rows"))
+      .select("shard", "n_rows", "file")
+}

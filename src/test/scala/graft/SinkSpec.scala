@@ -88,6 +88,44 @@ class SinkSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) == 500)
   }
 
+  test("JSONL shard sink: one ordered file per shard, lossless, deterministic") {
+    val docs = Tables.documents(spark, sf())
+    val out = Files.createTempDirectory("graft-shards").resolve("corpus").toString
+    graft.sources.JsonlShardSink.writeShards(docs, "doc_id", nShards = 8, out)
+
+    // exactly one data file per shard directory, all 8 shards present
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.map(_.getName).toSet ==
+      (0 until 8).map(s => s"shard=$s").toSet)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".json"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+
+    // lossless round-trip: same doc_id multiset, text survives JSON
+    val back = spark.read.json(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty)
+
+    // file line order IS pos order (the property a streaming loader
+    // relies on): read one shard file raw and compare to the query form
+    val expected = graft.ext.DataSplit
+      .shuffledShards(docs, "doc_id", nShards = 8)
+      .filter(col("shard") === 3).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val raw = spark.read.json(s"$out/shard=3")
+      .select("doc_id", "pos").collect()
+      .sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    val rawLineOrder = scala.io.Source.fromFile(
+        dirs.find(_.getName == "shard=3").get.listFiles()
+          .filter(_.getName.endsWith(".json")).head)
+      .getLines().map(l => """"doc_id":(\d+)""".r
+        .findFirstMatchIn(l).get.group(1).toLong).toSeq
+    assert(expected == raw)
+    assert(expected == rawLineOrder)
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val li = Tables.lineitem(spark, sf())
     val exact = li.groupBy("l_returnflag")
