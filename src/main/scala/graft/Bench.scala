@@ -62,7 +62,10 @@ object Bench {
     "t13_token_shards",
     "x12_segment_dedup",
     "x13_span_dedup",
-    "v4_ann_quantized_topk")
+    "v4_ann_quantized_topk",
+    // round-9 operators
+    "x15_semantic_dedup",
+    "t17_shuffled_shards")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

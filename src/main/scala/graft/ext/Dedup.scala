@@ -531,27 +531,19 @@ object Dedup {
   def semanticDedup(df: DataFrame, nClusters: Int = 8, eps: Double = 0.4,
       nIters: Int = 0, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    graft.functions.VectorFunctions.register(df.sparkSession)
-    val assigned: DataFrame =
-      if (nIters == 0) {
-        val seeds = df
-          .select(col(idCol).cast("long").as("seed_id"),
-            col(vecCol).cast("array<double>").as("cvec"))
-          .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
-          .limit(nClusters)
-        df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-          .crossJoin(broadcast(seeds))
-          .select(col(idCol), col("seed_id"),
-            graft.functions.VectorFunctions.cosineHof(col("_v"), col("cvec")).as("sim"))
-          .groupBy(col(idCol))
-          // max over (sim, -seed_id): highest similarity, then lowest id
-          .agg(max_by(col("seed_id"), struct(col("sim"), -col("seed_id"))).as("list_id"))
-      } else {
-        val cent = Similarity.ivfCentroids(df, nClusters, nIters, vecCol, idCol)
-        Similarity.ivfAssign(df, cent, vecCol, idCol)
-          .select(col(idCol), col("list_id"))
-      }
-    val withList = df.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val assigned = semanticClusters(df, nClusters, nIters, vecCol, idCol)
+    // the assignment feeds THREE consumers (both sides of the pair
+    // self-join and the kept output); un-materialized, Spark re-runs the
+    // corpus-wide argmax scan for each. Checkpoint the narrow
+    // (id, list_id) result once — same reliable-or-local policy as
+    // connectedComponents (a RELIABLE checkpoint when the session has a
+    // checkpoint dir, so the materialization survives executor loss at
+    // scale; localCheckpoint as the single-JVM fallback).
+    val assignedCk =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        assigned.checkpoint()
+      else assigned.localCheckpoint()
+    val withList = df.select(col(idCol), col(vecCol)).join(assignedCk, Seq(idCol))
     val a = withList.select(col("list_id"), col(idCol).as("a_id"), col(vecCol).as("_va"))
     val b = withList.select(col("list_id"), col(idCol).as("b_id"), col(vecCol).as("_vb"))
     val removed = a.join(b, Seq("list_id"))
@@ -563,5 +555,37 @@ object Dedup {
       .select(col("b_id")).distinct()
     withList.select(col(idCol), col("list_id"))
       .join(removed, col(idCol) === col("b_id"), "left_anti")
+  }
+
+  /** Embedding cluster labels for [[semanticDedup]] — exposed on its
+    * own because cluster assignment is independently useful (diversity
+    * analysis, stratified sampling, [[DataSplit]] keys). One corpus
+    * scan: the k centroids are broadcast and the argmax runs as a
+    * map-side partial `max_by` before the only exchange, which carries
+    * one (id, seed_id, sim) partial per row group — the corpus vectors
+    * themselves never shuffle. See [[semanticDedup]] for the
+    * `nIters = 0` (oracle-parity, md5-drawn raw-vector seeds) vs
+    * `nIters > 0` (Lloyd-refined, [[Similarity.ivfCentroids]]) split. */
+  def semanticClusters(df: DataFrame, nClusters: Int = 8, nIters: Int = 0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    if (nIters == 0) {
+      val seeds = df
+        .select(col(idCol).cast("long").as("seed_id"),
+          col(vecCol).cast("array<double>").as("cvec"))
+        .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
+        .limit(nClusters)
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+        .crossJoin(broadcast(seeds))
+        .select(col(idCol), col("seed_id"),
+          graft.functions.VectorFunctions.cosineHof(col("_v"), col("cvec")).as("sim"))
+        .groupBy(col(idCol))
+        // max over (sim, -seed_id): highest similarity, then lowest id
+        .agg(max_by(col("seed_id"), struct(col("sim"), -col("seed_id"))).as("list_id"))
+    } else {
+      val cent = Similarity.ivfCentroids(df, nClusters, nIters, vecCol, idCol)
+      Similarity.ivfAssign(df, cent, vecCol, idCol)
+        .select(col(idCol), col("list_id"))
+    }
   }
 }

@@ -141,6 +141,30 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == bucketShuffles, s"non-bucket-keyed shuffle:\n$p")
   }
 
+  test("x15: centroid assignment broadcasts the seeds, argmax combines map-side") {
+    val assigned = graft.ext.Dedup.semanticClusters(
+      graft.sources.Tables.embeddings(spark, sf()), nClusters = 8)
+    val p = plan(assigned)
+    // the k seed centroids ride a broadcast exchange — a plain
+    // CartesianProduct here would shuffle the corpus against the seeds
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-id argmax combines BEFORE the exchange: the shuffle
+    // carries one max_by partial per id per task, never the vectors
+    assert(p.contains("partial_max_by"), p)
+  }
+
+  test("t17: shard assignment costs exactly one exchange (the per-shard window)") {
+    val sharded = graft.ext.DataSplit.shuffledShards(
+      graft.sources.Tables.documents(spark, sf()), "doc_id", nShards = 8)
+    val p = plan(sharded)
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"), "no single-task funnel:\n" + p)
+  }
+
   test("v5: the filtered-ANN label predicate reaches the parquet scan") {
     val p = plan(graft.analytics.ExtPipelines.filteredCosineTopK(spark, sf()))
     assert(p.contains("IsNotNull(label)") && p.contains("LessThan(label,5)"),
