@@ -55,9 +55,17 @@ object ScaleBench {
   /** Headline operators with distinct scaling risks: scan+agg (g1,
     * flagship), exact dedup shuffle (x1), LSH banding (x4), per-row
     * codegen (t2, t3), distributed prefix sum (t13), span dedup (x13),
-    * brute-force + bucketed ANN (v1, v2), stateful sessionization (s2).
+    * brute-force + bucketed ANN (v1, v2), stateful sessionization (s2),
+    * per-shard shuffle window (t17). x15 is deliberately absent: the
+    * replica builder copies embedding VECTORS verbatim (only vec_id is
+    * restrided), so every cross-replica copy pair has cosine 1.0 and
+    * the intra-cluster removal count grows quadratically BY DATA
+    * CONSTRUCTION — it would measure the replica artifact, not the
+    * operator (whose scale discipline is k ∝ corpus, documented and
+    * plan-pinned instead).
     */
   val queries: Seq[String] = Seq(
+    "t17_shuffled_shards",
     "flagship_profile",
     "g1_pricing_summary",
     "x1_dedup_exact",
