@@ -64,6 +64,7 @@ object SparkEntry {
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
+    "x16_incremental_ingest" -> (ExtPipelines.incrementalIngest _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
@@ -323,6 +324,46 @@ object SparkEntry {
         |FROM te JOIN tr ON te.s = tr.s
         |GROUP BY 1, 2
         |HAVING count(*) >= 5""".stripMargin,
+
+    // x16 = x10's corpus/batch split and shingle rule, composed into the
+    // admitted-set form: batch minus exact dups of the corpus (text
+    // equality ≡ Spark's sha2 join up to collisions), minus near-dups
+    // (x10's >= 5 shared rare shingles), minus intra-batch exact dups of
+    // an earlier batch id.
+    "x16_incremental_ingest" ->
+      """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |trd AS (SELECT doc_id, text FROM b WHERE bucket < 52428),
+        |ted AS (SELECT doc_id, text FROM b WHERE bucket >= 52428),
+        |ex AS (SELECT DISTINCT ted.doc_id FROM ted JOIN trd ON ted.text = trd.text),
+        |tw AS (SELECT doc_id, bucket, string_split(text, ' ') AS w FROM b),
+        |sh AS (SELECT doc_id, bucket,
+        |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                               for i in range(1, len(w) - 1)])) AS s
+        |       FROM tw WHERE len(w) >= 3),
+        |tr0 AS (SELECT doc_id, s FROM sh WHERE bucket < 52428),
+        |rare AS (SELECT s FROM tr0 GROUP BY s HAVING count(*) <= 100),
+        |tr AS (SELECT tr0.doc_id, tr0.s FROM tr0 JOIN rare USING (s)),
+        |te AS (SELECT doc_id, s FROM sh WHERE bucket >= 52428),
+        |near AS (SELECT DISTINCT test_id AS doc_id FROM (
+        |           SELECT te.doc_id AS test_id, tr.doc_id AS train_id
+        |           FROM te JOIN tr ON te.s = tr.s
+        |           GROUP BY 1, 2
+        |           HAVING count(*) >= 5)),
+        |intra AS (SELECT DISTINCT y.doc_id
+        |          FROM ted x JOIN ted y
+        |            ON x.text = y.text AND x.doc_id < y.doc_id),
+        |dropped AS (SELECT doc_id FROM ex UNION
+        |            SELECT doc_id FROM near UNION
+        |            SELECT doc_id FROM intra)
+        |SELECT ted.doc_id FROM ted
+        |LEFT JOIN dropped d ON ted.doc_id = d.doc_id
+        |WHERE d.doc_id IS NULL""".stripMargin,
 
     // the composite pipeline: dedup keep-first → t7 split → x10
     // decontamination (train side) → t2 quality ≥ 0.5. CTEs mirror the

@@ -77,6 +77,19 @@ object ExtPipelines {
       n = 3, minShared = 5, maxShingleDf = Some(100))
   }
 
+  /** x16: incremental ingest dedup at x10's split — the t7 train bucket
+    * plays the existing corpus, the test bucket plays the day's new
+    * batch; admitted = batch minus exact/near dups of the corpus and
+    * intra-batch exact dups (see [[graft.ext.Dedup.incrementalIngest]]). */
+  def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.ext.DataSplit.withSplit(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    Dedup.incrementalIngest(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"),
+      n = 3, minShared = 5, maxShingleDf = Some(100))
+  }
+
   /** The composite training-data deliverable: exact-dedup (keep first),
     * deterministic t7 split, decontaminate train against test (x10's
     * shingle-overlap rule), drop low-quality docs — the clean training

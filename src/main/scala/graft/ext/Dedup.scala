@@ -155,6 +155,42 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental ingest dedup — the operation a production corpus runs
+    * DAILY: admit only the rows of a new `batch` that duplicate nothing
+    * in the existing `corpus`, by (1) exact content digest, (2) n-gram
+    * shingle overlap of at least `minShared` ([[contaminationPairs]]
+    * semantics), and (3) intra-batch exact keep-first (a batch can
+    * duplicate itself). Returns the admitted batch ids.
+    *
+    * Scale shape, for corpus ≫ batch (the daily regime): the exact
+    * stage joins corpus DIGESTS against batch digests — the batch side
+    * is the small build side, so AQE broadcasts it and the corpus
+    * streams map-side, never shuffling; the near-dup stage is the
+    * [[contaminationPairs]] equi-join on 8-byte shingle hashes (linear,
+    * corpus-side df cap against boilerplate fan-out); the intra-batch
+    * window partitions on the digest of the batch alone. Nothing
+    * re-processes the corpus beyond two streaming scans, which is what
+    * makes the operation incremental rather than a full re-dedup. */
+  def incrementalIngest(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+      minShared: Int = 5, maxShingleDf: Option[Int] = None,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def dig(d: DataFrame) =
+      d.select(col(idCol), sha2(col(textCol), 256).as("_sha"))
+    // corpus LEFT so the (small) batch lands on the broadcast side
+    val exactDup = dig(corpus).select("_sha")
+      .join(dig(batch), "_sha").select(col(idCol)).distinct()
+    val nearDup = contaminationPairs(corpus, batch, n, minShared,
+        maxShingleDf, textCol, idCol)
+      .select(col("test_id").as(idCol)).distinct()
+    val w = Window.partitionBy(col("_sha")).orderBy(col(idCol))
+    val intraDup = dig(batch)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+      .select(col(idCol))
+    batch.select(col(idCol))
+      .join(exactDup.unionByName(nearDup).unionByName(intraDup).distinct(),
+        Seq(idCol), "left_anti")
+  }
+
   /** Sub-document exact dedup (RefinedWeb-style line dedup, adapted to
     * the single-line corpus): split each doc into fixed `segWords`-word
     * segments, drop every segment that occurs in more than `maxDf`

@@ -463,6 +463,28 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact, s"recall = ${lsh.size.toDouble / math.max(exact.size, 1)}")
   }
 
+  test("incremental ingest: admits only batch docs that duplicate nothing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // exact dup of corpus 1
+      (11L, "one two three four five nine ten"),      // 5 shared shingles? below
+      (12L, "totally fresh content nothing shared"),
+      (13L, "totally fresh content nothing shared"),  // intra-batch dup of 12
+      (14L, "unrelated words entirely distinct here")).toDF("doc_id", "text")
+    // doc 11 shares shingles of "one two three four five": 3-grams
+    // {one two three, two three four, three four five} = 3 < minShared=5
+    // at the default — so with minShared = 3 it is dropped, with 5 kept
+    val strict = Dedup.incrementalIngest(corpus, batch, n = 3, minShared = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(12L, 14L))
+    val loose = Dedup.incrementalIngest(corpus, batch, n = 3, minShared = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(11L, 12L, 14L))
+  }
+
   test("semantic dedup: removal rule recomputed brute-force on the driver") {
     val kept = Dedup.semanticDedup(emb, nClusters = 8, eps = 0.4, nIters = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
