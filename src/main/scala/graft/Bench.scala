@@ -65,7 +65,8 @@ object Bench {
     "v4_ann_quantized_topk",
     // round-9 operators
     "x15_semantic_dedup",
-    "t17_shuffled_shards")
+    "t17_shuffled_shards",
+    "x16_incremental_ingest")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
