@@ -102,6 +102,9 @@ object SparkEntry {
     "t16_cluster_split" -> (ExtPipelines.clusterSplit _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
     "v3b_ivf_recall_bounded" -> (ExtPipelines.annIvfRecallBounded _),
+    "v6_knn_graph" -> (ExtPipelines.knnGraph _),
+    "v7_knn_graph_clustered" -> (ExtPipelines.knnGraphClustered _),
+    "v7b_knn_recall_bounded" -> (ExtPipelines.knnRecallBounded _),
     "s1_stream_daily_totals" -> (ExtPipelines.streamDailyTotals _),
     "s2_sessionize_batch" -> (ExtPipelines.sessionizeBatch _),
     "s3_sessionize_stream" -> (ExtPipelines.sessionizeStream _),
@@ -821,6 +824,23 @@ object SparkEntry {
     "v3b_ivf_recall_bounded" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v6: the exact kNN graph is v1's SQL with the corpus as its own
+    // query set. v7 (clustered) is engine-specific → rows-only; v7b is
+    // its self-certified recall bound, v3b-style.
+    "v6_knn_graph" ->
+      """SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id ASC) AS rk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "v7b_knn_recall_bounded" ->
+      """SELECT TRUE AS recall_ok""".stripMargin,
 
     "e1_categorize" ->
       """SELECT event_id,

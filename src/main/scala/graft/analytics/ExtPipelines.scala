@@ -90,6 +90,38 @@ object ExtPipelines {
       n = 3, minShared = 5, maxShingleDf = Some(100))
   }
 
+  /** v6: exact corpus kNN graph (every vector's top-3 cosine
+    * neighbors) — the O(n²) oracle twin; v7 is the clustered path. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(spark, dir), k = 3)
+
+  /** v7: cluster-bucketed kNN graph (n²/nList pairs). Engine-specific
+    * (depends on the trained coarse quantizer) → rows-only driver
+    * check; v7b pins the recall floor, the spec pins within-cluster
+    * exactness. */
+  def knnGraphClustered(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphClustered(Tables.embeddings(spark, dir),
+      k = 3, nList = 8, nProbe = 2, nIters = 1)
+
+  /** v7b: driver-checkable bound for v7 — overall edge recall of the
+    * clustered graph against the exact graph, self-certified the same
+    * way as v3b (the oracle pins the expected TRUE row; the engine
+    * computes the recall for real). Floor 0.30: random uniform fixture
+    * vectors are IVF's worst case (measured ~0.5-0.7 at nList=8; real
+    * clustered corpora sit far higher), and even there the clustered
+    * graph must find a third of all true edges or something is broken. */
+  def knnRecallBounded(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnGraph(spark, dir).select("query_id", "neighbor_id")
+    val clustered = knnGraphClustered(spark, dir)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(clustered, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    hit.crossJoin(tot)
+      .select((col("n_hit").cast("double") / col("n_exact") >= 0.30)
+        .as("recall_ok"))
+  }
+
   /** The composite training-data deliverable: exact-dedup (keep first),
     * deterministic t7 split, decontaminate train against test (x10's
     * shingle-overlap rule), drop low-quality docs — the clean training

@@ -320,4 +320,61 @@ object Similarity {
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
     topKPerQuery(exact, k)
   }
+
+  /** Exact corpus kNN graph: top-k cosine neighbors for EVERY corpus
+    * vector — the building block for graph clustering, diversity
+    * pruning, and near-dup audit. This is [[bruteForceTopK]] with the
+    * corpus as its own query set, i.e. the O(n²) exact twin — right up
+    * to the scale where broadcasting the full id+vector set stops
+    * fitting (the same boundary as x3/x5): past it, use
+    * [[knnGraphClustered]]. */
+  def knnGraph(corpus: DataFrame, k: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    bruteForceTopK(corpus, corpus, k, vecCol, idCol)
+  }
+
+  /** Cluster-bucketed approximate kNN graph — the 100 TB path for
+    * [[knnGraph]]: assign every vector to an IVF list (one scan,
+    * centroids broadcast), have every vector PROBE its `nProbe`
+    * nearest lists, and compute exact top-k among the probed lists'
+    * members. Pairs scored drop from n² to ~nProbe·n²/nList for
+    * balanced lists; scale nList with the corpus to hold list size
+    * (and so per-bucket work and task memory) constant.
+    *
+    * Unlike [[ivfTopK]] — whose query set is small and rides a
+    * broadcast — here the "queries" ARE the corpus, so the
+    * probes-to-lists join is a plain hash-shuffle on list_id (both
+    * sides corpus-sized; with production nList in the thousands the
+    * key space is wide enough to parallelize; the TopKAggregator
+    * keeps the re-rank map-side-bounded). Recall < 1 by construction
+    * (true neighbors outside every probed list are missed — measured
+    * in the spec and certified by v7b); results are exact WITHIN the
+    * probed candidate set. */
+  def knnGraphClustered(corpus: DataFrame, k: Int = 3, nList: Int = 8,
+      nProbe: Int = 2, nIters: Int = 1, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
+    val assigned = ivfAssign(corpus, cent, vecCol, idCol)
+    val centF = cent.select(col("list_id").as("probe_list"),
+      col("cvec").cast("array<float>").as("cvec"))
+    val topLists = udaf(new graft.functions.TopKAggregator(nProbe))
+    val probes = assigned
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centF))
+      .select(col("query_id"), col("qv"),
+        col("probe_list"),
+        VectorFunctions.cosine(col("qv"), col("cvec")).as("pcos"))
+      .groupBy("query_id")
+      .agg(topLists(col("pcos"), col("probe_list")).as("lists"),
+        first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"), explode(col("lists")).as("list_id"))
+    val cands = assigned
+      .join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
+    topKPerQuery(cands, k)
+  }
 }

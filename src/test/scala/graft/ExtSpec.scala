@@ -535,6 +535,45 @@ class ExtSpec extends SparkSpec {
     assert(survivors.count() == 0)
   }
 
+  test("kNN graph: clustered path is exact within clusters and recalls enough overall") {
+    val exact = Similarity.knnGraph(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val clustered = Similarity.knnGraphClustered(
+      emb, k = 3, nList = 8, nProbe = 2, nIters = 1)
+    val cl = clustered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exactness within the probed candidate set: for each query, the
+    // clustered result IS the exact top-k among members of its nProbe
+    // nearest lists (membership + centroids collected from the engine)
+    VectorFunctions.register(spark)
+    val cent = Similarity.ivfCentroids(emb, nList = 8, nIters = 1)
+    val centv = cent.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val assigned = Similarity.ivfAssign(emb, cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val expected = (for ((id, _) <- assigned.toSeq) yield {
+      val probed = centv.toSeq
+        .map { case (l, cv) => (l, cos(vecs(id), cv)) }
+        .sortBy { case (l, c) => (-c, l) }.take(2).map(_._1).toSet
+      val peers = assigned.filter { case (o, l) => probed(l) && o != id }.keys
+      peers.toSeq.map(p => (p, cos(vecs(id), vecs(p))))
+        .sortBy { case (p, c) => (-c, p) }.take(3).map(p => (id, p._1))
+    }).flatten.toSet
+    assert(cl == expected)
+
+    // overall edge recall vs exact — pinned with margin under the floor
+    // v7b certifies (random vectors are IVF's worst case)
+    val recall = (cl intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.30, s"recall = $recall")
+  }
+
   test("jaccard frequent-shingle cap is semantics-preserving on non-skewed data") {
     val off = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
