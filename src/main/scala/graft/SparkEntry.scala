@@ -113,6 +113,7 @@ object SparkEntry {
     "s6_stream_range_join" -> (ExtPipelines.streamRangeJoin _),
     "s7_stream_profile" -> (ExtPipelines.streamProfile _),
     "s8_stream_quality_gate" -> (ExtPipelines.streamQualityGate _),
+    "s9_stream_ingest_dedup" -> (ExtPipelines.streamIngestDedup _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _)
@@ -910,6 +911,24 @@ object SparkEntry {
         |     + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END) * 10.0, 1.0)) * 0.3) AS quality
         |  FROM sig) q
         |WHERE quality >= 0.5""".stripMargin,
+
+    // s9 = x16's exact stage with the test bucket streamed: admitted =
+    // streamed docs whose text (≡ sha2 digest, up to collisions) is
+    // absent from the standing train-bucket corpus. Batch and stream
+    // admit identical sets — this one SQL covers the streaming run.
+    "s9_stream_ingest_dedup" ->
+      """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |trd AS (SELECT DISTINCT text FROM b WHERE bucket < 52428),
+        |ted AS (SELECT doc_id, text FROM b WHERE bucket >= 52428)
+        |SELECT ted.doc_id FROM ted
+        |LEFT JOIN trd ON ted.text = trd.text
+        |WHERE trd.text IS NULL""".stripMargin,
 
     "e8_one_day" ->
       s"""$baseCte

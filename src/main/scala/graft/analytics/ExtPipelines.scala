@@ -420,6 +420,22 @@ object ExtPipelines {
         graft.streaming.Streaming.eventsStream(spark, dir)),
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** s9: streaming ingest dedup at x16's split — the t7 train bucket is
+    * the standing (static) corpus, the test bucket streams in; only
+    * docs whose digest is absent from the corpus are admitted. */
+  def streamIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.ext.DataSplit.withSplit(
+        Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+      .filter(col("split") === "train")
+    val stream = graft.ext.DataSplit.withSplit(
+        graft.streaming.Streaming.documentsStream(spark, dir)
+          .select("doc_id", "text"), "doc_id")
+      .filter(col("split") === "test")
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.ingestDedup(stream, corpus),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Stream-stream interval join (watermarked state both sides). */
   def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.runToBatch(spark,

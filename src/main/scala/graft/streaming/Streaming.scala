@@ -76,6 +76,25 @@ object Streaming {
       .filter(col("quality") >= 0.5)
       .select("doc_id", "source", "n_tokens", "quality")
 
+  /** Streaming ingest dedup: the stream-static form of
+    * [[graft.ext.Dedup.incrementalIngest]]'s exact stage — each
+    * arriving document is admitted only if its content digest matches
+    * nothing in the standing corpus. A stream-static LEFT ANTI join on
+    * the sha2 digest: stateless on the stream side (the static corpus
+    * IS the state), Append mode, no watermark needed. At scale the
+    * static side is the corpus digest index (narrow: one 64-char column,
+    * maintained incrementally by the batch ingest job); each micro-batch
+    * hash-joins against it exactly like the batch operator, so batch and
+    * stream admit identical sets (one oracle covers both). */
+  def ingestDedup(docs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val corpusDigests = corpus
+      .select(sha2(col(textCol), 256).as("_sha")).distinct()
+    docs.withColumn("_sha", sha2(col(textCol), 256))
+      .join(corpusDigests, Seq("_sha"), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Tumbling 1-day event-time window over the categorized stream —
     * the streaming-native form of the reference's per-day aggregation.
     * Watermark bounds state; UTC day windows align with calendar days. */

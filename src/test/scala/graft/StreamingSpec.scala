@@ -72,6 +72,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
   }
 
+  test("streaming ingest dedup admits exactly the batch-admitted set") {
+    val streamed = graft.analytics.ExtPipelines
+      .streamIngestDedup(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    // batch recompute of the same exact-digest stage on the same split
+    import graft.ext.DataSplit
+    val split = DataSplit.withSplit(
+      graft.sources.Tables.documents(spark, sf()).select("doc_id", "text"),
+      "doc_id")
+    val corpusTexts = split.filter(col("split") === "train")
+      .select("text").distinct().collect().map(_.getString(0)).toSet
+    val batch = split.filter(col("split") === "test")
+      .collect().filter(r => !corpusTexts(r.getString(1)))
+      .map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
     val feats = Multimodal.featurize(Tables.documents(spark, sf()))
     val bad = feats.select(col("doc_id"),
