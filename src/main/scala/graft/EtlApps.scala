@@ -56,13 +56,30 @@ object CorpusBuild {
       "doc_id", Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25),
       defaultWeight = 0.75)
     mixed.write.mode("overwrite").parquet(s"$outDir/mixed")
-    // count the WRITTEN parquet, not the source frames: re-counting the
-    // frames would re-execute all three pipelines (including the
+    // final stage: the loader-ready artifact — mixed examples joined
+    // back to their text and exported as pre-shuffled JSONL shards
+    // (deterministic salted-md5 shard + order; one file per shard).
+    // example_id spreads a doc's mix copies across shards.
+    locally {
+      import org.apache.spark.sql.functions._
+      val examples = spark.read.parquet(s"$outDir/mixed")
+        .withColumn("example_id",
+          concat_ws("#", col("doc_id"), col("copy_idx")))
+        .join(graft.sources.Tables.documents(spark, dataDir)
+          .select("doc_id", "text"), "doc_id")
+        .select("example_id", "doc_id", "copy_idx", "source", "text")
+      graft.sources.JsonlShardSink.writeShards(
+        examples, "example_id", nShards = 8, s"$outDir/shards")
+    }
+    // count the WRITTEN output, not the source frames: re-counting the
+    // frames would re-execute all the pipelines (including the
     // iterative connected-components job) just for this log line,
-    // whereas counting the output is a footer-metadata read
+    // whereas counting the output is a footer/file read
     def written(sub: String): Long = spark.read.parquet(s"$outDir/$sub").count()
+    val nShardRows = spark.read.json(s"$outDir/shards").count()
     println(s"[graft] corpus build: clean=${written("clean")} " +
-      s"split=${written("split")} mixed=${written("mixed")} → $outDir")
+      s"split=${written("split")} mixed=${written("mixed")} " +
+      s"shard_examples=$nShardRows → $outDir")
     spark.stop()
   }
 }
