@@ -90,6 +90,7 @@ object SparkEntry {
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
     "t17_shuffled_shards" -> (ExtPipelines.shuffledShards _),
+    "t18_quality_gate_adaptive" -> (ExtPipelines.qualityGateAdaptive _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -911,6 +912,31 @@ object SparkEntry {
         |     + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END) * 10.0, 1.0)) * 0.3) AS quality
         |  FROM sig) q
         |WHERE quality >= 0.5""".stripMargin,
+
+    // t18 reuses s8's quality CTE; the per-source median threshold is
+    // exact linear-interpolated percentile in both engines (both
+    // compute lo + (hi-lo)*frac over bit-identical doubles — same
+    // precedent as g21).
+    "t18_quality_gate_adaptive" ->
+      """WITH sig AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','in','to','is','it','for','on'))) AS n_stop,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    length(text) AS len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |     + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3
+        |     + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END) * 10.0, 1.0)) * 0.3) AS quality
+        |  FROM sig),
+        |thr AS (SELECT source, quantile_cont(quality, 0.5) AS q50
+        |        FROM q GROUP BY source)
+        |SELECT q.doc_id, q.source, q.quality
+        |FROM q JOIN thr USING (source)
+        |WHERE q.quality >= thr.q50""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =
     // streamed docs whose text (≡ sha2 digest, up to collisions) is

@@ -331,6 +331,26 @@ object ExtPipelines {
       .select(col("source"), (col("rk0") + 1).as("rk"), col("doc_id"))
   }
 
+  /** t18: per-source ADAPTIVE quality gate — keep each source's
+    * top-half by quality score (vs s8's fixed 0.5 threshold, which
+    * over-prunes clean sources and under-prunes noisy ones). Plan
+    * shape chosen for scale: per-source thresholds via one aggregation
+    * (tiny result, broadcast back) + a semi-filtering join — NOT a
+    * percent_rank window, which would sort every row of a source in
+    * one task. Exact `percentile` here; at 100 TB swap in
+    * approx_percentile (t-digest, mergeable partials) exactly like
+    * g21. */
+  def qualityGateAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(
+      TextAnalysis.qualitySignals(Tables.documents(spark, dir)))
+      .select("doc_id", "source", "quality")
+    val thr = q.groupBy("source")
+      .agg(expr("percentile(quality, 0.5D)").as("q50"))
+    q.join(broadcast(thr), "source")
+      .filter(col("quality") >= col("q50"))
+      .select("doc_id", "source", "quality")
+  }
+
   // ---- similarity ----
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =

@@ -535,6 +535,24 @@ class ExtSpec extends SparkSpec {
     assert(survivors.count() == 0)
   }
 
+  test("adaptive quality gate: per source, every kept doc outscores every dropped one") {
+    val kept = graft.analytics.ExtPipelines.qualityGateAdaptive(spark, sf())
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    val all = graft.ext.TextAnalysis.qualityScore(
+        graft.ext.TextAnalysis.qualitySignals(docs))
+      .select("source", "doc_id", "quality")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val keptIds = kept.map(_._2).toSet
+    all.groupBy(_._1).foreach { case (src, rows) =>
+      val (k, d) = rows.partition(r => keptIds(r._2))
+      // the gate keeps a top segment: no dropped doc outscores a kept one
+      assert(d.isEmpty || k.map(_._3).min >= d.map(_._3).max, src)
+      // roughly the top half survives (>= half, duplicates at the
+      // median can push it higher; never everything when scores vary)
+      assert(k.size >= rows.size / 2, s"$src kept ${k.size}/${rows.size}")
+    }
+  }
+
   test("kNN graph: clustered path is exact within clusters and recalls enough overall") {
     val exact = Similarity.knnGraph(emb, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
