@@ -460,7 +460,7 @@ object Dedup {
     // the first probe
     def checksum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("lbl").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0))
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0))
     var prevSum = checksum(labels)
     var converged = false
     var iter = 0

@@ -165,6 +165,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), "no single-task funnel:\n" + p)
   }
 
+  test("t18: adaptive gate joins broadcast thresholds — no per-source window sort") {
+    val p = plan(graft.analytics.ExtPipelines.qualityGateAdaptive(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), "percent_rank window would sort a whole source in one task:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("v5: the filtered-ANN label predicate reaches the parquet scan") {
     val p = plan(graft.analytics.ExtPipelines.filteredCosineTopK(spark, sf()))
     assert(p.contains("IsNotNull(label)") && p.contains("LessThan(label,5)"),
