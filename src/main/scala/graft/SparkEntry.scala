@@ -117,7 +117,8 @@ object SparkEntry {
     "s9_stream_ingest_dedup" -> (ExtPipelines.streamIngestDedup _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
-    "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _)
+    "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
+    "m4_media_neardup" -> (ExtPipelines.mediaNearDups _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -1199,6 +1200,24 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(bs) AS BIGINT) AS byte_len,
          |$hs
          |FROM b""".stripMargin
+    },
+
+    "m4_media_neardup" -> {
+      // m2's histogram CTE + an L1 chain summed in BIN ORDER — the same
+      // fold order as Spark's aggregate over the array, so the distances
+      // are bit-identical and the threshold compare is deterministic.
+      val hs = (0 until 16).map(i =>
+        s"  CAST(len(list_filter(bs, x -> x[1] = '${"0123456789ABCDEF"(i)}')) AS DOUBLE)" +
+        s" / greatest(len(bs), 1) AS h${f"$i%02d"}").mkString(",\n")
+      val l1 = (0 until 16).map(i => f"abs(a.h$i%02d - b.h$i%02d)").mkString(" + ")
+      s"""WITH b0 AS (SELECT doc_id,
+         |  regexp_extract_all(upper(hex(encode(text))), '..') AS bs FROM documents),
+         |h AS (SELECT doc_id,
+         |$hs
+         |FROM b0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE $l1 <= 0.001""".stripMargin
     }
   )
 }

@@ -474,6 +474,12 @@ object ExtPipelines {
     * (decode step stubbed — see Multimodal scaladoc). The 16-bin
     * histogram is exploded into scalar columns h00..h15 so the driver's
     * oracle compare can sort/hash the rows. */
+  /** m4: perceptual media near-dup — feature-space pairs within L1
+    * 0.001 (catches the planted exact dups plus tight near-encodes). */
+  def mediaNearDups(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.mediaNearDups(
+      Tables.documents(spark, dir), maxL1 = 0.001)
+
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = graft.ext.Multimodal.featurize(Tables.documents(spark, dir))
     val hcols = (0 until 16).map(i => col("histogram")(i).as(f"h$i%02d"))

@@ -60,6 +60,31 @@ object Multimodal {
     extractFeatures(media).toDF()
   }
 
+  /** Perceptual near-dup over media feature vectors: pairs whose
+    * byte-histogram features sit within `maxL1` total variation — the
+    * media analog of x5's embedding near-dup, run on DECODED features
+    * so re-encoded/renamed payloads still collide (an exact-digest pass
+    * can't catch those). Exact all-pairs twin; at scale, band the
+    * feature vector into a coarse quantized signature and bucket-join
+    * (the SimHash/LSH pattern of x6/x7) so candidates stay linear.
+    *
+    * Oracle note: the L1 sum folds bins in index order on both engines
+    * (Spark `aggregate` over the array, SQL a left-associated `+`
+    * chain), and the per-bin values are bit-identical (m2's oracle
+    * proves the histogram), so the threshold compare is deterministic
+    * cross-engine even with no gap in the distance distribution. */
+  def mediaNearDups(docs: DataFrame, maxL1: Double = 0.001): DataFrame = {
+    val f = featurize(docs).select(col("doc_id"), col("histogram"))
+    val a = f.select(col("doc_id").as("a_id"), col("histogram").as("ha"))
+    val b = f.select(col("doc_id").as("b_id"), col("histogram").as("hb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("l1", aggregate(
+        zip_with(col("ha"), col("hb"), (x, y) => abs(x - y)),
+        lit(0.0), (acc, v) => acc + v))
+      .filter(col("l1") <= maxL1)
+      .select("a_id", "b_id")
+  }
+
   // ---- frame sampling / resize ----
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -102,6 +102,25 @@ class StreamingSpec extends SparkSpec {
     assert(lens.count() == 0)
   }
 
+  test("media near-dup: contains every exact-dup pair, every pair verifies driver-side") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val pairs = graft.ext.Multimodal.mediaNearDups(docs, maxL1 = 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    // full driver-side recompute: the returned set IS the set of pairs
+    // within the threshold, no more, no less
+    val hists = graft.ext.Multimodal.featurize(docs)
+      .select(col("doc_id"), col("histogram")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = hists.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      l1 = hists(a).zip(hists(b)).map { case (x, y) => math.abs(x - y) }.sum
+      if l1 <= 0.001
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
   test("sampleFrames: bounded count, uniform spacing, exact frame bytes") {
     import spark.implicits._
     val payload = Array.tabulate(300)(i => (i % 251).toByte) // 5 frames of 64 (last=44)
