@@ -66,7 +66,11 @@ object Bench {
     // round-9 operators
     "x15_semantic_dedup",
     "t17_shuffled_shards",
-    "x16_incremental_ingest")
+    "x16_incremental_ingest",
+    "t18_quality_gate_adaptive",
+    "v6_knn_graph",
+    "v7_knn_graph_clustered",
+    "m4_media_neardup")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -74,14 +74,22 @@ object Multimodal {
     * proves the histogram), so the threshold compare is deterministic
     * cross-engine even with no gap in the distance distribution. */
   def mediaNearDups(docs: DataFrame, maxL1: Double = 0.001): DataFrame = {
-    val f = featurize(docs).select(col("doc_id"), col("histogram"))
-    val a = f.select(col("doc_id").as("a_id"), col("histogram").as("ha"))
-    val b = f.select(col("doc_id").as("b_id"), col("histogram").as("hb"))
+    // histogram flattened to 16 scalar columns so the L1 chain below is
+    // a single codegen'd expression — the interpreted zip_with/aggregate
+    // HOF form deserialized the arrays per PAIR and ran 25x slower on
+    // the all-pairs join (measured 42.7s -> 1.5s at sf0.1)
+    val f = featurize(docs).select(
+      col("doc_id") +: (0 until 16).map(i => col("histogram")(i).as(f"h$i%02d")): _*)
+    val a = f.select(col("doc_id").as("a_id") +:
+      (0 until 16).map(i => col(f"h$i%02d").as(f"a$i%02d")): _*)
+    val b = f.select(col("doc_id").as("b_id") +:
+      (0 until 16).map(i => col(f"h$i%02d").as(f"b$i%02d")): _*)
+    // bin-order left-associated sum — the fold order the oracle mirrors
+    val l1 = (0 until 16)
+      .map(i => abs(col(f"a$i%02d") - col(f"b$i%02d")))
+      .reduceLeft(_ + _)
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("l1", aggregate(
-        zip_with(col("ha"), col("hb"), (x, y) => abs(x - y)),
-        lit(0.0), (acc, v) => acc + v))
-      .filter(col("l1") <= maxL1)
+      .filter(l1 <= maxL1)
       .select("a_id", "b_id")
   }
 
