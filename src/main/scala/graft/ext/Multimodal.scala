@@ -76,8 +76,8 @@ object Multimodal {
   def mediaNearDups(docs: DataFrame, maxL1: Double = 0.001): DataFrame = {
     // histogram flattened to 16 scalar columns so the L1 chain below is
     // a single codegen'd expression — the interpreted zip_with/aggregate
-    // HOF form deserialized the arrays per PAIR and ran 25x slower on
-    // the all-pairs join (measured 42.7s -> 1.5s at sf0.1)
+    // HOF form deserialized the arrays per PAIR and ran ~50x slower on
+    // the all-pairs join (measured 42.7s -> 0.86s at sf0.1)
     val f = featurize(docs).select(
       col("doc_id") +: (0 until 16).map(i => col("histogram")(i).as(f"h$i%02d")): _*)
     val a = f.select(col("doc_id").as("a_id") +:
