@@ -182,22 +182,50 @@ object Similarity {
     * brute force at the registered settings. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
-    // cast the centroid vectors to float ONCE on the broadcast side so
-    // the per-(row, centroid) scoring runs the codegen'd float cosine —
-    // the interpreted HOF over the double centroids evaluated an
-    // expression tree per element per pair
-    val centF = centroids.select(col("list_id"),
-      col("cvec").cast("array<float>").as("cvec"))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centF))
-      .select(col(idCol), col(vecCol),
-        col("list_id"),
-        VectorFunctions.cosine(col(vecCol), col("cvec")).as("sim"))
-      .groupBy(col(idCol))
-      .agg(
-        max_by(col("list_id"), struct(col("sim"), -col("list_id"))).as("list_id"),
-        first(col(vecCol)).as(vecCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Per-row argmax against the broadcast centroid MATRIX — a genuine
+    // per-partition imperative kernel (the FAISS coarse-quantizer
+    // shape), one of the rare places mapPartitions beats the
+    // declarative form: crossJoin(corpus, centroids) + max_by
+    // materializes nList x corpus rows and sorts them through a
+    // partial aggregate, which at nList=800 over 200K vectors measured
+    // 187s/query; this kernel runs the same scoring loop in-place with
+    // ZERO shuffle and no row explosion (argmax is per-row). Math
+    // mirrors CosineSim exactly: left-to-right double accumulation,
+    // dot/sqrt(na*nb), 0.0 for zero norms; ties keep the lowest
+    // list_id (ascending scan, strictly-greater update) — identical to
+    // the previous max_by(sim, -list_id) semantics, spec-pinned.
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("list_id").cast("long"), col("cvec").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestSim = Double.NegativeInfinity
+          var bestList = Long.MinValue
+          var j = 0
+          while (j < cs.length) {
+            val c = cs(j)._2
+            val n = math.min(v.length, c.length)
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < n) {
+              val x = v(i).toDouble; val y = c(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+            if (sim > bestSim) { bestSim = sim; bestList = cs(j)._1 }
+            j += 1
+          }
+          (id, bestList, v)
+        }
+      }
+      .toDF(idCol, "list_id", vecCol)
   }
 
   /** IVF-Flat ANN search: each query ranks the (broadcast) centroids,
