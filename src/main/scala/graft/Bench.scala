@@ -70,7 +70,8 @@ object Bench {
     "t18_quality_gate_adaptive",
     "v6_knn_graph",
     "v7_knn_graph_clustered",
-    "m4_media_neardup")
+    "m4_media_neardup",
+    "t19_bm25")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

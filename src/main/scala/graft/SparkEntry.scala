@@ -91,6 +91,7 @@ object SparkEntry {
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
     "t17_shuffled_shards" -> (ExtPipelines.shuffledShards _),
     "t18_quality_gate_adaptive" -> (ExtPipelines.qualityGateAdaptive _),
+    "t19_bm25" -> (ExtPipelines.bm25Scores _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -938,6 +939,40 @@ object SparkEntry {
         |SELECT q.doc_id, q.source, q.quality
         |FROM q JOIN thr USING (source)
         |WHERE q.quality >= thr.q50""".stripMargin,
+
+    // t19: all aggregates (N, Σdl, df_i) are exact integers; the BM25
+    // doubles are per-row expressions spelled in the SAME left-to-right
+    // association as the Spark expression tree, so both engines run the
+    // identical IEEE operation sequence (ln's ≤1-ulp libm divergence is
+    // 6 orders under the 1e-9 compare) — the same precedent as t2/t18.
+    "t19_bm25" ->
+      """WITH per_doc AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS dl,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf0,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM per_doc)
+        |SELECT * FROM (
+        |  SELECT doc_id, dl, tf0, tf1, tf2,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |      * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+        |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |      * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+        |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |      * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+        |    AS bm25
+        |  FROM per_doc, stats)
+        |WHERE bm25 > 0""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =
     // streamed docs whose text (≡ sha2 digest, up to collisions) is

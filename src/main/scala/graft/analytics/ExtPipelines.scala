@@ -351,6 +351,14 @@ object ExtPipelines {
       .select("doc_id", "source", "quality")
   }
 
+  /** t19: BM25 relevance scores for a fixed query-term set over the
+    * documents table — see [[TextAnalysis.bm25]] for the two-scan /
+    * zero-corpus-shuffle shape and the integer-aggregate determinism
+    * argument. */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(spark, dir),
+      Seq("spark", "vector", "stream"))
+
   // ---- similarity ----
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =

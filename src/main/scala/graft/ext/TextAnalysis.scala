@@ -165,4 +165,58 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i + 1, lit(k))))
     array_min(transform(windows, w => pmod(xxhash64(w), lit(2147483647L))))
   }
+
+  /** BM25 relevance scores for a fixed query-term set — the ranking
+    * function behind corpus search / retrieval-quality filtering.
+    * Returns `(idCol, dl, tf0..tfi, bm25)` for every document matching
+    * at least one term.
+    *
+    * Two corpus scans, zero corpus shuffle — the shape that holds at
+    * 100 TB:
+    *  1. per-row [[graft.functions.TextExpressions.termFreqs]] (one
+    *     native pass: token count `dl` + exact per-term counts), then
+    *     ONE single-row all-integer aggregate (N, Σdl, per-term doc
+    *     frequencies) — partials combine map-side, the exchange carries
+    *     one tiny row per task;
+    *  2. that row rides a broadcast back over the corpus and the BM25
+    *     doubles are a fixed-order per-row expression.
+    * Keeping every AGGREGATE integer is what makes the result
+    * hash-reproducible: float math happens only per-row, in one
+    * deterministic association order, mirrored token-for-token by the
+    * DuckDB oracle (same ln / same literal arithmetic → identical
+    * doubles, compared at 1e-9).
+    *
+    * Formula (BM25+-style non-negative idf):
+    * `Σ_i ln(1 + (N - df_i + 0.5)/(df_i + 0.5)) · tf_i(k1+1) /
+    *  (tf_i + k1(1 - b + b·dl·N/Σdl))`. */
+  def bm25(df: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    graft.functions.TextExpressions.registerTermFreqs(df.sparkSession)
+    val tfNames = terms.indices.map(i => s"tf$i")
+    val perDoc = df
+      .select(col(idCol),
+        graft.functions.TextExpressions.termFreqs(col(textCol), terms).as("_s"))
+      .select(col(idCol) +: col("_s.dl").as("dl") +:
+        terms.indices.map(i => col("_s.tf").getItem(i).as(s"tf$i")): _*)
+    val statAggs = sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    // score expression: one fixed left-to-right sum over the terms; the
+    // oracle SQL spells the identical tree, so the doubles match bitwise
+    val nD = col("n_docs").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val dfc = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") * nD / col("sum_dl").cast("double")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol) +: col("dl") +: tfNames.map(col) :+ score.as("bm25"): _*)
+      .filter(col("bm25") > 0)
+  }
 }

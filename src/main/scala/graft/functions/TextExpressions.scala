@@ -361,6 +361,95 @@ case class RemoveSpans(toks: Expression, starts: Expression,
     copy(toks = newFirst, starts = newSecond, window = newThird)
 }
 
+/** Single-pass document-length + term-frequency scan for a small fixed
+  * term set: `(text, array<string> terms)` →
+  * `struct(dl: bigint, tf: array<bigint>)` where `dl` is the
+  * single-space token count (the `string_split(text, ' ')` convention
+  * every text oracle here uses, empty tokens included) and `tf(i)` the
+  * exact occurrence count of `terms(i)` — the per-document integers
+  * BM25 needs ([[graft.ext.TextAnalysis.bm25]]).
+  *
+  * Native for the same reason as [[RepeatStats]]: the declarative
+  * equivalent is one `size(filter(split(text,' '), t -> t = term))` HOF
+  * per term — |terms| interpreted expression-tree walks per element,
+  * plus the split allocation. Here the text is tokenized ONCE by
+  * scanning its UTF-8 bytes for 0x20 (no regex, single-byte delimiter
+  * ⇒ no multi-byte false hits), and each token is compared against the
+  * term byte-arrays in place — zero string allocation per row. Term
+  * counts stay exact integers so the BM25 doubles derived from them
+  * are bit-reproducible against the SQL oracle.
+  */
+case class TermFreqs(child: Expression, terms: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = terms
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, terms.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if terms.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable array<string>), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("tf", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def prettyName: String = "graft_term_freqs"
+
+  override def nullSafeEval(v: Any, tv: Any): Any = {
+    val text = v.asInstanceOf[UTF8String]
+    val ta = tv.asInstanceOf[ArrayData]
+    val k = ta.numElements()
+    val terms = new Array[UTF8String](k)
+    var i = 0
+    while (i < k) {
+      val t = ta.getUTF8String(i)
+      terms(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    val termBytes = terms.map(_.getBytes)
+    val tf = new Array[Long](k)
+    val bytes = text.getBytes
+    val n = bytes.length
+    var dl = 1L // m delimiters => m+1 tokens, like string_split
+    var start = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || bytes(pos) == ' ') {
+        val tokLen = pos - start
+        var j = 0
+        while (j < k) {
+          val tb = termBytes(j)
+          if (tb.length == tokLen) {
+            var eq = true
+            var b = 0
+            while (eq && b < tokLen) {
+              if (bytes(start + b) != tb(b)) eq = false
+              b += 1
+            }
+            if (eq) tf(j) += 1
+          }
+          j += 1
+        }
+        if (pos < n) dl += 1
+        start = pos + 1
+      }
+      pos += 1
+    }
+    new GenericInternalRow(Array[Any](dl,
+      ArrayData.toArrayData(tf)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, terms = newRight)
+}
+
 object TextExpressions {
 
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
@@ -421,4 +510,17 @@ object TextExpressions {
   /** Span-removal rebuild (requires [[registerRemoveSpans]]). */
   def removeSpans(toks: Column, starts: Column, window: Int): Column =
     call_function("graft_remove_spans", toks, starts, lit(window))
+
+  /** Register `graft_term_freqs`. Idempotent. */
+  def registerTermFreqs(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_term_freqs",
+        exprs => TermFreqs(exprs(0), exprs(1)), "built-in")
+
+  /** struct(dl, tf) one-pass length + term counts (requires
+    * [[registerTermFreqs]]). */
+  def termFreqs(text: Column, terms: Seq[String]): Column =
+    call_function("graft_term_freqs", text,
+      org.apache.spark.sql.functions.array(terms.map(lit): _*))
 }

@@ -654,4 +654,64 @@ class ExtSpec extends SparkSpec {
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
     assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
   }
+
+  test("TermFreqs: one-pass dl/tf matches hand counts and the HOF recompute") {
+    import spark.implicits._
+    graft.functions.TextExpressions.registerTermFreqs(spark)
+    val terms = Seq("spark", "vector", "stream")
+    val tiny = Seq(
+      (1L, "spark spark stream a"), // adjacent duplicates
+      (2L, ""),                     // string_split('') = [''] => dl 1
+      (3L, "a  spark b"),           // double space => empty token counts
+      (4L, "vector")).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"),
+        graft.functions.TextExpressions.termFreqs(col("text"), terms).as("s"))
+      .select(col("doc_id"), col("s.dl").as("dl"), col("s.tf").as("tf"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(got(1L) == ((4L, List(2L, 0L, 1L))))
+    assert(got(2L) == ((1L, List(0L, 0L, 0L))))
+    assert(got(3L) == ((4L, List(1L, 0L, 0L))))
+    assert(got(4L) == ((1L, List(0L, 1L, 0L))))
+    // property on the real corpus: the native pass ≡ the declarative
+    // split + per-term HOF filter it replaces
+    val native = docs.select(col("doc_id"),
+        graft.functions.TextExpressions.termFreqs(col("text"), terms).as("s"))
+      .select(col("doc_id"), col("s.dl").as("dl"), col("s.tf").as("tf"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    val hof = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        array(terms.map(t =>
+          size(filter(split(col("text"), " "), x => x === lit(t))).cast("long")): _*).as("tf"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(native == hof)
+  }
+
+  test("bm25 matches a driver-side recompute; only term-matching docs kept") {
+    val terms = Seq("spark", "vector", "stream")
+    val k1 = 1.2; val b = 0.75
+    val got = TextAnalysis.bm25(docs, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("bm25"))).toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = rows.length.toDouble
+    val sumDl = rows.map(_._2.length.toLong).sum.toDouble
+    val dfs = terms.map(t => rows.count(_._2.contains(t)).toDouble)
+    val expected = rows.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      id -> terms.zipWithIndex.map { case (t, i) =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5))
+        idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl * n / sumDl))
+      }.sum
+    }.filter(_._2 > 0).toMap
+    assert(got.keySet == expected.keySet,
+      s"kept sets differ: ${(got.keySet diff expected.keySet).take(5)} / " +
+      s"${(expected.keySet diff got.keySet).take(5)}")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-9, s"doc $id: $s vs ${expected(id)}")
+    }
+  }
 }

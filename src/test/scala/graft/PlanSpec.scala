@@ -172,6 +172,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t19: BM25 never shuffles the corpus — integer stats ride a broadcast back") {
+    val p = plan(graft.analytics.ExtPipelines.bm25Scores(spark, sf()))
+    // the ONLY exchange is the single-row stats aggregate (partials
+    // combine map-side); the corpus itself is scanned twice, shuffled never
+    assert(!p.contains("Exchange hashpartitioning"), s"corpus shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats × corpus
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("v5: the filtered-ANN label predicate reaches the parquet scan") {
     val p = plan(graft.analytics.ExtPipelines.filteredCosineTopK(spark, sf()))
     assert(p.contains("IsNotNull(label)") && p.contains("LessThan(label,5)"),
