@@ -71,7 +71,8 @@ object Bench {
     "v6_knn_graph",
     "v7_knn_graph_clustered",
     "m4_media_neardup",
-    "t19_bm25")
+    "t19_bm25",
+    "x17_bloom_ingest")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

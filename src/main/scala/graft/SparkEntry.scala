@@ -65,6 +65,8 @@ object SparkEntry {
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
     "x16_incremental_ingest" -> (ExtPipelines.incrementalIngest _),
+    "x17_bloom_ingest" -> (ExtPipelines.bloomIngest _),
+    "x17b_bloom_ingest_bounded" -> (ExtPipelines.bloomIngestBounded _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
@@ -371,6 +373,28 @@ object SparkEntry {
         |SELECT ted.doc_id FROM ted
         |LEFT JOIN dropped d ON ted.doc_id = d.doc_id
         |WHERE d.doc_id IS NULL""".stripMargin,
+
+    // x17 itself is rows-only (the sketch's bit positions are
+    // xxhash64-engine-specific); x17b pins its contract the v3b way:
+    // a Bloom filter never misses a present key, so n_dups_admitted
+    // must be 0; n_exact is the join-based admitted count the oracle
+    // recomputes independently; excess_ok asserts the false-positive
+    // rejections stay within max(5, 1% of batch).
+    "x17b_bloom_ingest_bounded" ->
+      """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |trd AS (SELECT DISTINCT text FROM b WHERE bucket < 52428),
+        |ted AS (SELECT doc_id, text FROM b WHERE bucket >= 52428),
+        |ex AS (SELECT ted.doc_id FROM ted LEFT JOIN trd ON ted.text = trd.text
+        |       WHERE trd.text IS NULL)
+        |SELECT CAST(0 AS BIGINT) AS n_dups_admitted,
+        |       (SELECT count(*) FROM ex) AS n_exact,
+        |       TRUE AS excess_ok""".stripMargin,
 
     // the composite pipeline: dedup keep-first → t7 split → x10
     // decontamination (train side) → t2 quality ≥ 0.5. CTEs mirror the

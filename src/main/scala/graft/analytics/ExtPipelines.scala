@@ -90,6 +90,48 @@ object ExtPipelines {
       n = 3, minShared = 5, maxShingleDf = Some(100))
   }
 
+  /** x17: sketch-based incremental ingest at x16's split — the same
+    * corpus/batch framing, with the corpus membership test served by a
+    * broadcast Bloom filter instead of a join
+    * ([[graft.ext.Dedup.bloomIngest]]). Engine-specific bit positions
+    * ⇒ rows-only driver check; x17b is the oracle-checked bound. */
+  def bloomIngest(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.ext.DataSplit.withSplit(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    Dedup.bloomIngest(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"))
+  }
+
+  /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
+    * row of facts an SQL oracle can recompute or assert:
+    * `n_dups_admitted` (bloom admitted a true corpus duplicate — must
+    * be 0: Bloom filters have no false negatives), `n_exact` (the
+    * join-based admitted count, recomputed independently by the
+    * oracle), and `excess_ok` (false-positive rejections within
+    * max(5, 1% of batch) — ≈23σ above the 0.13 % configured rate). */
+  def bloomIngestBounded(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.ext.DataSplit.withSplit(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    val corpus = split.filter(col("split") === "train")
+    val batch = split.filter(col("split") === "test")
+    val admitted = Dedup.bloomIngest(corpus, batch)
+    val exact = batch
+      .select(col("doc_id"), sha2(col("text"), 256).as("_sha"))
+      .join(corpus.select(sha2(col("text"), 256).as("_sha")).distinct(),
+        Seq("_sha"), "left_anti")
+      .select("doc_id")
+    admitted.join(exact, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_dups_admitted"))
+      .crossJoin(admitted.agg(count(lit(1)).as("n_bloom")))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .select(col("n_dups_admitted"), col("n_exact"),
+        (col("n_exact") - col("n_bloom") <=
+          greatest(lit(5L), ceil(col("n_batch") * lit(0.01)).cast("long")))
+          .as("excess_ok"))
+  }
+
   /** v6: exact corpus kNN graph (every vector's top-3 cosine
     * neighbors) — the O(n²) oracle twin; v7 is the clustered path. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =

@@ -191,6 +191,53 @@ object Dedup {
         Seq(idCol), "left_anti")
   }
 
+  /** Sketch-based incremental ingest: admit the batch documents whose
+    * text is definitely NOT in the standing corpus, tested against a
+    * Bloom filter of the corpus instead of a join
+    * ([[incrementalIngest]]'s exact-dup stage re-expressed as a
+    * broadcast sketch — the shape that wins when the corpus is 100 TB
+    * and the daily batch is not: the corpus is scanned once into a
+    * mergeable `numBits/8`-byte bitset ([[graft.functions
+    * .BloomAggregator]]), which can be persisted and OR-merged across
+    * days, and each batch probes it with pure per-row arithmetic —
+    * codegen'd `pmod`/`shiftright`/`getbit` over the broadcast words,
+    * zero joins against the corpus).
+    *
+    * Bloom error is one-sided in exactly the direction ingest needs:
+    * no false negatives, so NO true duplicate is ever admitted; a
+    * false positive rejects a clean document at ≈0.13 % (16 bits/key,
+    * 5 hashes). The probe spells `floorMod(h1 + i·h2, numBits)` with
+    * the same Java long semantics as the build side, so build and
+    * probe agree bit-for-bit. `corpus.count()` sizes the filter — one
+    * count job here; table metadata at real scale. */
+  def bloomIngest(corpus: DataFrame, batch: DataFrame, bitsPerKey: Int = 16,
+      numHashes: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val n = math.max(corpus.count(), 1L)
+    require(n * bitsPerKey < Int.MaxValue.toLong,
+      s"single-slice bloom over $n keys: partition the key space instead")
+    val numBits = (((n * bitsPerKey + 63L) / 64L) * 64L).toInt
+    def hashed(d: DataFrame) = d.select(col(idCol),
+      xxhash64(col(textCol)).as("_h1"),
+      // seed chaining: hashing (text, const) yields a second
+      // independent-enough stream for Kirsch-Mitzenmacher
+      xxhash64(col(textCol), lit(0x9E3779B9L)).as("_h2"))
+    val bloomAgg = udaf(new graft.functions.BloomAggregator(numBits, numHashes))
+    val bloom = hashed(corpus).agg(bloomAgg(col("_h1"), col("_h2")).as("_bloom"))
+    // mod-reduce the hashes BEFORE combining, mirroring the build side
+    // bit-for-bit — the raw h1 + i·h2 wrap-around would trip ANSI
+    // overflow checking; the reduced sum is ≤ numHashes·numBits
+    val contained = (0 until numHashes).map { i =>
+      val pos = pmod(pmod(col("_h1"), lit(numBits.toLong)) +
+        lit(i.toLong) * pmod(col("_h2"), lit(numBits.toLong)), lit(numBits.toLong))
+      val word = element_at(col("_bloom"), shiftright(pos, 6).cast("int") + lit(1))
+      call_function("getbit", word, pmod(pos, lit(64L)).cast("int")) === lit(1)
+    }.reduce(_ && _)
+    hashed(batch).crossJoin(broadcast(bloom))
+      .filter(!contained)
+      .select(col(idCol))
+  }
+
   /** Sub-document exact dedup (RefinedWeb-style line dedup, adapted to
     * the single-line corpus): split each doc into fixed `segWords`-word
     * segments, drop every segment that occurs in more than `maxDf`

@@ -655,6 +655,50 @@ class ExtSpec extends SparkSpec {
     assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
   }
 
+  test("bloom ingest: planted dups always rejected; subset of exact; bounded excess") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta"), (11L, "gamma delta"),
+      (12L, "fresh doc one"), (13L, "another new doc"),
+      (14L, "epsilon zeta")).toDF("doc_id", "text")
+    val admitted = Dedup.bloomIngest(corpus, batch)
+      .collect().map(_.getLong(0)).toSet
+    // one-sided error: a text present in the corpus can NEVER be admitted
+    assert((admitted intersect Set(10L, 11L, 14L)).isEmpty, admitted)
+    assert(admitted.subsetOf(Set(12L, 13L)), admitted)
+
+    // real corpus at the x16/x17 split: bloom-admitted ⊆ join-admitted
+    // and the false-positive excess is within the x17b bound
+    val split = graft.ext.DataSplit.withSplit(
+      docs.select("doc_id", "text"), "doc_id")
+    val corpus2 = split.filter(col("split") === "train")
+    val batch2 = split.filter(col("split") === "test")
+    val bloomAdm = Dedup.bloomIngest(corpus2, batch2)
+      .collect().map(_.getLong(0)).toSet
+    val exactAdm = batch2.select(col("doc_id"), sha2(col("text"), 256).as("s"))
+      .join(corpus2.select(sha2(col("text"), 256).as("s")).distinct(),
+        Seq("s"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomAdm.subsetOf(exactAdm),
+      s"bloom admitted a true dup: ${(bloomAdm diff exactAdm).take(5)}")
+    val bound = math.max(5L, batch2.count() / 100)
+    assert(exactAdm.size - bloomAdm.size <= bound,
+      s"excess rejections ${exactAdm.size - bloomAdm.size} > $bound")
+  }
+
+  test("bloom sketch is partitioning-invariant (merge = OR is lossless)") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text").limit(100)
+    val batch = docs.select("doc_id", "text").limit(300)
+    val one = Dedup.bloomIngest(corpus.repartition(1), batch)
+      .collect().map(_.getLong(0)).toSet
+    val many = Dedup.bloomIngest(corpus.repartition(7), batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == many,
+      s"partitioning changed the sketch: ${(one diff many) ++ (many diff one)}")
+  }
+
   test("TermFreqs: one-pass dl/tf matches hand counts and the HOF recompute") {
     import spark.implicits._
     graft.functions.TextExpressions.registerTermFreqs(spark)

@@ -182,6 +182,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x17: the batch probes a broadcast sketch — no join against the corpus") {
+    val p = plan(graft.analytics.ExtPipelines.bloomIngest(spark, sf()))
+    // the corpus contributes ONE sketch row (partials OR-merge
+    // map-side); the batch never shuffles and never equi-joins anything
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("v5: the filtered-ANN label predicate reaches the parquet scan") {
     val p = plan(graft.analytics.ExtPipelines.filteredCosineTopK(spark, sf()))
     assert(p.contains("IsNotNull(label)") && p.contains("LessThan(label,5)"),
