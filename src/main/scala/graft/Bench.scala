@@ -72,7 +72,8 @@ object Bench {
     "v7_knn_graph_clustered",
     "m4_media_neardup",
     "t19_bm25",
-    "x17_bloom_ingest")
+    "x17_bloom_ingest",
+    "v8_ann_pq_topk")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

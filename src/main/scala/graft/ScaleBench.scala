@@ -78,7 +78,10 @@ object ScaleBench {
     "x10_contamination",
     "v1_cosine_topk",
     "v2_ann_lsh_topk",
-    "s2_sessionize_batch")
+    "s2_sessionize_batch",
+    "t19_bm25",
+    "x17_bloom_ingest",
+    "v8_ann_pq_topk")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

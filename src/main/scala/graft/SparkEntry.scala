@@ -106,6 +106,8 @@ object SparkEntry {
     "t16_cluster_split" -> (ExtPipelines.clusterSplit _),
     "v3_ann_ivf_topk" -> (ExtPipelines.annIvfTopK _),
     "v3b_ivf_recall_bounded" -> (ExtPipelines.annIvfRecallBounded _),
+    "v8_ann_pq_topk" -> (ExtPipelines.annPqTopK _),
+    "v8b_pq_recall_bounded" -> (ExtPipelines.annPqRecallBounded _),
     "v6_knn_graph" -> (ExtPipelines.knnGraph _),
     "v7_knn_graph_clustered" -> (ExtPipelines.knnGraphClustered _),
     "v7b_knn_recall_bounded" -> (ExtPipelines.knnRecallBounded _),
@@ -850,6 +852,14 @@ object SparkEntry {
         |       TRUE AS fp_ok
         |FROM documents""".stripMargin,
     "v3b_ivf_recall_bounded" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v8 (PQ ANN) is rows-only: the packed codes depend on trained
+    // codebooks no SQL can recompute. ExtSpec pins the defining
+    // property instead (exact top-k within the ADC candidate set,
+    // mirrored driver-side bit-for-bit); v8b is the recall floor.
+    "v8b_pq_recall_bounded" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

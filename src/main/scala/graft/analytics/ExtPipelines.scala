@@ -555,6 +555,35 @@ object ExtPipelines {
     * deliberately below the ~0.8 observed on these near-random test
     * embeddings (the IVF worst case — no cluster signal): the bound
     * catches breakage, the ExtSpec equality pin catches drift. */
+  /** v8: product-quantization ANN (packed one-long codes + ADC scan +
+    * exact re-rank) — the ~32× memory-scale path; see
+    * [[graft.ext.Similarity.pqTopK]]. Engine-specific (trained
+    * codebooks) ⇒ rows-only driver check; v8b bounds its recall. */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), k = 5)
+
+  /** v8b: recall@5 floor for v8 vs brute force, v3b-style — ≥ 2 of 5
+    * per query on RANDOM vectors (PQ's worst case: no cluster
+    * structure for the codebooks to exploit; real corpora do better).
+    * Spec-measured recall at the three SFs sits well above the
+    * floor. */
+  def annPqRecallBounded(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVecs(spark, dir)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.pqTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = pq.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)) >= 2).as("recall_ok"))
+  }
+
   def annIvfRecallBounded(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

@@ -349,6 +349,130 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** Train PQ codebooks: per subspace, Lloyd k-means (L2) over a
+    * bounded, deterministically-drawn sample — the FAISS practice:
+    * codebooks are trained on a sample and the training set size is
+    * independent of corpus size, so this driver-side step is
+    * metadata-scale like [[ivfCentroids]]'s collect. Deterministic
+    * end-to-end: md5-ordered sample, first-k init, lowest-index tie
+    * break, empty clusters keep their previous centroid.
+    *
+    * @return codebook flattened `[subspace][centroid][dim]`, doubles
+    *         (the LUT math stays in double, the [[CosineSim]]
+    *         convention). */
+  private[graft] def pqTrain(corpus: DataFrame, trainSample: Int,
+      numSub: Int, numCents: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Double] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = corpus
+      .select(col(vecCol).cast("array<float>"), col(idCol).cast("long"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(trainSample)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val dsub = dim / numSub
+    val out = new Array[Double](numSub * numCents * dsub)
+    var s = 0
+    while (s < numSub) {
+      val pts = sample.map { v =>
+        val p = new Array[Double](dsub)
+        var d = 0
+        while (d < dsub) { p(d) = v(s * dsub + d).toDouble; d += 1 }
+        p
+      }
+      val cents = Array.tabulate(numCents)(c => pts(c % pts.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(numCents)(new Array[Double](dsub))
+        val counts = new Array[Long](numCents)
+        pts.foreach { p =>
+          var best = Double.MaxValue; var bc = 0; var c = 0
+          while (c < numCents) {
+            var dist = 0.0; var d = 0
+            while (d < dsub) { val df = p(d) - cents(c)(d); dist += df * df; d += 1 }
+            if (dist < best) { best = dist; bc = c }
+            c += 1
+          }
+          var d = 0
+          while (d < dsub) { sums(bc)(d) += p(d); d += 1 }
+          counts(bc) += 1
+        }
+        var c = 0
+        while (c < numCents) {
+          if (counts(c) > 0) {
+            var d = 0
+            while (d < dsub) { cents(c)(d) = sums(c)(d) / counts(c); d += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      var c = 0
+      while (c < numCents) {
+        System.arraycopy(cents(c), 0, out, (s * numCents + c) * dsub, dsub)
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Product-quantization ANN with exact re-rank — the memory-scale
+    * end of the family ([[bruteForceTopK]] exact → [[quantizedTopK]]
+    * int8 4× → this, 8-bit-codes ~32×): each corpus vector is packed
+    * into ONE long of per-subspace centroid indices plus its true
+    * norm, so the searchable index is (id, code, norm) = 24
+    * bytes/vector and the hot scan reads NO vector floats at all —
+    * per (query, neighbor) pair the ADC kernel does `numSub` lookup
+    * adds into the query's broadcast table ([[graft.functions
+    * .AdcDot]]). The approximate top k·overFetch then re-rank exactly
+    * against the full-precision vectors, v4-style, so precision is
+    * exact and only RECALL is approximate (certified by v8b's floor;
+    * random vectors are PQ's worst case — real corpora cluster and
+    * recall rises). Codebooks: [[pqTrain]] (driver, bounded sample);
+    * they ride the plan as a small foldable literal, the queries ride
+    * a broadcast — the corpus never shuffles. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      numSub: Int = 8, numCents: Int = 256, overFetch: Int = 8,
+      trainSample: Int = 2048, iters: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    graft.functions.PqExpressions.register(corpus.sparkSession)
+    val cbLit = typedLit(
+      pqTrain(corpus, trainSample, numSub, numCents, iters, vecCol, idCol).toSeq)
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+        graft.functions.PqExpressions.pqEncode(
+          col(vecCol).cast("array<float>"), cbLit, numSub, numCents).as("_e"))
+      .select(col("neighbor_id"), col("_e.code").as("code"),
+        col("_e.norm").as("norm"))
+    val ql = queries.select(col(idCol).as("query_id"),
+        graft.functions.PqExpressions.pqLut(
+          col(vecCol).cast("array<float>"), cbLit, numSub, numCents).as("_l"))
+      .select(col("query_id"), col("_l.lut").as("lut"),
+        col("_l.qnorm").as("qnorm"))
+    val approx = enc.crossJoin(broadcast(ql))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qnorm") === 0.0 || col("norm") === 0.0, lit(0.0))
+          .otherwise(graft.functions.PqExpressions.adcDot(
+            col("code"), col("lut"), numSub, numCents) /
+            (col("qnorm") * col("norm"))).as("cos"))
+    val cand = topKPerQuery(approx, k * overFetch)
+      .select("query_id", "neighbor_id")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val exact = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
   /** Exact corpus kNN graph: top-k cosine neighbors for EVERY corpus
     * vector — the building block for graph clustering, diversity
     * pruning, and near-dup audit. This is [[bruteForceTopK]] with the

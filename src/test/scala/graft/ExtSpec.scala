@@ -452,6 +452,83 @@ class ExtSpec extends SparkSpec {
     assert(assigned.select("list_id").distinct().count() >= 2) // quantizer actually splits
   }
 
+  test("PQ top-k is the exact top-k within its ADC candidate set; recall floored") {
+    val k = 5; val numSub = 8; val numCents = 256; val overFetch = 8
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.pqTopK(emb, queries, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // driver-side mirror of the whole PQ pipeline, bit-for-bit: same
+    // codebooks (pqTrain is deterministic), same double math in the
+    // same order as the PqEncode/PqLut/AdcDot kernels
+    val cb = Similarity.pqTrain(emb, 2048, numSub, numCents, 5)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecs.values.head.length
+    val dsub = dim / numSub
+    val bits = 32 - java.lang.Integer.numberOfLeadingZeros(numCents - 1)
+    val mask = (1L << bits) - 1L
+    def encode(v: Array[Float]): (Long, Double) = {
+      var code = 0L
+      var s = 0
+      while (s < numSub) {
+        var best = Double.MaxValue; var bc = 0; var c = 0
+        while (c < numCents) {
+          val base = (s * numCents + c) * dsub
+          var dist = 0.0; var d = 0
+          while (d < dsub) {
+            val diff = v(s * dsub + d).toDouble - cb(base + d); dist += diff * diff; d += 1
+          }
+          if (dist < best) { best = dist; bc = c }
+          c += 1
+        }
+        code |= bc.toLong << (s * bits)
+        s += 1
+      }
+      (code, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+    }
+    def lut(q: Array[Float]): (Array[Double], Double) = {
+      val t = new Array[Double](numSub * numCents)
+      for (s <- 0 until numSub; c <- 0 until numCents) {
+        val base = (s * numCents + c) * dsub
+        var dot = 0.0; var d = 0
+        while (d < dsub) { dot += q(s * dsub + d).toDouble * cb(base + d); d += 1 }
+        t(s * numCents + c) = dot
+      }
+      (t, math.sqrt(q.map(x => x.toDouble * x.toDouble).sum))
+    }
+    def cosExact(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val codes = vecs.map { case (id, v) => id -> encode(v) }
+    val qids = vecs.keys.filter(_ < 10).toSeq.sorted
+    val expected = qids.flatMap { qid =>
+      val (t, qn) = lut(vecs(qid))
+      val approx = codes.toSeq.filter(_._1 != qid).map { case (id, (code, nrm)) =>
+        val adc = (0 until numSub).map(s =>
+          t(s * numCents + ((code >>> (s * bits)) & mask).toInt)).sum
+        (id, if (qn == 0.0 || nrm == 0.0) 0.0 else adc / (qn * nrm))
+      }
+      val cand = approx.sortBy { case (id, c) => (-c, id) }.take(k * overFetch).map(_._1)
+      cand.map(id => (id, cosExact(vecs(qid), vecs(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(k).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(got == expected, "PQ result must equal the driver-mirrored pipeline")
+
+    // recall floor vs brute force (random vectors — PQ's worst case)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect got.map(t => (t._1, t._2))).size.toDouble / bf.size
+    info(f"PQ recall@5 = $recall%.2f")
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
   test("embedding LSH near-dup pairs match brute force exactly (multiprobe)") {
     val exact = Dedup.embeddingNearDups(emb, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
