@@ -73,7 +73,9 @@ object Bench {
     "m4_media_neardup",
     "t19_bm25",
     "x17_bloom_ingest",
-    "v8_ann_pq_topk")
+    "v8_ann_pq_topk",
+    "t20_lm_coverage",
+    "t21_importance_ratio")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -94,6 +94,8 @@ object SparkEntry {
     "t17_shuffled_shards" -> (ExtPipelines.shuffledShards _),
     "t18_quality_gate_adaptive" -> (ExtPipelines.qualityGateAdaptive _),
     "t19_bm25" -> (ExtPipelines.bm25Scores _),
+    "t20_lm_coverage" -> (ExtPipelines.lmCoverage _),
+    "t21_importance_ratio" -> (ExtPipelines.importanceRatio _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "s7_stream_profile" -> (ExtPipelines.streamProfile _),
     "s8_stream_quality_gate" -> (ExtPipelines.streamQualityGate _),
     "s9_stream_ingest_dedup" -> (ExtPipelines.streamIngestDedup _),
+    "s10_stream_sliding_totals" -> (ExtPipelines.streamSlidingTotals _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -265,6 +268,18 @@ object SparkEntry {
          |FROM base
          |WHERE user_id <> 0 AND Type <> 'Error'
          |GROUP BY 1, 2""".stripMargin,
+
+    // s10: each event lands in exactly two sliding windows (duration 2d,
+    // slide 1d, epoch-aligned like Spark's window()); integer cents keep
+    // the sum exact under any merge order
+    "s10_stream_sliding_totals" ->
+      s"""$baseCte
+         |SELECT strftime(date_trunc('day', ts) - o * INTERVAL 1 DAY, '%Y-%m-%d') AS win_start,
+         |       strftime(date_trunc('day', ts) - o * INTERVAL 1 DAY + 2 * INTERVAL 1 DAY, '%Y-%m-%d') AS win_end,
+         |       Type, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+         |FROM base, (SELECT unnest([0, 1]) AS o)
+         |WHERE user_id <> 0 AND Type <> 'Error'
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "s2_sessionize_batch" -> sessionizeOracle,
     "s3_sessionize_stream" -> sessionizeOracle,
@@ -1007,6 +1022,54 @@ object SparkEntry {
         |    AS bm25
         |  FROM per_doc, stats)
         |WHERE bm25 > 0""".stripMargin,
+
+    // t20: LM-coverage quality filter — all cross-row aggregates are
+    // exact integers (bigram counts / known masses); coverage and
+    // familiarity are per-row finishing doubles spelled in the same IEEE
+    // order as the Spark tree (t19's precedent)
+    "t20_lm_coverage" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |db AS (SELECT doc_id, lang,
+        |         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |       FROM t WHERE len(w) >= 2),
+        |lm AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM db
+        |       WHERE lang = 'en' GROUP BY b HAVING count(*) >= 2),
+        |agg AS (SELECT d.doc_id,
+        |          CAST(count(*) AS BIGINT) AS n_bigrams,
+        |          CAST(sum(CASE WHEN lm.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+        |          CAST(COALESCE(sum(lm.c), 0) AS BIGINT) AS known_mass
+        |        FROM db d LEFT JOIN lm ON d.b = lm.b GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_known, known_mass,
+        |  CAST(n_known AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS coverage,
+        |  ln(1.0 + CAST(known_mass AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS familiarity,
+        |  n_known * 5 >= n_bigrams * 3 AS keep
+        |FROM agg""".stripMargin,
+
+    // t21: DSIR importance selection — the feature id reproduces
+    // DataSplit.bucket's md5-hex rule (t7's oracle arithmetic); the
+    // ratio is one exactly-rounded division of exact integer masses, so
+    // ORDER BY ratio is engine-portable; doc_id breaks all ties
+    "t21_importance_ratio" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |db AS (SELECT doc_id, lang,
+        |         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |       FROM t WHERE len(w) >= 2),
+        |f AS (SELECT doc_id, lang,
+        |        ((strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(md5(b), 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(md5(b), 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(b), 4, 1)) - 1)) AS feat
+        |      FROM db),
+        |lm AS (SELECT feat, CAST(count(*) AS BIGINT) AS c_s,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        |       FROM f GROUP BY 1),
+        |agg AS (SELECT f.doc_id,
+        |          CAST(sum(lm.c_t) AS BIGINT) AS target_mass,
+        |          CAST(sum(lm.c_s) AS BIGINT) AS source_mass
+        |        FROM f JOIN lm USING (feat) GROUP BY 1)
+        |SELECT doc_id, target_mass, source_mass,
+        |  (CAST(target_mass AS DOUBLE) + 1.0) / (CAST(source_mass AS DOUBLE) + 1.0) AS ratio
+        |FROM agg ORDER BY ratio DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =
     // streamed docs whose text (≡ sha2 digest, up to collisions) is

@@ -401,6 +401,18 @@ object ExtPipelines {
     TextAnalysis.bm25(Tables.documents(spark, dir),
       Seq("spark", "vector", "stream"))
 
+  /** t20: CCNet-style LM quality filter — bigram-LM coverage against the
+    * `en` target subset; see [[graft.ext.LmQuality.lmCoverage]] for the
+    * broadcast-LM / integer-mass shape. */
+  def lmCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.LmQuality.lmCoverage(Tables.documents(spark, dir))
+
+  /** t21: DSIR-style importance-weighted selection — hashed-feature
+    * target/source mass ratio, top-100; see
+    * [[graft.ext.LmQuality.importanceRatio]]. */
+  def importanceRatio(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.LmQuality.importanceRatio(Tables.documents(spark, dir))
+
   // ---- similarity ----
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =
@@ -440,6 +452,13 @@ object ExtPipelines {
   def streamDailyTotals(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.runToBatch(spark,
       graft.streaming.Streaming.dailyCategoryTotals(
+        graft.streaming.Streaming.eventsStream(spark, dir)))
+
+  /** Sliding 2-day/1-day windowed totals (overlapping windows — s1's
+    * tumbling form can't express a trailing-48h view). */
+  def streamSlidingTotals(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.slidingCategoryTotals(
         graft.streaming.Streaming.eventsStream(spark, dir)))
 
   /** Streaming flagship (Complete mode, per-user state) — same oracle as

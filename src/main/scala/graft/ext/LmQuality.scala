@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Language-model-based corpus selection — the CCNet / DSIR stage of an
+  * LLM data pipeline: score every document against a reference ("target")
+  * corpus distribution and keep what looks like the target.
+  *
+  * Two operators, two LM representations, one scale discipline each:
+  *
+  *  - [[lmCoverage]] (t20) keys the LM on explicit bigram STRINGS with a
+  *    min-count floor — the vocabulary-pruned LM that a CCNet-style
+  *    quality filter broadcasts (min-count bounds the table regardless
+  *    of corpus size; raise it as the corpus grows).
+  *  - [[importanceRatio]] (t21) hashes bigrams into a FIXED 65536-bucket
+  *    feature space (DSIR's hashed n-gram features) — the LM is
+  *    fixed-size by construction, so it broadcasts at ANY corpus scale
+  *    with zero tuning.
+  *
+  * Both follow the repo's determinism discipline (see `Viewing`): every
+  * cross-row aggregate is an exact integer; doubles appear only in
+  * per-row finishing expressions whose IEEE operation sequence the
+  * DuckDB oracle spells identically.
+  */
+object LmQuality {
+
+  /** Per-doc exploded bigrams with the doc's language tag. Uses the
+    * native codegen'd n-gram expression (no HOF allocation per row);
+    * docs with fewer than two words carry no bigrams and drop out —
+    * mirrored by the oracle's `len(w) >= 2` guard. */
+  private def bigrams(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.registerNgrams(docs.sparkSession)
+    val toks = split(col(textCol), " ")
+    docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExpressions.ngrams(toks, 2)).as("b"))
+  }
+
+  /** t20 — CCNet-style LM quality filter, coverage form.
+    *
+    * Train a bigram "LM" on the target subset (`lang = 'en'`, min-count
+    * `minCount`), then score every document by how much of it the LM has
+    * seen: `coverage` = fraction of the doc's bigram tokens known to the
+    * LM, `familiarity` = ln(1 + mean LM count over the doc's bigrams),
+    * `keep` = coverage ≥ 60% (integer cross-multiplication, exact).
+    * CCNet ranks by LM perplexity; coverage/familiarity is the same
+    * signal computed from integer masses, which keeps the hash-compare
+    * oracle exact (a per-doc float log-prob SUM would be
+    * summation-order-dependent — banned here, see `Viewing`).
+    *
+    * Plan shape (PlanSpec-pinned): the LM aggregation is the only
+    * corpus-wide shuffle of strings, and it runs over the TARGET subset
+    * only; doc scoring is explode → broadcast hash join → partial-
+    * combined integer aggregation, shuffling (doc_id, 3 longs) — never
+    * text. At 100 TB: min-count (and a top-V cap if needed) bounds the
+    * broadcast; the target subset is curated and small by definition. */
+  def lmCoverage(docs: DataFrame, targetLang: String = "en",
+      minCount: Int = 2, textCol: String = "text"): DataFrame = {
+    val bg = bigrams(docs, textCol)
+    val lm = bg.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val agg = bg.join(broadcast(lm), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        coalesce(sum(col("c")), lit(0L)).as("known_mass"))
+    agg.select(col("doc_id"), col("n_bigrams"), col("n_known"),
+      col("known_mass"),
+      (col("n_known").cast("double") / col("n_bigrams").cast("double"))
+        .as("coverage"),
+      log(lit(1.0) + col("known_mass").cast("double") /
+        col("n_bigrams").cast("double")).as("familiarity"),
+      (col("n_known") * 5 >= col("n_bigrams") * 3).as("keep"))
+  }
+
+  /** Stable feature id in [0, 65536) from the md5 of the bigram — the
+    * same engine-portable hex→int rule as `DataSplit.bucket`, so the
+    * DuckDB oracle reproduces it digit by digit. */
+  private def feature(b: org.apache.spark.sql.Column) =
+    conv(substring(md5(b), 1, 4), 16, 10).cast("int")
+
+  /** t21 — DSIR-style importance weighting over hashed n-gram features.
+    *
+    * Features are bigrams hashed into 65536 buckets; one pass builds
+    * both LMs (source = whole corpus via `count(*)`, target = the
+    * `lang = 'en'` subset via a conditional sum — same rows, one
+    * shuffle). Each doc's importance is the ratio of its summed target
+    * mass to its summed source mass (add-one smoothed):
+    * `ratio = (target_mass + 1) / (source_mass + 1)` — the
+    * monotone-equivalent of DSIR's log-likelihood ratio, computed as ONE
+    * exactly-rounded IEEE division of two exact integers, so ordering by
+    * it is engine-portable. The top `topN` docs are the selected subset.
+    *
+    * Plan shape (PlanSpec-pinned): LM build shuffles ≤65536 (int, long,
+    * long) rows AFTER map-side combine; scoring is a broadcast join of
+    * that fixed-size table; selection is orderBy+limit — Spark plans
+    * TakeOrderedAndProject, each partition ships only its top `topN`,
+    * no global sort ever materializes. Nothing in the plan grows with
+    * corpus size except the two scans. */
+  def importanceRatio(docs: DataFrame, targetLang: String = "en",
+      topN: Int = 100, textCol: String = "text"): DataFrame = {
+    val feats = bigrams(docs, textCol)
+      .select(col("doc_id"), col("lang"), feature(col("b")).as("feat"))
+    val lm = feats.groupBy("feat").agg(
+      count(lit(1)).as("c_s"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+    val agg = feats.join(broadcast(lm), Seq("feat"))
+      .groupBy("doc_id")
+      .agg(sum(col("c_t")).as("target_mass"), sum(col("c_s")).as("source_mass"))
+    agg.select(col("doc_id"), col("target_mass"), col("source_mass"),
+      ((col("target_mass").cast("double") + lit(1.0)) /
+        (col("source_mass").cast("double") + lit(1.0))).as("ratio"))
+      .orderBy(col("ratio").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+}

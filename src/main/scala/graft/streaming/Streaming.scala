@@ -107,6 +107,24 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("Type"), col("value_cents"))
 
+  /** Sliding 2-day/1-day event-time windows over the categorized stream
+    * — the overlapping-window form of [[dailyCategoryTotals]] (each
+    * event lands in exactly two windows), the standard shape for
+    * trailing-48h dashboards that refresh daily. Slide divides duration,
+    * so Spark assigns windows by pure arithmetic (no window explosion
+    * beyond the fixed factor of 2); the watermark bounds state to the
+    * two open windows per key. Integer-cents aggregation keeps the
+    * batch≡stream oracle exact under any merge order. */
+  def slidingCategoryTotals(events: DataFrame): DataFrame =
+    Viewing.validRows(Viewing.categorize(events))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("Type"))
+      .agg(sum(Viewing.cents).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+        date_format(col("window.end"), "yyyy-MM-dd").as("win_end"),
+        col("Type"), col("value_cents"))
+
   /** Stream-static enrichment join: the stream side joins a broadcast
     * static dimension — stateless, and the stream never shuffles; the
     * standard pattern for attaching slowly-changing dimensions to a

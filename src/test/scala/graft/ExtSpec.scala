@@ -835,4 +835,65 @@ class ExtSpec extends SparkSpec {
       assert(math.abs(s - expected(id)) < 1e-9, s"doc $id: $s vs ${expected(id)}")
     }
   }
+
+  private def bigramsOf(toks: Seq[String]): Seq[String] =
+    toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+
+  test("t20: LM coverage matches a driver-side recompute of the bigram LM") {
+    val got = graft.ext.LmQuality.lmCoverage(docs).collect().map { r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_bigrams")), r.getLong(r.fieldIndex("n_known")),
+          r.getLong(r.fieldIndex("known_mass")), r.getDouble(r.fieldIndex("coverage")),
+          r.getDouble(r.fieldIndex("familiarity")), r.getBoolean(r.fieldIndex("keep"))))
+    }.toMap
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val lm = rows.filter(_._2 == "en").flatMap(r => bigramsOf(r._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val scored = rows.filter(_._3.length >= 2)
+    assert(got.keySet == scored.map(_._1).toSet)
+    scored.foreach { case (id, _, toks) =>
+      val bgs = bigramsOf(toks)
+      val nb = bgs.length.toLong
+      val nk = bgs.count(lm.contains).toLong
+      val mass = bgs.map(b => lm.getOrElse(b, 0L)).sum
+      val (gnb, gnk, gmass, cov, fam, keep) = got(id)
+      assert(gnb == nb && gnk == nk && gmass == mass, s"doc $id integer masses")
+      assert(math.abs(cov - nk.toDouble / nb) < 1e-12, s"doc $id coverage")
+      assert(math.abs(fam - math.log(1.0 + mass.toDouble / nb)) < 1e-12, s"doc $id familiarity")
+      assert(keep == (nk * 5 >= nb * 3), s"doc $id keep")
+    }
+  }
+
+  test("t21: importance selection is the exact global top-100 of the hashed-feature ratio") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feat(b: String): Int = {
+      val hex = md.digest(b.getBytes("UTF-8")).take(2)
+        .map(x => f"$x%02x").mkString
+      Integer.parseInt(hex, 16)
+    }
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+      .filter(_._3.length >= 2)
+    val feats = rows.map { case (id, lang, toks) =>
+      (id, lang, bigramsOf(toks).map(feat)) }
+    val cS = feats.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cT = feats.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = feats.map { case (id, _, fs) =>
+      val t = fs.map(f => cT.getOrElse(f, 0L)).sum
+      val s = fs.map(f => cS(f)).sum
+      (id, t, s, (t.toDouble + 1.0) / (s.toDouble + 1.0))
+    }.sortBy { case (id, _, _, r) => (-r, id) }.take(100)
+    val sel = graft.ext.LmQuality.importanceRatio(docs).collect().map { r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("target_mass")),
+        r.getLong(r.fieldIndex("source_mass")), r.getDouble(r.fieldIndex("ratio")))
+    }
+    assert(sel.length == expected.length)
+    sel.zip(expected).foreach { case ((gi, gt, gs, gr), (ei, et, es, er)) =>
+      assert(gi == ei && gt == et && gs == es, s"doc $gi vs $ei")
+      assert(gr == er, s"ratio must be bit-identical (one exact division): $gr vs $er")
+      assert(gt <= gs, "target subset mass cannot exceed source mass")
+    }
+  }
 }

@@ -182,6 +182,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t20: the pruned LM rides a broadcast; the corpus never sort-merges") {
+    val p = plan(graft.analytics.ExtPipelines.lmCoverage(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // integer masses combine map-side before the per-doc shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("t21: fixed-size feature LM broadcasts; top-100 is TakeOrdered, no global sort") {
+    val p = plan(graft.analytics.ExtPipelines.importanceRatio(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a materialized global sort would ship every row to sort:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x17: the batch probes a broadcast sketch — no join against the corpus") {
     val p = plan(graft.analytics.ExtPipelines.bloomIngest(spark, sf()))
     // the corpus contributes ONE sketch row (partials OR-merge

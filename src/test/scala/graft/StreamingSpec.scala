@@ -72,6 +72,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
   }
 
+  test("streaming sliding totals: every valid event lands in exactly two 2-day windows") {
+    val streamed = graft.analytics.ExtPipelines.streamSlidingTotals(spark, sf())
+    // independent batch twin: assign each event its two window starts by
+    // date arithmetic (no window() call), then aggregate
+    val base = graft.ops.Viewing.validRows(
+      graft.ops.Viewing.categorize(Tables.events(spark, sf())))
+    val day = col("ts").cast("date")
+    val batch = base
+      .select(col("ts"), col("Type"), graft.ops.Viewing.cents.as("cents"))
+      .withColumn("o", explode(array(lit(0), lit(1))))
+      .groupBy(
+        date_format(date_sub(day, col("o")), "yyyy-MM-dd").as("win_start"),
+        date_format(date_add(date_sub(day, col("o")), 2), "yyyy-MM-dd").as("win_end"),
+        col("Type"))
+      .agg(sum(col("cents")).as("value_cents"))
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+
   test("streaming ingest dedup admits exactly the batch-admitted set") {
     val streamed = graft.analytics.ExtPipelines
       .streamIngestDedup(spark, sf())
