@@ -81,7 +81,9 @@ object ScaleBench {
     "s2_sessionize_batch",
     "t19_bm25",
     "x17_bloom_ingest",
-    "v8_ann_pq_topk")
+    "v8_ann_pq_topk",
+    "t20_lm_coverage",
+    "t21_importance_ratio")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
