@@ -96,6 +96,8 @@ object SparkEntry {
     "t19_bm25" -> (ExtPipelines.bm25Scores _),
     "t20_lm_coverage" -> (ExtPipelines.lmCoverage _),
     "t21_importance_ratio" -> (ExtPipelines.importanceRatio _),
+    "t22_rag_chunks" -> (ExtPipelines.ragChunks _),
+    "t23_inverted_index" -> (ExtPipelines.invertedIndex _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -1070,6 +1072,42 @@ object SparkEntry {
         |SELECT doc_id, target_mass, source_mass,
         |  (CAST(target_mass AS DOUBLE) + 1.0) / (CAST(source_mass AS DOUBLE) + 1.0) AS ratio
         |FROM agg ORDER BY ratio DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // t22: RAG chunk grid — all-integer tiling (1 + ceil((n-64)/48)
+    // chunks, integer ceil via (n-64+47)//48), so both engines compute
+    // the identical grid; the chunk text is an exact token slice
+    "t22_rag_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |        CASE WHEN len(w) <= 64 THEN CAST(1 AS BIGINT)
+        |             ELSE (CAST(len(w) AS BIGINT) - 64 + 47) // 48 + 1 END AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, w, n, unnest(range(0, nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |  LEAST(64, n - chunk_id * 48) AS n_tok,
+        |  array_to_string(w[chunk_id*48 + 1 : chunk_id*48 + LEAST(64, n - chunk_id*48)], ' ')
+        |    AS chunk_text
+        |FROM e""".stripMargin,
+
+    // t23: positional inverted index — postings rendered in the same
+    // canonical order both sides (doc ascending, positions ascending),
+    // df/tf exact integers; the [2,500] band covers this corpus's whole
+    // vocabulary so every posting list is oracle-checked
+    "t23_inverted_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |        unnest([{'t': w[i], 'p': i - 1} for i in range(1, len(w) + 1)]) AS u
+        |      FROM t),
+        |tp AS (SELECT doc_id, u.t AS tok, CAST(u.p AS BIGINT) AS pos FROM p),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |          FROM (SELECT DISTINCT tok, doc_id FROM tp) GROUP BY tok
+        |          HAVING count(*) BETWEEN 2 AND 500),
+        |pd AS (SELECT tok, df, doc_id, CAST(count(*) AS BIGINT) AS cnt,
+        |         string_agg(pos, '|' ORDER BY pos) AS pl
+        |       FROM tp JOIN vocab USING (tok) GROUP BY 1, 2, 3)
+        |SELECT tok, df, CAST(sum(cnt) AS BIGINT) AS tf,
+        |  string_agg(doc_id || ':' || pl, ';' ORDER BY doc_id) AS postings
+        |FROM pd GROUP BY 1, 2""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =
     // streamed docs whose text (≡ sha2 digest, up to collisions) is

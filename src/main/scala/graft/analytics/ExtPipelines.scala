@@ -413,6 +413,21 @@ object ExtPipelines {
   def importanceRatio(spark: SparkSession, dir: String): DataFrame =
     graft.ext.LmQuality.importanceRatio(Tables.documents(spark, dir))
 
+  /** t22: fixed-size overlapping RAG chunking (64-token windows,
+    * stride 48) — see [[graft.ext.Retrieval.chunks]] for the zero-
+    * shuffle / stable-chunk-id shape. */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.chunks(Tables.documents(spark, dir))
+
+  /** t23: positional inverted index — the registered band [2, 500]
+    * spans this corpus's whole 31-token vocabulary so the oracle
+    * checks every posting list; the production mid-band defaults and
+    * the stopword-dropping broadcast shape live in
+    * [[graft.ext.Retrieval.invertedIndex]]. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.invertedIndex(Tables.documents(spark, dir),
+      minDf = 2, maxDf = 500)
+
   // ---- similarity ----
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =
