@@ -98,6 +98,9 @@ object SparkEntry {
     "t21_importance_ratio" -> (ExtPipelines.importanceRatio _),
     "t22_rag_chunks" -> (ExtPipelines.ragChunks _),
     "t23_inverted_index" -> (ExtPipelines.invertedIndex _),
+    "t24_novelty" -> (ExtPipelines.noveltyScores _),
+    "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
+    "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -1108,6 +1111,68 @@ object SparkEntry {
         |SELECT tok, df, CAST(sum(cnt) AS BIGINT) AS tf,
         |  string_agg(doc_id || ':' || pl, ';' ORDER BY doc_id) AS postings
         |FROM pd GROUP BY 1, 2""".stripMargin,
+
+    // t24: per-doc novelty — x3's shingle construction, integer
+    // shared-shingle counts, one finishing double (1 − shared/total)
+    // spelled in the Spark tree's IEEE order (division, subtraction)
+    "t24_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                               for i in range(1, len(w) - 1)])) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |dfs AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+        |agg AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |          CAST(sum(CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |        FROM sh JOIN dfs USING (s) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_shared,
+        |  1.0 - CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+        |FROM agg""".stripMargin,
+
+    // x18: source-pair overlap — jaccardOracle's arithmetic with the
+    // doc axis replaced by the source axis (distinct per source);
+    // disjoint pairs drop out on both sides (inner-join semantics)
+    "x18_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                 for i in range(1, len(w) - 1)]) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+        |            CAST(count(*) AS BIGINT) AS n_inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
+        |FROM inter JOIN sz x ON src_a = x.source JOIN sz y ON src_b = y.source""".stripMargin,
+
+    // v9: incremental IVF ingest — t7's md5-bucket split carves the
+    // standing index (80%) from the new batch (20%); seeds are x15's
+    // md5 draw but from the STANDING subset only; assignment is the
+    // x15 argmax (double cosine, lowest-seed-id tie-break) over the
+    // batch only — the delta a stored index appends
+    "v9_ivf_ingest" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings),
+        |b AS (SELECT vec_id, embedding,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |standing AS (SELECT vec_id, embedding FROM b WHERE bucket < 52428),
+        |batch AS (SELECT vec_id, embedding FROM b WHERE bucket >= 52428),
+        |seeds AS (SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |          FROM standing
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (SELECT e.vec_id, s.seed_id,
+        |             row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                               s.cvec) DESC,
+        |                        s.seed_id ASC) AS rk
+        |           FROM batch e CROSS JOIN seeds s)
+        |SELECT vec_id, seed_id AS list_id FROM assign WHERE rk = 1""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =
     // streamed docs whose text (≡ sha2 digest, up to collisions) is

@@ -428,10 +428,34 @@ object ExtPipelines {
     graft.ext.Retrieval.invertedIndex(Tables.documents(spark, dir),
       minDf = 2, maxDf = 500)
 
+  /** t24: per-document novelty — fraction of each doc's distinct
+    * shingles unseen anywhere else in the corpus; see
+    * [[graft.ext.Dedup.noveltyScores]] for the hash-only shuffle shape. */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.noveltyScores(Tables.documents(spark, dir))
+
+  /** x18: cross-source shingle-Jaccard overlap matrix — the corpus-
+    * composition diagnostic; see [[graft.ext.Dedup.sourceOverlap]] for
+    * the bounded-fan-out self-join argument. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.sourceOverlap(Tables.documents(spark, dir))
+
   // ---- similarity ----
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+
+  /** v9: incremental IVF ingest — the t7 md5-bucket rule splits the
+    * embeddings into a standing index (80%) and a new batch (20%);
+    * the batch is assigned into the standing index's lists at
+    * oracle-parity settings (md5-drawn seed centroids, nIters = 0);
+    * see [[graft.ext.Similarity.ivfIngest]]. */
+  def ivfIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    Similarity.ivfIngest(
+      emb.filter(b < 52428), emb.filter(b >= 52428), nList = 8, nIters = 0)
+  }
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)

@@ -671,4 +671,77 @@ object Dedup {
         .select(col(idCol), col("list_id"))
     }
   }
+
+  /** t24 — per-document novelty: the fraction of a document's distinct
+    * shingles that appear in NO other document. The corpus-level
+    * duplication diagnostic that decides whether a dedup pass is worth
+    * running at all, and the per-doc score that ranks boilerplate
+    * (novelty → 0) against genuinely fresh text (novelty → 1) —
+    * the same signal RefinedWeb/Gopher report as "fraction of
+    * duplicated n-grams".
+    *
+    * Emits (doc_id, n_shingles, n_shared, novelty) where `n_shared`
+    * counts distinct shingles with corpus df ≥ 2 and `novelty` is the
+    * single finishing double `1 − n_shared / n_shingles` (the oracle
+    * spells the identical IEEE sequence). Documents shorter than `n`
+    * tokens carry no shingles and drop out, mirrored by the oracle's
+    * `len(w) >= 3` guard.
+    *
+    * Plan shape: [[explodedShingles]] reduces every shingle to an
+    * 8-byte hash before the only wide stages — a map-side-combined df
+    * aggregation and a co-partitioned hash join back onto the shingle
+    * stream (both sides partitioned by the hash; no second shuffle of
+    * the join input), then a (doc_id, 2 longs) aggregation. Document
+    * text never shuffles. Same df-table discipline as [[jaccardPairs]];
+    * collisions merge two shingles with probability ~1e-9 (the x3
+    * precedent — the oracle pins there is no effect on this corpus). */
+  def noveltyScores(df: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = explodedShingles(df, n, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val agg = sh.join(dfc, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    agg.select(col(idCol), col("n_shingles"), col("n_shared"),
+      (lit(1.0) - col("n_shared").cast("double") /
+        col("n_shingles").cast("double")).as("novelty"))
+  }
+
+  /** x18 — cross-source overlap matrix: exact shingle-set Jaccard
+    * between every pair of corpus sources that share at least one
+    * shingle. The corpus-composition diagnostic run before mixing
+    * (t12) or dedup (x1–x9): two crawls of the same site show up as a
+    * high-Jaccard pair, and the matrix says which source pairs need a
+    * cross-source dedup pass at all.
+    *
+    * Emits (src_a, src_b, n_a, n_b, n_inter, jaccard), src_a < src_b,
+    * inner-join semantics (disjoint pairs drop out); `jaccard` is the
+    * one finishing double `n_inter / (n_a + n_b − n_inter)` over exact
+    * integers, the [[jaccardPairs]] expression verbatim.
+    *
+    * Plan shape: per-source DISTINCT shingle hashes (map-side-combined
+    * — the dominant reduction: |sources| · |distinct shingles| upper
+    * bound, regardless of corpus row count), then a self-join keyed on
+    * the 8-byte hash whose per-key fan-out is capped by |sources|², so
+    * no key can skew — the x3 self-join with the unbounded doc axis
+    * replaced by the bounded source axis. Text never shuffles. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val sh = explodedShingles(docs, n, textCol, srcCol).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(srcCol).as("src_a"), col("shingle"))
+    val b = sh.select(col(srcCol).as("src_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col(srcCol).as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col(srcCol).as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
 }

@@ -228,6 +228,53 @@ object Similarity {
       .toDF(idCol, "list_id", vecCol)
   }
 
+  /** v9 — incremental IVF index ingest: assign a NEW batch of vectors
+    * to the lists of a STANDING index without retraining centroids and
+    * without touching the standing corpus. The output (idCol, list_id)
+    * is the delta to append to the stored inverted lists — the
+    * operation an embedding index performs on every arrival day, where
+    * re-clustering the full corpus would be a 100 TB job but the batch
+    * is metadata-scale by comparison.
+    *
+    * Like [[graft.ext.Dedup.semanticClusters]], two centroid regimes:
+    *  - `nIters = 0` (oracle parity): centroids are the `nList`
+    *    standing vectors with the lowest md5(id) — the deterministic
+    *    draw DuckDB reproduces — scored with the double HOF cosine and
+    *    a lowest-seed-id tie-break, so the x15-style SQL twin matches
+    *    bit for bit. The standing corpus contributes ONLY its seed
+    *    draw (orderBy+limit ships one (hash, id, vec) top-nList per
+    *    partition — no full sort, nothing else scanned twice).
+    *  - `nIters > 0` (production): Lloyd-refined [[ivfCentroids]] from
+    *    the standing corpus, batch assigned by the [[ivfAssign]]
+    *    float kernel; engine-specific, spec-pinned.
+    *
+    * In both regimes the batch scan is the only corpus-scale work and
+    * assignment is per-row independent, so ingest commutes with
+    * batching: ingesting k daily batches yields exactly the rows of
+    * one k-day batch (spec-pinned) — the property that makes the
+    * incremental index equal to a fresh rebuild's assignment. */
+  def ivfIngest(standing: DataFrame, batch: DataFrame, nList: Int = 8,
+      nIters: Int = 0, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    if (nIters == 0) {
+      graft.functions.VectorFunctions.register(batch.sparkSession)
+      val seeds = standing
+        .select(col(idCol).cast("long").as("seed_id"),
+          col(vecCol).cast("array<double>").as("cvec"))
+        .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
+        .limit(nList)
+      batch.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+        .crossJoin(broadcast(seeds))
+        .select(col(idCol), col("seed_id"),
+          graft.functions.VectorFunctions.cosineHof(col("_v"), col("cvec")).as("sim"))
+        .groupBy(col(idCol))
+        .agg(max_by(col("seed_id"), struct(col("sim"), -col("seed_id"))).as("list_id"))
+    } else {
+      val cent = ivfCentroids(standing, nList, nIters, vecCol, idCol)
+      ivfAssign(batch, cent, vecCol, idCol).select(col(idCol), col("list_id"))
+    }
+  }
+
   /** IVF-Flat ANN search: each query ranks the (broadcast) centroids,
     * probes its top-`nProbe` inverted lists, and scores exact cosine
     * against only those lists' vectors — nProbe/nList of the corpus per

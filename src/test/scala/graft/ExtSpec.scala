@@ -896,4 +896,115 @@ class ExtSpec extends SparkSpec {
       assert(gt <= gs, "target subset mass cannot exceed source mass")
     }
   }
+
+  test("t24: novelty matches a driver-side shingle-df recompute") {
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    def shinglesOf(toks: Seq[String]): Set[Seq[String]] =
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.toSeq).toSet
+    val perDoc = rows.map { case (id, t) => id -> shinglesOf(t) }
+      .filter(_._2.nonEmpty)
+    val dfc = perDoc.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val got = Dedup.noveltyScores(docs).collect().map { r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_shingles")),
+          r.getLong(r.fieldIndex("n_shared")),
+          r.getDouble(r.fieldIndex("novelty"))))
+    }.toMap
+    assert(got.keySet == perDoc.map(_._1).toSet,
+      "every doc with >= 3 tokens is scored, shorter docs drop out")
+    perDoc.foreach { case (id, sh) =>
+      val shared = sh.count(s => dfc(s) >= 2).toLong
+      val (gn, gs, gnov) = got(id)
+      assert(gn == sh.size.toLong && gs == shared, s"doc $id integer counts")
+      assert(gnov == 1.0 - shared.toDouble / sh.size.toDouble,
+        s"doc $id novelty must be the exact finishing double")
+    }
+    // planted: a doc duplicated verbatim has novelty 0 for both copies
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val p = Dedup.noveltyScores(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p(1L) == 0.0 && p(2L) == 0.0 && p(3L) == 1.0)
+  }
+
+  test("x18: source overlap matches a driver-side pairwise set recompute") {
+    import spark.implicits._
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.flatMap { case (_, t) =>
+      if (t.length < 3) Seq.empty else t.sliding(3).map(_.mkString(" ")).toSeq
+    }.toSet).toMap
+    val expected = (for {
+      (sa, setA) <- bySrc; (sb, setB) <- bySrc if sa < sb
+      i = (setA & setB).size if i > 0
+    } yield (sa, sb) -> ((setA.size.toLong, setB.size.toLong, i.toLong,
+      i.toDouble / (setA.size.toLong + setB.size.toLong - i)))).toMap
+    val got = Dedup.sourceOverlap(docs).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    }.toMap
+    assert(got.keySet == expected.keySet, "exactly the overlapping pairs")
+    expected.foreach { case (k, (na, nb, ni, j)) =>
+      val (gna, gnb, gni, gj) = got(k)
+      assert(gna == na && gnb == nb && gni == ni, s"pair $k integer counts")
+      assert(gj == j, s"pair $k jaccard must be the exact finishing double")
+    }
+    // planted: disjoint sources produce no row at all
+    val planted = Seq(
+      (1L, "a b c d", "s1"), (2L, "x y z w", "s2")).toDF("doc_id", "text", "source")
+    assert(Dedup.sourceOverlap(planted).collect().isEmpty)
+  }
+
+  test("v9: ivf ingest matches a driver-side argmax and commutes with batching") {
+    val bucketOf: Long => Int = id => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).take(2)
+        .map(x => f"$x%02x").mkString
+      Integer.parseInt(hex, 16)
+    }
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val standingIds = all.map(_._1).filter(id => bucketOf(id) < 52428).toSet
+    val standing = emb.filter(col("vec_id").isInCollection(standingIds))
+    val batch = emb.filter(!col("vec_id").isInCollection(standingIds))
+    // driver-side oracle: md5-ordered seed draw from standing, then
+    // double-cosine argmax with lowest-seed-id tie-break per batch vec
+    val md5hex: Long => String = id => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    }
+    val seeds = all.filter(v => standingIds(v._1))
+      .sortBy(v => (md5hex(v._1), v._1)).take(8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val expected = all.filterNot(v => standingIds(v._1)).map { case (id, v) =>
+      id -> seeds.map { case (sid, sv) => (sid, cos(v, sv)) }
+        .maxBy { case (sid, s) => (s, -sid) }._1
+    }.toMap
+    val got = Similarity.ivfIngest(standing, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "batch assignment must match the driver argmax")
+    // commutativity: two sub-batches yield exactly the one-batch rows
+    val ids = expected.keySet.toSeq.sorted
+    val (half1, half2) = ids.splitAt(ids.length / 2)
+    val gotSplit =
+      Similarity.ivfIngest(standing, batch.filter(col("vec_id").isInCollection(half1)))
+        .unionByName(
+          Similarity.ivfIngest(standing, batch.filter(col("vec_id").isInCollection(half2))))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSplit == got, "daily ingests must equal the merged batch")
+    // production path (Lloyd-refined centroids) assigns every batch id
+    val prod = Similarity.ivfIngest(standing, batch, nList = 4, nIters = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(prod == expected.keySet)
+  }
 }
