@@ -100,6 +100,7 @@ object SparkEntry {
     "t23_inverted_index" -> (ExtPipelines.invertedIndex _),
     "t24_novelty" -> (ExtPipelines.noveltyScores _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
+    "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
@@ -1146,6 +1147,31 @@ object SparkEntry {
         |SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, n_inter,
         |  CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
         |FROM inter JOIN sz x ON src_a = x.source JOIN sz y ON src_b = y.source""".stripMargin,
+
+    // x19: snapshot diff — rebuilds both snapshots with the same
+    // salted-bucket rule and classifies by direct text comparison
+    // (digest equality on the Spark side ≡ text equality mod a 2^-256
+    // collision); unchanged docs emit no row on either side
+    "x19_snapshot_diff" ->
+      """WITH h AS (SELECT doc_id, text,
+        |             md5(CAST(doc_id AS VARCHAR) || '#snap') AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |o AS (SELECT doc_id, text FROM b WHERE bucket < 58982),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN bucket >= 26214 AND bucket < 32768
+        |             THEN text || ' [recrawled]' ELSE text END AS text
+        |      FROM b WHERE bucket >= 6554),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN o.doc_id IS NULL THEN 'added'
+        |             WHEN n.doc_id IS NULL THEN 'removed'
+        |             WHEN o.text <> n.text THEN 'changed' END AS status
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
 
     // v9: incremental IVF ingest — t7's md5-bucket split carves the
     // standing index (80%) from the new batch (20%); seeds are x15's

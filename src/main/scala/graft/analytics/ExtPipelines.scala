@@ -440,6 +440,26 @@ object ExtPipelines {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Dedup.sourceOverlap(Tables.documents(spark, dir))
 
+  /** x19: snapshot diff ([[graft.ext.Dedup.snapshotDiff]]) exercised on
+    * two deterministic snapshots carved from `documents` with the
+    * salted md5-bucket rule (salt decorrelates from the t7 split):
+    * old = buckets [0, 90%), new = buckets [10%, 100%), and docs in
+    * buckets [40%, 50%) get a " [recrawled]" suffix in the new
+    * snapshot — so all three statuses (added / removed / changed)
+    * appear and the oracle can rebuild both sides exactly. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val b = docs.withColumn("bucket",
+      graft.ext.DataSplit.bucketSalted(col("doc_id"), "#snap"))
+    val oldSnap = b.filter(col("bucket") < 58982).select("doc_id", "text")
+    val newSnap = b.filter(col("bucket") >= 6554)
+      .select(col("doc_id"),
+        when(col("bucket") >= 26214 && col("bucket") < 32768,
+          concat(col("text"), lit(" [recrawled]")))
+          .otherwise(col("text")).as("text"))
+    Dedup.snapshotDiff(oldSnap, newSnap)
+  }
+
   // ---- similarity ----
 
   private def queryVecs(spark: SparkSession, dir: String): DataFrame =

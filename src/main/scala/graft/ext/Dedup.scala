@@ -744,4 +744,36 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
+
+  /** x19 — snapshot diff: the change-data-capture delta between two
+    * corpus snapshots. The maintenance operation a living corpus runs
+    * on every crawl refresh: which documents appeared, which vanished,
+    * which re-crawled with different content — the delta that drives
+    * incremental dedup (x16), incremental index ingest (v9) and
+    * training-set invalidation, instead of reprocessing 100 TB.
+    *
+    * Emits (idCol, status) for status ∈ added | removed | changed;
+    * unchanged documents produce NO row, so the output is delta-sized
+    * (typically ≪ corpus-sized) no matter how large the snapshots are.
+    *
+    * Plan shape: each side is reduced AT THE SCAN to (id, 64-char
+    * sha256) — content never shuffles — then one full-outer
+    * co-partitioned join on id classifies the three cases. Content
+    * comparison by digest equality: two revisions colliding on sha256
+    * would misread as unchanged with probability ~2⁻²⁵⁶ (the x1
+    * argument). At 100 TB both sides shuffle ~72 bytes/doc, and if the
+    * snapshots are stored bucketed by id the exchange disappears
+    * entirely. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val o = oldSnap.select(col(idCol), sha2(col(textCol), 256).as("_old_sha"))
+    val n = newSnap.select(col(idCol), sha2(col(textCol), 256).as("_new_sha"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("_old_sha").isNull, "added")
+          .when(col("_new_sha").isNull, "removed")
+          .when(col("_old_sha") =!= col("_new_sha"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

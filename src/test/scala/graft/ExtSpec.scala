@@ -960,6 +960,28 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.sourceOverlap(planted).collect().isEmpty)
   }
 
+  test("x19: snapshot diff classifies added/removed/changed, drops unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "stays the same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "stays the same"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // identical snapshots → empty delta, regardless of corpus size
+    assert(Dedup.snapshotDiff(docs.select("doc_id", "text"),
+      docs.select("doc_id", "text")).collect().isEmpty)
+    // the x19 pipeline emits all three statuses on the real table and
+    // never emits a doc outside the union of the two snapshots
+    val d = graft.analytics.ExtPipelines.snapshotDiff(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(d.map(_._2).toSet == Set("added", "removed", "changed"))
+    assert(d.map(_._1).distinct.length == d.length, "one row per doc_id")
+  }
+
   test("v9: ivf ingest matches a driver-side argmax and commutes with batching") {
     val bucketOf: Long => Int = id => {
       val md = java.security.MessageDigest.getInstance("MD5")
