@@ -99,9 +99,11 @@ object SparkEntry {
     "t22_rag_chunks" -> (ExtPipelines.ragChunks _),
     "t23_inverted_index" -> (ExtPipelines.invertedIndex _),
     "t24_novelty" -> (ExtPipelines.noveltyScores _),
+    "t25_phrase_search" -> (ExtPipelines.phraseSearch _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
+    "v10_centroid_outliers" -> (ExtPipelines.centroidOutliers _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -1116,6 +1118,22 @@ object SparkEntry {
     // t24: per-doc novelty — x3's shingle construction, integer
     // shared-shingle counts, one finishing double (1 − shared/total)
     // spelled in the Spark tree's IEEE order (division, subtraction)
+    // t25: phrase search — the oracle re-derives the same top bigram
+    // (count desc, w1, w2 total order) and scans for adjacent matches;
+    // start is 0-based to match posexplode
+    "t25_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+        |                      for i in range(1, len(w))]) AS p FROM t),
+        |top AS (SELECT p, string_split(p, ' ')[1] AS w1,
+        |               string_split(p, ' ')[2] AS w2
+        |        FROM bg GROUP BY p ORDER BY count(*) DESC, p LIMIT 1)
+        |SELECT doc_id,
+        |  CAST(unnest([i - 1 for i in range(1, len(w))
+        |               if w[i] = w1 AND w[i+1] = w2]) AS BIGINT) AS start,
+        |  p AS phrase
+        |FROM t, top""".stripMargin,
+
     "t24_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
@@ -1147,6 +1165,41 @@ object SparkEntry {
         |SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, n_inter,
         |  CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
         |FROM inter JOIN sz x ON src_a = x.source JOIN sz y ON src_b = y.source""".stripMargin,
+
+    // v10: centroid outliers — the oracle rebuilds the whole pipeline
+    // exactly because every aggregate is an integer: fixed-point
+    // projection (floor(x·10⁴+0.5)), bottom-256-by-(salted bucket, id)
+    // sample, elementwise BIGINT centroid sums, integer moments; the
+    // one double expression (dot/(√na·√nb)) is IEEE-identical in both
+    // engines. Dim fixed at 64 (the testdata embedding width).
+    "v10_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |              for x in embedding] AS f
+        |           FROM embeddings),
+        |j AS (SELECT e.vec_id, d.source, e.f
+        |      FROM e JOIN documents d ON e.vec_id = d.doc_id),
+        |bk AS (SELECT vec_id, source, f,
+        |         ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |       FROM (SELECT *, md5(CAST(vec_id AS VARCHAR) || '#cent') AS m FROM j)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                    ORDER BY bucket, vec_id) AS r FROM bk),
+        |cent AS (SELECT source, i, sum(f[i]) AS cs
+        |         FROM rk, range(1, 65) t(i) WHERE r <= 256 GROUP BY 1, 2),
+        |nbs AS (SELECT source, sum(cs * cs) AS nb FROM cent GROUP BY 1),
+        |mom AS (SELECT j.vec_id, j.source,
+        |          sum(j.f[c.i] * c.cs) AS dot,
+        |          sum(j.f[c.i] * j.f[c.i]) AS na
+        |        FROM j JOIN cent c ON j.source = c.source GROUP BY 1, 2)
+        |SELECT m.vec_id, m.source, m.dot, m.na, nbs.nb,
+        |  CASE WHEN m.na > 0 AND nbs.nb > 0
+        |       THEN CAST(m.dot AS DOUBLE) /
+        |            (sqrt(CAST(m.na AS DOUBLE)) * sqrt(CAST(nbs.nb AS DOUBLE)))
+        |  END AS centroid_cos
+        |FROM mom m JOIN nbs ON m.source = nbs.source""".stripMargin,
 
     // x19: snapshot diff — rebuilds both snapshots with the same
     // salted-bucket rule and classifies by direct text comparison

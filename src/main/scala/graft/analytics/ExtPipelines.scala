@@ -428,6 +428,16 @@ object ExtPipelines {
     graft.ext.Retrieval.invertedIndex(Tables.documents(spark, dir),
       minDf = 2, maxDf = 500)
 
+  /** t25: phrase search for the corpus's top bigram — the
+    * deterministic query that exercises the positional intersection
+    * ([[graft.ext.Retrieval.phraseSearch]]) with an oracle that can
+    * re-derive the same phrase. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (w1, w2) = graft.ext.Retrieval.topBigram(docs)
+    graft.ext.Retrieval.phraseSearch(docs, Seq(w1, w2))
+  }
+
   /** t24: per-document novelty — fraction of each doc's distinct
     * shingles unseen anywhere else in the corpus; see
     * [[graft.ext.Dedup.noveltyScores]] for the hash-only shuffle shape. */
@@ -458,6 +468,17 @@ object ExtPipelines {
           concat(col("text"), lit(" [recrawled]")))
           .otherwise(col("text")).as("text"))
     Dedup.snapshotDiff(oldSnap, newSnap)
+  }
+
+  /** v10: per-source centroid outliers
+    * ([[graft.ext.Similarity.centroidOutliers]]) — embeddings keyed to
+    * their document's source (vec_id ≡ doc_id in the testdata), scored
+    * against a deterministic 256-sample fixed-point centroid. */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    Similarity.centroidOutliers(emb.join(src, "vec_id"))
   }
 
   // ---- similarity ----

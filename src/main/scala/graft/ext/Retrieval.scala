@@ -109,4 +109,54 @@ object Retrieval {
             e.getField("pl"))), ";").as("postings"))
       .select(col("tok"), col("df"), col("tf"), col("postings"))
   }
+
+  /** The corpus's most frequent bigram, with a total tie order —
+    * count desc, then the space-joined bigram string ascending (space
+    * sorts below every token character in both engines, so this equals
+    * the (w1, w2) tuple order and DuckDB can spell it on one column).
+    * A metadata-scale driver collect — one row — the same rule that
+    * lets IVF hold its centroids driver-side. */
+  def topBigram(docs: DataFrame, textCol: String = "text"): (String, String) = {
+    val w = split(col(textCol), " ")
+    val row = docs
+      .select(posexplode(
+        zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+          slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as(Seq("_p", "bg")))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(1).collect().head
+    val parts = row.getString(0).split(" ", 2)
+    (parts(0), parts(1))
+  }
+
+  /** t25 — positional phrase search: every (doc, start) where the
+    * phrase's tokens occur consecutively. The query-side consumer of
+    * the t23 positional index, expressed as the textbook posting-list
+    * intersection: one positions stream per phrase term, each shifted
+    * to its would-be phrase START (`pos − i`), then intersected on
+    * (doc, start) — a token chain matches iff every shifted stream
+    * contains the same start.
+    *
+    * Plan shape at 100 TB: the scan is filtered to the phrase's terms
+    * BEFORE any exchange (an `isin` over typically 2-5 strings —
+    * selectivity of a posting-list read, pushable into an index-shard
+    * scan), so the join keys are the phrase terms' postings only, never
+    * the corpus; the per-term streams then co-partition on (doc, start)
+    * and every join after the first reuses that exchange. Each stream
+    * has unique (doc, start) rows by construction (one token occupies
+    * one position), so the intersection needs no distinct. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val tokPos = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    val streams = phrase.zipWithIndex.map { case (w, i) =>
+      tokPos.filter(col("tok") === w)
+        .select(col(idCol), (col("pos").cast("long") - i).as("start"))
+    }
+    streams.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .withColumn("phrase", lit(phrase.mkString(" ")))
+  }
 }

@@ -576,4 +576,84 @@ object Similarity {
         VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
     topKPerQuery(cands, k)
   }
+
+  // ---- per-group centroid outliers (semantic curation) ----
+
+  /** v10 — distance-to-own-group-centroid outlier scoring: the
+    * semantic-curation filter that flags documents whose embedding
+    * points away from the rest of their source (mislabeled scrapes,
+    * boilerplate, wrong-language strays). Emits one row per doc:
+    * (idCol, groupCol, dot, na, nb, centroid_cos) where centroid_cos
+    * is the cosine between the doc and its group's centroid.
+    *
+    * Engineered for exactness AND scale, in that order of tricks:
+    *
+    *  - **Fixed-point integers, not floats.** Embeddings are projected
+    *    to `floor(x·10⁴ + 0.5)` longs at the scan. Integer sums are
+    *    associative — any partitioning/combine order yields the same
+    *    centroid bit-for-bit, and an SQL oracle can rebuild it exactly.
+    *    A float centroid would be order-dependent and unverifiable.
+    *  - **Centroid from a bottom-k-by-hash sample, not the full group.**
+    *    k=256 ids with the smallest (salted md5 bucket, id) per group —
+    *    min-wise sampling: deterministic, engine-portable, fixed SIZE
+    *    (not fixed rate), so centroid magnitudes are bounded by
+    *    k·10⁴·max|x| no matter whether the group holds 10³ or 10¹⁰
+    *    docs — no integer overflow at any corpus size, and no
+    *    all-rows-of-a-group window (the classic skew bottleneck).
+    *    Collected via [[graft.functions.TopKAggregator]]
+    *    (score = −bucket, id-asc ties): k-bounded buffers, map-side
+    *    combine, one narrow shuffle of ≤k pairs per partition.
+    *  - **Moments per row, centroid broadcast.** The |groups|-row
+    *    centroid table broadcasts; dot/na/nb are in-order integer folds
+    *    over `zip_with` (codegen'd, exact), and the only double math is
+    *    the final `dot / (√na·√nb)` — IEEE-deterministic in both
+    *    engines. All-zero vectors/centroids yield NULL, not NaN.
+    *
+    * At 100 TB: one scan of the embeddings (projected to 8-byte
+    * longs/dim), one k-bounded mini-shuffle for the sample, zero
+    * shuffle for scoring. */
+  def centroidOutliers(emb: DataFrame, k: Int = 256,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      groupCol: String = "source", scale: Int = 10000,
+      salt: String = "#cent"): DataFrame = {
+    val fx = emb.select(col(idCol), col(groupCol),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("long")).as("_f"))
+    // bottom-k ids per group by (salted bucket, id): TopKAggregator
+    // keeps the k LARGEST scores with id-asc tie-break, so score
+    // = -bucket gives ascending buckets with the same tie rule the
+    // oracle's ORDER BY (bucket, id) applies.
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val sampleIds = fx
+      .select(col(groupCol),
+        (-DataSplit.bucketSalted(col(idCol), salt)).cast("double").as("_s"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy(groupCol)
+      .agg(topk(col("_s"), col("_id")).as("_ids"))
+      .select(col(groupCol), explode(col("_ids")).as("_sid"))
+    // elementwise integer centroid sums over the sample (≤k·|groups|
+    // rows — the sample side broadcasts into the join)
+    val centroids = fx.as("fx")
+      .join(broadcast(sampleIds.withColumnRenamed(groupCol, "_sg").as("sm")),
+        col(s"fx.$idCol").cast("long") === col("sm._sid") &&
+          col(s"fx.$groupCol") === col("sm._sg"))
+      .select(col(s"fx.$groupCol").as(groupCol),
+        posexplode(col("_f")).as(Seq("_p", "_v")))
+      .groupBy(groupCol, "_p").agg(sum("_v").as("_s"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_s")))),
+        e => e.getField("_s")).as("_c"))
+    val zipMul = (a: Column, b: Column) => a * b
+    val fold = (c: Column) =>
+      aggregate(c, lit(0L), (acc: Column, x: Column) => acc + x)
+    fx.join(broadcast(centroids), groupCol)
+      .select(col(idCol), col(groupCol),
+        fold(zip_with(col("_f"), col("_c"), zipMul)).as("dot"),
+        fold(zip_with(col("_f"), col("_f"), zipMul)).as("na"),
+        fold(zip_with(col("_c"), col("_c"), zipMul)).as("nb"))
+      .withColumn("centroid_cos",
+        when(col("na") > 0 && col("nb") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+  }
 }

@@ -982,6 +982,46 @@ class ExtSpec extends SparkSpec {
     assert(d.map(_._1).distinct.length == d.length, "one row per doc_id")
   }
 
+  test("v10: centroid outliers match a driver-side fixed-point recompute") {
+    import spark.implicits._
+    // planted: group g1 has two aligned vectors and one orthogonal
+    // stray; k large enough that the sample is the whole group
+    val planted = Seq(
+      (1L, Array(1.0f, 0.0f), "g1"), (2L, Array(0.9f, 0.1f), "g1"),
+      (3L, Array(0.0f, 1.0f), "g1"), (4L, Array(0.5f, 0.5f), "g2"))
+      .toDF("vec_id", "embedding", "source")
+    val got = Similarity.centroidOutliers(planted, k = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    // fixed-point: f1=(10000,0) f2=(9000,1000) f3=(0,10000) → centroid
+    // g1 = (19000,11000); doc1 dot=19e7, na=1e8, nb=482e6
+    assert(got(1L)._1 == 190000000L && got(1L)._2 == 100000000L &&
+      got(1L)._3 == 482000000L)
+    assert(math.abs(got(1L)._4 - 190000000.0 /
+      (math.sqrt(100000000.0) * math.sqrt(482000000.0))) < 1e-15)
+    // the stray scores lowest in its group; the singleton g2 scores 1
+    assert(got(3L)._4 < got(1L)._4 && got(3L)._4 < got(2L)._4)
+    assert(math.abs(got(4L)._4 - 1.0) < 1e-12)
+    // sample determinism: k=1 keeps exactly the bottom-(bucket,id) doc,
+    // recomputed driver-side with the same salted-md5 rule
+    val bucketOf: Long => Int = id => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id#cent".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16)
+    }
+    val keep = Seq(1L, 2L, 3L).minBy(id => (bucketOf(id), id))
+    val k1 = Similarity.centroidOutliers(planted, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(math.abs(k1(keep) - 1.0) < 1e-12,
+      "with k=1 the sampled doc IS the centroid")
+    // real table: every embedding scored exactly once, cos in [-1,1]
+    val full = graft.analytics.ExtPipelines.centroidOutliers(spark, sf())
+    val rows = full.collect()
+    assert(rows.length == emb.count())
+    rows.foreach(r => assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-12))
+  }
+
   test("v9: ivf ingest matches a driver-side argmax and commutes with batching") {
     val bucketOf: Long => Int = id => {
       val md = java.security.MessageDigest.getInstance("MD5")

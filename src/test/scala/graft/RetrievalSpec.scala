@@ -98,4 +98,30 @@ class RetrievalSpec extends SparkSpec {
       s"banded vocab must join back as a broadcast:\n$idxPlan")
     assert(!idxPlan.contains("SortMergeJoin"), idxPlan)
   }
+
+  test("t25: phrase search finds exactly the consecutive matches") {
+    val docs = docsOf(
+      (1L, "a b c a b"),       // "a b" at 0 and 3
+      (2L, "b a b a"),         // "a b" at 1
+      (3L, "a a b"),           // at 1
+      (4L, "b a"),             // no match (reversed)
+      (5L, "a"), (6L, ""))
+    val got = Retrieval.phraseSearch(docs, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (1L, 3L), (2L, 1L), (3L, 1L)))
+    // repeated-token phrase: overlapping occurrences all found
+    val rep = Retrieval.phraseSearch(docsOf((7L, "x x x x")), Seq("x", "x"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(rep == Set(0L, 1L, 2L))
+    // three-token phrase intersects three shifted streams
+    val tri = Retrieval.phraseSearch(docs, Seq("c", "a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tri == Set((1L, 2L)))
+    // topBigram total order: count desc then lexicographic
+    val tb = Retrieval.topBigram(docsOf(
+      (1L, "z w z w"), (2L, "a a z w")))  // "z w" ×3 beats "a a" ×1
+    assert(tb == ("z", "w"))
+    val tie = Retrieval.topBigram(docsOf((1L, "b c a b"), (2L, "a b")))
+    assert(tie == ("a", "b"), "ties resolve to the lexicographically first")
+  }
 }
