@@ -131,6 +131,7 @@ object SparkEntry {
     "s8_stream_quality_gate" -> (ExtPipelines.streamQualityGate _),
     "s9_stream_ingest_dedup" -> (ExtPipelines.streamIngestDedup _),
     "s10_stream_sliding_totals" -> (ExtPipelines.streamSlidingTotals _),
+    "s11_stream_cdc" -> (ExtPipelines.streamCdc _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -1270,6 +1271,29 @@ object SparkEntry {
         |SELECT ted.doc_id FROM ted
         |LEFT JOIN trd ON ted.text = trd.text
         |WHERE trd.text IS NULL""".stripMargin,
+
+    // s11 = the stream-observable half of x19: same snapshot CTEs, but
+    // the new side drives a LEFT join (removed docs never arrive in a
+    // stream, so they cannot be emitted)
+    "s11_stream_cdc" ->
+      """WITH h AS (SELECT doc_id, text,
+        |             md5(CAST(doc_id AS VARCHAR) || '#snap') AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |o AS (SELECT doc_id, text FROM b WHERE bucket < 58982),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN bucket >= 26214 AND bucket < 32768
+        |             THEN text || ' [recrawled]' ELSE text END AS text
+        |      FROM b WHERE bucket >= 6554)
+        |SELECT n.doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN o.text <> n.text THEN 'changed' END AS status
+        |FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+        |WHERE o.doc_id IS NULL OR o.text <> n.text""".stripMargin,
 
     "e8_one_day" ->
       s"""$baseCte

@@ -605,6 +605,28 @@ object ExtPipelines {
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** s11: streaming CDC — x19's new snapshot (buckets ≥ 10%, the
+    * [40%, 50%) band re-crawled with changed content) STREAMS against
+    * the static old snapshot (buckets < 90%); emits the added/changed
+    * half of the x19 delta ([[graft.streaming.Streaming.cdcStream]] —
+    * `removed` needs snapshot close, which a stream never reaches). */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val bkt = graft.ext.DataSplit.bucketSalted(col("doc_id"), "#snap")
+    val oldSnap = Tables.documents(spark, dir).select("doc_id", "text")
+      .withColumn("bucket", bkt).filter(col("bucket") < 58982)
+      .select("doc_id", "text")
+    val newStream = graft.streaming.Streaming.documentsStream(spark, dir)
+      .select("doc_id", "text")
+      .withColumn("bucket", bkt).filter(col("bucket") >= 6554)
+      .select(col("doc_id"),
+        when(col("bucket") >= 26214 && col("bucket") < 32768,
+          concat(col("text"), lit(" [recrawled]")))
+          .otherwise(col("text")).as("text"))
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.cdcStream(newStream, oldSnap),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Stream-stream interval join (watermarked state both sides). */
   def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.runToBatch(spark,

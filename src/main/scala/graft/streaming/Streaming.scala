@@ -95,6 +95,33 @@ object Streaming {
       .select(col(idCol))
   }
 
+  /** s11 — streaming CDC against a standing snapshot: as re-crawled
+    * documents arrive, classify each against the stored corpus —
+    * `added` (id never seen) or `changed` (id present with different
+    * content); unchanged arrivals emit nothing, so the output is
+    * delta-sized. The streaming half of the x19 snapshot diff: `removed`
+    * is unobservable from a stream (a doc that never arrives again is
+    * indistinguishable from one not yet arrived) — detecting removals
+    * is the batch diff's job at snapshot close.
+    *
+    * Stateless by construction: the standing side is reduced to its
+    * (id, digest) index — at 100 TB of corpus that's ~72 bytes/doc,
+    * the thing you'd keep bucketed on id next to the corpus — and the
+    * stream-static left join holds NO streaming state (no watermark
+    * needed); content never shuffles on either side. */
+  def cdcStream(newDocs: DataFrame, oldSnap: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val oldIdx = oldSnap.select(col(idCol), sha2(col(textCol), 256).as("_old_sha"))
+    newDocs
+      .select(col(idCol), sha2(col(textCol), 256).as("_new_sha"))
+      .join(oldIdx, Seq(idCol), "left_outer")
+      .withColumn("status",
+        when(col("_old_sha").isNull, "added")
+          .when(col("_old_sha") =!= col("_new_sha"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** Tumbling 1-day event-time window over the categorized stream —
     * the streaming-native form of the reference's per-day aggregation.
     * Watermark bounds state; UTC day windows align with calendar days. */

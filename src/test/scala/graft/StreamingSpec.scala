@@ -108,6 +108,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CDC emits exactly the batch diff minus removals") {
+    val streamed = graft.analytics.ExtPipelines.streamCdc(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    // batch recompute: the full x19 snapshot diff, removals dropped
+    val batch = graft.analytics.ExtPipelines.snapshotDiff(spark, sf())
+      .filter(col("status") =!= "removed")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2) == Set("added", "changed"),
+      "both stream-observable statuses occur; removed never does")
+  }
+
   test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
     val feats = Multimodal.featurize(Tables.documents(spark, sf()))
     val bad = feats.select(col("doc_id"),
