@@ -83,7 +83,10 @@ object ScaleBench {
     "x17_bloom_ingest",
     "v8_ann_pq_topk",
     "t20_lm_coverage",
-    "t21_importance_ratio")
+    "t21_importance_ratio",
+    "x19_snapshot_diff",
+    "v10_centroid_outliers",
+    "t25_phrase_search")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

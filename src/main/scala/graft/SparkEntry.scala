@@ -100,6 +100,7 @@ object SparkEntry {
     "t23_inverted_index" -> (ExtPipelines.invertedIndex _),
     "t24_novelty" -> (ExtPipelines.noveltyScores _),
     "t25_phrase_search" -> (ExtPipelines.phraseSearch _),
+    "t26_bpe_pairs" -> (ExtPipelines.bpePairStats _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
@@ -1134,6 +1135,20 @@ object SparkEntry {
         |               if w[i] = w1 AND w[i+1] = w2]) AS BIGINT) AS start,
         |  p AS phrase
         |FROM t, top""".stripMargin,
+
+    // t26: BPE pair statistics — pairs generated over the distinct-word
+    // dictionary, weighted by word frequency; (count desc, pair asc) is
+    // a total order so the top-50 cut is deterministic
+    "t26_bpe_pairs" ->
+      """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wn
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |                 FROM documents)
+        |           GROUP BY word),
+        |p AS (SELECT unnest([substr(word, i, 2)
+        |                     for i in range(1, len(word))]) AS pair, wn
+        |      FROM w)
+        |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "t24_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -305,6 +305,11 @@ object ExtPipelines {
       .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
       .filter(col("n") >= 3)
 
+  /** t26: BPE pair statistics over the word-frequency dictionary —
+    * see [[graft.ext.TextAnalysis.bpePairStats]]. */
+  def bpePairStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(Tables.documents(spark, dir))
+
   /** Gopher-style repetition signals (most-frequent word/bigram
     * multiplicity, duplicated-bigram mass) — zero-shuffle per-row scans. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =

@@ -219,4 +219,36 @@ object TextAnalysis {
       .select(col(idCol) +: col("dl") +: tfNames.map(col) :+ score.as("bm25"): _*)
       .filter(col("bm25") > 0)
   }
+
+  /** t26 — BPE pair statistics: corpus-weighted adjacent character-pair
+    * counts, the argmax table the first merge of byte-pair-encoding
+    * tokenizer training reads. For each distinct word (weighted by its
+    * corpus frequency), every adjacent character pair contributes
+    * `word_freq` to its count; output is the top `k` pairs by
+    * (count desc, pair asc) — a total order, so the cut at k is
+    * deterministic in every engine.
+    *
+    * Plan shape: ONE corpus-wide shuffle (word counts, map-side
+    * combined); pair generation then runs over the DISTINCT-WORD table
+    * — vocabulary-sized, not corpus-sized, the classic BPE-training
+    * trick (Sennrich et al. count pairs over the word-frequency dict,
+    * not the raw text) — followed by a vocabulary-sized pair shuffle
+    * and a TakeOrdered top-k (no global sort). At 100 TB the only
+    * corpus-proportional work is the word-count scan; everything after
+    * is bounded by vocabulary size. */
+  def bpePairStats(docs: DataFrame, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+    words
+      .select(col("wn"), explode(expr(
+        """CASE WHEN length(word) >= 2
+          |  THEN transform(sequence(1, length(word) - 1),
+          |                 i -> substring(word, i, 2))
+          |  ELSE array() END""".stripMargin)).as("pair"))
+      .groupBy("pair").agg(sum("wn").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -982,6 +982,30 @@ class ExtSpec extends SparkSpec {
     assert(d.map(_._1).distinct.length == d.length, "one row per doc_id")
   }
 
+  test("t26: BPE pair stats match a driver-side recompute; cut is total-ordered") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "low low lower"), (2L, "low newest")).toDF("doc_id", "text")
+    // word freqs: low×3, lower×1, newest×1 → lo=4, ow=4, we=2 (lower +
+    // newest), then er/ne/ew/es/st ×1; ties order pair-asc
+    val got = TextAnalysis.bpePairStats(planted, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("lo", 4L), ("ow", 4L), ("we", 2L)))
+    // full driver recompute on the real table, including the exact cut
+    val docs2 = docs.select("text").collect().map(_.getString(0))
+    val wordFreq = docs2.flatMap(_.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val pairCount = new scala.collection.mutable.HashMap[String, Long]()
+    wordFreq.foreach { case (w, n) =>
+      w.sliding(2).filter(_.length == 2).foreach(p =>
+        pairCount(p) = pairCount.getOrElse(p, 0L) + n)
+    }
+    val expected = pairCount.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val full = TextAnalysis.bpePairStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(full == expected, "top-50 identical including order of the cut")
+  }
+
   test("v10: centroid outliers match a driver-side fixed-point recompute") {
     import spark.implicits._
     // planted: group g1 has two aligned vectors and one orthogonal

@@ -41,6 +41,16 @@ private object ReadmeQuickStartCheck {
     val knn      = Similarity.knnGraphClustered(emb, k = 3, nList = 64)
     val admitted = Dedup.incrementalIngest(corpus = unique, batch = docs)
 
+    // Living-corpus maintenance: snapshot delta + semantic curation:
+    val delta    = Dedup.snapshotDiff(oldSnap = unique, newSnap = docs)
+    val outliers = Similarity.centroidOutliers(
+      emb.join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id"))
+
+    // Retrieval prep: chunks, positional index, phrase search, BPE stats:
+    val chunks   = graft.ext.Retrieval.chunks(unique)
+    val hits     = graft.ext.Retrieval.phraseSearch(unique, Seq("deep", "learning"))
+    val bpePairs = TextAnalysis.bpePairStats(unique)
+
     // Loader-ready export: deterministic pre-shuffled JSONL shards:
     graft.sources.JsonlShardSink.writeShards(unique, "doc_id",
       nShards = 1024, "/out/shards")
@@ -50,6 +60,7 @@ private object ReadmeQuickStartCheck {
     spark.sql("SELECT doc_id, graft_repeat_stats(split(text, ' ')) FROM documents").show()
 
     // silence unused-value warnings — the bindings mirror the README
-    val _ = (fast, clusters, shards, topk, semKept, knn, admitted)
+    val _ = (fast, clusters, shards, topk, semKept, knn, admitted,
+      delta, outliers, chunks, hits, bpePairs)
   }
 }
