@@ -433,6 +433,45 @@ object ExtPipelines {
     graft.ext.Retrieval.invertedIndex(Tables.documents(spark, dir),
       minDf = 2, maxDf = 500)
 
+  /** x20: corpus refresh — the decision layer a living corpus runs on
+    * every crawl: x19's snapshot delta classifies what arrived, then
+    * each added/changed document is admitted only if it (a) is not an
+    * exact duplicate of standing-corpus content and (b) passes the
+    * quality gate. Emits (doc_id, status, action) with action ∈
+    * admit_new | admit_update | reject_dup | reject_quality —
+    * delta-sized, like every stage it composes.
+    *
+    * Scale shape inherits from the composed stages: the delta is x19's
+    * digest join, the dup check joins the CANDIDATES (delta-sized)
+    * against the standing digest index (never the text), and the
+    * quality gate is per-row codegen. Nothing in the pipeline shuffles
+    * corpus-sized text. */
+  def corpusRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val b = docs.withColumn("bucket",
+      graft.ext.DataSplit.bucketSalted(col("doc_id"), "#snap"))
+    val oldSnap = b.filter(col("bucket") < 58982).select("doc_id", "text")
+    val newSnap = b.filter(col("bucket") >= 6554)
+      .select(col("doc_id"),
+        when(col("bucket") >= 26214 && col("bucket") < 32768,
+          concat(col("text"), lit(" [recrawled]")))
+          .otherwise(col("text")).as("text"))
+    val delta = Dedup.snapshotDiff(oldSnap, newSnap)
+      .filter(col("status") =!= "removed")
+    val cands = newSnap.join(delta, Seq("doc_id"))
+    val oldDigests = oldSnap
+      .select(sha2(col("text"), 256).as("_sha")).distinct()
+      .withColumn("_dup", lit(1))
+    TextAnalysis.qualityScore(TextAnalysis.qualitySignals(cands))
+      .withColumn("_sha", sha2(col("text"), 256))
+      .join(oldDigests, Seq("_sha"), "left_outer")
+      .select(col("doc_id"), col("status"),
+        when(col("_dup").isNotNull, "reject_dup")
+          .when(col("quality") < 0.5, "reject_quality")
+          .when(col("status") === "added", "admit_new")
+          .otherwise("admit_update").as("action"))
+  }
+
   /** t25: phrase search for the corpus's top bigram — the
     * deterministic query that exercises the positional intersection
     * ([[graft.ext.Retrieval.phraseSearch]]) with an oracle that can

@@ -1006,6 +1006,58 @@ class ExtSpec extends SparkSpec {
     assert(full == expected, "top-50 identical including order of the cut")
   }
 
+  test("x20: corpus refresh decisions match a driver-side recompute") {
+    val bucketOf: Long => Int = id => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id#snap".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16)
+    }
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val old = all.filter { case (id, _) => bucketOf(id) < 58982 }.toMap
+    val nw = all.filter { case (id, _) => bucketOf(id) >= 6554 }.map {
+      case (id, t) =>
+        val bk = bucketOf(id)
+        id -> (if (bk >= 26214 && bk < 32768) t + " [recrawled]" else t)
+    }.toMap
+    val oldTexts = old.values.toSet
+    val stop = graft.ext.TextAnalysis.stopwords.toSet
+    def quality(t: String): Double = {
+      val toks = t.split(" ", -1)
+      val nTok = toks.length
+      val nStop = toks.count(stop)
+      val len = t.length
+      val stopR = if (nTok == 0) 0.0 else nStop.toDouble / nTok
+      val punctR = if (len == 0) 0.0 else
+        t.replaceAll("[A-Za-z0-9\\s]", "").length.toDouble / len
+      math.min(nTok / 100.0, 1.0) * 0.4 +
+        math.min(stopR * 5.0, 1.0) * 0.3 +
+        (1.0 - math.min(punctR * 10.0, 1.0)) * 0.3
+    }
+    val expected = nw.flatMap { case (id, t) =>
+      val status = old.get(id) match {
+        case None => Some("added")
+        case Some(ot) if ot != t => Some("changed")
+        case _ => None
+      }
+      status.map { s =>
+        val action =
+          if (oldTexts(t)) "reject_dup"
+          else if (quality(t) < 0.5) "reject_quality"
+          else if (s == "added") "admit_new"
+          else "admit_update"
+        id -> ((s, action))
+      }
+    }
+    val got = graft.analytics.ExtPipelines.corpusRefresh(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).toSet.subsetOf(Set(
+      "admit_new", "admit_update", "reject_dup", "reject_quality")))
+  }
+
   test("v10: centroid outliers match a driver-side fixed-point recompute") {
     import spark.implicits._
     // planted: group g1 has two aligned vectors and one orthogonal
