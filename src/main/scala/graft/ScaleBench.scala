@@ -86,7 +86,9 @@ object ScaleBench {
     "t21_importance_ratio",
     "x19_snapshot_diff",
     "v10_centroid_outliers",
-    "t25_phrase_search")
+    "t25_phrase_search",
+    "t26_bpe_pairs",
+    "x20_corpus_refresh")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

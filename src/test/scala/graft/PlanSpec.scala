@@ -220,4 +220,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"mixing must not join:\n$p")
     assert(p.contains("Generate"), p) // the explode emitting copies
   }
+
+  test("v10: centroid table broadcasts onto the scoring scan — no sort-merge") {
+    val p = plan(graft.analytics.ExtPipelines.centroidOutliers(spark, sf()))
+    // every join in the pipeline (source lookup, sample intersect,
+    // centroid attach) builds a broadcast side; the corpus-sized
+    // embeddings scan must never sort-merge or re-hash for scoring
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle into a sort-merge join:\n$p")
+  }
+
+  test("x19: snapshot diff shuffles digests, never document text") {
+    val docs = sources.Tables.documents(spark, sf()).select("doc_id", "text")
+    val p = plan(graft.ext.Dedup.snapshotDiff(docs, docs))
+    // both sides reduce to (id, 64-char sha) BELOW the exchange: the
+    // shuffled attributes are the digest projections, not text
+    val exchangeOnText = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(!exchangeOnText, s"text must not reach an exchange:\n$p")
+    assert(p.contains("sha2"), p)
+  }
 }
