@@ -104,6 +104,7 @@ object SparkEntry {
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
+    "x21_change_magnitude" -> (ExtPipelines.changeMagnitude _),
     "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
     "v10_centroid_outliers" -> (ExtPipelines.centroidOutliers _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
@@ -1257,6 +1258,44 @@ object SparkEntry {
         |       WHEN q.status = 'added' THEN 'admit_new'
         |       ELSE 'admit_update' END AS action
         |FROM q LEFT JOIN od ON q.text = od.text""".stripMargin,
+
+    // x21: change magnitude — x19's snapshot CTEs, changed slice only;
+    // per-doc 3-gram sets compared in place (list_filter/list_contains
+    // — no shingle explosion), Jaccard as the one finishing double
+    "x21_change_magnitude" ->
+      """WITH h AS (SELECT doc_id, text,
+        |             md5(CAST(doc_id AS VARCHAR) || '#snap') AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |o AS (SELECT doc_id, text FROM b WHERE bucket < 58982),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN bucket >= 26214 AND bucket < 32768
+        |             THEN text || ' [recrawled]' ELSE text END AS text
+        |      FROM b WHERE bucket >= 6554),
+        |ch AS (SELECT o.doc_id, string_split(o.text, ' ') AS wo,
+        |              string_split(n.text, ' ') AS wn
+        |       FROM o JOIN n ON o.doc_id = n.doc_id WHERE o.text <> n.text),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([wo[i] || ' ' || wo[i+1] || ' ' || wo[i+2]
+        |                        for i in range(1, len(wo) - 1)]) AS sa,
+        |         list_distinct([wn[i] || ' ' || wn[i+1] || ' ' || wn[i+2]
+        |                        for i in range(1, len(wn) - 1)]) AS sb
+        |       FROM ch),
+        |mom AS (SELECT doc_id, CAST(len(sa) AS BIGINT) AS n_old,
+        |          CAST(len(sb) AS BIGINT) AS n_new,
+        |          CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS BIGINT) AS n_inter
+        |        FROM sh),
+        |q AS (SELECT doc_id, n_old, n_new, n_inter,
+        |        CASE WHEN n_old + n_new - n_inter > 0
+        |             THEN CAST(n_inter AS DOUBLE) / (n_old + n_new - n_inter)
+        |        END AS jaccard
+        |      FROM mom)
+        |SELECT doc_id, n_old, n_new, n_inter, jaccard,
+        |       COALESCE(jaccard >= 0.8, FALSE) AS minor FROM q""".stripMargin,
 
     // x19: snapshot diff — rebuilds both snapshots with the same
     // salted-bucket rule and classifies by direct text comparison

@@ -433,6 +433,31 @@ object ExtPipelines {
     graft.ext.Retrieval.invertedIndex(Tables.documents(spark, dir),
       minDf = 2, maxDf = 500)
 
+  /** x21: change magnitude over x19's snapshots — old/new revision
+    * Jaccard for every changed doc ([[graft.ext.Dedup.changeMagnitude]]);
+    * the " [recrawled]" suffix planted by the snapshot rule is exactly
+    * the trivial-churn case the `minor` flag exists to catch. */
+  def changeMagnitude(spark: SparkSession, dir: String): DataFrame = {
+    val (oldSnap, newSnap) = snapshots(spark, dir)
+    Dedup.changeMagnitude(oldSnap, newSnap)
+  }
+
+  /** The deterministic snapshot pair shared by x19/s11/x20/x21: old =
+    * salted buckets [0, 90%), new = [10%, 100%) with the [40%, 50%)
+    * band re-crawled (suffix-changed) content. */
+  private def snapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val b = docs.withColumn("bucket",
+      graft.ext.DataSplit.bucketSalted(col("doc_id"), "#snap"))
+    val oldSnap = b.filter(col("bucket") < 58982).select("doc_id", "text")
+    val newSnap = b.filter(col("bucket") >= 6554)
+      .select(col("doc_id"),
+        when(col("bucket") >= 26214 && col("bucket") < 32768,
+          concat(col("text"), lit(" [recrawled]")))
+          .otherwise(col("text")).as("text"))
+    (oldSnap, newSnap)
+  }
+
   /** x20: corpus refresh — the decision layer a living corpus runs on
     * every crawl: x19's snapshot delta classifies what arrived, then
     * each added/changed document is admitted only if it (a) is not an
@@ -447,15 +472,7 @@ object ExtPipelines {
     * quality gate is per-row codegen. Nothing in the pipeline shuffles
     * corpus-sized text. */
   def corpusRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val b = docs.withColumn("bucket",
-      graft.ext.DataSplit.bucketSalted(col("doc_id"), "#snap"))
-    val oldSnap = b.filter(col("bucket") < 58982).select("doc_id", "text")
-    val newSnap = b.filter(col("bucket") >= 6554)
-      .select(col("doc_id"),
-        when(col("bucket") >= 26214 && col("bucket") < 32768,
-          concat(col("text"), lit(" [recrawled]")))
-          .otherwise(col("text")).as("text"))
+    val (oldSnap, newSnap) = snapshots(spark, dir)
     val delta = Dedup.snapshotDiff(oldSnap, newSnap)
       .filter(col("status") =!= "removed")
     val cands = newSnap.join(delta, Seq("doc_id"))
@@ -502,15 +519,7 @@ object ExtPipelines {
     * snapshot — so all three statuses (added / removed / changed)
     * appear and the oracle can rebuild both sides exactly. */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val b = docs.withColumn("bucket",
-      graft.ext.DataSplit.bucketSalted(col("doc_id"), "#snap"))
-    val oldSnap = b.filter(col("bucket") < 58982).select("doc_id", "text")
-    val newSnap = b.filter(col("bucket") >= 6554)
-      .select(col("doc_id"),
-        when(col("bucket") >= 26214 && col("bucket") < 32768,
-          concat(col("text"), lit(" [recrawled]")))
-          .otherwise(col("text")).as("text"))
+    val (oldSnap, newSnap) = snapshots(spark, dir)
     Dedup.snapshotDiff(oldSnap, newSnap)
   }
 

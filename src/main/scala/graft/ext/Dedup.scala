@@ -776,4 +776,46 @@ object Dedup {
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }
+
+  /** x21 — change magnitude: for every CHANGED document between two
+    * snapshots, the n-gram Jaccard between its old and new revision —
+    * the signal that separates substantive re-writes (reprocess,
+    * re-embed, re-dedup) from trivial re-crawl churn (a boilerplate
+    * date, an ad rotation) that should NOT invalidate downstream work.
+    * Emits (idCol, n_old, n_new, n_inter, jaccard, minor) where
+    * `minor` = jaccard ≥ `minorThreshold`; docs too short to shingle
+    * on either side get NULL jaccard and are never `minor`.
+    *
+    * Two-phase so text only ever shuffles DELTA-sized: first
+    * [[snapshotDiff]] finds changed ids by digest (content never
+    * shuffles), then ONLY those ids pull both revisions into the
+    * comparison join; the shingle sets are built per-row by the native
+    * n-gram expression and never leave their row — no shingle
+    * explosion, no shingle shuffle, unlike the corpus-wide dedup
+    * family. At 100 TB: two digest-index joins plus per-row work on
+    * the changed slice. */
+  def changeMagnitude(oldSnap: DataFrame, newSnap: DataFrame, n: Int = 3,
+      minorThreshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.TextExpressions.registerNgrams(oldSnap.sparkSession)
+    val changedIds = snapshotDiff(oldSnap, newSnap, textCol, idCol)
+      .filter(col("status") === "changed").select(idCol)
+    val sh = (c: Column) => array_distinct(
+      graft.functions.TextExpressions.ngrams(split(c, " "), n))
+    val o = oldSnap.join(changedIds, Seq(idCol))
+      .select(col(idCol), sh(col(textCol)).as("_sa"))
+    val nw = newSnap.join(changedIds, Seq(idCol))
+      .select(col(idCol), sh(col(textCol)).as("_sb"))
+    o.join(nw, Seq(idCol))
+      .select(col(idCol),
+        size(col("_sa")).cast("long").as("n_old"),
+        size(col("_sb")).cast("long").as("n_new"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("n_inter"))
+      .withColumn("jaccard",
+        when(col("n_old") + col("n_new") - col("n_inter") > 0,
+          col("n_inter").cast("double") /
+            (col("n_old") + col("n_new") - col("n_inter"))))
+      .withColumn("minor",
+        coalesce(col("jaccard") >= minorThreshold, lit(false)))
+  }
 }

@@ -1006,6 +1006,36 @@ class ExtSpec extends SparkSpec {
     assert(full == expected, "top-50 identical including order of the cut")
   }
 
+  test("x21: change magnitude separates trivial churn from rewrites") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six"),
+      (3L, "same text here ok"),
+      (4L, "gone entirely")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      // trivial: one token appended — most shingles survive
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // rewrite: nothing in common
+      (2L, "completely different content now appears here"),
+      (3L, "same text here ok"),                  // unchanged → no row
+      (5L, "newly added")).toDF("doc_id", "text") // added → no row
+    val got = Dedup.changeMagnitude(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))).toMap
+    assert(got.keySet == Set(1L, 2L), "only changed docs emit a row")
+    // doc 1: old has 6 trigrams, new has 7, 6 shared → jaccard 6/7
+    assert(got(1L)._1 == 6L && got(1L)._2 == 7L && got(1L)._3 == 6L)
+    assert(got(1L)._4.contains(6.0 / 7.0) && got(1L)._5, "trivial churn is minor")
+    // doc 2: disjoint shingles → jaccard 0, substantive
+    assert(got(2L)._3 == 0L && got(2L)._4.contains(0.0) && !got(2L)._5)
+    // short-text edge: both sides under n tokens → NULL jaccard, not minor
+    val short = Dedup.changeMagnitude(
+      Seq((9L, "a b")).toDF("doc_id", "text"),
+      Seq((9L, "c d")).toDF("doc_id", "text")).collect().head
+    assert(short.isNullAt(4) && !short.getBoolean(5))
+  }
+
   test("x20: corpus refresh decisions match a driver-side recompute") {
     val bucketOf: Long => Int = id => {
       val md = java.security.MessageDigest.getInstance("MD5")
