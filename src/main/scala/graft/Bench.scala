@@ -75,7 +75,14 @@ object Bench {
     "x17_bloom_ingest",
     "v8_ann_pq_topk",
     "t20_lm_coverage",
-    "t21_importance_ratio")
+    "t21_importance_ratio",
+    // round-9 second wave: living-corpus + retrieval family
+    "x19_snapshot_diff",
+    "x20_corpus_refresh",
+    "x21_change_magnitude",
+    "v10_centroid_outliers",
+    "t25_phrase_search",
+    "t26_bpe_pairs")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
