@@ -88,7 +88,8 @@ object ScaleBench {
     "v10_centroid_outliers",
     "t25_phrase_search",
     "t26_bpe_pairs",
-    "x20_corpus_refresh")
+    "x20_corpus_refresh",
+    "x21_change_magnitude")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
