@@ -84,6 +84,37 @@ object CorpusBuild {
   }
 }
 
+/** One-command living-corpus refresh: the x19→x21→x20→x22 chain as an
+  * app. Computes the snapshot delta, per-change magnitudes, the
+  * admit/reject decisions, and the materialized next snapshot, each
+  * written as parquet under `outDir`. Usage:
+  * CorpusRefresh <documentsDir> <outDir> */
+object CorpusRefresh {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: CorpusRefresh <documentsDir> <outDir>")
+      sys.exit(2)
+    }
+    val Array(dataDir, outDir) = args
+    val spark = GraftSession.local(appName = "graft-corpus-refresh")
+    val ext = graft.analytics.ExtPipelines
+    ext.snapshotDiff(spark, dataDir)
+      .write.mode("overwrite").parquet(s"$outDir/delta")
+    ext.changeMagnitude(spark, dataDir)
+      .write.mode("overwrite").parquet(s"$outDir/magnitude")
+    ext.corpusRefresh(spark, dataDir)
+      .write.mode("overwrite").parquet(s"$outDir/decisions")
+    ext.nextSnapshot(spark, dataDir)
+      .write.mode("overwrite").parquet(s"$outDir/next")
+    // count the WRITTEN artifacts (footer reads), not the frames
+    def written(sub: String): Long = spark.read.parquet(s"$outDir/$sub").count()
+    println(s"[graft] corpus refresh: delta=${written("delta")} " +
+      s"magnitude=${written("magnitude")} decisions=${written("decisions")} " +
+      s"next=${written("next")} → $outDir")
+    spark.stop()
+  }
+}
+
 /** Replaces `ETL_full_output/ETL_full.py` (and the faster of the two
   * benchmark variants — one multi-file scan, `test_method1_readALL.py`):
   * usage: EtlFull <logDir> <outCsvDir> <fromDate yyyyMMdd> <toDate yyyyMMdd> */

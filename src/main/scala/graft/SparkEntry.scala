@@ -105,6 +105,7 @@ object SparkEntry {
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
     "x21_change_magnitude" -> (ExtPipelines.changeMagnitude _),
+    "x22_next_snapshot" -> (ExtPipelines.nextSnapshot _),
     "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
     "v10_centroid_outliers" -> (ExtPipelines.centroidOutliers _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
@@ -1258,6 +1259,51 @@ object SparkEntry {
         |       WHEN q.status = 'added' THEN 'admit_new'
         |       ELSE 'admit_update' END AS action
         |FROM q LEFT JOIN od ON q.text = od.text""".stripMargin,
+
+    // x22: next snapshot — x20's decision CTEs applied: surviving old
+    // revisions (present, not superseded) ∪ admitted new revisions
+    "x22_next_snapshot" ->
+      """WITH h AS (SELECT doc_id, text,
+        |             md5(CAST(doc_id AS VARCHAR) || '#snap') AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |o AS (SELECT doc_id, text FROM b WHERE bucket < 58982),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN bucket >= 26214 AND bucket < 32768
+        |             THEN text || ' [recrawled]' ELSE text END AS text
+        |      FROM b WHERE bucket >= 6554),
+        |d AS (SELECT n.doc_id, n.text,
+        |        CASE WHEN o.doc_id IS NULL THEN 'added'
+        |             WHEN o.text <> n.text THEN 'changed' END AS status
+        |      FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+        |      WHERE o.doc_id IS NULL OR o.text <> n.text),
+        |q AS (SELECT doc_id, text, status,
+        |        (least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |         + least((CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |                  ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                       x -> x IN ('the','a','of','and','in','to','is','it','for','on'))) AS DOUBLE)
+        |                     / len(string_split(text, ' ')) END) * 5.0, 1.0) * 0.3
+        |         + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                     / length(text) END) * 10.0, 1.0)) * 0.3) AS quality
+        |      FROM d),
+        |od AS (SELECT DISTINCT text FROM o),
+        |acts AS (SELECT q.doc_id, q.text,
+        |           CASE WHEN od.text IS NOT NULL THEN 'reject_dup'
+        |                WHEN q.quality < 0.5 THEN 'reject_quality'
+        |                WHEN q.status = 'added' THEN 'admit_new'
+        |                ELSE 'admit_update' END AS action
+        |         FROM q LEFT JOIN od ON q.text = od.text)
+        |SELECT o.doc_id, o.text FROM o
+        |WHERE o.doc_id IN (SELECT doc_id FROM n)
+        |  AND o.doc_id NOT IN (SELECT doc_id FROM acts WHERE action = 'admit_update')
+        |UNION ALL
+        |SELECT doc_id, text FROM acts
+        |WHERE action IN ('admit_new', 'admit_update')""".stripMargin,
 
     // x21: change magnitude — x19's snapshot CTEs, changed slice only;
     // per-doc 3-gram sets compared in place (list_filter/list_contains

@@ -473,6 +473,11 @@ object ExtPipelines {
     * corpus-sized text. */
   def corpusRefresh(spark: SparkSession, dir: String): DataFrame = {
     val (oldSnap, newSnap) = snapshots(spark, dir)
+    refreshDecisions(oldSnap, newSnap)
+  }
+
+  /** The frame-level decision core of x20 (see [[corpusRefresh]]). */
+  def refreshDecisions(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
     val delta = Dedup.snapshotDiff(oldSnap, newSnap)
       .filter(col("status") =!= "removed")
     val cands = newSnap.join(delta, Seq("doc_id"))
@@ -487,6 +492,32 @@ object ExtPipelines {
           .when(col("quality") < 0.5, "reject_quality")
           .when(col("status") === "added", "admit_new")
           .otherwise("admit_update").as("action"))
+  }
+
+  /** x22: next snapshot — APPLY x20's decisions and materialize the
+    * refreshed corpus: surviving old revisions (everything still
+    * present and not superseded — changed-but-rejected docs keep their
+    * old text, so a bad re-crawl never corrupts the corpus) unioned
+    * with the admitted new revisions. The union is id-disjoint by
+    * construction; output size = |old| − removed − rejected_adds +
+    * admitted.
+    *
+    * Scale shape: two id-semi-joins against delta-sized decision sets
+    * plus one delta-sized text pull — the standing corpus streams
+    * through untouched except for its membership probes; at 100 TB
+    * with id-bucketed snapshot storage both probes are exchange-free. */
+  def nextSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val (oldSnap, newSnap) = snapshots(spark, dir)
+    val acts = refreshDecisions(oldSnap, newSnap)
+    val admitted = acts
+      .filter(col("action").isin("admit_new", "admit_update"))
+      .join(newSnap, Seq("doc_id")).select("doc_id", "text")
+    val survivors = oldSnap
+      .join(newSnap.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(acts.filter(col("action") === "admit_update").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+    survivors.union(admitted)
   }
 
   /** t25: phrase search for the corpus's top bigram — the

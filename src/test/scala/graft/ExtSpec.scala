@@ -1036,6 +1036,37 @@ class ExtSpec extends SparkSpec {
     assert(short.isNullAt(4) && !short.getBoolean(5))
   }
 
+  test("x22: next snapshot is exactly x20's decisions applied") {
+    val decisions = graft.analytics.ExtPipelines.corpusRefresh(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    val next = graft.analytics.ExtPipelines.nextSnapshot(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mag = graft.analytics.ExtPipelines.changeMagnitude(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    decisions.foreach { case (id, (status, action)) =>
+      action match {
+        case "admit_new" | "admit_update" =>
+          assert(next.contains(id), s"admitted $id must land in next")
+          assert(status == "added" || next(id) != all(id),
+            s"admitted update $id must carry the NEW revision")
+        case "reject_quality" | "reject_dup" if status == "changed" =>
+          assert(next(id) == all(id),
+            s"rejected update $id must keep its OLD revision")
+        case _ => // rejected adds: simply absent
+          assert(status == "added" && !next.contains(id))
+      }
+    }
+    // every changed doc scored by x21 received a decision in x20
+    assert(mag.subsetOf(decisions.keySet))
+    // unchanged survivors keep their old text untouched
+    val unchanged = next.keySet.filterNot(decisions.contains)
+    assert(unchanged.nonEmpty)
+    unchanged.foreach(id => assert(next(id) == all(id)))
+  }
+
   test("x20: corpus refresh decisions match a driver-side recompute") {
     val bucketOf: Long => Int = id => {
       val md = java.security.MessageDigest.getInstance("MD5")
