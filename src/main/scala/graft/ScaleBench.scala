@@ -89,7 +89,8 @@ object ScaleBench {
     "t25_phrase_search",
     "t26_bpe_pairs",
     "x20_corpus_refresh",
-    "x21_change_magnitude")
+    "x21_change_magnitude",
+    "x22_next_snapshot")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

@@ -41,8 +41,10 @@ private object ReadmeQuickStartCheck {
     val knn      = Similarity.knnGraphClustered(emb, k = 3, nList = 64)
     val admitted = Dedup.incrementalIngest(corpus = unique, batch = docs)
 
-    // Living-corpus maintenance: snapshot delta + semantic curation:
+    // Living-corpus maintenance: snapshot delta, change triage, curation
+    // (or run the whole x19→x21→x20→x22 chain: the CorpusRefresh app):
     val delta    = Dedup.snapshotDiff(oldSnap = unique, newSnap = docs)
+    val triage   = Dedup.changeMagnitude(oldSnap = unique, newSnap = docs)
     val outliers = Similarity.centroidOutliers(
       emb.join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id"))
 
@@ -61,6 +63,6 @@ private object ReadmeQuickStartCheck {
 
     // silence unused-value warnings — the bindings mirror the README
     val _ = (fast, clusters, shards, topk, semKept, knn, admitted,
-      delta, outliers, chunks, hits, bpePairs)
+      delta, triage, outliers, chunks, hits, bpePairs)
   }
 }
