@@ -101,6 +101,7 @@ object SparkEntry {
     "t24_novelty" -> (ExtPipelines.noveltyScores _),
     "t25_phrase_search" -> (ExtPipelines.phraseSearch _),
     "t26_bpe_pairs" -> (ExtPipelines.bpePairStats _),
+    "t27_source_drift" -> (ExtPipelines.sourceDrift _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
@@ -273,7 +274,37 @@ object SparkEntry {
        |       WHEN days >= 20 THEN 'High' END AS Active_day
        |FROM prof""".stripMargin
 
+  /** t27's oracle, generated over the same stopword list the Spark
+    * side folds, so the fixed-order KL tree is spelled identically
+    * (left-assoc sum of p·ln(p/q) terms, zero-count terms exactly 0). */
+  private def t27OracleSql: String = {
+    val ws = graft.ext.TextAnalysis.stopwords
+    val counts = ws.map(w =>
+      s"""CAST(sum(len(list_filter(string_split(text, ' '),
+         |        x -> x = '$w'))) AS BIGINT) AS c_$w""".stripMargin)
+      .mkString(",\n    ")
+    val totals = ws.map(w => s"CAST(sum(c_$w) AS BIGINT) AS t_$w")
+      .mkString(", ")
+    val m = ws.map(w => s"c_$w").mkString(" + ")
+    val bigM = ws.map(w => s"t_$w").mkString(" + ")
+    val terms = ws.map(w =>
+      s"""CASE WHEN c_$w > 0
+         |     THEN (CAST(c_$w AS DOUBLE) / CAST(m AS DOUBLE))
+         |          * ln((CAST(c_$w AS DOUBLE) / CAST(m AS DOUBLE))
+         |               / (CAST(t_$w AS DOUBLE) / CAST(mm AS DOUBLE)))
+         |     ELSE 0.0 END""".stripMargin).mkString("\n  + ")
+    s"""WITH c AS (SELECT source,
+       |    $counts
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT $totals FROM c),
+       |j AS (SELECT c.*, t.*, ($m) AS m, ($bigM) AS mm FROM c, t)
+       |SELECT source, CAST(m AS BIGINT) AS n_stop,
+       |  ($terms) AS kl
+       |FROM j""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t27_source_drift" -> t27OracleSql,
     "s1_stream_daily_totals" ->
       s"""$baseCte
          |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, Type,

@@ -310,6 +310,11 @@ object ExtPipelines {
   def bpePairStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairStats(Tables.documents(spark, dir))
 
+  /** t27: per-source stopword-profile KL drift —
+    * see [[graft.ext.TextAnalysis.sourceDrift]]. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceDrift(Tables.documents(spark, dir))
+
   /** Gopher-style repetition signals (most-frequent word/bigram
     * multiplicity, duplicated-bigram mass) — zero-shuffle per-row scans. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =

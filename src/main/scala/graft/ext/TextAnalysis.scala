@@ -220,6 +220,51 @@ object TextAnalysis {
       .filter(col("bm25") > 0)
   }
 
+  /** t27 — per-source drift: KL divergence of each source's stopword
+    * profile against the whole corpus's — the cheap linguistic-drift
+    * monitor a corpus pipeline runs per ingest batch (a source whose
+    * function-word distribution walks away from the corpus has changed
+    * register, language mix, or scraper behavior).
+    *
+    * Exactness discipline: the profile is INTEGER counts of the fixed
+    * 10-stopword set (the t2/t3 list), aggregated map-side; the KL is
+    * one per-source finishing expression — a fixed-order sum over the
+    * stopword list of `p·ln(p/q)` with `p = c_w/m`, `q = t_w/M` — so
+    * the oracle spells the identical IEEE tree. Zero-count terms
+    * contribute exactly 0 (the p→0 limit); a source with no stopword
+    * mass at all scores 0 by the same rule.
+    *
+    * Scale shape: one scan with per-row counting (codegen'd
+    * size/filter), one |sources|-row aggregate, corpus totals computed
+    * FROM that tiny table (no second scan) and broadcast back. */
+  def sourceDrift(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val perSource = docs.groupBy(sourceCol)
+      .agg(sum(size(filter(toks, t => t === stopwords.head)))
+          .as(s"c_${stopwords.head}"),
+        stopwords.tail.map(w =>
+          sum(size(filter(toks, t => t === w))).as(s"c_$w")): _*)
+    // masses computed BEFORE the join: totals derives from perSource,
+    // and post-join name resolution on such a self-derived cross join
+    // silently binds c_* to the wrong lineage (observed: per-source
+    // mass resolving to the corpus total)
+    val withM = perSource.withColumn("_ms",
+      stopwords.map(w => col(s"c_$w")).reduce(_ + _))
+    val totals = perSource
+      .agg(sum(col(s"c_${stopwords.head}")).as(s"t_${stopwords.head}"),
+        stopwords.tail.map(w => sum(col(s"c_$w")).as(s"t_$w")): _*)
+      .withColumn("_mc", stopwords.map(w => col(s"t_$w")).reduce(_ + _))
+    val withMass = withM.crossJoin(broadcast(totals))
+    val kl = stopwords.map { w =>
+      val p = col(s"c_$w").cast("double") / col("_ms").cast("double")
+      val q = col(s"t_$w").cast("double") / col("_mc").cast("double")
+      when(col(s"c_$w") > 0, p * log(p / q)).otherwise(0.0)
+    }.reduce(_ + _)
+    withMass.select(col(sourceCol), col("_ms").cast("long").as("n_stop"),
+      kl.as("kl"))
+  }
+
   /** t26 — BPE pair statistics: corpus-weighted adjacent character-pair
     * counts, the argmax table the first merge of byte-pair-encoding
     * tokenizer training reads. For each distinct word (weighted by its

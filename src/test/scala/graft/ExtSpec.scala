@@ -1036,6 +1036,34 @@ class ExtSpec extends SparkSpec {
     assert(short.isNullAt(4) && !short.getBoolean(5))
   }
 
+  test("t27: source drift matches hand-computed KL; Gibbs bound holds") {
+    import spark.implicits._
+    // srcA: stopword profile 3×the, 1×of; srcB: 1×the, 3×of
+    // corpus: the=4, of=4 → q=(1/2,1/2); p_A=(3/4,1/4)
+    // KL(p_A||q) = .75·ln(1.5) + .25·ln(.5) (identical for B by symmetry)
+    val planted = Seq(
+      (1L, "the the the of x", "srcA"), (2L, "the of of of y", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDrift(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
+    assert(got("srcA")._1 == 4L && got("srcB")._1 == 4L)
+    assert(math.abs(got("srcA")._2 - expected) < 1e-12)
+    assert(math.abs(got("srcB")._2 - expected) < 1e-12)
+    // stopword-free source scores exactly 0 by the zero-term rule
+    val bare = TextAnalysis.sourceDrift(
+      planted.union(Seq((3L, "xyz qqq", "srcC")).toDF("doc_id", "text", "source")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(bare("srcC") == 0.0)
+    // real corpus: KL(p||q) ≥ 0 for every source (Gibbs), masses positive
+    val real = graft.analytics.ExtPipelines.sourceDrift(spark, sf()).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getDouble(2) >= -1e-15, s"negative KL for ${r.getString(0)}")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   test("x22: next snapshot is exactly x20's decisions applied") {
     val decisions = graft.analytics.ExtPipelines.corpusRefresh(spark, sf())
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
