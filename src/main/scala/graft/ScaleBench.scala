@@ -90,7 +90,8 @@ object ScaleBench {
     "t26_bpe_pairs",
     "x20_corpus_refresh",
     "x21_change_magnitude",
-    "x22_next_snapshot")
+    "x22_next_snapshot",
+    "t27_source_drift")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

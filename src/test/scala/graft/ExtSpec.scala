@@ -1036,6 +1036,19 @@ class ExtSpec extends SparkSpec {
     assert(short.isNullAt(4) && !short.getBoolean(5))
   }
 
+  test("round-9 ops are invariant to input partitioning") {
+    val d1 = docs.repartition(1)
+    val d13 = docs.repartition(13)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.snapshotDiff(d1, d1.filter(col("doc_id") < 400))) ==
+      rows(Dedup.snapshotDiff(d13, d13.filter(col("doc_id") < 400))))
+    assert(rows(TextAnalysis.bpePairStats(d1)) ==
+      rows(TextAnalysis.bpePairStats(d13)))
+    assert(rows(TextAnalysis.sourceDrift(d1)) ==
+      rows(TextAnalysis.sourceDrift(d13)))
+  }
+
   test("t27: source drift matches hand-computed KL; Gibbs bound holds") {
     import spark.implicits._
     // srcA: stopword profile 3×the, 1×of; srcB: 1×the, 3×of
