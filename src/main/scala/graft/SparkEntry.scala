@@ -55,6 +55,7 @@ object SparkEntry {
     // the whole agg+join plan runs with zero exchanges (PlanSpec)
     "g20_bucketed_join" -> (graft.ops.Bucketed.orderLineStats _),
     "g21_percentiles" -> (Pipelines.percentiles _),
+    "g21b_percentile_bounded" -> (Pipelines.percentileBounded _),
     "g22_range_join" -> (Pipelines.attributionRangeJoin _),
     "g23_profile_stats" -> (Pipelines.profileStats _),
     "g24_window_analytics" -> (Pipelines.windowAnalytics _),
@@ -1628,6 +1629,16 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
         |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)  AS p50,
         |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // g21b: the oracle recomputes the exact band edges and pins the
+    // sketch contract (g16b pattern — an out-of-band estimate
+    // hash-fails the row)
+    "g21b_percentile_bounded" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75,
+        |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "g22_range_join" ->

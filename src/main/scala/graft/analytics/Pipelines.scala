@@ -328,6 +328,29 @@ object Pipelines {
         col("p")(0).as("p25"), col("p")(1).as("p50"), col("p")(2).as("p75"))
   }
 
+  /** g21b — the sketch-side contract of g21, g16b-style: at 100 TB the
+    * exact per-group percentile (full sort per group) gives way to
+    * approx_percentile (t-digest-like mergeable partials), and THAT
+    * estimator's contract is driver-checkable even though no SQL can
+    * recompute the sketch: the approximate median must land inside the
+    * exact interquartile band [p25, p75] — rank error bounds for the
+    * configured accuracy (10⁴) are ~0.01% of rank, four orders below
+    * the 25% the band allows, so the pin holds on any data/scale tier,
+    * not just the one it was tuned on. The band edges are the g21
+    * quantile points (exact binary fractions over integer cents →
+    * bit-stable), so the oracle recomputes them exactly and pins
+    * `approx_ok = TRUE`. */
+  def percentileBounded(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+    li.groupBy("l_returnflag")
+      .agg(expr("percentile(c, array(0.25D, 0.75D))").as("p"),
+        expr("approx_percentile(c, 0.5D, 10000)").as("ap"))
+      .select(col("l_returnflag"),
+        col("p")(0).as("p25"), col("p")(1).as("p75"),
+        (col("ap") >= col("p")(0) && col("ap") <= col("p")(1)).as("approx_ok"))
+  }
+
   /** Range join via bin bucketing: attribute each non-purchase event to
     * every purchase by the same user in the preceding day. The binned
     * equi-join on (user_id, day-bin) replaces the per-key quadratic
