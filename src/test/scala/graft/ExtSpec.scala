@@ -1047,6 +1047,18 @@ class ExtSpec extends SparkSpec {
       rows(TextAnalysis.bpePairStats(d13)))
     assert(rows(TextAnalysis.sourceDrift(d1)) ==
       rows(TextAnalysis.sourceDrift(d13)))
+    // v10's bottom-k sample rides TopKAggregator partial merges — the
+    // centroid (and so every score) must not depend on merge order
+    val ej = emb.join(
+      docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    assert(rows(Similarity.centroidOutliers(ej.repartition(1))) ==
+      rows(Similarity.centroidOutliers(ej.repartition(13))))
+    def mutate(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" tail"))).otherwise(col("text")))
+    val cm1 = rows(Dedup.changeMagnitude(d1, mutate(d1)))
+    assert(cm1 == rows(Dedup.changeMagnitude(d13, mutate(d13))))
+    assert(cm1.nonEmpty, "the mutated band must register as changed")
   }
 
   test("t27: source drift matches hand-computed KL; Gibbs bound holds") {
