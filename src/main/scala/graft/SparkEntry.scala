@@ -138,6 +138,7 @@ object SparkEntry {
     "s9_stream_ingest_dedup" -> (ExtPipelines.streamIngestDedup _),
     "s10_stream_sliding_totals" -> (ExtPipelines.streamSlidingTotals _),
     "s11_stream_cdc" -> (ExtPipelines.streamCdc _),
+    "s12_stream_distinct_users" -> (ExtPipelines.streamDistinctUsers _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -313,6 +314,14 @@ object SparkEntry {
          |FROM base
          |WHERE user_id <> 0 AND Type <> 'Error'
          |GROUP BY 1, 2""".stripMargin,
+
+    // s12: the oracle recomputes the exact daily cardinality and pins
+    // the sketch contract (g16b pattern, streaming form)
+    "s12_stream_distinct_users" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     // s10: each event lands in exactly two sliding windows (duration 2d,
     // slide 1d, epoch-aligned like Spark's window()); integer cents keep

@@ -716,6 +716,23 @@ object ExtPipelines {
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** s12: streaming daily distinct users — HLL sketch in the stream,
+    * g16b-contract check against the batch-exact count per day. */
+  def streamDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    // Complete mode (s1's choice): append would hold back the windows
+    // the final watermark has not closed — the stream's last days
+    val streamed = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.dailyDistinctUsers(
+        graft.streaming.Streaming.eventsStream(spark, dir)))
+    val exact = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    streamed.join(exact, Seq("day"))
+      .select(col("day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.05)).as("hll_ok"))
+  }
+
   /** Stream-stream interval join (watermarked state both sides). */
   def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.runToBatch(spark,

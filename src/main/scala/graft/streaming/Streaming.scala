@@ -134,6 +134,22 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("Type"), col("value_cents"))
 
+  /** s12 — daily distinct users over the stream, via HLL: exact
+    * count-distinct is not expressible in a watermarked streaming
+    * aggregation without unbounded per-window key state, so this is
+    * THE streaming form of the cardinality question — mergeable
+    * sketch partials (commutative, deterministic for fixed data), the
+    * same trade g16 makes at rest. rsd=0.01; the wrapper pins the g16b
+    * contract (estimate within ±5% = 5 standard errors of the
+    * batch-exact count), which is what an oracle CAN check — the
+    * sketch value itself is engine-specific. */
+  def dailyDistinctUsers(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("approx_users"))
+
   /** Sliding 2-day/1-day event-time windows over the categorized stream
     * — the overlapping-window form of [[dailyCategoryTotals]] (each
     * event lands in exactly two windows), the standard shape for

@@ -108,6 +108,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming distinct-users sketch equals the batch sketch exactly") {
+    // HLL is deterministic for fixed data and rsd, and its merge is
+    // commutative — so the streamed per-window estimate must equal the
+    // batch estimate bit-for-bit, not just land in the error band
+    val streamed = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.dailyDistinctUsers(
+        graft.streaming.Streaming.eventsStream(spark, sf())))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.Tables.events(spark, sf())
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // and the wrapper's banded contract holds
+    val ok = graft.analytics.ExtPipelines.streamDistinctUsers(spark, sf())
+      .collect()
+    assert(ok.nonEmpty && ok.forall(_.getBoolean(2)))
+  }
+
   test("streaming CDC emits exactly the batch diff minus removals") {
     val streamed = graft.analytics.ExtPipelines.streamCdc(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
