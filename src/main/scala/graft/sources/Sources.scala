@@ -13,23 +13,62 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The testdata parquet stores TIMESTAMP(NANOS) which Spark's reader
-    * rejects; read them as raw nanos longs (legacy conf) and rebuild
-    * proper timestamps with exact integer division (ns DIV 1000 → µs —
-    * a double division would lose precision at ~1.7e18 ns). */
+  /** Timestamp columns per table, normalized by [[normalizeTs]]. The
+    * driver's generated parquet has shipped these in different physical
+    * layouts across regenerations (TIMESTAMP(NANOS); TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) = TIMESTAMP_NTZ), so ingestion must be
+    * schema-driven, never hard-wired to one layout. */
   private val tsCols = Map(
     "events" -> Seq("ts"),
     "orders" -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"))
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Read-time confs that make every timestamp layout loadable:
+    * TIMESTAMP(NANOS) columns (unreadable natively) surface as raw nanos
+    * longs, and MICROS isAdjustedToUTC=false columns surface directly as
+    * UTC TimestampType (bit-exact: the stored micros ARE the epoch
+    * micros; no session-timezone reinterpretation) instead of
+    * TIMESTAMP_NTZ, which `unix_micros`/watermarks reject. */
+  private def setTsReadConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
-      else df
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** Schema-driven normalization to ONE canonical UTC TimestampType,
+    * whatever the file actually stored:
+    *  - raw nanos long (legacy-conf read of TIMESTAMP(NANOS)) → exact
+    *    integer `DIV 1000` to µs (a double division would lose precision
+    *    at ~1.7e18 ns), then `timestamp_micros`;
+    *  - TIMESTAMP_NTZ (micros, seen when a caller reads without
+    *    [[setTsReadConfs]]) → cast to TimestampType; all entry points pin
+    *    the session timezone to UTC, so the cast is value-preserving;
+    *  - TimestampType → already canonical, untouched.
+    * Shared by the batch loader and the streaming source so batch and
+    * stream can never disagree on the layout again. */
+  def normalizeTs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    cols.filter(df.schema.fieldNames.contains).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType         => d.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case _                => d
+      }
     }
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    setTsReadConfs(spark)
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"),
+      tsCols.getOrElse(name, Nil))
+  }
+
+  /** The actual on-disk schema of a testdata table (footer-only read,
+    * driver-side) under [[setTsReadConfs]] — what a streaming source
+    * must declare to read the same files. */
+  def fileSchema(spark: SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.types.StructType = {
+    setTsReadConfs(spark)
+    spark.read.parquet(s"$dir/$name.parquet").schema
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")

@@ -35,20 +35,20 @@ object Streaming {
     spark.table(name)
   }
 
-  /** Events stream from the testdata parquet (nanos ts → µs rebuild,
-    * same normalization as the batch `Tables` loader). */
+  /** Events stream from the testdata parquet. The read schema is taken
+    * from the actual file footer (via the batch loader's confs) rather
+    * than hardcoded, and `ts` goes through the SAME schema-driven
+    * normalization as the batch `Tables` loader — the driver has
+    * regenerated this data in at least two physical timestamp layouts
+    * (nanos; NTZ-micros), and a stream hard-wired to one of them reads
+    * garbage on the other. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanoSchema = org.apache.spark.sql.types.StructType(
-      Schemas.events.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
-    spark.readStream.schema(nanoSchema)
-      .option("basePath", dir)          // file-stream source needs a dir base
-      .parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val schema = graft.sources.Tables.fileSchema(spark, dir, "events")
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("basePath", dir)        // file-stream source needs a dir base
+        .parquet(s"$dir/events.*"),
+      Seq("ts"))
   }
 
   /** Documents stream from the testdata parquet — the streaming ingest
