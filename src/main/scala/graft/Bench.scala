@@ -44,11 +44,12 @@ object Bench {
     "v1_cosine_topk",
     "s2_sessionize_batch")
 
-  /** Round-2 operators, timed and reported separately — NOT part of
-    * "total", which stays the same 14-query set across rounds so the
-    * driver's round-over-round comparison is apples-to-apples.
-    * (the discarded warmup rep absorbs g20's bucketed-table build;
-    * median-of-5 reports the steady-state query.) */
+  /** Operators added after round 1 (rounds 2, 6, 9, …), timed and
+    * reported separately — NOT part of "total", which stays the same
+    * 14-query set across rounds so the driver's round-over-round
+    * comparison is apples-to-apples. (the discarded warmup rep absorbs
+    * g20's bucketed-table build; median-of-5 reports the steady-state
+    * query.) */
   val extended: Seq[String] = Seq(
     "g20_bucketed_join",
     "g22_range_join",
@@ -131,6 +132,18 @@ object Bench {
     (reps(2), reps.last / math.max(reps.head, 1e-9), reps.head)
   }
 
+  /** Per-query failure isolation: one broken query must not void the
+    * round's entire bench (round 9: a single AnalysisException at query
+    * 14 → rc=1, no JSON at all, `parsed: null`). A failed query reports
+    * the -1.0 sentinel and is excluded from totals; the headline line
+    * always prints. */
+  private def timeStatsSafe(name: String, f: => Unit): (Double, Double, Double) =
+    try timeStats(f)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+      (-1.0, 0.0, -1.0)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -148,28 +161,33 @@ object Bench {
     // disk, nothing cached — the honest counterpart to BASELINE.md's
     // cold end-to-end 114.2s. Includes session/codegen first-run cost by
     // construction (so did the reference's number).
-    val etlColdSec = timeOnce(
-      runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir)))
+    val etlColdSec =
+      try timeOnce(runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] cold etl failed: ${e.getMessage}"); -1.0 }
 
     // warmup: session + parquet footers + codegen paths
-    cacheBaseTables(spark, sfDir)
-    runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir))
+    try {
+      cacheBaseTables(spark, sfDir)
+      runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = headline.map { name =>
-      name -> timeStats(runNoop(SparkEntry.queries(name)(spark, sfDir)))
+      name -> timeStatsSafe(name, runNoop(SparkEntry.queries(name)(spark, sfDir)))
     }
 
     val extResults = extended.map { name =>
-      name -> timeStats(runNoop(SparkEntry.queries(name)(spark, sfDir)))
+      name -> timeStatsSafe(name, runNoop(SparkEntry.queries(name)(spark, sfDir)))
     }
 
     // reference-derived sanity experiment (BASELINE.md): one multi-day
     // scan vs per-day pipeline + union over the full 30-day range
     val allDays = (1 to 30).map(d => f"2024-01-$d%02d")
     val events = Tables.events(spark, sfDir)
-    val m1Sec = time(runNoop(
-      Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(events)))))
-    val m2Sec = time(runNoop(Viewing.unionDays(events, allDays)))
+    val m1Sec = timeStatsSafe("m1_scan", runNoop(
+      Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(events)))))._1
+    val m2Sec = timeStatsSafe("m2_union", runNoop(Viewing.unionDays(events, allDays)))._1
 
     // Same experiment on a DAY-PARTITIONED copy — the apples-to-apples
     // analog of the reference's per-FILE layout. Above, every one of the
@@ -184,25 +202,34 @@ object Bench {
     // reference's 2.45x (measured at ~1.6M rows/file); it converges
     // toward theirs as per-day volume grows.
     val partDir = "/tmp/graft_bench_events_by_day"
-    sources.ParquetSink.writePartitionedByDay(events, "ts", partDir)
-    def readPart() = spark.read.parquet(partDir)
-    val m1pSec = time(runNoop(
-      Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(readPart())))))
-    val m2pSec = time(runNoop(
-      allDays.map { d =>
-        // filter on the PARTITION column: pruned scan, 1 day per branch
-        Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(
-          readPart().filter(col("day") === d))))
-          .withColumn("Date", lit(d))
-      }.reduce(_.unionByName(_))))
+    val (m1pSec, m2pSec) = try {
+      sources.ParquetSink.writePartitionedByDay(events, "ts", partDir)
+      def readPart() = spark.read.parquet(partDir)
+      (time(runNoop(
+        Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(readPart()))))),
+       time(runNoop(
+        allDays.map { d =>
+          // filter on the PARTITION column: pruned scan, 1 day per branch
+          Viewing.durationByCategory(Viewing.validRows(Viewing.categorize(
+            readPart().filter(col("day") === d))))
+            .withColumn("Date", lit(d))
+        }.reduce(_.unionByName(_)))))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pruned experiment failed: ${e.getMessage}")
+      (-1.0, -1.0) }
 
     // flagship ETL throughput, hot (reference: ~420K rows/s end-to-end)
-    val nEvents = events.count()
-    val etlSec = time(
-      runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir)))
+    val (nEvents, etlSec) = try {
+      val n = events.count()
+      (n, time(runNoop(SparkEntry.queries("flagship_profile_fast")(spark, sfDir))))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] etl throughput failed: ${e.getMessage}")
+      (-1L, -1.0) }
     val rowsPerSec = if (etlSec > 0) nEvents / etlSec else 0.0
 
-    val total = results.map(_._2._1).sum
+    // totals sum the SUCCESSFUL queries only; -1 sentinels stay visible
+    // per query but must not drag the total negative.
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val eqs = extResults.map { case (k, (v, _, _)) => "\"" + k + "\":" + f"$v%.4f" }
@@ -213,7 +240,7 @@ object Bench {
     val bests = (results ++ extResults)
       .map { case (k, (_, _, b)) => "\"" + k + "\":" + f"$b%.4f" }
       .mkString("{", ",", "}")
-    val totalBest = results.map(_._2._3).sum
+    val totalBest = results.map(_._2._3).filter(_ >= 0).sum
     // Two artifacts with distinct jobs:
     //  - `full` carries every diagnostic (extended queries, per-rep
     //    spreads, best-of, scan-strategy ratios) → bench.json + an early
