@@ -1232,6 +1232,11 @@ object SparkEntry {
     // sample, elementwise BIGINT centroid sums, integer moments; the
     // one double expression (dot/(√na·√nb)) is IEEE-identical in both
     // engines. Dim fixed at 64 (the testdata embedding width).
+    // The output sums MUST be CAST to BIGINT: DuckDB's sum(BIGINT)
+    // returns HUGEINT (arrow decimal128), which hash-compares unequal
+    // to Spark's int64 even when every value matches (the round-9
+    // hash-fail: rows/schema matched, values matched to 9 digits,
+    // types didn't).
     "v10_centroid_outliers" ->
       """WITH e AS (SELECT vec_id,
         |             [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
@@ -1249,10 +1254,10 @@ object SparkEntry {
         |                                    ORDER BY bucket, vec_id) AS r FROM bk),
         |cent AS (SELECT source, i, sum(f[i]) AS cs
         |         FROM rk, range(1, 65) t(i) WHERE r <= 256 GROUP BY 1, 2),
-        |nbs AS (SELECT source, sum(cs * cs) AS nb FROM cent GROUP BY 1),
+        |nbs AS (SELECT source, CAST(sum(cs * cs) AS BIGINT) AS nb FROM cent GROUP BY 1),
         |mom AS (SELECT j.vec_id, j.source,
-        |          sum(j.f[c.i] * c.cs) AS dot,
-        |          sum(j.f[c.i] * j.f[c.i]) AS na
+        |          CAST(sum(j.f[c.i] * c.cs) AS BIGINT) AS dot,
+        |          CAST(sum(j.f[c.i] * j.f[c.i]) AS BIGINT) AS na
         |        FROM j JOIN cent c ON j.source = c.source GROUP BY 1, 2)
         |SELECT m.vec_id, m.source, m.dot, m.na, nbs.nb,
         |  CASE WHEN m.na > 0 AND nbs.nb > 0

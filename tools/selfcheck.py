@@ -58,6 +58,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        # DuckDB's sum(BIGINT) returns HUGEINT -> arrow decimal128, which
+        # the driver's hash compares unequal to Spark's int64 even when
+        # every value matches (round-9 v10 hash-fail). Values compare
+        # equal below (Python ints), so this must be a hard FAIL here or
+        # the local check passes a query the driver will flag.
+        dec_cols = [f.name for f in exp_rel.arrow().schema
+                    if "decimal" in str(f.type)]
+        if dec_cols:
+            print(f"FAIL {name}: oracle outputs decimal128 column(s) "
+                  f"{dec_cols} — CAST sums to BIGINT/DOUBLE in the oracle SQL")
+            n_fail += 1
+            continue
         got_cols = sorted(got_rel.columns)
         exp_cols = sorted(exp_rel.columns)
         if [c.lower() for c in got_cols] != [c.lower() for c in exp_cols]:
