@@ -300,15 +300,16 @@ object Pipelines {
     * `hll_ok = TRUE`, so an estimate drifting out of band hash-fails
     * the row. HLL is deterministic for fixed data (no RNG), so the
     * check is reproducible run-to-run — but rsd is a STANDARD error,
-    * not a guaranteed bound, so the pinned band must dominate it: the
-    * sketch here runs at rsd=0.01 against a ±5% band (5 standard
-    * errors), which holds across data/scale tiers rather than only on
-    * the datasets it happened to be tuned on. */
+    * not a guaranteed bound, so the pinned band must DOMINATE it: the
+    * sketch here runs at rsd=0.005 against a ±5% band (10 standard
+    * errors — HLL tail mass beyond 10σ is negligible on any data), so
+    * a legitimate sketch deviation on regenerated/rescaled data cannot
+    * read as a correctness regression. */
   def approxDistinctBounded(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("hll"))
+        approx_count_distinct(col("l_partkey"), 0.005).as("hll"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("hll") - col("exact_parts"))
           <= col("exact_parts") * lit(0.05)).as("hll_ok"))

@@ -139,14 +139,15 @@ object Streaming {
     * aggregation without unbounded per-window key state, so this is
     * THE streaming form of the cardinality question — mergeable
     * sketch partials (commutative, deterministic for fixed data), the
-    * same trade g16 makes at rest. rsd=0.01; the wrapper pins the g16b
-    * contract (estimate within ±5% = 5 standard errors of the
-    * batch-exact count), which is what an oracle CAN check — the
-    * sketch value itself is engine-specific. */
+    * same trade g16 makes at rest. rsd=0.005; the wrapper pins the g16b
+    * contract (estimate within ±5% = 10 standard errors of the
+    * batch-exact count, a band that dominates the configured error on
+    * any data), which is what an oracle CAN check — the sketch value
+    * itself is engine-specific. */
   def dailyDistinctUsers(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.005).as("approx_users"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("approx_users"))
 

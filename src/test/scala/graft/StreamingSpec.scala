@@ -118,7 +118,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val batch = graft.sources.Tables.events(spark, sf())
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n"))
+      .agg(approx_count_distinct(col("user_id"), 0.005).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
     // and the wrapper's banded contract holds
