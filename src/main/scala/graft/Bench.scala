@@ -83,7 +83,12 @@ object Bench {
     "x21_change_magnitude",
     "v10_centroid_outliers",
     "t25_phrase_search",
-    "t26_bpe_pairs")
+    "t26_bpe_pairs",
+    // round-10 operators
+    "g28_grouping_sets",
+    "t28_tfidf_keywords",
+    "x23_editdist_neardup",
+    "v11_centroid_drift")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -62,6 +62,7 @@ object SparkEntry {
     "g25_cube_summary" -> (Pipelines.cubeSummary _),
     "g26_promo_revenue" -> (Pipelines.promoRevenue _),
     "g27_map_functions" -> (Pipelines.mapFunctions _),
+    "g28_grouping_sets" -> (Pipelines.groupingSetsSummary _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "x5_neardup_embedding" -> (ExtPipelines.neardupEmbedding _),
     "x15_semantic_dedup" -> (ExtPipelines.semanticDedup _),
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
+    "x23_editdist_neardup" -> (ExtPipelines.editDistNearDups _),
     "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
     "t5_normalize" -> (ExtPipelines.normalizedDocs _),
     "t6_top_docs_per_source" -> (ExtPipelines.topDocsPerSource _),
@@ -103,6 +105,7 @@ object SparkEntry {
     "t25_phrase_search" -> (ExtPipelines.phraseSearch _),
     "t26_bpe_pairs" -> (ExtPipelines.bpePairStats _),
     "t27_source_drift" -> (ExtPipelines.sourceDrift _),
+    "t28_tfidf_keywords" -> (ExtPipelines.tfidfKeywords _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
@@ -110,6 +113,7 @@ object SparkEntry {
     "x22_next_snapshot" -> (ExtPipelines.nextSnapshot _),
     "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
     "v10_centroid_outliers" -> (ExtPipelines.centroidOutliers _),
+    "v11_centroid_drift" -> (ExtPipelines.centroidDrift _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -307,6 +311,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "t27_source_drift" -> t27OracleSql,
+
+    // t28: tf/df/n_docs are exact integers; the one double is the
+    // per-row tf·ln(n_docs/df) finishing score, one expression tree in
+    // both engines, so the (tfidf DESC, tok) top-3 order is total
+    "t28_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |        CAST(tf.tf AS DOUBLE) *
+        |          ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY tfidf DESC, tok) AS rnk
+        |      FROM s)
+        |SELECT doc_id, rnk, tok, tf, df, tfidf FROM r WHERE rnk <= 3""".stripMargin,
     "s1_stream_daily_totals" ->
       s"""$baseCte
          |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, Type,
@@ -603,6 +626,16 @@ object SparkEntry {
     "x7_neardup_embedding_lsh" -> embeddingPairsOracle,
 
     "x6_simhash_dups" -> simhashOracle,
+
+    // x23: exact all-pairs edit distance on the lowercased 32-char head
+    // — both engines implement classic Levenshtein
+    "x23_editdist_neardup" ->
+      """WITH p AS (SELECT doc_id, lower(substr(text, 1, 32)) AS pfx
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.pfx, b.pfx) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 4""".stripMargin,
 
     "t5_normalize" ->
       """SELECT doc_id,
@@ -1266,6 +1299,52 @@ object SparkEntry {
         |  END AS centroid_cos
         |FROM mom m JOIN nbs ON m.source = nbs.source""".stripMargin,
 
+    // v11: v10's integer-centroid recipe per (source, snapshot side) —
+    // '#cent' salt picks the 256-sample, '#snap' the x19 memberships;
+    // the CAST-to-BIGINT on every sum is load-bearing (HUGEINT/decimal
+    // would hash-mismatch Spark's int64, the round-9 v10 lesson)
+    "v11_centroid_drift" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |              for x in embedding] AS f
+        |           FROM embeddings),
+        |j AS (SELECT e.vec_id, d.source, e.f
+        |      FROM e JOIN documents d ON e.vec_id = d.doc_id),
+        |bk AS (SELECT vec_id, source, f,
+        |         ((strpos('0123456789abcdef', substr(cm, 1, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(cm, 2, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(cm, 3, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(cm, 4, 1)) - 1)) AS cbucket,
+        |         ((strpos('0123456789abcdef', substr(sm, 1, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(sm, 2, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(sm, 3, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(sm, 4, 1)) - 1)) AS sbucket
+        |       FROM (SELECT *, md5(CAST(vec_id AS VARCHAR) || '#cent') AS cm,
+        |                       md5(CAST(vec_id AS VARCHAR) || '#snap') AS sm
+        |             FROM j)),
+        |rko AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                     ORDER BY cbucket, vec_id) AS r
+        |        FROM bk WHERE sbucket < 58982),
+        |rkn AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                     ORDER BY cbucket, vec_id) AS r
+        |        FROM bk WHERE sbucket >= 6554),
+        |co AS (SELECT source, i, CAST(sum(f[i]) AS BIGINT) AS cs
+        |       FROM rko, range(1, 65) t(i) WHERE r <= 256 GROUP BY 1, 2),
+        |cn AS (SELECT source, i, CAST(sum(f[i]) AS BIGINT) AS cs
+        |       FROM rkn, range(1, 65) t(i) WHERE r <= 256 GROUP BY 1, 2),
+        |m AS (SELECT co.source,
+        |        CAST(sum(co.cs * cn.cs) AS BIGINT) AS dot,
+        |        CAST(sum(co.cs * co.cs) AS BIGINT) AS na,
+        |        CAST(sum(cn.cs * cn.cs) AS BIGINT) AS nb
+        |      FROM co JOIN cn ON co.source = cn.source AND co.i = cn.i
+        |      GROUP BY 1)
+        |SELECT source, dot, na, nb,
+        |  CASE WHEN na > 0 AND nb > 0
+        |       THEN CAST(dot AS DOUBLE) /
+        |            (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |  END AS drift_cos
+        |FROM m""".stripMargin,
+
     // x20: corpus refresh — x19's snapshot CTEs + the s8 quality
     // expression + a distinct-text dup probe, composed into the
     // admit/reject decision table
@@ -1667,6 +1746,15 @@ object SparkEntry {
     "g25_cube_summary" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // g28: explicit grouping lattice; GROUPING()/grouping_id() share
+    // the same bit order (1 = column aggregated away) in both engines
+    "g28_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
 
     "g26_promo_revenue" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

@@ -38,6 +38,13 @@ object ExtPipelines {
   def simhashDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), maxDist = 3)
 
+  /** x23: edit-distance near-dup on the 32-char normalized head — the
+    * exact all-pairs oracle form; see
+    * [[graft.ext.Dedup.editDistanceNearDups]] for the blocked 100 TB
+    * twin (SimHash/MinHash candidates + this verify). */
+  def editDistNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceNearDups(Tables.documents(spark, dir), maxDist = 4)
+
   def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.4)
 
@@ -411,6 +418,11 @@ object ExtPipelines {
     TextAnalysis.bm25(Tables.documents(spark, dir),
       Seq("spark", "vector", "stream"))
 
+  /** t28: per-document top-3 TF-IDF keywords
+    * ([[graft.ext.TextAnalysis.tfidfKeywords]]). */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(Tables.documents(spark, dir), k = 3)
+
   /** t20: CCNet-style LM quality filter — bigram-LM coverage against the
     * `en` target subset; see [[graft.ext.LmQuality.lmCoverage]] for the
     * broadcast-LM / integer-mass shape. */
@@ -568,6 +580,23 @@ object ExtPipelines {
     val src = Tables.documents(spark, dir)
       .select(col("doc_id").as("vec_id"), col("source"))
     Similarity.centroidOutliers(emb.join(src, "vec_id"))
+  }
+
+  /** v11: per-source centroid drift
+    * ([[graft.ext.Similarity.snapshotCentroidDrift]]) between the x19
+    * snapshot memberships (same salted '#snap' bucket rule, so the
+    * whole living-corpus family monitors ONE pair of snapshots):
+    * old = buckets [0, 90%), new = buckets [10%, 100%) of the
+    * embeddings keyed to their document's source. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val keyed = emb.join(src, "vec_id").withColumn("_bucket",
+      graft.ext.DataSplit.bucketSalted(col("vec_id"), "#snap"))
+    Similarity.snapshotCentroidDrift(
+      keyed.filter(col("_bucket") < 58982).drop("_bucket"),
+      keyed.filter(col("_bucket") >= 6554).drop("_bucket"))
   }
 
   // ---- similarity ----

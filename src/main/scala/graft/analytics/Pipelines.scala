@@ -380,6 +380,25 @@ object Pipelines {
       .cube("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
 
+  /** GROUPING SETS over (returnflag, linestatus): the explicit lattice
+    * — rollup (g8) and cube (g25) are the fixed special cases; this is
+    * the general form, here ((rf, ls), (rf), ()) — the rollup lattice
+    * MINUS nothing but declared set-by-set, which is what real
+    * reporting queries do when they need e.g. per-status subtotals
+    * without the full cube. `grouping_id()` disambiguates a NULL group
+    * key from a NULL-because-aggregated row — without it the two are
+    * indistinguishable in the output. One pass, one shuffle: Spark
+    * expands to the union of grouping sets BEFORE the exchange, so the
+    * cost is the same single aggregation as a plain groupBy per set. */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
   /** Window-analytics breadth in one pass over one window spec: running
     * total, 3-row moving average, lead/lag deltas, and quartile bucket
     * per customer's order history. One shuffle on o_custkey; every

@@ -424,6 +424,38 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** x23 — edit-distance near-dup pairs on the normalized document
+    * HEAD: all (a, b) with Levenshtein distance ≤ `maxDist` between the
+    * lowercased first `prefixLen` characters. The edit-distance modality
+    * the other dedup families can't express: shingle Jaccard (x3/x4)
+    * and SimHash (x6) score SET overlap and miss small in-place
+    * character edits at the start of near-identical boilerplate heads,
+    * which is exactly what scraper-injected prefixes and typo'd title
+    * dupes look like.
+    *
+    * This is the exact ALL-PAIRS form — the oracle baseline, the same
+    * role x3/x5/v1/v6 play for their families. Its production twin at
+    * 100 TB is candidate blocking + this verify: generate candidates
+    * with x6's banded SimHash (or x4's MinHash-LSH) over the same
+    * prefix, then compute the exact distance ONLY on candidate pairs —
+    * sub-quadratic, and the verify expression is byte-identical to this
+    * one, so the twin is checked against this oracle the way x4 is
+    * against x3. The prefix cap also bounds the per-pair cost: full-text
+    * Levenshtein is O(len²) and unbounded; a fixed 32-char head is the
+    * classic title-key compromise (and `prefixLen²` bounds every DP
+    * table). */
+  def editDistanceNearDups(docs: DataFrame, maxDist: Int = 4,
+      prefixLen: Int = 32, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pfx = lower(substring(col(textCol), 1, prefixLen))
+    val a = docs.select(col(idCol).as("id_a"), pfx.as("_pa"))
+    val b = docs.select(col(idCol).as("id_b"), pfx.as("_pb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("_pa"), col("_pb")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   // ---- dup clusters (connected components) ----
 
   /** Connected components over near-dup pairs: every doc in a component

@@ -616,33 +616,8 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       groupCol: String = "source", scale: Int = 10000,
       salt: String = "#cent"): DataFrame = {
-    val fx = emb.select(col(idCol), col(groupCol),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * scale + lit(0.5)).cast("long")).as("_f"))
-    // bottom-k ids per group by (salted bucket, id): TopKAggregator
-    // keeps the k LARGEST scores with id-asc tie-break, so score
-    // = -bucket gives ascending buckets with the same tie rule the
-    // oracle's ORDER BY (bucket, id) applies.
-    val topk = udaf(new graft.functions.TopKAggregator(k))
-    val sampleIds = fx
-      .select(col(groupCol),
-        (-DataSplit.bucketSalted(col(idCol), salt)).cast("double").as("_s"),
-        col(idCol).cast("long").as("_id"))
-      .groupBy(groupCol)
-      .agg(topk(col("_s"), col("_id")).as("_ids"))
-      .select(col(groupCol), explode(col("_ids")).as("_sid"))
-    // elementwise integer centroid sums over the sample (≤k·|groups|
-    // rows — the sample side broadcasts into the join)
-    val centroids = fx.as("fx")
-      .join(broadcast(sampleIds.withColumnRenamed(groupCol, "_sg").as("sm")),
-        col(s"fx.$idCol").cast("long") === col("sm._sid") &&
-          col(s"fx.$groupCol") === col("sm._sg"))
-      .select(col(s"fx.$groupCol").as(groupCol),
-        posexplode(col("_f")).as(Seq("_p", "_v")))
-      .groupBy(groupCol, "_p").agg(sum("_v").as("_s"))
-      .groupBy(groupCol)
-      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_s")))),
-        e => e.getField("_s")).as("_c"))
+    val fx = fixedPoint(emb, vecCol, idCol, groupCol, scale)
+    val centroids = sampledCentroids(fx, k, idCol, groupCol, salt)
     val zipMul = (a: Column, b: Column) => a * b
     val fold = (c: Column) =>
       aggregate(c, lit(0L), (acc: Column, x: Column) => acc + x)
@@ -652,6 +627,87 @@ object Similarity {
         fold(zip_with(col("_f"), col("_f"), zipMul)).as("na"),
         fold(zip_with(col("_c"), col("_c"), zipMul)).as("nb"))
       .withColumn("centroid_cos",
+        when(col("na") > 0 && col("nb") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+  }
+
+  /** Fixed-point projection shared by the centroid operators:
+    * `floor(x·scale + 0.5)` per dimension as longs (`_f`). */
+  private def fixedPoint(emb: DataFrame, vecCol: String, idCol: String,
+      groupCol: String, scale: Int): DataFrame =
+    emb.select(col(idCol), col(groupCol),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("long")).as("_f"))
+
+  /** Per-group integer centroid over a deterministic bottom-k sample —
+    * v10's verified recipe, factored for reuse. Bottom-k ids per group
+    * by (salted bucket, id): TopKAggregator keeps the k LARGEST scores
+    * with id-asc tie-break, so score = −bucket gives ascending buckets
+    * with the same tie rule the oracle's ORDER BY (bucket, id) applies.
+    * Elementwise integer sums over the sample (≤k·|groups| rows — the
+    * sample side broadcasts into the join); fixed SIZE (not rate), so
+    * centroid magnitudes are bounded by k·scale·max|x| at any corpus
+    * size — no int64 overflow in the downstream moments. Output:
+    * (groupCol, `_c` array<long>). */
+  private def sampledCentroids(fx: DataFrame, k: Int, idCol: String,
+      groupCol: String, salt: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val sampleIds = fx
+      .select(col(groupCol),
+        (-DataSplit.bucketSalted(col(idCol), salt)).cast("double").as("_s"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy(groupCol)
+      .agg(topk(col("_s"), col("_id")).as("_ids"))
+      .select(col(groupCol), explode(col("_ids")).as("_sid"))
+    fx.as("fx")
+      .join(broadcast(sampleIds.withColumnRenamed(groupCol, "_sg").as("sm")),
+        col(s"fx.$idCol").cast("long") === col("sm._sid") &&
+          col(s"fx.$groupCol") === col("sm._sg"))
+      .select(col(s"fx.$groupCol").as(groupCol),
+        posexplode(col("_f")).as(Seq("_p", "_v")))
+      .groupBy(groupCol, "_p").agg(sum("_v").as("_s"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_s")))),
+        e => e.getField("_s")).as("_c"))
+  }
+
+  /** v11 — per-group centroid DRIFT between two corpus snapshots: the
+    * cosine between each group's old-snapshot and new-snapshot sampled
+    * integer centroids. The embedding-space counterpart of t27's
+    * stopword-KL drift and the monitoring companion of the x18–x22
+    * living-corpus family: a source whose centroid walks away from its
+    * previous snapshot has changed topic mix, register, or scraper
+    * behavior — the signal that gates a retraining/refresh decision.
+    *
+    * Exactness discipline is v10's, applied twice: per SIDE, a
+    * deterministic bottom-k (salted-bucket, id) sample → elementwise
+    * integer centroid sums; dot/na/nb are integer folds over the two
+    * centroid arrays, and the single double is the final
+    * `dot/(√na·√nb)` both engines spell identically. A group present in
+    * only one snapshot has no drift (inner join — matching the oracle's
+    * join on source).
+    *
+    * Scale shape: two group-local sample aggregations (k-bounded
+    * buffers, map-side combine) + two broadcast joins — the |groups|-row
+    * centroid tables then join on the group key alone. Nothing here is
+    * proportional to corpus size except the two scans. */
+  def snapshotCentroidDrift(oldEmb: DataFrame, newEmb: DataFrame,
+      k: Int = 256, vecCol: String = "embedding", idCol: String = "vec_id",
+      groupCol: String = "source", scale: Int = 10000,
+      salt: String = "#cent"): DataFrame = {
+    def centroid(emb: DataFrame, outCol: String): DataFrame =
+      sampledCentroids(fixedPoint(emb, vecCol, idCol, groupCol, scale),
+        k, idCol, groupCol, salt)
+        .withColumnRenamed("_c", outCol)
+    val fold = (c: Column) =>
+      aggregate(c, lit(0L), (acc: Column, x: Column) => acc + x)
+    centroid(oldEmb, "_co").join(centroid(newEmb, "_cn"), groupCol)
+      .select(col(groupCol),
+        fold(zip_with(col("_co"), col("_cn"), (a, b) => a * b)).as("dot"),
+        fold(zip_with(col("_co"), col("_co"), (a, b) => a * b)).as("na"),
+        fold(zip_with(col("_cn"), col("_cn"), (a, b) => a * b)).as("nb"))
+      .withColumn("drift_cos",
         when(col("na") > 0 && col("nb") > 0,
           col("dot").cast("double") /
             (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))

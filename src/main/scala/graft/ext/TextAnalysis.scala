@@ -189,6 +189,48 @@ object TextAnalysis {
     * Formula (BM25+-style non-negative idf):
     * `Σ_i ln(1 + (N - df_i + 0.5)/(df_i + 0.5)) · tf_i(k1+1) /
     *  (tf_i + k1(1 - b + b·dl·N/Σdl))`. */
+  /** t28 — per-document keyword extraction: the top-k tokens of each
+    * document by TF-IDF, the classic summarize-what-this-doc-is-about
+    * signal a corpus pipeline attaches before topic bucketing or
+    * retrieval indexing (and the per-doc counterpart of t8's corpus-wide
+    * n-grams and t19's query-side BM25).
+    *
+    * Exactness discipline: tf, df and n_docs are exact integers; the
+    * only double is the per-row finishing score `tf · ln(n_docs/df)`,
+    * one fixed expression tree both engines spell identically. The
+    * top-k order is total — score desc, then token asc — and ties in
+    * score across DIFFERENT (tf, df) pairs resolve identically in both
+    * engines because the doubles are bit-equal, while equal (tf, df)
+    * pairs are exactly equal and fall to the token tie-break.
+    *
+    * Plan shape at 100 TB: explode → map-side-combined (doc, tok)
+    * counts (the one token-string shuffle, same as t23's phase 1); df
+    * derives from THAT aggregate (no second scan); n_docs is a 1-row
+    * broadcast; the final top-k is a window partitioned by doc —
+    * re-shuffling on doc id, per-group state bounded by the doc's
+    * vocabulary, no corpus-wide sort. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    // df = docs-containing-token: tf rows are unique (doc, tok) pairs,
+    // so a count over them IS the document frequency — no distinct pass
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("tok"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   def bm25(df: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

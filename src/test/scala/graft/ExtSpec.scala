@@ -1259,4 +1259,88 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(prod == expected.keySet)
   }
+
+  test("x23: edit-distance near-dups match a driver-side Levenshtein recompute") {
+    val prefixes = docs.select(col("doc_id"),
+        lower(substring(col("text"), 1, 32)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, pa) <- prefixes; (ib, pb) <- prefixes if ia < ib
+      dist = lev(pa, pb) if dist <= 4
+    } yield (ia, ib, dist)).toSet
+    val got = Dedup.editDistanceNearDups(docs, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must exercise the operator")
+  }
+
+  test("t28: tfidf keywords are the per-doc top-3 of a driver-side recompute") {
+    val rows = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = rows.length.toDouble
+    val dfreq = rows.flatMap { case (_, w) => w.distinct }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val expected = rows.flatMap { case (id, w) =>
+      w.groupBy(identity).toSeq
+        .map { case (tok, os) =>
+          // StrictMath, not math.log: Spark's Log expression evaluates
+          // via StrictMath, and the intrinsic differs in the last ulp
+          (id, tok, os.length.toLong, dfreq(tok).toLong,
+            os.length.toDouble * StrictMath.log(n / dfreq(tok))) }
+        .sortBy { case (_, tok, _, _, s) => (-s, tok) }
+        .take(3).zipWithIndex
+        .map { case ((_, tok, tf, df, s), i) => (id, i + 1, tok, tf, df, s) }
+    }.toSet
+    val got = TextAnalysis.tfidfKeywords(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected)
+  }
+
+  test("v11: self-drift is exactly 1 and moments are symmetric") {
+    val keyed = emb.join(
+      docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    val self = Similarity.snapshotCentroidDrift(keyed, keyed).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      // same snapshot both sides: dot == na == nb exactly (integers),
+      // drift == 1 up to the one sqrt(x)·sqrt(x) rounding step
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(2) == r.getLong(3))
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    }
+    // and the real snapshot drift is a valid cosine, one row per
+    // source present in both snapshots
+    val drift = graft.analytics.ExtPipelines.centroidDrift(spark, sf()).collect()
+    assert(drift.nonEmpty)
+    drift.foreach(r => assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-12))
+  }
+
+  test("g28: grouping sets equal the union of the declared plain groupBys") {
+    val li = Tables.lineitem(spark, sf())
+    val got = graft.analytics.Pipelines.groupingSetsSummary(spark, sf())
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    def agg(cols: Seq[String]) = {
+      val g = if (cols.isEmpty) li.groupBy() else li.groupBy(cols.map(col): _*)
+      g.agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    }
+    val expected =
+      agg(Seq("l_returnflag", "l_linestatus")).collect().map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2),
+          r.getLong(3), 0L)) ++
+      agg(Seq("l_returnflag")).collect().map(r =>
+        (Option(r.getString(0)), None, r.getDouble(1), r.getLong(2), 1L)) ++
+      agg(Nil).collect().map(r =>
+        (None, None, r.getDouble(0), r.getLong(1), 3L))
+    assert(got == expected.toSet)
+  }
 }
