@@ -58,8 +58,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     setTsReadConfs(spark)
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"),
+    val table = normalizeTs(spark.read.parquet(s"$dir/$name.parquet"),
       tsCols.getOrElse(name, Nil))
+    // Loud schema guard (round-9 lesson: a silently-changed physical
+    // layout produced wrong answers for a whole round). The vector
+    // operators' codegen expressions AND their fixed-point oracles
+    // assume float32 embeddings; if a regenerated testdata ships
+    // doubles, fail HERE with a pointer instead of letting every
+    // v/x-family query drift from its oracle.
+    if (name == "embeddings") {
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val et = table.schema("embedding").dataType
+      require(et match { case ArrayType(FloatType, _) => true; case _ => false },
+        s"embeddings.embedding is $et, expected array<float>: the vector " +
+          "expressions (CosineSim/PQ/quantize) and the fixed-point oracles " +
+          "are float32-based — update graft.functions.VectorFunctions and " +
+          "the v-family oracle SQL together for the new layout")
+    }
+    table
   }
 
   /** The actual on-disk schema of a testdata table (footer-only read,
