@@ -91,7 +91,14 @@ object ScaleBench {
     "x20_corpus_refresh",
     "x21_change_magnitude",
     "x22_next_snapshot",
-    "t27_source_drift")
+    "t27_source_drift",
+    // round-10: per-doc window top-k over a corpus-wide df join (t28)
+    // and the two-sided bounded-sample centroid join (v11). x23 is
+    // deliberately absent: exact all-pairs BY SPECIFICATION (the
+    // oracle baseline, like v6) — its scale path is candidate blocking
+    // + the same verify, measured via x4/x6.
+    "t28_tfidf_keywords",
+    "v11_centroid_drift")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
