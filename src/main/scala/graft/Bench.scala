@@ -88,7 +88,9 @@ object Bench {
     "g28_grouping_sets",
     "t28_tfidf_keywords",
     "x23_editdist_neardup",
-    "v11_centroid_drift")
+    "v11_centroid_drift",
+    "sql1_q3_shipping",
+    "sql2_exists_subquery")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

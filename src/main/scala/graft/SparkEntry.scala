@@ -63,6 +63,9 @@ object SparkEntry {
     "g26_promo_revenue" -> (Pipelines.promoRevenue _),
     "g27_map_functions" -> (Pipelines.mapFunctions _),
     "g28_grouping_sets" -> (Pipelines.groupingSetsSummary _),
+    // SQL-text front end: the same ANSI string runs in Spark AND DuckDB
+    "sql1_q3_shipping" -> (Pipelines.sqlQ3 _),
+    "sql2_exists_subquery" -> (Pipelines.sqlExists _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -1746,6 +1749,11 @@ object SparkEntry {
     "g25_cube_summary" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // sql1/sql2: the ORACLE IS THE QUERY — byte-identical SQL text on
+    // both engines (see Pipelines.sql1Q3Text for the dialect rules)
+    "sql1_q3_shipping" -> Pipelines.sql1Q3Text,
+    "sql2_exists_subquery" -> Pipelines.sql2ExistsText,
 
     // g28: explicit grouping lattice; GROUPING()/grouping_id() share
     // the same bit order (1 = column aggregated away) in both engines

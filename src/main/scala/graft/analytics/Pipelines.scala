@@ -380,6 +380,61 @@ object Pipelines {
       .cube("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
 
+  /** sql1/sql2 — the SQL-TEXT front end: one ANSI string, run by
+    * Spark's parser + Catalyst over the registered testdata views
+    * ([[graft.sources.Catalog.registerViews]]) AND verbatim by the
+    * DuckDB oracle — the byte-identical text IS the parity claim (a
+    * user can bring their SQL, not just the DataFrame API).
+    *
+    * Dialect discipline for one-text-two-engines: TIMESTAMP literals
+    * (not bare strings), integer-cents aggregates via
+    * CAST(round(x*100) AS BIGINT) (exact under any aggregation order),
+    * no `/` on integers (float division in one dialect, would need
+    * `//` vs `DIV` in the other), scalar-subquery thresholds built
+    * from max() (exact, order-independent) never avg() of doubles
+    * (order-dependent last-ulp → boundary rows flip between engines).
+    */
+  val sql1Q3Text: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_c4,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderpriority""".stripMargin
+
+  /** TPC-H Q3-shaped revenue query via SQL text. Catalyst plans the
+    * same shape the DataFrame form would get: dimension filter pushed
+    * into the customer scan, broadcast join onto orders, one shuffle
+    * for the (orderkey, priority) aggregate. */
+  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerViews(spark, dir)
+    spark.sql(sql1Q3Text)
+  }
+
+  val sql2ExistsText: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice >
+      |                    (SELECT max(o_totalprice) * 0.9 FROM orders))""".stripMargin
+
+  /** Correlated EXISTS + scalar subquery via SQL text — exercises
+    * Catalyst's subquery decorrelation: the EXISTS becomes a left-semi
+    * join, the scalar subquery a one-row broadcast; no per-row
+    * re-execution anywhere (the naive interpretation would be
+    * O(customers × orders)). */
+  def sqlExists(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerViews(spark, dir)
+    spark.sql(sql2ExistsText)
+  }
+
   /** GROUPING SETS over (returnflag, linestatus): the explicit lattice
     * — rollup (g8) and cube (g25) are the fixed special cases; this is
     * the general form, here ((rf, ls), (rf), ()) — the rollup lattice

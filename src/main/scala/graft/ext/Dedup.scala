@@ -450,9 +450,14 @@ object Dedup {
     val pfx = lower(substring(col(textCol), 1, prefixLen))
     val a = docs.select(col(idCol).as("id_a"), pfx.as("_pa"))
     val b = docs.select(col(idCol).as("id_b"), pfx.as("_pb"))
+    // thresholded levenshtein: banded DP, O(maxDist·len) per pair
+    // instead of O(len²), returning -1 past the threshold — the exact
+    // distance for every kept pair, so the oracle (unbounded
+    // levenshtein + the same <= filter) is unchanged. This is the
+    // verify kernel the blocked production twin runs per candidate.
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("_pa"), col("_pb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("_pa"), col("_pb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
 

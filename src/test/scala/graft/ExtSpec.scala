@@ -1324,6 +1324,31 @@ class ExtSpec extends SparkSpec {
     drift.foreach(r => assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-12))
   }
 
+  test("sql front end: EXISTS decorrelates to a semi join; Q3 text matches a DataFrame twin") {
+    val exists = graft.analytics.Pipelines.sqlExists(spark, sf())
+    val plan = exists.queryExecution.executedPlan.toString
+    assert(plan.contains("Semi"),
+      s"correlated EXISTS must plan as a semi join, not per-row subqueries:\n$plan")
+    assert(exists.count() > 0)
+    // the SQL text and the equivalent DataFrame program must agree row-for-row
+    val sqlRows = graft.analytics.Pipelines.sqlQ3(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val li = Tables.lineitem(spark, sf())
+    val ord = Tables.orders(spark, sf())
+    val cust = Tables.customer(spark, sf())
+    val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val dfRows = cust.filter(col("c_mktsegment") === "BUILDING")
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(cut))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(cut))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_c4"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(1))).toSet
+    assert(sqlRows == dfRows)
+  }
+
   test("g28: grouping sets equal the union of the declared plain groupBys") {
     val li = Tables.lineitem(spark, sf())
     val got = graft.analytics.Pipelines.groupingSetsSummary(spark, sf())
