@@ -90,7 +90,9 @@ object Bench {
     "x23_editdist_neardup",
     "v11_centroid_drift",
     "sql1_q3_shipping",
-    "sql2_exists_subquery")
+    "sql2_exists_subquery",
+    "g29_unpivot",
+    "x24_dedup_apply")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

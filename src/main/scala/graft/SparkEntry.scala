@@ -63,6 +63,7 @@ object SparkEntry {
     "g26_promo_revenue" -> (Pipelines.promoRevenue _),
     "g27_map_functions" -> (Pipelines.mapFunctions _),
     "g28_grouping_sets" -> (Pipelines.groupingSetsSummary _),
+    "g29_unpivot" -> (Pipelines.unpivotDurations _),
     // SQL-text front end: the same ANSI string runs in Spark AND DuckDB
     "sql1_q3_shipping" -> (Pipelines.sqlQ3 _),
     "sql2_exists_subquery" -> (Pipelines.sqlExists _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "x15_semantic_dedup" -> (ExtPipelines.semanticDedup _),
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
     "x23_editdist_neardup" -> (ExtPipelines.editDistNearDups _),
+    "x24_dedup_apply" -> (ExtPipelines.dedupApplyClusters _),
     "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
     "t5_normalize" -> (ExtPipelines.normalizedDocs _),
     "t6_top_docs_per_source" -> (ExtPipelines.topDocsPerSource _),
@@ -560,6 +562,27 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
+    // x24: the dedup decision applied — survivors are docs that are
+    // either unclustered or their cluster's minimum-id member
+    "x24_dedup_apply" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a_id, b_id FROM (
+         |$jaccardOracle
+         |  ) jp
+         |),
+         |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id AS id FROM edges),
+         |sym AS (SELECT a_id AS u, b_id AS v FROM edges
+         |        UNION ALL SELECT b_id AS u, a_id AS v FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.source
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
+
     // leakage-safe split: x9's recursive closure labels the clusters,
     // then t7's md5 bucket rule runs on the cluster key (own id for
     // singletons) — near-dup docs land on the same side by construction
@@ -1029,6 +1052,20 @@ object SparkEntry {
          |FROM base
          |WHERE user_id <> 0 AND Type <> 'Error'
          |GROUP BY user_id""".stripMargin,
+
+    // g29: the unpivoted zero-filled pivot IS a1's aggregation
+    // completed onto the full user × category grid with explicit zeros
+    "g29_unpivot" ->
+      s"""$baseCte,
+         |a1 AS (SELECT user_id, Type, CAST(SUM(value_cents) AS BIGINT) AS v
+         |       FROM base WHERE user_id <> 0 AND Type <> 'Error'
+         |       GROUP BY user_id, Type),
+         |grid AS (SELECT u.user_id, t.Type
+         |         FROM (SELECT DISTINCT user_id FROM a1) u
+         |         CROSS JOIN (VALUES ('ClickDuration'), ('PurchaseDuration'),
+         |                            ('SignupDuration'), ('ViewDuration')) t(Type))
+         |SELECT g.user_id, g.Type, CAST(COALESCE(a1.v, 0) AS BIGINT) AS value_cents
+         |FROM grid g LEFT JOIN a1 ON g.user_id = a1.user_id AND g.Type = a1.Type""".stripMargin,
 
     "flagship_profile" -> flagshipOracle,
     "flagship_profile_fast" -> flagshipOracle,

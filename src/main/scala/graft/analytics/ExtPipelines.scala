@@ -71,6 +71,21 @@ object ExtPipelines {
       Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
         maxShingleDf = Some(100)))
 
+  /** x24: the dedup DECISION APPLIED — the surviving corpus after
+    * keeping each x9 cluster's canonical (minimum-id) member and
+    * dropping the rest; docs in no cluster survive untouched. The
+    * missing last step of the dedup story (x3/x4 find pairs, x9 labels
+    * closures, THIS deletes): a delta-sized left-anti join of the
+    * corpus against the non-canonical cluster members — the corpus
+    * never shuffles on content, only ids. */
+  def dedupApplyClusters(spark: SparkSession, dir: String): DataFrame = {
+    val losers = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
+  }
+
   /** Decontamination: 3-gram overlap between the t7 train/test split's
     * halves — every (test, train) pair sharing ≥5 distinct 3-grams.
     * Skew cap on the train side (semantics-preserving at this scale,

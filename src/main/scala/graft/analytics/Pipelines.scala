@@ -380,6 +380,23 @@ object Pipelines {
       .cube("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
 
+  /** g29 — UNPIVOT (melt): the inverse of A3's pivot, via Spark's
+    * native `unpivot` (wide → long, no UNION-of-selects plan: one
+    * Expand over the wide rows). Round-trip discipline: unpivoting the
+    * ZERO-FILLED pivot yields the full user × category grid — exactly
+    * a1's rows completed with explicit zero cells — so the oracle is
+    * a1's aggregation left-joined onto the grid, and the
+    * pivot→unpivot→pivot cycle is lossless (the identity PropertySpec
+    * pins for the pivot side). */
+  def unpivotDurations(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Viewing.pivotDurations(Viewing.durationByCategory(
+      Viewing.validRows(Viewing.categorize(Tables.events(spark, dir)))))
+    wide.unpivot(
+      Array(col("user_id")),
+      Viewing.categories.map(col).toArray,
+      "Type", "value_cents")
+  }
+
   /** sql1/sql2 — the SQL-TEXT front end: one ANSI string, run by
     * Spark's parser + Catalyst over the registered testdata views
     * ([[graft.sources.Catalog.registerViews]]) AND verbatim by the

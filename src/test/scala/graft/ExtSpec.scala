@@ -1349,6 +1349,39 @@ class ExtSpec extends SparkSpec {
     assert(sqlRows == dfRows)
   }
 
+  test("g29: unpivot inverts the zero-filled pivot losslessly") {
+    import graft.ops.Viewing
+    val a1 = Viewing.durationByCategory(
+      Viewing.validRows(Viewing.categorize(Tables.events(spark, sf()))))
+    val long = graft.analytics.Pipelines.unpivotDurations(spark, sf())
+    // unpivot(pivot(a1)) restricted to a1's cells == a1 exactly, and
+    // every extra cell is an explicit zero from the fill
+    val a1Map = a1.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val longRows = long.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+    assert(longRows.length == a1Map.keySet.map(_._1).size * Viewing.categories.size)
+    longRows.foreach { case (k, v) => assert(v == a1Map.getOrElse(k, 0L)) }
+    assert(a1Map.forall { case (k, v) => longRows.toMap.get(k).contains(v) })
+    // and re-pivoting the long form reproduces the wide table
+    val rewide = long.groupBy("user_id")
+      .pivot("Type", Viewing.categories).sum("value_cents")
+    val wide = Viewing.pivotDurations(a1)
+    assert(rewide.exceptAll(wide).isEmpty && wide.exceptAll(rewide).isEmpty)
+  }
+
+  test("x24: applied dedup keeps exactly the cluster minima plus unclustered docs") {
+    val clusters = graft.analytics.ExtPipelines.dedupClusters(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = all.filter(id => clusters.get(id).forall(_ == id))
+    val got = graft.analytics.ExtPipelines.dedupApplyClusters(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(clusters.nonEmpty && got.size < all.size,
+      "fixture must exercise actual deletions")
+  }
+
   test("g28: grouping sets equal the union of the declared plain groupBys") {
     val li = Tables.lineitem(spark, sf())
     val got = graft.analytics.Pipelines.groupingSetsSummary(spark, sf())
