@@ -83,6 +83,7 @@ object SparkEntry {
     "x15_semantic_dedup" -> (ExtPipelines.semanticDedup _),
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
     "x23_editdist_neardup" -> (ExtPipelines.editDistNearDups _),
+    "x23b_editdist_blocked" -> (ExtPipelines.editDistNearDupsBlocked _),
     "x24_dedup_apply" -> (ExtPipelines.dedupApplyClusters _),
     "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
     "t5_normalize" -> (ExtPipelines.normalizedDocs _),
@@ -175,6 +176,16 @@ object SparkEntry {
 
   /** Shared jaccard-pairs oracle (x3 exact and x4 MinHash-LSH must agree:
     * LSH recall at jaccard≥0.5-with-verification is ~1 for this banding). */
+  /** Shared by x23 (exact all-pairs) and x23b (PassJoin-blocked twin,
+    * zero recall loss by pigeonhole — same result set by theorem). */
+  private val editDistOracle: String =
+    """WITH p AS (SELECT doc_id, lower(substr(text, 1, 32)) AS pfx
+      |           FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       levenshtein(a.pfx, b.pfx) AS dist
+      |FROM p a JOIN p b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.pfx, b.pfx) <= 4""".stripMargin
+
   private val jaccardOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
@@ -654,14 +665,12 @@ object SparkEntry {
     "x6_simhash_dups" -> simhashOracle,
 
     // x23: exact all-pairs edit distance on the lowercased 32-char head
-    // — both engines implement classic Levenshtein
-    "x23_editdist_neardup" ->
-      """WITH p AS (SELECT doc_id, lower(substr(text, 1, 32)) AS pfx
-        |           FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       levenshtein(a.pfx, b.pfx) AS dist
-        |FROM p a JOIN p b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.pfx, b.pfx) <= 4""".stripMargin,
+    // — both engines implement classic Levenshtein. x23b (PassJoin
+    // segment blocking + the same banded verify) shares the SAME SQL:
+    // the pigeonhole blocking provably loses no pair, so the blocked
+    // twin is held to the exact oracle, x4-vs-x3 style.
+    "x23_editdist_neardup" -> editDistOracle,
+    "x23b_editdist_blocked" -> editDistOracle,
 
     "t5_normalize" ->
       """SELECT doc_id,

@@ -45,6 +45,12 @@ object ExtPipelines {
   def editDistNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.editDistanceNearDups(Tables.documents(spark, dir), maxDist = 4)
 
+  /** x23b: PassJoin segment-blocked twin of x23 — zero recall loss by
+    * pigeonhole (a theorem, not a tuned-recall claim), so it shares
+    * x23's exact oracle the way x4 shares x3's. */
+  def editDistNearDupsBlocked(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceNearDupsBlocked(Tables.documents(spark, dir), maxDist = 4)
+
   def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.4)
 

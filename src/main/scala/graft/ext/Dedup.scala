@@ -461,6 +461,98 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** x23b — the BLOCKED production twin of [[editDistanceNearDups]]:
+    * PassJoin-style segment blocking, then the same banded verify.
+    *
+    * Soundness (why this shares x23's EXACT oracle, unlike tuned-recall
+    * LSH): partition each normalized head into `maxDist + 1` contiguous
+    * segments; ≤ maxDist edit operations cannot touch all of them
+    * (pigeonhole), so for any pair within distance k, at least one
+    * segment of either string appears VERBATIM in the other, start
+    * position shifted by at most k (the net indel balance). So an
+    * equi-join of segment keys (k+1 per doc) against windowed substring
+    * probe keys (≤ (k+1)·(2k+1) per doc) over (segment index, string)
+    * generates a candidate superset with ZERO recall loss — a theorem,
+    * not a tuning claim — and the banded Levenshtein verify equals the
+    * all-pairs form exactly.
+    *
+    * The pigeonhole needs both strings on ONE segment grid, so the
+    * grid is a constant of `prefixLen` (full-length heads — the normal
+    * case); heads shorter than `prefixLen` can't share it and instead
+    * take an exact |short|·n candidate route — bounded by the short
+    * set's size, and empty in a corpus whose documents all exceed the
+    * prefix (true of the testdata and of any real document corpus with
+    * a minimum-length gate).
+    *
+    * Scale shape: per-doc key generation is pure codegen'd explode
+    * (constant ≤ ~(k+1)(2k+2) keys/doc); the one shuffle is the
+    * candidate equi-join on (segment index, 6-8 char substring) — key
+    * selectivity of natural-text heads, the same bucket-join shape as
+    * x4/x6 — then a delta-sized id join + per-pair O(k·len) verify.
+    * Sub-quadratic wherever heads are diverse; degenerate only if the
+    * corpus shares one literal head, which the exact form can't beat
+    * either. */
+  def editDistanceNearDupsBlocked(docs: DataFrame, maxDist: Int = 4,
+      prefixLen: Int = 32, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val k = maxDist
+    val nSeg = k + 1
+    // one CONSTANT segment grid for full-length heads (the pigeonhole
+    // argument needs both strings on the same grid; a per-length grid
+    // silently loses pairs across length boundaries): nSeg segments,
+    // the last (prefixLen mod nSeg) one char longer
+    val baseLen = prefixLen / nSeg
+    val nLong = prefixLen % nSeg
+    val grid = (0 until nSeg).map { i =>
+      val len = baseLen + (if (i >= nSeg - nLong) 1 else 0)
+      val start = i * baseLen + math.max(0, i - (nSeg - nLong))
+      (i, start, len)
+    }
+    val pfx = docs.select(col(idCol).as("_id"),
+      lower(substring(col(textCol), 1, prefixLen)).as("_p"))
+      .withColumn("_n", length(col("_p")))
+    val full = pfx.filter(col("_n") === prefixLen)
+    val short = pfx.filter(col("_n") < prefixLen)
+    // index side: the nSeg exact segments of each full-length head
+    val segKeys = full.select(col("_id").as("id_seg"), explode(array(
+      grid.map { case (i, st, ln) =>
+        struct(lit(i).as("i"), substring(col("_p"), st + 1, ln).as("key"))
+      }: _*)).as("_s"))
+      .select(col("id_seg"), col("_s.i").as("i"), col("_s.key").as("key"))
+    // probe side: substrings at segment i's length, start within ±k of
+    // its home position — where the untouched segment can land after
+    // ≤k net indels
+    val probeKeys = full.select(col("_id").as("id_probe"), explode(array(
+      grid.flatMap { case (i, st, ln) =>
+        (math.max(st - k, 0) to math.min(st + k, prefixLen - ln)).map { s2 =>
+          struct(lit(i).as("i"), substring(col("_p"), s2 + 1, ln).as("key"))
+        }
+      }: _*)).as("_q"))
+      .select(col("id_probe"), col("_q.i").as("i"), col("_q.key").as("key"))
+      .distinct()
+    val candsFull = segKeys.join(probeKeys, Seq("i", "key"))
+      .filter(col("id_seg") =!= col("id_probe"))
+      .select(least(col("id_seg"), col("id_probe")).as("id_a"),
+        greatest(col("id_seg"), col("id_probe")).as("id_b"))
+      .distinct()
+    // heads shorter than prefixLen (rare by construction — a corpus
+    // document shorter than 32 chars): exact candidates against
+    // everything, |short| · n pairs, bounded by the short set's size
+    val candsShort = short.select(col("_id").as("s_id"))
+      .crossJoin(pfx.select(col("_id").as("o_id")))
+      .filter(col("s_id") =!= col("o_id"))
+      .select(least(col("s_id"), col("o_id")).as("id_a"),
+        greatest(col("s_id"), col("o_id")).as("id_b"))
+      .distinct()
+    val heads = pfx.select(col("_id"), col("_p"))
+    candsFull.unionByName(candsShort).distinct()
+      .join(heads.select(col("_id").as("id_a"), col("_p").as("_pa")), "id_a")
+      .join(heads.select(col("_id").as("id_b"), col("_p").as("_pb")), "id_b")
+      .withColumn("dist", levenshtein(col("_pa"), col("_pb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   // ---- dup clusters (connected components) ----
 
   /** Connected components over near-dup pairs: every doc in a component

@@ -1281,6 +1281,20 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expected)
     assert(got.nonEmpty, "fixture must exercise the operator")
+    // the PassJoin-blocked twin is exact by pigeonhole — same set
+    val blocked = Dedup.editDistanceNearDupsBlocked(docs, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == expected)
+    // and stays exact when short heads force the |short|·n side route
+    import spark.implicits._
+    val withShort = docs.select(col("doc_id"), col("text")).unionByName(
+      Seq((900001L, "tiny head"), (900002L, "tiny hxad")).toDF("doc_id", "text"))
+    val exactS = Dedup.editDistanceNearDups(withShort, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blockedS = Dedup.editDistanceNearDupsBlocked(withShort, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blockedS == exactS)
+    assert(exactS.contains((900001L, 900002L, 1)), "planted short pair must match")
   }
 
   test("t28: tfidf keywords are the per-doc top-3 of a driver-side recompute") {
