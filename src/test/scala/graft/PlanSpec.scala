@@ -231,6 +231,41 @@ class PlanSpec extends SparkSpec {
       s"corpus must not shuffle into a sort-merge join:\n$p")
   }
 
+  test("x23b: blocked edit-distance join is equi-join only — no nested loop") {
+    val p = plan(graft.analytics.ExtPipelines.editDistNearDupsBlocked(spark, sf()))
+    // the exact all-pairs form (x23) is BroadcastNestedLoopJoin by
+    // construction; the blocked twin's whole point is that every join
+    // is an equi-join on (segment index, substring) or ids — except
+    // the |short|·n side route, which is empty on this corpus and must
+    // plan as a join over an empty side, not dominate the plan
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"blocked candidates must never cartesian:\n$p")
+    // and the exact twin IS the nested-loop form (sanity: the two
+    // really are different plans, not the same one renamed)
+    val pExact = plan(graft.analytics.ExtPipelines.editDistNearDups(spark, sf()))
+    assert(pExact.contains("BroadcastNestedLoopJoin") ||
+      pExact.contains("CartesianProduct"), pExact)
+  }
+
+  test("g28: grouping sets plan one Expand and one aggregate exchange") {
+    val p = plan(Pipelines.groupingSetsSummary(spark, sf()))
+    assert(p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      s"the whole lattice must aggregate through one exchange:\n$p")
+  }
+
+  test("g29: unpivot plans as Expand over the wide rows, not a union of selects") {
+    val p = plan(Pipelines.unpivotDurations(spark, sf()))
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), s"unpivot must not plan a union:\n$p")
+  }
+
+  test("sql2: correlated EXISTS decorrelates — no per-row subquery plans") {
+    val p = plan(Pipelines.sqlExists(spark, sf()))
+    assert(p.contains("Semi"), s"EXISTS must become a semi join:\n$p")
+  }
+
   test("x19: snapshot diff shuffles digests, never document text") {
     val docs = sources.Tables.documents(spark, sf()).select("doc_id", "text")
     val p = plan(graft.ext.Dedup.snapshotDiff(docs, docs))
