@@ -46,11 +46,15 @@ object Tables {
     * Shared by the batch loader and the streaming source so batch and
     * stream can never disagree on the layout again. */
   def normalizeTs(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
     cols.filter(df.schema.fieldNames.contains).foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
         case LongType         => d.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
         case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        // a future date32 regeneration of the order/ship dates: every
+        // current value IS a midnight timestamp, so midnight-UTC
+        // widening preserves every oracle comparison/format
+        case DateType         => d.withColumn(c, col(c).cast(TimestampType))
         case _                => d
       }
     }

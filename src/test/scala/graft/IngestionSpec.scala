@@ -81,6 +81,24 @@ class IngestionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 
+  test("normalizeTs widens a date32 column to the same midnight timestamps") {
+    // insurance for a future regeneration that stores order/ship dates
+    // as parquet date32: every current date value is a midnight
+    // timestamp, so the widened column must be value-identical
+    val dir = Files.createTempDirectory("graft-date32").toString
+    Tables.orders(spark, sf())
+      .withColumn("o_orderdate", col("o_orderdate").cast(DateType))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val loaded = Tables.orders(spark, dir)
+    assert(loaded.schema("o_orderdate").dataType == TimestampType)
+    val expected = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = loaded.select(col("o_orderkey"), unix_micros(col("o_orderdate")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("a throwing query leaves a driver-visible error marker") {
     val out = Files.createTempDirectory("graft-verify-err").toString
     Verify.dumpQuery(spark, sf(), out, "boom",
