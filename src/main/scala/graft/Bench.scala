@@ -95,7 +95,8 @@ object Bench {
     "sql1_q3_shipping",
     "sql2_exists_subquery",
     "g29_unpivot",
-    "x24_dedup_apply")
+    "x24_dedup_apply",
+    "t29_token_budget")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

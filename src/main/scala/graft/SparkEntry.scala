@@ -112,6 +112,7 @@ object SparkEntry {
     "t26_bpe_pairs" -> (ExtPipelines.bpePairStats _),
     "t27_source_drift" -> (ExtPipelines.sourceDrift _),
     "t28_tfidf_keywords" -> (ExtPipelines.tfidfKeywords _),
+    "t29_token_budget" -> (ExtPipelines.tokenBudget _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
@@ -327,6 +328,32 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "t27_source_drift" -> t27OracleSql,
+
+    // t29: the oracle's GLOBAL window is the semantic spec; the engine
+    // computes the identical running total via the two-level prefix
+    // sum (band totals -> driver prefix -> in-band window). Quality
+    // doubles are s8's expression, bit-equal across engines, ties
+    // broken by doc_id — a total order, so cum_tokens is exact.
+    "t29_token_budget" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','in','to','is','it','for','on'))) AS n_stop,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    length(text) AS len
+        |  FROM documents),
+        |q AS (SELECT doc_id, n_tokens,
+        |  (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |     + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3
+        |     + (1.0 - least((CASE WHEN len = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / len END) * 10.0, 1.0)) * 0.3) AS quality
+        |  FROM sig),
+        |r AS (SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM q)
+        |SELECT doc_id, quality, n_tokens, cum_tokens
+        |FROM r WHERE cum_tokens <= 10000""".stripMargin,
 
     // t28: tf/df/n_docs are exact integers; the one double is the
     // per-row tf·ln(n_docs/df) finishing score, one expression tree in

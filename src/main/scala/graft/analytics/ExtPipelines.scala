@@ -444,6 +444,13 @@ object ExtPipelines {
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfKeywords(Tables.documents(spark, dir), k = 3)
 
+  /** t29: quality-greedy selection under a 10K-token budget
+    * ([[graft.ext.TextAnalysis.tokenBudgetSelect]]) — the two-level
+    * prefix-sum form of a global running total. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBudgetSelect(Tables.documents(spark, dir),
+      budgetTokens = 10000L)
+
   /** t20: CCNet-style LM quality filter — bigram-LM coverage against the
     * `en` target subset; see [[graft.ext.LmQuality.lmCoverage]] for the
     * broadcast-LM / integer-mass shape. */

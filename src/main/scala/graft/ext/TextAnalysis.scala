@@ -80,6 +80,49 @@ object TextAnalysis {
         + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3
         + (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3))
 
+  /** t29 — quality-greedy selection under a TOKEN BUDGET: rank the
+    * corpus by (quality desc, doc_id) and keep documents while the
+    * running token total stays within `budgetTokens` — the
+    * data-selection primitive that turns "score everything" (t2/t18/
+    * t21) into an actual training set of the size the compute plan
+    * allows. Deterministic total order; a doc is kept iff the
+    * cumulative tokens INCLUDING it fit the budget.
+    *
+    * Scale shape — the global running sum WITHOUT a global window
+    * (a one-partition sort dies at corpus scale): Packing's two-level
+    * prefix sum, keyed by quality band instead of id bucket. (1) each
+    * doc gets an integer band = floor((1−quality)·nBands) — band order
+    * IS quality-descending order up to in-band ties; (2) per-band token
+    * totals (≤ nBands+1 rows) come to the driver for an exact prefix
+    * sum — metadata-scale, same rule as Packing/IVF; (3) a window
+    * WITHIN each band (ordered quality desc, id) adds the in-band
+    * prefix to the band base. Identical to the global window's output;
+    * per-partition state is one band, not the corpus. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long = 10000L,
+      nBands: Int = 1000, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = qualityScore(qualitySignals(docs, textCol))
+      .select(col(idCol), col("quality"), col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("_band",
+        floor((lit(1.0) - col("quality")) * nBands).cast("long"))
+    val bandTotals = scored.groupBy("_band")
+      .agg(sum("n_tokens").as("_tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = bandTotals.map { case (b, t) => val r = (b, acc); acc += t; r }
+    val baseDf = bases.toSeq.toDF("_band", "_base")
+    val w = Window.partitionBy("_band")
+      .orderBy(col("quality").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.join(broadcast(baseDf), "_band")
+      .withColumn("cum_tokens", col("_base") + sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Canonical text normalization for dedup/training pipelines:
     * lowercase, strip non-alphanumerics to spaces, collapse runs of
     * whitespace, trim. Pure codegen'd expressions. */

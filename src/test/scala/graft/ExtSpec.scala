@@ -1320,6 +1320,27 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("t29: banded budget selection equals the global greedy prefix") {
+    val budget = 10000L
+    val scored = TextAnalysis.qualityScore(TextAnalysis.qualitySignals(docs))
+      .select(col("doc_id"), col("quality"), col("n_tokens").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // driver-side spec: global sort, greedy cumulative sum
+    var acc = 0L
+    val expected = scored.sortBy { case (id, q, _) => (-q, id) }.flatMap {
+      case (id, q, n) =>
+        acc += n
+        if (acc <= budget) Some((id, q, n, acc)) else None
+    }.toSet
+    val got = TextAnalysis.tokenBudgetSelect(docs, budgetTokens = budget)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // the budget genuinely cuts: something kept, something dropped
+    assert(got.nonEmpty && got.size < scored.length)
+    assert(got.map(_._4).max <= budget)
+  }
+
   test("v11: self-drift is exactly 1 and moments are symmetric") {
     val keyed = emb.join(
       docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
