@@ -101,6 +101,12 @@ object Bench {
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Ratio gated on both operands being real measurements: a -1.0
+    * failure sentinel must surface as -1.0, not divide into a garbage
+    * ratio (-1/1e-9 style). */
+  private def ratio(num: Double, den: Double): Double =
+    if (num >= 0 && den > 0) num / den else -1.0
+
   /** Cache the base tables once before timing (hot-cache benchmark):
     * the CacheManager substitutes the in-memory columnar relation into
     * every later query by plan equality, so per-query time measures the
@@ -241,7 +247,11 @@ object Bench {
     val rowsPerSec = if (etlSec > 0) nEvents / etlSec else 0.0
 
     // totals sum the SUCCESSFUL queries only; -1 sentinels stay visible
-    // per query but must not drag the total negative.
+    // per query but must not drag the total negative. A shrunk total
+    // would read as a phantom SPEEDUP in the driver's round-over-round
+    // compare, so the failed count is surfaced in the headline line —
+    // a nonzero `failed` voids the total comparison loudly.
+    val nFailed = (results ++ extResults).count(_._2._1 < 0)
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -266,15 +276,16 @@ object Bench {
     //    carry only the required shape plus totals.
     val headlineJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
-      s""""total_best":${f"$totalBest%.4f"},"sf":"$sfDir"}"""
+      s""""total_best":${f"$totalBest%.4f"},"failed":$nFailed,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
       s""""extended_queries":$eqs,"rep_spread":$spreads,"queries_best":$bests,""" +
       s""""total_best":${f"$totalBest%.4f"},""" +
+      s""""failed":$nFailed,""" +
       s""""sf":"$sfDir","m1_scan_sec":${f"$m1Sec%.4f"},"m2_union_sec":${f"$m2Sec%.4f"},""" +
-      s""""m2_over_m1":${f"${m2Sec / math.max(m1Sec, 1e-9)}%.2f"},""" +
+      s""""m2_over_m1":${f"${ratio(m2Sec, m1Sec)}%.2f"},""" +
       s""""m1_pruned_sec":${f"$m1pSec%.4f"},"m2_pruned_sec":${f"$m2pSec%.4f"},""" +
-      s""""m2_over_m1_pruned":${f"${m2pSec / math.max(m1pSec, 1e-9)}%.2f"},""" +
+      s""""m2_over_m1_pruned":${f"${ratio(m2pSec, m1pSec)}%.2f"},""" +
       s""""etl_cold_sec":${f"$etlColdSec%.4f"},""" +
       s""""etl_rows":$nEvents,"etl_sec":${f"$etlSec%.4f"},"etl_rows_per_sec":${f"$rowsPerSec%.0f"}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

@@ -429,8 +429,16 @@ object Pipelines {
     * same shape the DataFrame form would get: dimension filter pushed
     * into the customer scan, broadcast join onto orders, one shuffle
     * for the (orderkey, priority) aggregate. */
+  /** Register just the views a SQL-text query reads — re-registering
+    * the full catalog per call would re-read 10 parquet footers (and
+    * run the embeddings schema guard) inside the benchmark's timed
+    * region, charging fixed catalog cost to the query being measured. */
+  private def registerViews(spark: SparkSession, dir: String,
+      names: String*): Unit =
+    names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+
   def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
-    graft.sources.Catalog.registerViews(spark, dir)
+    registerViews(spark, dir, "customer", "orders", "lineitem")
     spark.sql(sql1Q3Text)
   }
 
@@ -448,7 +456,7 @@ object Pipelines {
     * re-execution anywhere (the naive interpretation would be
     * O(customers × orders)). */
   def sqlExists(spark: SparkSession, dir: String): DataFrame = {
-    graft.sources.Catalog.registerViews(spark, dir)
+    registerViews(spark, dir, "customer", "orders")
     spark.sql(sql2ExistsText)
   }
 

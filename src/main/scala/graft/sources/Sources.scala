@@ -72,12 +72,14 @@ object Tables {
     // v/x-family query drift from its oracle.
     if (name == "embeddings") {
       import org.apache.spark.sql.types.{ArrayType, FloatType}
-      val et = table.schema("embedding").dataType
-      require(et match { case ArrayType(FloatType, _) => true; case _ => false },
-        s"embeddings.embedding is $et, expected array<float>: the vector " +
-          "expressions (CosineSim/PQ/quantize) and the fixed-point oracles " +
-          "are float32-based — update graft.functions.VectorFunctions and " +
-          "the v-family oracle SQL together for the new layout")
+      val et = table.schema.fields.find(_.name == "embedding").map(_.dataType)
+      require(et.exists { case ArrayType(FloatType, _) => true; case _ => false },
+        s"embeddings.embedding is ${et.getOrElse("MISSING (schema: " +
+          table.schema.fieldNames.mkString(", ") + ")")}, expected " +
+          "array<float>: the vector expressions (CosineSim/PQ/quantize) " +
+          "and the fixed-point oracles are float32-based — update " +
+          "graft.functions.VectorFunctions and the v-family oracle SQL " +
+          "together for the new layout")
     }
     table
   }

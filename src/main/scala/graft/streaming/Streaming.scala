@@ -4,7 +4,6 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import graft.model.Schemas
 import graft.ops.Viewing
 
 /** Structured Streaming surface: the daily-file batch loop the reference
@@ -53,17 +52,15 @@ object Streaming {
 
   /** Documents stream from the testdata parquet — the streaming ingest
     * path of the corpus pipeline (new corpus files land, the gate
-    * filters them as they arrive). */
-  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    spark.readStream.schema(schema)
+    * filters them as they arrive). Read schema from the actual file
+    * footer, same rule as [[eventsStream]] — a hard-wired StructType
+    * here would silently read nulls/garbage after the next physical
+    * layout regeneration (the round-9 failure class). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(graft.sources.Tables.fileSchema(spark, dir, "documents"))
       .option("basePath", dir)
       .parquet(s"$dir/documents.*")
-  }
 
   /** Streaming corpus quality gate: the stateless per-row quality
     * filter applied at INGEST, so low-quality docs never land in the

@@ -63,8 +63,11 @@ def main(sf_dir, out_dir):
         # every value matches (round-9 v10 hash-fail). Values compare
         # equal below (Python ints), so this must be a hard FAIL here or
         # the local check passes a query the driver will flag.
-        dec_cols = [f.name for f in exp_rel.arrow().schema
-                    if "decimal" in str(f.type)]
+        # .types reads the plan's output types without executing the
+        # query (.arrow() would run every oracle twice — the recursive
+        # x9/x24 closures and all-pairs x23 are the expensive ones)
+        dec_cols = [c for c, t in zip(exp_rel.columns, exp_rel.types)
+                    if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()]
         if dec_cols:
             print(f"FAIL {name}: oracle outputs decimal128 column(s) "
                   f"{dec_cols} — CAST sums to BIGINT/DOUBLE in the oracle SQL")
