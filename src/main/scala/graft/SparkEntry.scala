@@ -121,6 +121,7 @@ object SparkEntry {
     "v9_ivf_ingest" -> (ExtPipelines.ivfIngest _),
     "v10_centroid_outliers" -> (ExtPipelines.centroidOutliers _),
     "v11_centroid_drift" -> (ExtPipelines.centroidDrift _),
+    "v12_ivf_index_persist" -> (ExtPipelines.ivfIndexPersist _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -1017,6 +1018,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "v3b_ivf_recall_bounded" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // v12: the persisted index must answer exactly like the in-memory
+    // build (shared probe/re-rank code + bit-exact parquet round trip)
+    // — the oracle pins the identity flag and the query-batch size
+    "v12_ivf_index_persist" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // v8 (PQ ANN) is rows-only: the packed codes depend on trained

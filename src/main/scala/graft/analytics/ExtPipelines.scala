@@ -610,6 +610,30 @@ object ExtPipelines {
     Similarity.centroidOutliers(emb.join(src, "vec_id"))
   }
 
+  /** v12: persisted-IVF-index round trip
+    * ([[graft.ext.Similarity.saveIvfIndex]] / `ivfTopKFromIndex`) —
+    * build the index under a temp dir, answer the v3 query batch from
+    * storage, and pin result identity with the in-memory build (the
+    * probe/re-rank stage is shared code; float/double vectors
+    * round-trip parquet bit-exactly). The serving form of the ANN
+    * family: at scale the partitioned lists give every query batch a
+    * dynamic-partition-pruned scan (ExtSpec pins the pruning filter).
+    * Driver-checkable bounded output: (n_queries, identical=TRUE). */
+  def ivfIndexPersist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString + "/idx"
+    Similarity.saveIvfIndex(emb, path, nList = 8, nIters = 1)
+    val queries = emb.filter(col("vec_id") < 10)
+    val mem = Similarity.ivfTopK(emb, queries, k = 5,
+      nList = 8, nProbe = 4, nIters = 1)
+    val idx = Similarity.ivfTopKFromIndex(spark, path, queries,
+      k = 5, nProbe = 4)
+    val identical = mem.exceptAll(idx).isEmpty && idx.exceptAll(mem).isEmpty
+    Seq((queries.count(), identical)).toDF("n_queries", "identical")
+  }
+
   /** v11: per-source centroid drift
     * ([[graft.ext.Similarity.snapshotCentroidDrift]]) between the x19
     * snapshot memberships (same salted '#snap' bucket rule, so the

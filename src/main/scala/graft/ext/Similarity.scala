@@ -286,9 +286,20 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nList: Int = 16, nProbe: Int = 8, nIters: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
     val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
     val assigned = ivfAssign(corpus, cent, vecCol, idCol)
+    ivfProbeAndRank(cent, assigned, queries, k, nProbe, vecCol, idCol)
+  }
+
+  /** The probe-and-rank stage shared by the in-memory index (v3) and
+    * the persisted index ([[ivfTopKFromIndex]]): score queries against
+    * the broadcast centroids, keep each query's nProbe best lists
+    * (k-bounded aggregator), then exact-cosine re-rank against only the
+    * probed lists' vectors. */
+  private def ivfProbeAndRank(cent: DataFrame, lists: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int,
+      vecCol: String, idCol: String): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val centF = cent.select(col("list_id"),
       col("cvec").cast("array<float>").as("cvec"))
@@ -302,12 +313,44 @@ object Similarity {
       .agg(topLists(col("cos"), col("list_id")).as("lists"))
       .select(col("query_id"), explode(col("lists")).as("list_id"))
       .join(q, "query_id") // re-attach the query vector (tiny side)
-    val cands = assigned
+    val cands = lists
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
     topKPerQuery(cands, k)
+  }
+
+  /** Persist an IVF index to storage: `<path>/centroids` (list_id,
+    * cvec — the trained quantizer) and `<path>/lists` — the inverted
+    * lists PARTITIONED BY list_id. This is the serving form of the
+    * v3/v9 family: build once, answer every later query batch from
+    * storage without touching the raw corpus. The list_id directory
+    * layout is the point — a probe join against the broadcast query
+    * side triggers DYNAMIC PARTITION PRUNING, so each query batch
+    * reads only its probed lists (~nProbe/nList of the index), never
+    * the whole thing; at 100 TB that is the difference between a
+    * bucket-pruned scan and a full-index scan per batch. */
+  def saveIvfIndex(corpus: DataFrame, path: String, nList: Int = 16,
+      nIters: Int = 1, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, cent, vecCol, idCol)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** ANN top-k against a [[saveIvfIndex]]-persisted index: identical
+    * results to [[ivfTopK]] at the same build settings (the probe and
+    * re-rank stage is literally shared), with the candidate scan
+    * partition-pruned to the probed lists. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int = 5, nProbe: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val lists = spark.read.parquet(s"$path/lists")
+      .withColumn("list_id", col("list_id").cast("long"))
+    ivfProbeAndRank(cent, lists, queries, k, nProbe, vecCol, idCol)
   }
 
   /** LSH-bucketed ANN: corpus and queries are hashed with the same

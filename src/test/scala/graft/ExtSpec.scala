@@ -1260,6 +1260,26 @@ class ExtSpec extends SparkSpec {
     assert(prod == expected.keySet)
   }
 
+  test("ivf index: persisted index answers identically and prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.saveIvfIndex(emb, path, nList = 8, nIters = 1)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet // (query, neighbor, rank)
+    val mem = key(Similarity.ivfTopK(emb, queries, k = 5,
+      nList = 8, nProbe = 4, nIters = 1))
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, path, queries,
+      k = 5, nProbe = 4)
+    // float vectors and double centroids round-trip parquet bit-exactly
+    // and the probe/re-rank stage is shared code, so equality is exact
+    assert(key(fromIdx) == mem && mem.nonEmpty)
+    // the probe join must dynamic-partition-prune the lists scan —
+    // the point of the list_id directory layout
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"lists scan must carry a dynamic pruning filter:\n$plan")
+  }
+
   test("x23: edit-distance near-dups match a driver-side Levenshtein recompute") {
     val prefixes = docs.select(col("doc_id"),
         lower(substring(col("text"), 1, 32)).as("p"))
