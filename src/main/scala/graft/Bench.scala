@@ -96,7 +96,15 @@ object Bench {
     "sql2_exists_subquery",
     "g29_unpivot",
     "x24_dedup_apply",
-    "t29_token_budget")
+    // x24b reuses labels persisted on first call (warmup rep absorbs
+    // the one-time CC build, the g20 pattern) — the timed reps measure
+    // the production apply-only path
+    "x24b_dedup_apply_persisted",
+    "t29_token_budget",
+    // v12 measures the full persist+serve round trip (index write to a
+    // temp dir, pruned probe read, identity check vs the in-memory
+    // build) — dominated by the index write, which v3 shows amortizing
+    "v12_ivf_index_persist")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -144,11 +152,23 @@ object Bench {
     * so a round-over-round delta can be attributed to noise vs
     * regression per query, from the artifact alone. `best` is kept in
     * the JSON for continuity with rounds ≤7, whose headline was
-    * best-of-3. */
+    * best-of-3.
+    *
+    * ADAPTIVE reps: when the 5-rep spread exceeds 3× (round-10's t2 hit
+    * 7.4×, x6 5.1× — medians moved 4.5× on byte-identical code, making
+    * the cross-round compare unreadable), the query runs 4 MORE reps
+    * and reports the median of all 9 — more draws from the same noisy
+    * distribution pull the median back toward steady state while stable
+    * queries still pay only 5 reps. The published spread stays the
+    * all-reps max/min so the noise remains visible in the artifact;
+    * `total_best` (sum of per-query minima) is the noise-robust
+    * headline comparator when spreads are large. */
   private def timeStats(f: => Unit): (Double, Double, Double) = {
     timeOnce(f)
-    val reps = Seq.fill(5)(timeOnce(f)).sorted
-    (reps(2), reps.last / math.max(reps.head, 1e-9), reps.head)
+    val first = Seq.fill(5)(timeOnce(f))
+    val spread5 = first.max / math.max(first.min, 1e-9)
+    val reps = (if (spread5 > 3.0) first ++ Seq.fill(4)(timeOnce(f)) else first).sorted
+    (reps(reps.size / 2), reps.last / math.max(reps.head, 1e-9), reps.head)
   }
 
   /** Per-query failure isolation: one broken query must not void the
@@ -160,7 +180,9 @@ object Bench {
     try timeStats(f)
     catch { case e: Throwable =>
       System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-      (-1.0, 0.0, -1.0)
+      // spread is ALSO the -1.0 sentinel: a 0.0 here would read as a
+      // perfectly stable measurement in rep_spread instead of a failure
+      (-1.0, -1.0, -1.0)
     }
 
   def main(args: Array[String]): Unit = {
@@ -201,7 +223,12 @@ object Bench {
     }
 
     // reference-derived sanity experiment (BASELINE.md): one multi-day
-    // scan vs per-day pipeline + union over the full 30-day range
+    // scan vs per-day pipeline + union over the full 30-day range.
+    // METHODOLOGY NOTE: since round 10, m1_scan_sec/m2_union_sec are the
+    // MEDIAN of timed reps (timeStatsSafe) — rounds ≤9 recorded a single
+    // shot, so absolute cross-round comparison of these two fields spans
+    // that change; the m2_over_m1 ratio is internally consistent in
+    // every round (both operands always share one methodology).
     val allDays = (1 to 30).map(d => f"2024-01-$d%02d")
     val events = Tables.events(spark, sfDir)
     val m1Sec = timeStatsSafe("m1_scan", runNoop(

@@ -85,6 +85,7 @@ object SparkEntry {
     "x23_editdist_neardup" -> (ExtPipelines.editDistNearDups _),
     "x23b_editdist_blocked" -> (ExtPipelines.editDistNearDupsBlocked _),
     "x24_dedup_apply" -> (ExtPipelines.dedupApplyClusters _),
+    "x24b_dedup_apply_persisted" -> (ExtPipelines.dedupApplyPersisted _),
     "x7_neardup_embedding_lsh" -> (ExtPipelines.neardupEmbeddingLsh _),
     "t5_normalize" -> (ExtPipelines.normalizedDocs _),
     "t6_top_docs_per_source" -> (ExtPipelines.topDocsPerSource _),
@@ -604,6 +605,28 @@ object SparkEntry {
     // x24: the dedup decision applied — survivors are docs that are
     // either unclustered or their cluster's minimum-id member
     "x24_dedup_apply" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a_id, b_id FROM (
+         |$jaccardOracle
+         |  ) jp
+         |),
+         |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id AS id FROM edges),
+         |sym AS (SELECT a_id AS u, b_id AS v FROM edges
+         |        UNION ALL SELECT b_id AS u, a_id AS v FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.source
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
+
+    // x24b: identical semantics to x24 (the persisted-label apply must
+    // reproduce the self-contained form exactly — parquet round-trips
+    // the integer labels bit-exactly), so the oracle is the same SQL
+    "x24b_dedup_apply_persisted" ->
       s"""WITH RECURSIVE edges AS (
          |  SELECT a_id, b_id FROM (
          |$jaccardOracle

@@ -87,8 +87,19 @@ object Pipelines {
   }
 
   /** TPC-H Q5-shaped star join: revenue per nation for one region.
-    * All dimension sides are explicitly broadcast — no shuffle of the
-    * fact table for dimension joins, the core 100 TB join strategy. */
+    *
+    * Broadcast discipline by dimension class: nation/region are
+    * FIXED-SIZE (25/5 rows at every SF — they cannot outgrow a
+    * broadcast), so they carry an unconditional `broadcast()` hint.
+    * customer/supplier SCALE with the data (~150K/10K rows per SF unit;
+    * multi-GB at the 100 TB tier), so they carry NO hint: Catalyst +
+    * AQE pick broadcast-hash while the side's stats fit
+    * `autoBroadcastJoinThreshold` (which they do at every test SF —
+    * PlanSpec pins all five joins broadcast at sf0.001/0.01) and fall
+    * back to shuffled hash/sort-merge when they don't. A forced hint
+    * here would OOM the driver at scale AND forbid AQE from saving the
+    * plan — PlanSpec's threshold=-1 test pins that the fallback really
+    * is available (hint absent), which a forced broadcast would fail. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
@@ -98,8 +109,8 @@ object Pipelines {
     val reg = Tables.region(spark, dir)
     val revCents = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -109,16 +120,20 @@ object Pipelines {
   }
 
   /** TPC-H Q14-shaped promo-revenue share by ship month — the
-    * fact-to-midsize-dimension join shape (lineitem ⋈ part). `part` is
-    * explicitly broadcast: at 100 TB the part dimension is still orders
-    * of magnitude smaller than the fact table, so the fact side never
-    * shuffles for this join. Revenue in exact c4 units (cents × pct) so
-    * the monthly sums are bit-stable under any aggregation order. */
+    * fact-to-midsize-dimension join shape (lineitem ⋈ part). `part`
+    * is orders of magnitude smaller than the fact table but SCALES
+    * with SF (~200K rows per unit; multi-GB at the 100 TB tier), so it
+    * carries no broadcast hint — Catalyst/AQE broadcast it while its
+    * stats fit `autoBroadcastJoinThreshold` (always true at test SFs;
+    * PlanSpec pins the broadcast AND the threshold=-1 fallback) and
+    * shuffle it when they don't, keeping the plan driver-OOM-safe at
+    * any scale. Revenue in exact c4 units (cents × pct) so the monthly
+    * sums are bit-stable under any aggregation order. */
   def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val part = Tables.part(spark, dir)
     val revC4 = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
         sum(when(col("p_type") === "PROMO", revC4).otherwise(lit(0L))).as("promo_c4"),
@@ -425,10 +440,6 @@ object Pipelines {
       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY o_orderkey, o_orderpriority""".stripMargin
 
-  /** TPC-H Q3-shaped revenue query via SQL text. Catalyst plans the
-    * same shape the DataFrame form would get: dimension filter pushed
-    * into the customer scan, broadcast join onto orders, one shuffle
-    * for the (orderkey, priority) aggregate. */
   /** Register just the views a SQL-text query reads — re-registering
     * the full catalog per call would re-read 10 parquet footers (and
     * run the embeddings schema guard) inside the benchmark's timed
@@ -437,6 +448,10 @@ object Pipelines {
       names: String*): Unit =
     names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
 
+  /** TPC-H Q3-shaped revenue query via SQL text. Catalyst plans the
+    * same shape the DataFrame form would get: dimension filter pushed
+    * into the customer scan, broadcast join onto orders, one shuffle
+    * for the (orderkey, priority) aggregate. */
   def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir, "customer", "orders", "lineitem")
     spark.sql(sql1Q3Text)

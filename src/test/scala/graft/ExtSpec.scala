@@ -1280,6 +1280,17 @@ class ExtSpec extends SparkSpec {
       s"lists scan must carry a dynamic pruning filter:\n$plan")
   }
 
+  test("v12: index-persist round trip is identical AND leaves no temp index behind") {
+    val row = graft.analytics.ExtPipelines.ivfIndexPersist(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+    // hygiene: the embeddings-sized temp index must not accumulate in
+    // /tmp across Verify dumps and bench reps
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val leftover = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_ivf_idx"))
+    assert(leftover.isEmpty, s"leaked: ${leftover.mkString(", ")}")
+  }
+
   test("x23: edit-distance near-dups match a driver-side Levenshtein recompute") {
     val prefixes = docs.select(col("doc_id"),
         lower(substring(col("text"), 1, 32)).as("p"))
@@ -1435,6 +1446,16 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
     assert(clusters.nonEmpty && got.size < all.size,
       "fixture must exercise actual deletions")
+  }
+
+  test("x24b: persisted-label apply reproduces the self-contained form exactly") {
+    val a = graft.analytics.ExtPipelines.dedupApplyClusters(spark, sf())
+    // twice: first call builds + persists the labels, second reuses the
+    // memoized store — both must match x24
+    val b1 = graft.analytics.ExtPipelines.dedupApplyPersisted(spark, sf())
+    assert(a.exceptAll(b1).isEmpty && b1.exceptAll(a).isEmpty)
+    val b2 = graft.analytics.ExtPipelines.dedupApplyPersisted(spark, sf())
+    assert(a.exceptAll(b2).isEmpty && b2.exceptAll(a).isEmpty)
   }
 
   test("g28: grouping sets equal the union of the declared plain groupBys") {

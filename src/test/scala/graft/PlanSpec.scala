@@ -37,6 +37,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)      // map-side combine before the one shuffle
   }
 
+  test("g2/g26: scaling-dimension broadcasts are size-gated, not forced") {
+    // With auto-broadcast disabled, the scaling dimensions (customer/
+    // supplier/part) MUST fall back to a shuffled join — a forced
+    // broadcast() hint would keep broadcasting (and OOM the driver at
+    // the 100 TB tier, with AQE forbidden from saving the plan). The
+    // fixed-size dims (nation/region, 25/5 rows at every SF) stay
+    // hinted-broadcast even here — they cannot outgrow a broadcast.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = plan(Pipelines.revenueByNation(spark, sf()))
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        s"customer/supplier joins did not fall back when broadcast is off:\n$p2")
+      assert(p2.contains("BroadcastHashJoin"),
+        s"fixed-size nation/region should stay broadcast (explicit hint):\n$p2")
+      val p26 = plan(Pipelines.promoRevenue(spark, sf()))
+      assert(p26.contains("SortMergeJoin") || p26.contains("ShuffledHashJoin"),
+        s"part join did not fall back when broadcast is off:\n$p26")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("flagship fast plan has exactly one shuffle exchange") {
     val p = plan(Pipelines.flagshipProfileFast(spark, sf()))
     val shuffles = p.sliding("Exchange hashpartitioning".length)
