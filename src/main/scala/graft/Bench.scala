@@ -94,6 +94,8 @@ object Bench {
     "v11_centroid_drift",
     "sql1_q3_shipping",
     "sql2_exists_subquery",
+    "sql3_cte_having",
+    "sql4_in_subquery",
     "g29_unpivot",
     "x24_dedup_apply",
     // x24b reuses labels persisted on first call (warmup rep absorbs
@@ -101,6 +103,7 @@ object Bench {
     // the production apply-only path
     "x24b_dedup_apply_persisted",
     "t29_token_budget",
+    "t30_tokenizer_encode",
     // v12 measures the full persist+serve round trip (index write to a
     // temp dir, pruned probe read, identity check vs the in-memory
     // build) — dominated by the index write, which v3 shows amortizing

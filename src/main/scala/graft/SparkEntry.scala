@@ -67,6 +67,8 @@ object SparkEntry {
     // SQL-text front end: the same ANSI string runs in Spark AND DuckDB
     "sql1_q3_shipping" -> (Pipelines.sqlQ3 _),
     "sql2_exists_subquery" -> (Pipelines.sqlExists _),
+    "sql3_cte_having" -> (Pipelines.sqlCteHaving _),
+    "sql4_in_subquery" -> (Pipelines.sqlInSubquery _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -114,6 +116,7 @@ object SparkEntry {
     "t27_source_drift" -> (ExtPipelines.sourceDrift _),
     "t28_tfidf_keywords" -> (ExtPipelines.tfidfKeywords _),
     "t29_token_budget" -> (ExtPipelines.tokenBudget _),
+    "t30_tokenizer_encode" -> (ExtPipelines.tokenizerEncode _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
@@ -145,6 +148,7 @@ object SparkEntry {
     "s3_sessionize_stream" -> (ExtPipelines.sessionizeStream _),
     "s4_stream_enrich" -> (ExtPipelines.streamEnrich _),
     "s5_stream_dedup" -> (ExtPipelines.streamDedup _),
+    "s5b_stream_dedup_watermark" -> (ExtPipelines.streamDedupWithinWatermark _),
     "s6_stream_range_join" -> (ExtPipelines.streamRangeJoin _),
     "s7_stream_profile" -> (ExtPipelines.streamProfile _),
     "s8_stream_quality_gate" -> (ExtPipelines.streamQualityGate _),
@@ -357,6 +361,42 @@ object SparkEntry {
         |SELECT doc_id, quality, n_tokens, cum_tokens
         |FROM r WHERE cum_tokens <= 10000""".stripMargin,
 
+    // t30: the ORACLE IS THE FULL TOKENIZER — DuckDB re-trains the
+    // 20-merge table with t26's exact SQL (same (n DESC, pair) total
+    // order → same ranks) and re-runs the greedy scan as a recursive
+    // CTE (one row per doc per token; a merge hit advances 2 chars,
+    // else 1 char emits its codepoint), so every id of every document
+    // is cross-engine-checked. Id scheme: codepoint | 1114112 + rank.
+    "t30_tokenizer_encode" ->
+      """WITH RECURSIVE w AS (SELECT word, CAST(count(*) AS BIGINT) AS wn
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |                 FROM documents)
+        |           GROUP BY word),
+        |p AS (SELECT unnest([substr(word, i, 2)
+        |                     for i in range(1, len(word))]) AS pair, wn
+        |      FROM w),
+        |pc AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY pair),
+        |merges AS (SELECT pair,
+        |             CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rnk
+        |           FROM pc ORDER BY n DESC, pair LIMIT 20),
+        |enc AS (
+        |  SELECT doc_id, 1 AS pos, CAST(0 AS BIGINT) AS n_tokens, '' AS ids_str
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT e.doc_id,
+        |         e.pos + CASE WHEN m.pair IS NOT NULL THEN 2 ELSE 1 END,
+        |         e.n_tokens + 1,
+        |         e.ids_str || CASE WHEN e.n_tokens = 0 THEN '' ELSE ',' END ||
+        |           CAST(CASE WHEN m.pair IS NOT NULL THEN 1114112 + m.rnk
+        |                     ELSE unicode(substr(d.text, e.pos, 1)) END AS VARCHAR)
+        |  FROM enc e JOIN documents d USING (doc_id)
+        |  LEFT JOIN merges m ON substr(d.text, e.pos, 2) = m.pair
+        |  WHERE e.pos <= length(d.text)
+        |)
+        |SELECT e.doc_id, e.n_tokens, e.ids_str
+        |FROM enc e JOIN documents d USING (doc_id)
+        |WHERE e.pos > length(d.text)""".stripMargin,
+
     // t28: tf/df/n_docs are exact integers; the one double is the
     // per-row tf·ln(n_docs/df) finishing score, one expression tree in
     // both engines, so the (tfidf DESC, tok) top-3 order is total
@@ -411,6 +451,13 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
 
     "s5_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // s5b: with the 40-day delay dominating the 30-day replay span the
+    // watermark never reaches any eviction horizon, so the bounded-state
+    // dedup provably equals global dedup on this input (see
+    // ExtPipelines.streamDedupWithinWatermark)
+    "s5b_stream_dedup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
     // same closure as the batch g22 range join — stream-stream interval
@@ -1857,6 +1904,8 @@ object SparkEntry {
     // both engines (see Pipelines.sql1Q3Text for the dialect rules)
     "sql1_q3_shipping" -> Pipelines.sql1Q3Text,
     "sql2_exists_subquery" -> Pipelines.sql2ExistsText,
+    "sql3_cte_having" -> Pipelines.sql3CteHavingText,
+    "sql4_in_subquery" -> Pipelines.sql4InSubqueryText,
 
     // g28: explicit grouping lattice; GROUPING()/grouping_id() share
     // the same bit order (1 = column aggregated away) in both engines

@@ -487,6 +487,14 @@ object ExtPipelines {
     TextAnalysis.tokenBudgetSelect(Tables.documents(spark, dir),
       budgetTokens = 10000L)
 
+  /** t30: tokenizer encode over the corpus with a 20-merge table
+    * trained by t26's pair statistics
+    * ([[graft.ext.TextAnalysis.tokenizerEncode]]) — every token id of
+    * every document is oracle-checked (DuckDB re-trains the table and
+    * re-runs the greedy scan as a recursive CTE). */
+  def tokenizerEncode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerEncode(Tables.documents(spark, dir), nMerges = 20)
+
   /** t20: CCNet-style LM quality filter — bigram-LM coverage against the
     * `en` target subset; see [[graft.ext.LmQuality.lmCoverage]] for the
     * broadcast-LM / integer-mass shape. */
@@ -805,6 +813,25 @@ object ExtPipelines {
       graft.streaming.Streaming.dedupStream(
         graft.streaming.Streaming.eventsStream(spark, dir)),
       org.apache.spark.sql.streaming.OutputMode.Append())
+
+  /** s5b: bounded-state dedup (`dropDuplicatesWithinWatermark`) run to
+    * completion on the bounded replay. The 40-day delay DOMINATES the
+    * replay's 30-day event span, which makes the horizon semantics
+    * deterministic by construction: the watermark (max seen ts − 40d)
+    * can never reach any key's eviction horizon (first ts + 40d), so no
+    * state evicts, no key re-emits, and the op provably equals global
+    * dedup REGARDLESS of how AvailableNow slices micro-batches — the
+    * oracle is s5's DISTINCT. Only the key columns are emitted: which
+    * physical duplicate survives is arrival-order-dependent, the key
+    * set is not. (In production the delay is minutes — the point of the
+    * op is state eviction; this registration pins the correctness of
+    * the suppress-within-horizon path, StreamingSpec covers eviction.) */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.dedupStreamWithinWatermark(
+        graft.streaming.Streaming.eventsStream(spark, dir), delay = "40 days"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("user_id", "event_type")
 
   /** s9: streaming ingest dedup at x16's split — the t7 train bucket is
     * the standing (static) corpus, the test bucket streams in; only

@@ -475,6 +475,53 @@ object Pipelines {
     spark.sql(sql2ExistsText)
   }
 
+  val sql3CteHavingText: String =
+    """WITH seg_orders AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM customer
+      |  JOIN orders ON o_custkey = c_custkey
+      |)
+      |SELECT segment, priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(price_cents) AS BIGINT) AS total_cents
+      |FROM seg_orders
+      |GROUP BY segment, priority
+      |HAVING COUNT(*) >= 20""".stripMargin
+
+  /** sql3 — CTE + HAVING via SQL text (same one-text-two-engines
+    * discipline as sql1/sql2). Catalyst inlines the CTE, pushes the
+    * projection into both scans, broadcasts the customer side, and
+    * turns HAVING into a post-aggregate filter — no materialization of
+    * the CTE, which is exactly what you want at scale (a CTE is a
+    * naming device, not a checkpoint). Counts and integer cents only,
+    * so the group hash is bit-stable in both engines. */
+  def sqlCteHaving(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "customer", "orders")
+    spark.sql(sql3CteHavingText)
+  }
+
+  val sql4InSubqueryText: String =
+    """SELECT o_orderkey, o_orderpriority
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
+  /** sql4 — uncorrelated IN-subquery via SQL text: Catalyst rewrites
+    * the IN to a LEFT SEMI join on c_custkey (no per-row subquery
+    * re-execution, no distinct materialization of the IN-list), with
+    * the segment filter pushed into the customer scan and the date
+    * filter into the orders scan. NOT IN is deliberately absent from
+    * the suite: its three-valued NULL semantics force a null-aware
+    * anti-join that degenerates to a broadcast nested loop — the
+    * NOT EXISTS form (plain anti-join, g6's shape) is the scalable
+    * spelling of that question. */
+  def sqlInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "customer", "orders")
+    spark.sql(sql4InSubqueryText)
+  }
+
   /** GROUPING SETS over (returnflag, linestatus): the explicit lattice
     * — rollup (g8) and cube (g25) are the fixed special cases; this is
     * the general form, here ((rf, ls), (rf), ()) — the rollup lattice

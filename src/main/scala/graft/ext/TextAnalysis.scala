@@ -350,6 +350,55 @@ object TextAnalysis {
       kl.as("kl"))
   }
 
+  /** t30 — tokenizer ENCODE: apply the merge table t26 trains to the
+    * corpus text, producing per-document token-id sequences — the step
+    * between corpus curation and the t13/t14 token shards that every
+    * training pipeline runs. The merge table is the top-`nMerges`
+    * character pairs by (count desc, pair asc) — t26's exact output
+    * order, so rank is a total order both engines reproduce; ids are
+    * `codepoint` for base-alphabet tokens and `0x110000 + rank` for
+    * merges (base alphabet + appended merges, collision-free). Encode
+    * itself is [[graft.functions.BpeEncodeExpr]]: one greedy
+    * left-to-right scan per row against the broadcast merge table.
+    *
+    * Output `(doc_id, n_tokens, ids_str)` with the id sequence
+    * comma-joined (the g19 sortable-scalar trick) — and the ORACLE IS
+    * THE FULL TOKENIZER: DuckDB re-trains the merge table with t26's
+    * SQL and re-runs the greedy scan as a recursive CTE, so every id
+    * of every document is cross-engine-checked (not just conserved
+    * counts). ExtSpec separately pins round-trip decode equality and
+    * codepoint conservation.
+    *
+    * Scale shape: merge training is t26 (corpus scan → vocabulary-sized
+    * everything after); the top-`nMerges` pair list is a driver
+    * `collect` of `nMerges` rows (metadata-scale, same rule as
+    * Packing/IVF) that rides the task closure; encode is then a pure
+    * per-row scan — zero shuffle, linear in corpus bytes. */
+  def tokenizerEncode(docs: DataFrame, nMerges: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val merges = bpePairStats(docs, k = nMerges, textCol)
+      .collect().map(_.getString(0)).toSeq
+    graft.functions.TextExpressions.registerBpeEncode(docs.sparkSession)
+    val ids = graft.functions.TextExpressions.bpeEncode(col(textCol), merges)
+    docs.select(col(idCol), ids.as("_ids"))
+      .select(col(idCol),
+        size(col("_ids")).cast("long").as("n_tokens"),
+        concat_ws(",", transform(col("_ids"), i => i.cast("string"))).as("ids_str"))
+  }
+
+  /** Driver-side decode for [[tokenizerEncode]]'s id scheme — the
+    * round-trip check's other half (ExtSpec): ids < 0x110000 are
+    * codepoints, else 1-based merge ranks into the same rank-ordered
+    * pair list. Correctness scaffolding, not a distributed op. */
+  def tokenizerDecode(ids: Seq[Int], merges: IndexedSeq[String]): String = {
+    val sb = new java.lang.StringBuilder
+    ids.foreach { id =>
+      if (id < graft.functions.BpeEncode.Base) sb.appendCodePoint(id)
+      else sb.append(merges(id - graft.functions.BpeEncode.Base - 1))
+    }
+    sb.toString
+  }
+
   /** t26 — BPE pair statistics: corpus-weighted adjacent character-pair
     * counts, the argmax table the first merge of byte-pair-encoding
     * tokenizer training reads. For each distinct word (weighted by its

@@ -450,6 +450,102 @@ case class TermFreqs(child: Expression, terms: Expression)
     copy(child = newLeft, terms = newRight)
 }
 
+object BpeEncode {
+  /** First token id beyond the Unicode codepoint range (0x110000):
+    * ids < Base are base-alphabet tokens (the codepoint itself), ids
+    * ≥ Base are learned merges (Base + 1-based merge rank) — the
+    * standard tokenizer layout of base alphabet + appended merges,
+    * collision-free by construction. */
+  val Base: Int = 0x110000
+}
+
+/** t30's greedy tokenizer ENCODE: `(text, foldable array<string>
+  * merges)` → `array<int>` token ids. One left-to-right scan; at each
+  * position the 2-codepoint substring is probed against the merge
+  * table (the rank-ordered pair list t26 trains) — a hit emits
+  * `BpeEncode.Base + rank` and advances two codepoints, a miss emits
+  * the codepoint itself and advances one. Greedy-longest-match with a
+  * max unit of 2 codepoints, so the scan is O(len) with an O(1) hash
+  * probe per position; merge pairs never contain spaces (t26 pairs
+  * come from within words), so scanning straight across word
+  * boundaries is equivalent to per-word encode — spaces always emit
+  * as their own base token, which is what makes decode an EXACT
+  * string reconstruction (the round-trip ExtSpec pins).
+  *
+  * Native expression rather than an `aggregate(sequence(...))` HOF
+  * fold for the same reason as [[RepeatStats]]: the fold interprets an
+  * expression tree per CHARACTER and probes the merge list linearly;
+  * this is one tight JVM loop with a shared hash map. The merge table
+  * is a foldable literal — evaluated once per operator, not per row —
+  * which is the broadcast-vocab shape: at 100 TB the vocab rides the
+  * closure (bytes), the corpus never shuffles. */
+case class BpeEncodeExpr(child: Expression, merges: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = merges
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, merges.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if merges.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable array<string>), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  /** rank map built ONCE per operator (merges is foldable): pair text →
+    * Base + 1-based rank. putIfAbsent keeps the lowest rank should a
+    * caller pass duplicates. */
+  @transient private lazy val mergeIds: java.util.HashMap[String, Integer] = {
+    val arr = merges.eval().asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < arr.numElements()) {
+      val p = arr.getUTF8String(i)
+      if (p != null)
+        m.putIfAbsent(p.toString, Integer.valueOf(BpeEncode.Base + i + 1))
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any, mv: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val buf = new Array[Int](n) // ≤ one token per char
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val cp1 = s.codePointAt(i)
+      val l1 = Character.charCount(cp1)
+      var advanced = false
+      if (i + l1 < n) {
+        val l2 = Character.charCount(s.codePointAt(i + l1))
+        val id = mergeIds.get(s.substring(i, i + l1 + l2))
+        if (id != null) {
+          buf(k) = id.intValue(); k += 1
+          i += l1 + l2
+          advanced = true
+        }
+      }
+      if (!advanced) {
+        buf(k) = cp1; k += 1
+        i += l1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, k))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, merges = newRight)
+}
+
 object TextExpressions {
 
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
@@ -523,4 +619,17 @@ object TextExpressions {
   def termFreqs(text: Column, terms: Seq[String]): Column =
     call_function("graft_term_freqs", text,
       org.apache.spark.sql.functions.array(terms.map(lit): _*))
+
+  /** Register `graft_bpe_encode`. Idempotent. */
+  def registerBpeEncode(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_bpe_encode",
+        exprs => BpeEncodeExpr(exprs(0), exprs(1)), "built-in")
+
+  /** array<int> greedy merge-encode of `text` against the rank-ordered
+    * `merges` pair list (requires [[registerBpeEncode]]). */
+  def bpeEncode(text: Column, merges: Seq[String]): Column =
+    call_function("graft_bpe_encode", text,
+      org.apache.spark.sql.functions.array(merges.map(lit): _*))
 }

@@ -1458,6 +1458,43 @@ class ExtSpec extends SparkSpec {
     assert(a.exceptAll(b2).isEmpty && b2.exceptAll(a).isEmpty)
   }
 
+  test("t30: tokenizer encode round-trips to the exact text and uses merges") {
+    import graft.ext.TextAnalysis
+    val d = docs.select("doc_id", "text")
+    val merges = TextAnalysis.bpePairStats(d, k = 20)
+      .collect().map(_.getString(0)).toIndexedSeq
+    assert(merges.length == 20 && merges.forall(_.length == 2))
+    graft.functions.TextExpressions.registerBpeEncode(spark)
+    val enc = d.select(col("doc_id"), col("text"),
+        graft.functions.TextExpressions.bpeEncode(col("text"), merges).as("ids"))
+      .collect()
+    assert(enc.nonEmpty)
+    var usedMerge = false
+    enc.foreach { r =>
+      val text = r.getString(1)
+      val ids = r.getSeq[Int](2)
+      // round-trip decode equality: the id sequence is a lossless
+      // encoding of the exact text
+      assert(TextAnalysis.tokenizerDecode(ids, merges) == text,
+        s"round-trip failed for doc ${r.getLong(0)}")
+      // codepoint conservation: each merge covers 2, each base token 1
+      val covered = ids.map(id =>
+        if (id >= graft.functions.BpeEncode.Base) 2 else 1).sum
+      assert(covered == text.codePointCount(0, text.length))
+      if (ids.exists(_ >= graft.functions.BpeEncode.Base)) usedMerge = true
+    }
+    assert(usedMerge, "fixture must exercise the merge path")
+    // greedy semantics spot-check: the top-ranked pair, wherever the
+    // raw text contains it at an even scan offset, must never surface
+    // as two base tokens adjacent in the output when a merge could
+    // have fired — covered indirectly by the oracle; here we pin the
+    // pipeline output shape instead
+    val out = graft.analytics.ExtPipelines.tokenizerEncode(spark, sf())
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "ids_str"))
+    val row = out.filter(col("doc_id") === enc.head.getLong(0)).collect()(0)
+    assert(row.getLong(1) == enc.head.getSeq[Int](2).length)
+  }
+
   test("g28: grouping sets equal the union of the declared plain groupBys") {
     val li = Tables.lineitem(spark, sf())
     val got = graft.analytics.Pipelines.groupingSetsSummary(spark, sf())

@@ -286,6 +286,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Semi"), s"EXISTS must become a semi join:\n$p")
   }
 
+  test("sql3: CTE inlines (no materialization) and HAVING is a post-agg filter") {
+    val p = plan(Pipelines.sqlCteHaving(spark, sf()))
+    // one aggregate pair (partial+final) over the inlined join — a
+    // materialized CTE would show a second scan/exchange chain
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(p.contains("Filter (n_orders"), s"HAVING must filter the aggregate:\n$p")
+  }
+
+  test("sql4: IN-subquery plans as a semi join, filters pushed to both scans") {
+    val p = plan(Pipelines.sqlInSubquery(spark, sf()))
+    assert(p.contains("Semi"), s"IN must become a semi join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter must reach the orders scan:\n$p")
+  }
+
   test("x19: snapshot diff shuffles digests, never document text") {
     val docs = sources.Tables.documents(spark, sf()).select("doc_id", "text")
     val p = plan(graft.ext.Dedup.snapshotDiff(docs, docs))

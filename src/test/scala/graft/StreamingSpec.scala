@@ -63,6 +63,36 @@ class StreamingSpec extends SparkSpec {
     assert(wm.exceptAll(distinct).isEmpty && distinct.exceptAll(wm).isEmpty)
   }
 
+  test("s5b eviction: duplicate inside horizon suppressed, after eviction re-emitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = Streaming.dedupStreamWithinWatermark(
+      mem.toDF().toDF("user_id", "event_type", "ts"), delay = "10 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_s5b_evict").start()
+    try {
+      // batch 1: key (1,a) first arrival + an in-horizon retry → 1 row
+      mem.addData((1L, "a", ts(0)), (1L, "a", ts(5)))
+      q.processAllAvailable()
+      // batch 2: unrelated key advances the watermark to 100-10=90s,
+      // past (1,a)'s eviction horizon (0+10s) → its state evicts
+      mem.addData((2L, "b", ts(100)))
+      q.processAllAvailable()
+      // batch 3: (1,a) again at 95s (>watermark, so not late): state is
+      // gone, the key re-emits — the bounded-state trade s5 never makes
+      mem.addData((1L, "a", ts(95)))
+      q.processAllAvailable()
+      val rows = spark.table("graft_s5b_evict")
+        .groupBy("user_id", "event_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows((1L, "a")) == 2, s"expected re-emission after eviction: $rows")
+      assert(rows((2L, "b")) == 1, rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming daily totals match the batch group-by per day") {
     val streamed = ExtRef.streamDailyTotals(spark, sf())
     val events = Tables.events(spark, sf())
