@@ -69,6 +69,10 @@ object SparkEntry {
     "sql2_exists_subquery" -> (Pipelines.sqlExists _),
     "sql3_cte_having" -> (Pipelines.sqlCteHaving _),
     "sql4_in_subquery" -> (Pipelines.sqlInSubquery _),
+    "sql5_window" -> (Pipelines.sqlWindow _),
+    "sql6_set_ops" -> (Pipelines.sqlSetOps _),
+    "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
+      Pipelines.coPurchasePairs(s, d)),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -1906,6 +1910,23 @@ object SparkEntry {
     "sql2_exists_subquery" -> Pipelines.sql2ExistsText,
     "sql3_cte_having" -> Pipelines.sql3CteHavingText,
     "sql4_in_subquery" -> Pipelines.sql4InSubqueryText,
+    "sql5_window" -> Pipelines.sql5WindowText,
+    "sql6_set_ops" -> Pipelines.sql6SetOpsText,
+
+    // g30: basket-generated pair counts; the oracle spells the same
+    // semantics as a dedup + size-capped self-join — identical pair
+    // set, different cost shape (the Spark side never self-joins)
+    "g30_copurchase_pairs" ->
+      """WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+        |sz AS (SELECT l_orderkey FROM b GROUP BY 1
+        |       HAVING count(*) BETWEEN 2 AND 64)
+        |SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM b a
+        |JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |JOIN sz ON a.l_orderkey = sz.l_orderkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     // g28: explicit grouping lattice; GROUPING()/grouping_id() share
     // the same bit order (1 = column aggregated away) in both engines

@@ -577,6 +577,90 @@ object Pipelines {
       countDistinct(col("event_type")).as("n_event_types"),
       countDistinct(col("user_id")).as("n_users"))
 
+  /** g30 — co-purchase pair counts ("frequently bought together"):
+    * for every unordered pair of parts appearing in the same order,
+    * count the orders containing both. The basket shape, not the
+    * self-join shape: one shuffle groups lineitem into per-order
+    * sorted part baskets, pairs are generated MAP-SIDE from each
+    * basket (`filter(parts, x -> x > p1)` after an explode — quadratic
+    * only in basket size, which TPC-H bounds at 7 and the guard bounds
+    * at `maxBasket`), then one shuffle aggregates pair counts. A
+    * lineitem⋈lineitem self-join would shuffle the fact table twice
+    * and re-filter n² rows per order; this shuffles it once and never
+    * materializes a pair outside its basket. At 100 TB the
+    * `maxBasket` cap is the skew guard: a single degenerate mega-order
+    * (a crawler cart with 10⁵ items) would otherwise emit 5·10⁹ pairs
+    * from one task. */
+  def coPurchasePairs(spark: SparkSession, dir: String,
+      maxBasket: Int = 64, minSupport: Long = 2L): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")).between(2, maxBasket))
+    baskets
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(filter(col("parts"),
+        x => x > col("p1"))).as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+  }
+
+  val sql5WindowText: String =
+    """SELECT o_custkey, o_orderkey, price_cents, rk, running_cents
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    rank() OVER (PARTITION BY o_custkey
+      |                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+      |                          o_orderkey) AS rk,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS running_cents
+      |  FROM orders
+      |) t
+      |WHERE rk <= 3""".stripMargin
+
+  /** sql5 — window functions via SQL text (sql1's one-text-two-engines
+    * discipline): rank-per-customer and a running total share the
+    * o_custkey partition, so Catalyst plans ONE exchange and two
+    * Window operators separated only by an intra-partition re-sort
+    * (the two specs order differently: price vs date). The rank
+    * filter deliberately sits ABOVE both windows — the running total
+    * must see every order including the ones the rank filter later
+    * drops, which is also why WindowGroupLimit cannot apply here (it
+    * fires for rank-only pipelines like g5). All arithmetic is
+    * integer cents: rank ties are broken by o_orderkey and the
+    * running sum is aggregation-order-exact, so the text hashes
+    * identically under both engines. */
+  def sqlWindow(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "orders")
+    spark.sql(sql5WindowText)
+  }
+
+  val sql6SetOpsText: String =
+    """SELECT key, 'both' AS tag FROM (
+      |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+      |UNION ALL
+      |SELECT key, 'building_no_urgent' AS tag FROM (
+      |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b""".stripMargin
+
+  /** sql6 — set operations via SQL text: INTERSECT and EXCEPT compile
+    * to left-semi / left-anti joins with both branch filters pushed to
+    * the scans (the DataFrame forms are g12/g13; this is the SQL-text
+    * surface over the same plans). The UNION ALL of the two disjoint
+    * legs is a no-shuffle concatenation. Both engines deduplicate
+    * INTERSECT/EXCEPT per ANSI, so row sets agree exactly — keys and
+    * constant tags only, nothing float-ordered. */
+  def sqlSetOps(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "customer", "orders")
+    spark.sql(sql6SetOpsText)
+  }
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

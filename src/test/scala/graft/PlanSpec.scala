@@ -304,6 +304,40 @@ class PlanSpec extends SparkSpec {
       s"date filter must reach the orders scan:\n$p")
   }
 
+  test("sql5: both window specs ride ONE o_custkey shuffle (re-sort, no re-exchange)") {
+    val p = plan(Pipelines.sqlWindow(spark, sf()))
+    // rank + running sum share the o_custkey partition → exactly one
+    // exchange; differing ORDER BYs cost a partition-local Sort only
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(o_custkey")) == 1,
+      s"one shuffle on o_custkey expected:\n$p")
+    assert(p.linesIterator.count(_.contains("+- Window")) == 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"no second exchange for the second window spec:\n$p")
+  }
+
+  test("sql6: INTERSECT/EXCEPT plan as semi/anti joins with filters pushed") {
+    val p = plan(Pipelines.sqlSetOps(spark, sf()))
+    assert(p.contains("Semi"), s"INTERSECT must become a semi join:\n$p")
+    assert(p.contains("Anti"), s"EXCEPT must become an anti join:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"priority filter must reach the orders scan:\n$p")
+  }
+
+  test("g30: basket shape — one lineitem scan, pairs map-side, no self-join") {
+    val df = Pipelines.coPurchasePairs(spark, sf())
+    val p = plan(df)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"the basket form scans lineitem once (a self-join would scan twice):\n$p")
+    assert(p.contains("Generate explode"), s"pairs must come from explode:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)),
+      "pairs must be canonical p1 < p2")
+  }
+
   test("x19: snapshot diff shuffles digests, never document text") {
     val docs = sources.Tables.documents(spark, sf()).select("doc_id", "text")
     val p = plan(graft.ext.Dedup.snapshotDiff(docs, docs))
