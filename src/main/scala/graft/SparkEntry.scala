@@ -121,6 +121,7 @@ object SparkEntry {
     "t28_tfidf_keywords" -> (ExtPipelines.tfidfKeywords _),
     "t29_token_budget" -> (ExtPipelines.tokenBudget _),
     "t30_tokenizer_encode" -> (ExtPipelines.tokenizerEncode _),
+    "t31_bigram_nll" -> (ExtPipelines.bigramNll _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
@@ -1288,6 +1289,32 @@ object SparkEntry {
         |  ln(1.0 + CAST(known_mass AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS familiarity,
         |  n_known * 5 >= n_bigrams * 3 AS keep
         |FROM agg""".stripMargin,
+
+    // t31: the per-TYPE -ln p is rounded to integer micro-nats before
+    // the per-doc sum, so the only cross-row double never exists —
+    // engine-exact under any aggregation order (see LmQuality.bigramNll)
+    "t31_bigram_nll" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |pos AS (SELECT doc_id,
+        |          unnest([substr(text, i, 2) for i in range(1, length(text))]) AS b
+        |        FROM d),
+        |model AS (SELECT b, CAST(count(*) AS BIGINT) AS cbg FROM pos GROUP BY 1),
+        |pre AS (SELECT substr(b, 1, 1) AS p, CAST(sum(cbg) AS BIGINT) AS cpre
+        |        FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        |        SELECT substr(b, 1, 1) AS ch FROM model
+        |        UNION SELECT substr(b, 2, 1) FROM model)),
+        |u AS (SELECT m.b,
+        |        CAST(round(ln((CAST(m.cbg AS DOUBLE) + 1.0) /
+        |                      (CAST(pre.cpre AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |                   * -1000000.0) AS BIGINT) AS unat
+        |      FROM model m JOIN pre ON substr(m.b, 1, 1) = pre.p CROSS JOIN v),
+        |s AS (SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        CAST(sum(u.unat) AS BIGINT) AS nll_unats
+        |      FROM pos JOIN u ON pos.b = u.b GROUP BY 1)
+        |SELECT doc_id, n_bigrams, nll_unats,
+        |  CAST(nll_unats AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0) AS nll
+        |FROM s""".stripMargin,
 
     // t21: DSIR importance selection — the feature id reproduces
     // DataSplit.bucket's md5-hex rule (t7's oracle arithmetic); the

@@ -475,6 +475,12 @@ object ExtPipelines {
     TextAnalysis.bm25(Tables.documents(spark, dir),
       Seq("spark", "vector", "stream"))
 
+  /** t31: char-bigram LM negative-log-likelihood quality score —
+    * see [[graft.ext.LmQuality.bigramNll]] for the µnat-quantization
+    * determinism argument and the bounded-broadcast scale shape. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.LmQuality.bigramNll(Tables.documents(spark, dir))
+
   /** t28: per-document top-3 TF-IDF keywords
     * ([[graft.ext.TextAnalysis.tfidfKeywords]]). */
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =

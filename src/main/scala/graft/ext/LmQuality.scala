@@ -75,6 +75,60 @@ object LmQuality {
       (col("n_known") * 5 >= col("n_bigrams") * 3).as("keep"))
   }
 
+  /** t31 — true LM negative-log-likelihood scoring (CCNet's actual
+    * ranking signal), made hash-exact by µnat quantization.
+    *
+    * t20's scaladoc bans the per-doc float log-prob sum as
+    * summation-order-dependent; this operator LIFTS that ban by
+    * quantizing first: each bigram TYPE's −ln p is a per-row finishing
+    * expression over exact integers (cbg, cpre, V) rounded once to
+    * integer MICRO-NATS, and the per-doc score is then a sum of
+    * integers — exact under any aggregation order, any partitioning,
+    * both engines. The only float ops are one ln and one final
+    * division, both spelled in the oracle's IEEE order; a round()
+    * boundary flip would need the two engines' ln to differ by ~5e-7
+    * (they agree to ~1e-15 — t19/t20 hash-compare raw ln outputs).
+    *
+    * Model: add-one-smoothed char-bigram conditional,
+    * p(c₂|c₁) = (count(c₁c₂) + 1) / (count(c₁·) + V), V = charset
+    * size. Char bigrams (vs t20/t21's word bigrams) make the LM
+    * intrinsically bounded: |charset|² types regardless of corpus
+    * size, so the broadcast needs no min-count pruning at ANY scale.
+    *
+    * Plan shape: the model build map-side-combines the exploded
+    * bigrams to ≤|charset|² rows per partition before its only
+    * shuffle; scoring is explode → broadcast hash join → one shuffle
+    * of (doc_id, two longs). Document text never shuffles. Score =
+    * mean −ln p per bigram in nats (lower = more typical of the
+    * corpus; the quality gate drops the high tail). */
+  def bigramNll(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val d = docs.filter(length(col(textCol)) >= 2)
+      .select(col("doc_id"), col(textCol))
+    def positions(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, length($textCol) - 1), " +
+        s"i -> substring($textCol, i, 2))")).as("b"))
+    val pos = positions(d)
+    val model = pos.groupBy("b").agg(count(lit(1)).as("cbg"))
+    val pre = model.groupBy(substring(col("b"), 1, 1).as("p"))
+      .agg(sum("cbg").as("cpre"))
+    val v = model.select(substring(col("b"), 1, 1).as("ch"))
+      .union(model.select(substring(col("b"), 2, 1).as("ch")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val u = model
+      .join(broadcast(pre), substring(col("b"), 1, 1) === col("p"))
+      .crossJoin(broadcast(v))
+      .select(col("b"),
+        round(log((col("cbg").cast("double") + lit(1.0)) /
+          (col("cpre").cast("double") + col("v").cast("double"))) *
+          lit(-1000000.0)).cast("long").as("unat"))
+    positions(d).join(broadcast(u), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unat")).as("nll_unats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_unats"),
+        (col("nll_unats").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0))).as("nll"))
+  }
+
   /** Stable feature id in [0, 65536) from the md5 of the bigram — the
     * same engine-portable hex→int rule as `DataSplit.bucket`, so the
     * DuckDB oracle reproduces it digit by digit. */

@@ -865,6 +865,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("t31: bigram NLL matches a driver-side recompute; partitioning-invariant") {
+    val result = graft.ext.LmQuality.bigramNll(docs)
+    val got = result.collect().map { r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_bigrams")),
+          r.getLong(r.fieldIndex("nll_unats")),
+          r.getDouble(r.fieldIndex("nll"))))
+    }.toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.length >= 2)
+    def charBigrams(t: String): Seq[String] =
+      (0 until t.length - 1).map(i => t.substring(i, i + 2))
+    val model = texts.flatMap(t => charBigrams(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pre = model.toSeq.groupBy(_._1.charAt(0)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val vocab = (model.keys.map(_.charAt(0)) ++ model.keys.map(_.charAt(1)))
+      .toSet.size
+    val unat: Map[String, Long] = model.map { case (b, cbg) =>
+      b -> math.round(math.log((cbg + 1.0) / (pre(b.charAt(0)) + vocab.toDouble))
+        * -1000000.0)
+    }
+    assert(got.keySet == texts.map(_._1).toSet)
+    texts.foreach { case (id, t) =>
+      val bgs = charBigrams(t)
+      val total = bgs.map(unat).sum
+      val (gn, gu, gnll) = got(id)
+      assert(gn == bgs.length.toLong && gu == total, s"doc $id integer masses")
+      assert(math.abs(gnll - total.toDouble / (bgs.length * 1000000.0)) < 1e-12)
+    }
+    // the integer-µnat sum is aggregation-order-exact: any partitioning
+    // of the corpus produces bit-identical rows
+    val re = graft.ext.LmQuality.bigramNll(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(re == result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet)
+  }
+
   test("t21: importance selection is the exact global top-100 of the hashed-feature ratio") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def feat(b: String): Int = {
