@@ -89,6 +89,7 @@ object SparkEntry {
     "x15_semantic_dedup" -> (ExtPipelines.semanticDedup _),
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
     "x23_editdist_neardup" -> (ExtPipelines.editDistNearDups _),
+    "x25_jaro_name_match" -> (ExtPipelines.jaroWinklerNameMatch _),
     "x23b_editdist_blocked" -> (ExtPipelines.editDistNearDupsBlocked _),
     "x24_dedup_apply" -> (ExtPipelines.dedupApplyClusters _),
     "x24b_dedup_apply_persisted" -> (ExtPipelines.dedupApplyPersisted _),
@@ -774,6 +775,16 @@ object SparkEntry {
     // twin is held to the exact oracle, x4-vs-x3 style.
     "x23_editdist_neardup" -> editDistOracle,
     "x23b_editdist_blocked" -> editDistOracle,
+
+    // x25: the native JaroWinklerExpr is bit-exact with DuckDB's
+    // jaro_winkler_similarity (validated on 7k part-name pairs), so the
+    // raw double hash-compares; blocking key (p_brand) spelled in both
+    "x25_jaro_name_match" ->
+      """SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+        |       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM part a
+        |JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""".stripMargin,
 
     "t5_normalize" ->
       """SELECT doc_id,

@@ -51,6 +51,14 @@ object ExtPipelines {
   def editDistNearDupsBlocked(spark: SparkSession, dir: String): DataFrame =
     Dedup.editDistanceNearDupsBlocked(Tables.documents(spark, dir), maxDist = 4)
 
+  /** x25: brand-blocked Jaro-Winkler fuzzy part-name matching —
+    * see [[graft.ext.Dedup.jaroWinklerPairs]] for the bit-exactness
+    * and block-size scale arguments. */
+  def jaroWinklerNameMatch(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaroWinklerPairs(Tables(spark, dir, "part"),
+      idCol = "p_partkey", nameCol = "p_name", blockCol = "p_brand",
+      threshold = 0.9)
+
   def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.4)
 

@@ -461,6 +461,37 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** x25 — fuzzy name matching: Jaro-Winkler pairs within a blocking
+    * key. The entity-resolution primitive (product/vendor/person name
+    * dedup): candidates are restricted to equal `blockCol` values —
+    * one equi-join shuffle, per-block quadratic verify with the native
+    * [[graft.functions.JaroWinklerExpr]] (bit-exact with DuckDB's
+    * `jaro_winkler_similarity`, so the oracle hash-compares the raw
+    * double).
+    *
+    * Scale: cost is Σ block² — sound while blocks stay bounded (here
+    * 25 brands ≈ n/25 per block; the shuffle also has exactly 25 keys,
+    * so parallelism is block-count-bound — compose the block key, e.g.
+    * brand × name-prefix, to widen it). Unlike x23b's pigeonhole
+    * blocking, a semantic block key trades recall by DESIGN (cross-
+    * brand matches are out of scope, not missed); for unbounded blocks
+    * use x23b's segment blocking or x4's LSH as the candidate
+    * generator and this verify on top. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, threshold: Double = 0.9): DataFrame = {
+    graft.functions.TextExpressions.registerJaroWinkler(df.sparkSession)
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("p1"),
+      col(nameCol).as("n1"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("p2"),
+      col(nameCol).as("n2"))
+    a.join(b, Seq("blk"))
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"),
+        graft.functions.TextExpressions.jaroWinkler(col("n1"), col("n2"))
+          .as("jw"))
+      .filter(col("jw") >= threshold)
+  }
+
   /** x23b — the BLOCKED production twin of [[editDistanceNearDups]]:
     * PassJoin-style segment blocking, then the same banded verify.
     *

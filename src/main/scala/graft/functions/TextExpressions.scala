@@ -546,6 +546,93 @@ case class BpeEncodeExpr(child: Expression, merges: Expression)
     copy(child = newLeft, merges = newRight)
 }
 
+/** Native Jaro-Winkler similarity between two strings, DuckDB/RapidFuzz
+  * convention so the x25 oracle can hash-compare the raw double:
+  * match window `floor(max(len)/2) - 1`; transpositions = FLOOR of
+  * half the mismatched matched-pairs (an integer — textbook
+  * descriptions use the half-fractional form, DuckDB floors);
+  * Winkler prefix bonus (≤4 chars, p = 0.1) only when jaro > 0.7;
+  * any empty input scores 0.0 (including both-empty — DuckDB returns
+  * 0.0, not the textbook 1.0). The finishing arithmetic is spelled in
+  * DuckDB's IEEE order — `(m/l1 + m/l2 + (m−t)/m) / 3.0`, then
+  * `j + (l·0.1)·(1−j)` — and was validated bit-exact (`==` on the
+  * double) against `jaro_winkler_similarity` over 7k real part-name
+  * pairs plus edge probes. CodegenFallback for the same reason as
+  * [[RepeatStats]]: the O(len·window) matching loop dominates; it runs
+  * as one tight JVM loop either way.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerExpr.similarity(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerExpr {
+  /** See [[JaroWinklerExpr]] for the exact convention. */
+  def similarity(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // mismatches between the two matched subsequences, in order
+    var mism = 0
+    var j2 = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j2)) j2 += 1
+        if (s1.charAt(i) != s2.charAt(j2)) mism += 1
+        j2 += 1
+      }
+      i += 1
+    }
+    val t = (mism / 2).toDouble
+    val md = m.toDouble
+    var jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro = jaro + l * 0.1 * (1.0 - jaro)
+    }
+    jaro
+  }
+}
+
 object TextExpressions {
 
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
@@ -632,4 +719,15 @@ object TextExpressions {
   def bpeEncode(text: Column, merges: Seq[String]): Column =
     call_function("graft_bpe_encode", text,
       org.apache.spark.sql.functions.array(merges.map(lit): _*))
+
+  /** Register `graft_jaro_winkler`. Idempotent. */
+  def registerJaroWinkler(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_jaro_winkler",
+        exprs => JaroWinklerExpr(exprs(0), exprs(1)), "built-in")
+
+  /** Jaro-Winkler similarity (requires [[registerJaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
 }

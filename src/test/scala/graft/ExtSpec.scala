@@ -865,6 +865,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x25: JaroWinkler matches the DuckDB convention on canonical + edge cases") {
+    import graft.functions.JaroWinklerExpr.similarity
+    // textbook pairs (Winkler 1990), floored-transposition convention
+    assert(similarity("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(similarity("DWAYNE", "DUANE") == 0.8400000000000001)
+    assert(similarity("abc", "abc") == 1.0)
+    // empty inputs score 0 — DuckDB convention, incl. both-empty
+    assert(similarity("", "abc") == 0.0)
+    assert(similarity("ab", "") == 0.0)
+    assert(similarity("", "") == 0.0)
+    // boost threshold: jaro = 0.5 <= 0.7 → prefix bonus NOT applied
+    assert(similarity("abcdefgh", "abzzzzzz") == 0.5)
+    // window = max/2 - 1 = 0 → adjacent transposition can't match
+    assert(similarity("ab", "ba") == 0.0)
+    // blocked pairs: equi-join on the block key, no cartesian
+    val df = graft.ext.Dedup.jaroWinklerPairs(
+      sources.Tables(spark, sf(), "part"), "p_partkey", "p_name", "p_brand")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking must plan an equi-join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.9 && r.getLong(0) < r.getLong(1)))
+  }
+
   test("t31: bigram NLL matches a driver-side recompute; partitioning-invariant") {
     val result = graft.ext.LmQuality.bigramNll(docs)
     val got = result.collect().map { r =>
