@@ -132,6 +132,7 @@ object SparkEntry {
     "v10_centroid_outliers" -> (ExtPipelines.centroidOutliers _),
     "v11_centroid_drift" -> (ExtPipelines.centroidDrift _),
     "v12_ivf_index_persist" -> (ExtPipelines.ivfIndexPersist _),
+    "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -255,6 +256,44 @@ object SparkEntry {
       |  FROM embeddings q JOIN embeddings c
       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
       |WHERE rk <= 5""".stripMargin
+
+  /** v13's oracle: the full 2-round Lloyd iteration unrolled as chained
+    * CTEs — buildable for ANY round count because each round is the
+    * same (distance, argmin, quantized mean, empty-cluster COALESCE)
+    * block. Distances are index-ordered list-comprehension sums over
+    * the same doubles Spark's kernel folds, argmin is ORDER BY d, cid,
+    * and `floor(avg·10⁴ + 0.5)/10⁴` re-quantizes each mean onto the
+    * grid Spark broadcasts — see `Similarity.kmeansLloyd` for why the
+    * quantization makes the iteration hash-exact cross-engine. */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
+         |       FROM e ORDER BY vec_id LIMIT $k)""".stripMargin)
+    def dist(prev: String) =
+      s"list_sum([(e.v[i+1] - $prev.cv[i+1]) * (e.v[i+1] - $prev.cv[i+1]) for i in range($dim)])"
+    for (it <- 1 to iters) {
+      val prev = s"c${it - 1}"
+      sb.append(s""",
+        |d$it AS (SELECT e.vec_id, $prev.cid, ${dist(prev)} AS d
+        |       FROM e CROSS JOIN $prev),
+        |a$it AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d$it)
+        |       WHERE rk = 1),
+        |m$it AS (SELECT a$it.cid, g.i, floor(avg(e.v[g.i+1]) * 10000.0 + 0.5) / 10000.0 AS m
+        |       FROM a$it JOIN e USING (vec_id) CROSS JOIN (SELECT unnest(range($dim)) AS i) g
+        |       GROUP BY a$it.cid, g.i),
+        |c$it AS (SELECT $prev.cid, COALESCE(mm.cv, $prev.cv) AS cv
+        |       FROM $prev LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m$it GROUP BY cid) mm USING (cid))""".stripMargin)
+    }
+    sb.append(s""",
+      |df AS (SELECT e.vec_id, c$iters.cid, ${dist(s"c$iters")} AS d
+      |       FROM e CROSS JOIN c$iters)
+      |SELECT vec_id, cid AS cluster FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM df)
+      |WHERE rk = 1""".stripMargin)
+    sb.toString
+  }
 
   /** Full SimHash pipeline recomputed in SQL — possible because the
     * token hash is md5-derived (`Dedup.tokenHash60`), shared by both
@@ -1498,6 +1537,10 @@ object SparkEntry {
     // '#cent' salt picks the 256-sample, '#snap' the x19 memberships;
     // the CAST-to-BIGINT on every sum is load-bearing (HUGEINT/decimal
     // would hash-mismatch Spark's int64, the round-9 v10 lesson)
+    // v13: the iterative algorithm itself is the oracle target — see
+    // kmeansOracle for the per-round determinism contract
+    "v13_kmeans_lloyd" -> kmeansOracle(k = 8, iters = 2, dim = 64),
+
     "v11_centroid_drift" ->
       """WITH e AS (SELECT vec_id,
         |             [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)

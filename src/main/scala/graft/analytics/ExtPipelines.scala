@@ -677,6 +677,12 @@ object ExtPipelines {
     * family: at scale the partitioned lists give every query batch a
     * dynamic-partition-pruned scan (ExtSpec pins the pruning filter).
     * Driver-checkable bounded output: (n_queries, identical=TRUE). */
+  /** v13: 2-round Lloyd k-means over the embeddings, k = 8 —
+    * see [[graft.ext.Similarity.kmeansLloyd]] for the quantized-
+    * centroid cross-engine determinism argument. */
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansLloyd(Tables.embeddings(spark, dir), k = 8, iters = 2)
+
   def ivfIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

@@ -620,6 +620,96 @@ object Similarity {
     topKPerQuery(cands, k)
   }
 
+  // ---- oracle-checkable Lloyd k-means (v13) ----
+
+  /** Double-precision L2 argmin against a broadcast centroid array —
+    * the exactness-grade sibling of [[ivfAssign]]'s float kernel:
+    * distances accumulate in INDEX ORDER in doubles, so any engine
+    * spelling the same per-element sequence (the DuckDB oracle's list
+    * comprehension) computes the bit-identical distance; ties keep the
+    * lowest cluster id (ascending scan, strict-less update ≡ the
+    * oracle's ORDER BY d, cid). Same zero-shuffle shape as ivfAssign:
+    * per-row argmin, no row explosion, centroids broadcast. */
+  private def l2AssignExact(corpus: DataFrame,
+      cents: Array[(Long, Array[Double])], vecCol: String,
+      idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents.sortBy(_._1))
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = Double.PositiveInfinity
+          var bestC = Long.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val c = cs(j)._2
+            val n = math.min(v.length, c.length)
+            var d = 0.0
+            var i = 0
+            while (i < n) { val t = v(i) - c(i); d += t * t; i += 1 }
+            if (d < best) { best = d; bestC = cs(j)._1 }
+            j += 1
+          }
+          (id, bestC, v)
+        }
+      }
+      .toDF(idCol, "cluster", vecCol)
+  }
+
+  /** v13 — Lloyd k-means with a full cross-engine oracle: `iters`
+    * assign→update rounds from a deterministic init (the k lowest-id
+    * vectors, cluster ids 0..k−1 in id order), then a final
+    * assignment. Returns (idCol, cluster).
+    *
+    * What makes an ITERATIVE float algorithm hash-exact across
+    * engines (nothing else in the v-family oracle-checks a true
+    * k-means round):
+    *  - assignment distances are index-ordered double sums of exact
+    *    inputs (float→double casts and quantized centroids) — both
+    *    engines compute the identical double;
+    *  - each updated centroid is QUANTIZED to the 10⁻⁴ fixed-point
+    *    grid (`floor(mean·10⁴ + 0.5)/10⁴`, v10's grid): the two
+    *    engines' means differ by last-ulp summation order, but the
+    *    rounding absorbs it, so the centroids entering the next round
+    *    are again bit-identical — quantization BREAKS the float-error
+    *    feedback loop that would otherwise compound per iteration;
+    *  - a cluster that loses all members keeps its previous centroid
+    *    (COALESCE in the oracle, map fallback here).
+    *
+    * Scale shape per round: one zero-shuffle assignment scan
+    * ([[l2AssignExact]]), one posexplode aggregation shuffling
+    * (cluster, pos, partial-avg) — k·dim rows after map-side combine —
+    * and a k·dim driver collect (metadata-scale, [[ivfCentroids]]'s
+    * argument). The corpus itself never shuffles. */
+  def kmeansLloyd(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Array[(Long, Array[Double])] = base
+      .orderBy("id").limit(k).select("v").as[Array[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (_ <- 0 until iters) {
+      val assigned = l2AssignExact(base, cents, "v", "id")
+      val means: Map[Long, Array[Double]] = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"),
+          p => floor(p.getField("m") * lit(10000.0) + lit(0.5)) /
+            lit(10000.0)).as("cv"))
+        .as[(Long, Array[Double])].collect().toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    l2AssignExact(base, cents, "v", "id")
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
   // ---- per-group centroid outliers (semantic curation) ----
 
   /** v10 — distance-to-own-group-centroid outlier scoring: the

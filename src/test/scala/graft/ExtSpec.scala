@@ -865,6 +865,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("v13: Lloyd k-means matches a driver-side recompute; partitioning-invariant") {
+    val emb = sources.Tables.embeddings(spark, sf())
+    val got = graft.ext.Similarity.kmeansLloyd(emb, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-loop mirror of the algorithm on collected vectors
+    val vecs = emb.selectExpr("cast(vec_id as long)", "cast(embedding as array<double>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    var cents = vecs.take(4).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    def assign(v: Array[Double]): Long = {
+      var best = Double.PositiveInfinity; var bc = Long.MaxValue
+      for ((cid, c) <- cents) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        if (d < best) { best = d; bc = cid }
+      }
+      bc
+    }
+    for (_ <- 0 until 2) {
+      val byC = vecs.groupBy(x => assign(x._2))
+      cents = cents.map { case (cid, old) =>
+        val members = byC.getOrElse(cid, Array.empty)
+        if (members.isEmpty) (cid, old)
+        else {
+          val dim = old.length
+          val m = Array.tabulate(dim) { i =>
+            val mean = members.map(_._2(i)).sum / members.length
+            math.floor(mean * 10000.0 + 0.5) / 10000.0
+          }
+          (cid, m)
+        }
+      }
+    }
+    val want = vecs.map { case (id, v) => id -> assign(v) }.toMap
+    // driver mirror sums means in a fixed order vs Spark's partial
+    // aggregation — the 1e-4 quantization absorbs it (the determinism
+    // contract), so assignments must agree exactly
+    assert(got == want)
+    val re = graft.ext.Similarity.kmeansLloyd(emb.repartition(7), k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
+
   test("x25: JaroWinkler matches the DuckDB convention on canonical + edge cases") {
     import graft.functions.JaroWinklerExpr.similarity
     // textbook pairs (Winkler 1990), floored-transposition convention
