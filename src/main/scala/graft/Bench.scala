@@ -107,7 +107,14 @@ object Bench {
     // v12 measures the full persist+serve round trip (index write to a
     // temp dir, pruned probe read, identity check vs the in-memory
     // build) — dominated by the index write, which v3 shows amortizing
-    "v12_ivf_index_persist")
+    "v12_ivf_index_persist",
+    // round-11 operators
+    "g30_copurchase_pairs",
+    "t31_bigram_nll",
+    "x25_jaro_name_match",
+    "v13_kmeans_lloyd",
+    "sql5_window",
+    "sql6_set_ops")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

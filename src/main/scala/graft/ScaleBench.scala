@@ -101,7 +101,19 @@ object ScaleBench {
     "v11_centroid_drift",
     // round-11: merge-table training (vocabulary-bounded shuffle) +
     // per-row greedy encode — the corpus-proportional work is the scan
-    "t30_tokenizer_encode")
+    "t30_tokenizer_encode",
+    // round-11 second wave: basket pair explosion (bounded by basket
+    // size, not corpus — orderkeys are replica-offset so baskets stay
+    // TPC-H-sized), charset-bounded LM broadcast scoring, and the
+    // per-round broadcast-argmin k-means scan. x25 is deliberately
+    // absent, x23-style: p_brand has 25 values at every SF, so
+    // replication grows each block linearly and the pair count
+    // quadratically — the scaladoc's documented Σblock² bound, not a
+    // regression worth harness time; its scale path is a composed
+    // block key (brand × name-prefix) or x4/x23b candidate generation.
+    "g30_copurchase_pairs",
+    "t31_bigram_nll",
+    "v13_kmeans_lloyd")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

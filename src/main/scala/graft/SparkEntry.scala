@@ -49,6 +49,7 @@ object SparkEntry {
     "g16_approx_distinct_parts" -> (Pipelines.approxDistinctParts _),
     "g16b_hll_bounded" -> (Pipelines.approxDistinctBounded _),
     "g17_asof_last_purchase" -> (Pipelines.asofLastPurchase _),
+    "g31_asof_next_purchase" -> (Pipelines.asofNextPurchase _),
     "g18_json_extract" -> (Pipelines.jsonExtract _),
     "g19_array_functions" -> (Pipelines.arrayFunctions _),
     // bucketed co-located join: storage pre-shuffled on the join key,
@@ -1933,6 +1934,21 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'purchase')
         |SELECT l.event_id, l.user_id, r.last_purchase_cents
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // g31: DuckDB's ASOF with l.ts <= r.ts picks the nearest FOLLOWING
+    // row; the 3-day tolerance nulls the payload via exact integer
+    // microsecond arithmetic on both engines
+    "g31_asof_next_purchase" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type <> 'purchase'),
+        |     r AS (SELECT user_id, ts,
+        |                  CAST(round(value * 100) AS BIGINT) AS next_purchase_cents
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN r.ts IS NULL
+        |         OR epoch_us(r.ts) - epoch_us(l.ts) > 259200000000
+        |       THEN NULL ELSE r.next_purchase_cents END AS next_purchase_cents
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     "g18_json_extract" ->
       """SELECT event_id,

@@ -283,6 +283,26 @@ object Pipelines {
       .select("event_id", "user_id", "last_purchase_cents")
   }
 
+  /** g31 — FORWARD as-of with tolerance: for each non-purchase event,
+    * the user's NEXT purchase within 3 days (the attribution window in
+    * the conversion direction — g22's range join counts touches, this
+    * picks the single nearest conversion). Same union + one-window
+    * linear plan as g17, mirrored to a following frame; the tolerance
+    * is exact integer microsecond arithmetic after the window, zero
+    * extra plan cost (see [[graft.ops.AsOfJoin]]). */
+  def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        cents(col("value")).as("next_purchase_cents"))
+    graft.ops.AsOfJoin.asOf(left, right, "user_id", "ts",
+        Seq("next_purchase_cents"), direction = "forward",
+        toleranceSec = Some(3L * 86400L))
+      .select("event_id", "user_id", "next_purchase_cents")
+  }
+
   /** Array-function coverage: distinct-sort-slice over token arrays.
     * The slice is emitted `concat_ws`-joined (a sortable scalar) so the
     * driver's pandas-based oracle compare can hash the rows. */

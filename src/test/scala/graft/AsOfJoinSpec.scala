@@ -93,6 +93,44 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> (Some(200L), Some("B"))))
   }
 
+  test("asOf forward + tolerance: nearest following row, window-bounded") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // next is A at 12:00 (2h) → in tol
+      (2L, 10L, ts("2024-01-01 12:00:00")),  // exactly at A → inclusive match
+      (3L, 10L, ts("2024-01-01 13:00:00")),  // next is B at 20:00 (7h) → OUTSIDE 3h tol
+      (4L, 10L, ts("2024-01-01 21:00:00")),  // nothing after → null
+      (5L, 20L, ts("2024-01-01 10:00:00")))  // other key → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 12:00:00"), 100L), // A
+      (10L, ts("2024-01-01 20:00:00"), 200L)) // B
+      .toDF("user_id", "ts", "amount")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("amount"),
+        direction = "forward", toleranceSec = Some(3L * 3600L))
+      .select("event_id", "amount")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> None, 5L -> None))
+  }
+
+  test("asOf backward tolerance: a stale match nulls out") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 13:00:00")),  // A 1h ago → in tol
+      (2L, 10L, ts("2024-01-01 18:00:00")))  // A 6h ago → stale
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 12:00:00"), 100L))
+      .toDF("user_id", "ts", "amount")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("amount"),
+        toleranceSec = Some(2L * 3600L))
+      .select("event_id", "amount")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> Some(100L), 2L -> None))
+  }
+
   test("asOf keeps left row count (1:1, no explosion)") {
     val out = graft.analytics.Pipelines.asofLastPurchase(spark, sf())
     val nLeft = graft.sources.Tables.events(spark, sf())
