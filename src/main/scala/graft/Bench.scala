@@ -114,7 +114,8 @@ object Bench {
     "x25_jaro_name_match",
     "v13_kmeans_lloyd",
     "sql5_window",
-    "sql6_set_ops")
+    "sql6_set_ops",
+    "g31_asof_next_purchase")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
