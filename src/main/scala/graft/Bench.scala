@@ -115,7 +115,14 @@ object Bench {
     "v13_kmeans_lloyd",
     "sql5_window",
     "sql6_set_ops",
-    "g31_asof_next_purchase")
+    "g31_asof_next_purchase",
+    // round-11 second wave
+    "t32_nb_quality",
+    "v14_ann_ivfpq_topk",
+    // x26 measures the full persist+ingest round trip (index write to
+    // a temp dir + batch probe + identity check), the v12 shape for
+    // dedup — dominated by the one-time index write
+    "x26_minhash_index_ingest")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -80,6 +80,7 @@ object SparkEntry {
     "x16_incremental_ingest" -> (ExtPipelines.incrementalIngest _),
     "x17_bloom_ingest" -> (ExtPipelines.bloomIngest _),
     "x17b_bloom_ingest_bounded" -> (ExtPipelines.bloomIngestBounded _),
+    "x26_minhash_index_ingest" -> (ExtPipelines.minhashIndexIngest _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "t29_token_budget" -> (ExtPipelines.tokenBudget _),
     "t30_tokenizer_encode" -> (ExtPipelines.tokenizerEncode _),
     "t31_bigram_nll" -> (ExtPipelines.bigramNll _),
+    "t32_nb_quality" -> (ExtPipelines.nbQualityScore _),
     "x18_source_overlap" -> (ExtPipelines.sourceOverlap _),
     "x19_snapshot_diff" -> (ExtPipelines.snapshotDiff _),
     "x20_corpus_refresh" -> (ExtPipelines.corpusRefresh _),
@@ -148,6 +150,8 @@ object SparkEntry {
     "v3b_ivf_recall_bounded" -> (ExtPipelines.annIvfRecallBounded _),
     "v8_ann_pq_topk" -> (ExtPipelines.annPqTopK _),
     "v8b_pq_recall_bounded" -> (ExtPipelines.annPqRecallBounded _),
+    "v14_ann_ivfpq_topk" -> (ExtPipelines.annIvfPqTopK _),
+    "v14b_ivfpq_recall_bounded" -> (ExtPipelines.annIvfPqRecallBounded _),
     "v6_knn_graph" -> (ExtPipelines.knnGraph _),
     "v7_knn_graph_clustered" -> (ExtPipelines.knnGraphClustered _),
     "v7b_knn_recall_bounded" -> (ExtPipelines.knnRecallBounded _),
@@ -627,6 +631,25 @@ object SparkEntry {
         |SELECT CAST(0 AS BIGINT) AS n_dups_admitted,
         |       (SELECT count(*) FROM ex) AS n_exact,
         |       TRUE AS excess_ok""".stripMargin,
+
+    // x26: persisted MinHash-LSH index ingest. The admitted SET is
+    // engine-internal (xxhash64 signatures), so the driver-checkable
+    // facts are: the split size (md5-bucket rule, recomputed), the
+    // index-vs-memory identity pin (v12's discipline), and the no-
+    // exact-dup-admitted guarantee (identical docs always collide in
+    // LSH and verify at j = 1, so the count is exactly 0).
+    "x26_minhash_index_ingest" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       TRUE AS identical,
+        |       CAST(0 AS BIGINT) AS n_exact_admitted
+        |FROM b WHERE bucket >= 52428""".stripMargin,
 
     // the composite pipeline: dedup keep-first → t7 split → x10
     // decontamination (train side) → t2 quality ≥ 0.5. CTEs mirror the
@@ -1160,6 +1183,13 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // v14 (IVF-PQ) is rows-only like v8: trained coarse + residual
+    // quantizers no SQL can recompute. v14b is its recall floor —
+    // both approximations stacked must keep ≥2/5 true neighbors.
+    "v14b_ivfpq_recall_bounded" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     // v6: the exact kNN graph is v1's SQL with the corpus as its own
     // query set. v7 (clustered) is engine-specific → rows-only; v7b is
     // its self-certified recall bound, v3b-style.
@@ -1365,6 +1395,48 @@ object SparkEntry {
         |      FROM pos JOIN u ON pos.b = u.b GROUP BY 1)
         |SELECT doc_id, n_bigrams, nll_unats,
         |  CAST(nll_unats AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0) AS nll
+        |FROM s""".stripMargin,
+
+    // t32: NB log-odds quality classifier — per-TYPE weights µnat-
+    // rounded before the per-doc integer sum (t31's discipline);
+    // types with total count < 2 are pruned and score the smoothed
+    // unknown weight, so the oracle exercises the bounded-model path
+    "t32_nb_quality" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |m AS (SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+        |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        |      FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+        |          CAST(sum(c_all - c_t) AS BIGINT) AS n_o,
+        |          CAST(count(*) AS BIGINT) AS v FROM m),
+        |d AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS d_t,
+        |        CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS d_o
+        |      FROM documents),
+        |w AS (SELECT m.t,
+        |        CAST(round(ln(((CAST(m.c_t AS DOUBLE) + 1.0) *
+        |                       (CAST(tot.n_o AS DOUBLE) + CAST(tot.v AS DOUBLE))) /
+        |                      ((CAST(m.c_all - m.c_t AS DOUBLE) + 1.0) *
+        |                       (CAST(tot.n_t AS DOUBLE) + CAST(tot.v AS DOUBLE))))
+        |                   * 1000000.0) AS BIGINT) AS w_unat
+        |      FROM m CROSS JOIN tot WHERE m.c_all >= 2),
+        |consts AS (SELECT
+        |    CAST(round(ln((CAST(tot.n_o AS DOUBLE) + CAST(tot.v AS DOUBLE)) /
+        |                  (CAST(tot.n_t AS DOUBLE) + CAST(tot.v AS DOUBLE)))
+        |               * 1000000.0) AS BIGINT) AS w_unk,
+        |    CAST(round(ln((CAST(d.d_t AS DOUBLE) + 1.0) /
+        |                  (CAST(d.d_o AS DOUBLE) + 1.0))
+        |               * 1000000.0) AS BIGINT) AS prior_unat
+        |  FROM tot CROSS JOIN d),
+        |s AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(consts.prior_unat + sum(coalesce(w.w_unat, consts.w_unk))
+        |             AS BIGINT) AS logodds_unats
+        |      FROM tok LEFT JOIN w ON tok.t = w.t CROSS JOIN consts
+        |      GROUP BY tok.doc_id, consts.prior_unat)
+        |SELECT doc_id, n_tokens, logodds_unats,
+        |  CAST(logodds_unats AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)
+        |    AS mean_logodds,
+        |  logodds_unats > 0 AS keep
         |FROM s""".stripMargin,
 
     // t21: DSIR importance selection — the feature id reproduces

@@ -175,6 +175,53 @@ object ExtPipelines {
       split.filter(col("split") === "test"))
   }
 
+  /** x26: persisted MinHash-LSH index ingest at x16's split — the
+    * train bucket is signed ONCE into a stored index
+    * ([[graft.ext.Dedup.saveMinhashIndex]]: band-partitioned bucket
+    * keys + shingles + sizes), and the test bucket ingests against the
+    * STORED frames ([[graft.ext.Dedup.nearDupIngest]]) without
+    * re-shingling the standing corpus — the daily-ingest shape where
+    * x4's corpus-scale near-dup work amortizes to storage. Emits one
+    * row of driver-checkable facts: `n_batch` (oracle recomputes the
+    * md5-bucket split), `identical` (index-served admitted set equals
+    * the in-memory-frames admitted set — the v12 persistence pin), and
+    * `n_exact_admitted` (admitted batch docs with ≥n tokens whose text
+    * exactly matches a standing doc — must be 0: identical docs have
+    * identical signatures, so LSH recall for them is 1 and the exact-
+    * Jaccard verify rejects at j = 1). */
+  def minhashIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = graft.ext.DataSplit.withSplit(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    val standing = parts.filter(col("split") === "train")
+    val batch = parts.filter(col("split") === "test")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_idx")
+    val path = tmpRoot.toString + "/idx"
+    try {
+      Dedup.saveMinhashIndex(standing, path)
+      val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, path)
+      val fromIdx = Dedup.nearDupIngest(ib, ish, isz, batch)
+      val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
+      val mem = Dedup.nearDupIngest(mb, msh, msz, batch)
+      val identical =
+        fromIdx.exceptAll(mem).isEmpty && mem.exceptAll(fromIdx).isEmpty
+      val nExactAdmitted = fromIdx
+        .join(batch.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), col("text")), "doc_id")
+        .join(standing.select(col("text")), Seq("text"), "left_semi")
+        .count()
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((batch.count(), identical, nExactAdmitted))
+        .toDF("n_batch", "identical", "n_exact_admitted")
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
     * row of facts an SQL oracle can recompute or assert:
     * `n_dups_admitted` (bloom admitted a true corpus duplicate — must
@@ -488,6 +535,13 @@ object ExtPipelines {
     * determinism argument and the bounded-broadcast scale shape. */
   def bigramNll(spark: SparkSession, dir: String): DataFrame =
     graft.ext.LmQuality.bigramNll(Tables.documents(spark, dir))
+
+  /** t32: Naive-Bayes log-odds quality classifier (the closed form of
+    * the fastText-style "target vs other" filter) — see
+    * [[graft.ext.LmQuality.nbQualityScore]] for the µnat quantization
+    * and the minCount-bounded broadcast-model scale shape. */
+  def nbQualityScore(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.LmQuality.nbQualityScore(Tables.documents(spark, dir))
 
   /** t28: per-document top-3 TF-IDF keywords
     * ([[graft.ext.TextAnalysis.tfidfKeywords]]). */
@@ -979,6 +1033,35 @@ object ExtPipelines {
     val pq = Similarity.pqTopK(emb, q, k = 5)
       .select(col("query_id"), col("neighbor_id"))
     val hits = pq.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)) >= 2).as("recall_ok"))
+  }
+
+  /** v14: IVF-PQ ANN — coarse-pruned candidate scan over packed
+    * residual codes, ADC scoring, exact re-rank; see
+    * [[graft.ext.Similarity.ivfPqTopK]]. Engine-specific (trained
+    * quantizers) ⇒ rows-only driver check; v14b bounds its recall. */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), k = 5)
+
+  /** v14b: recall@5 floor for v14 vs brute force — the two stacked
+    * approximations (coarse prune × residual PQ) on RANDOM vectors
+    * (both approximations' worst case) must still return ≥ 2 of the
+    * true top-5 per query. Spec-measured recall at the registered
+    * settings sits well above the floor. */
+  def annIvfPqRecallBounded(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVecs(spark, dir)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfpq = Similarity.ivfPqTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivfpq.join(exact, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
     exact.select("query_id").distinct()
       .join(hits, Seq("query_id"), "left")

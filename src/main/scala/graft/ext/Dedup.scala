@@ -317,15 +317,22 @@ object Dedup {
     shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Banded (id, band, sig) LSH bucket keys of a signature table —
+    * factored out so the self-join ([[lshCandidates]]) and the
+    * persisted index ([[saveMinhashIndex]]) share one definition. */
+  def bandedSignatures(signatures: DataFrame, bands: Int = 8, rows: Int = 2,
+      idCol: String = "doc_id"): DataFrame =
+    (0 until bands).map { bnd =>
+      val sig = hash((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*)
+      signatures.select(col(idCol), lit(bnd).as("band"), sig.as("sig"))
+    }.reduce(_ unionByName _)
+
   /** Candidate pairs via banding: split the signature into `bands` bands
     * of `rows` hashes; docs sharing any full band collide. One shuffle on
     * (band, band-signature) — no all-pairs join. */
   def lshCandidates(signatures: DataFrame, bands: Int = 8, rows: Int = 2,
       idCol: String = "doc_id"): DataFrame = {
-    val banded = (0 until bands).map { bnd =>
-      val sig = hash((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*)
-      signatures.select(col(idCol), lit(bnd).as("band"), sig.as("sig"))
-    }.reduce(_ unionByName _)
+    val banded = bandedSignatures(signatures, bands, rows, idCol)
     banded.as("x").join(banded.as("y"), Seq("band", "sig"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
@@ -354,6 +361,113 @@ object Dedup {
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  // ---- persisted MinHash-LSH index (x26) ----
+
+  /** The three frames of a MinHash-LSH near-dup index over a corpus:
+    * `bands` (idCol, band, sig — the LSH bucket keys), `shingles`
+    * (idCol, shingle — for exact-Jaccard verification), `sizes`
+    * (idCol, n_sh). One definition feeds both the in-memory probe and
+    * [[saveMinhashIndex]], so index-served results are pinned
+    * identical to in-memory results by construction (the v12
+    * discipline). The shingle frame is persisted because it feeds all
+    * three outputs. */
+  def minhashIndexFrames(corpus: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sh = explodedShingles(corpus, n, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedSignatures(
+      minhashSignatures(sh, numHashes, idCol), bands, rows, idCol)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    (banded, sh, sizes)
+  }
+
+  /** x26 — persist a MinHash-LSH index: `<path>/bands` PARTITIONED BY
+    * band (a probe's equi-join key prefix, so a band-sliced read plan
+    * prunes), `<path>/shingles`, `<path>/sizes`. This is the dedup
+    * counterpart of v12's persisted IVF index: the standing corpus is
+    * signed ONCE, and every later ingest batch probes the stored
+    * frames without re-shingling 100 TB — the daily-regime shape where
+    * the corpus-scale work amortizes to storage and each batch costs
+    * O(batch) plus index-join reads. */
+  def saveMinhashIndex(corpus: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val (banded, sh, sizes) =
+      minhashIndexFrames(corpus, n, numHashes, bands, rows, textCol, idCol)
+    banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sizes.write.mode("overwrite").parquet(s"$path/sizes")
+    sh.unpersist()
+  }
+
+  /** Load a [[saveMinhashIndex]] index's three frames. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/sizes"))
+
+  /** Near-dup ingest against a standing corpus's MinHash index frames
+    * (in-memory from [[minhashIndexFrames]] or loaded from a
+    * [[saveMinhashIndex]] path — same code, so the two are identical
+    * by construction): admit the batch docs that are NOT Jaccard-≥
+    * `threshold` near-dups of any standing doc, and keep-first within
+    * the batch (the HIGHER id of any verified intra-batch pair is
+    * rejected, x2's rule). Candidates come from (band, sig) equi-joins
+    * — batch-signature-sized build sides, never all-pairs — and every
+    * rejection is VERIFIED with exact Jaccard over the shingle frames,
+    * so precision is exact and only candidate recall is probabilistic
+    * (1-(1-j^rows)^bands; identical docs always collide, so a true
+    * exact duplicate can never be admitted). Docs with fewer than n
+    * tokens carry no shingles and are admitted (no Jaccard evidence
+    * against them — mirrored by both paths). */
+  def nearDupIngest(standingBands: DataFrame, standingShingles: DataFrame,
+      standingSizes: DataFrame, batch: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, numHashes: Int = 16, bands: Int = 8,
+      rows: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (bban, bsh, bsizes) =
+      minhashIndexFrames(batch, n, numHashes, bands, rows, textCol, idCol)
+    def jacc(inter: DataFrame, aSz: DataFrame, bSz: DataFrame) = inter
+      .join(aSz, "a_id").join(bSz, "b_id")
+      .filter(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")) >= threshold)
+    // vs standing: batch band keys probe the stored bands; the batch
+    // side is the small build side (AQE broadcasts it), the standing
+    // frames stream
+    val candS = bban.select(col(idCol).as("a_id"), col("band"), col("sig"))
+      .join(standingBands.select(col(idCol).as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("a_id", "b_id").distinct()
+    val interS = candS
+      .join(bsh.select(col(idCol).as("a_id"), col("shingle")), "a_id")
+      .join(standingShingles.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val dupS = jacc(interS,
+        bsizes.select(col(idCol).as("a_id"), col("n_sh").as("na")),
+        standingSizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")))
+      .select(col("a_id").as(idCol)).distinct()
+    // intra-batch keep-first: reject the higher id of any verified pair
+    val candB = bban.as("x").join(bban.as("y"), Seq("band", "sig"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    val interB = candB
+      .join(bsh.select(col(idCol).as("a_id"), col("shingle")), "a_id")
+      .join(bsh.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val dupB = jacc(interB,
+        bsizes.select(col(idCol).as("a_id"), col("n_sh").as("na")),
+        bsizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")))
+      .select(col("b_id").as(idCol)).distinct()
+    batch.select(col(idCol))
+      .join(dupS.unionByName(dupB).distinct(), Seq(idCol), "left_anti")
   }
 
   // ---- SimHash ----

@@ -129,6 +129,79 @@ object LmQuality {
           (col("n_bigrams").cast("double") * lit(1000000.0))).as("nll"))
   }
 
+  /** t32 — classifier-based quality filter: multinomial Naive Bayes
+    * log-odds over word unigrams, the closed form of the fastText
+    * supervised filter that modern pretrain pipelines (CCNet, DCLM,
+    * FineWeb-Edu) train on "target vs other" labels. Logistic
+    * regression / fastText need iterative float training — banned by
+    * the hash-compare discipline — but NB's weights are a per-TYPE
+    * finishing expression over exact integer counts, so the whole
+    * model quantizes to µnats exactly like [[bigramNll]]:
+    *
+    *   w(t) = ln( ((c_t+1)·(N_o+V)) / ((c_o+1)·(N_t+V)) )   [µnat-rounded]
+    *   prior = ln( (D_t+1) / (D_o+1) )                      [µnat-rounded]
+    *   logodds(doc) = prior + Σ_token w(token)              [exact int sum]
+    *   keep ⟺ logodds > 0  (P(target) > ½)
+    *
+    * where c_t/c_o are the type's token counts in target (`lang =
+    * targetLang`) / other docs, N_t/N_o the total token masses, V the
+    * corpus vocabulary size, D_t/D_o the doc counts. Types with total
+    * count < `minCount` are PRUNED from the broadcast model and score
+    * the smoothed unknown weight w_unk = ln((N_o+V)/(N_t+V)) — the
+    * c_t = c_o = 0 limit of w, so pruning only coarsens, never
+    * invents, evidence. The registered query uses minCount = 2 so the
+    * oracle exercises the pruned path.
+    *
+    * Plan shape: ONE token shuffle builds the model (map-side-combined
+    * conditional sums, vocab-sized result); totals/prior/w_unk ride a
+    * 1-row broadcast; scoring is explode → broadcast-hash left join →
+    * integer per-doc aggregation shuffling (doc_id, two longs) — text
+    * never shuffles. At 100 TB, `minCount` bounds the broadcast model
+    * the same way t20's LM floor does (raise it as the corpus grows;
+    * every pruned type degrades to w_unk, it never disappears). */
+  def nbQualityScore(docs: DataFrame, targetLang: String = "en",
+      minCount: Int = 2, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col(textCol), " ")).as("t"))
+    val m = tok.groupBy("t").agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+    val tot = m.agg(
+      sum(col("c_t")).as("n_t"),
+      sum(col("c_all") - col("c_t")).as("n_o"),
+      count(lit(1)).as("v"))
+    val d = docs.agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("d_t"),
+      sum(when(col("lang") === targetLang, 0L).otherwise(1L)).as("d_o"))
+    // per-type µnat weight: one ln over exactly-rounded double products,
+    // IEEE order (c_t+1)·(n_o+v) / ((c_o+1)·(n_t+v)) spelled identically
+    // in the DuckDB oracle
+    val w = m.filter(col("c_all") >= minCount).crossJoin(broadcast(tot))
+      .select(col("t"),
+        round(log(((col("c_t").cast("double") + lit(1.0)) *
+            (col("n_o").cast("double") + col("v").cast("double"))) /
+          (((col("c_all") - col("c_t")).cast("double") + lit(1.0)) *
+            (col("n_t").cast("double") + col("v").cast("double")))) *
+          lit(1000000.0)).cast("long").as("w_unat"))
+    val consts = tot.crossJoin(d).select(
+      round(log((col("n_o").cast("double") + col("v").cast("double")) /
+          (col("n_t").cast("double") + col("v").cast("double"))) *
+        lit(1000000.0)).cast("long").as("w_unk"),
+      round(log((col("d_t").cast("double") + lit(1.0)) /
+          (col("d_o").cast("double") + lit(1.0))) *
+        lit(1000000.0)).cast("long").as("prior_unat"))
+    tok.join(broadcast(w), Seq("t"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (first(col("prior_unat")) +
+          sum(coalesce(col("w_unat"), col("w_unk")))).as("logodds_unats"))
+      .select(col("doc_id"), col("n_tokens"), col("logodds_unats"),
+        (col("logodds_unats").cast("double") /
+          (col("n_tokens").cast("double") * lit(1000000.0))).as("mean_logodds"),
+        (col("logodds_unats") > 0L).as("keep"))
+  }
+
   /** Stable feature id in [0, 65536) from the md5 of the bigram — the
     * same engine-portable hex→int rule as `DataSplit.bucket`, so the
     * DuckDB oracle reproduces it digit by digit. */

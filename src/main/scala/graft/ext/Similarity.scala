@@ -563,6 +563,106 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** v14 — IVF-PQ ANN: the two approximations composed the way FAISS's
+    * IndexIVFPQ composes them, which is the shape a 100 TB embedding
+    * corpus actually serves from. IVF alone ([[ivfTopK]]) still reads
+    * full float vectors from the probed lists; PQ alone ([[pqTopK]])
+    * still scans EVERY code. Composed: the coarse quantizer prunes the
+    * candidate scan to ~nProbe/nList of the corpus, and each surviving
+    * candidate costs a 24-byte (id, packed-code, norm) row and `numSub`
+    * LUT adds — no vector floats in the hot path at all.
+    *
+    * PQ encodes the RESIDUAL v − c(list) (shared codebooks across
+    * lists, FAISS's default): residuals concentrate near the origin,
+    * so the same 8-bit budget spends on a tighter distribution than
+    * raw vectors. For a candidate in list L, the approximate cosine is
+    *
+    *   cos(q, v) ≈ ( q·c_L + q·r̂ ) / (|q|·|v|)
+    *
+    * with q·c_L exact per (query, probed list) — nProbe tiny rows on
+    * the broadcast side — and q·r̂ the ADC sum over the query's LUT
+    * built against the residual codebooks. |v| is the TRUE stored
+    * norm, so like v8 only recall is approximate; the top k·overFetch
+    * re-rank exactly against full-precision vectors (v8b-style recall
+    * floor certified by v14b).
+    *
+    * Plan shape: assignment + residual encode are map-side over the
+    * corpus ([[ivfAssign]] kernel + codegen'd [[graft.functions
+    * .PqExpressions]]); the candidate stage is one broadcast-hash join
+    * on list_id against the (query, probed-list) side; the corpus
+    * never shuffles. The encoded index (list_id, id, code, norm) is
+    * the persistable artifact — write it partitioned by list_id
+    * ([[saveIvfIndex]] layout) and the probe scan partition-prunes. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nList: Int = 8, nProbe: Int = 4, nIters: Int = 1,
+      numSub: Int = 8, numCents: Int = 256, overFetch: Int = 8,
+      trainSample: Int = 2048, pqIters: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    graft.functions.PqExpressions.register(spark)
+    val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
+    val centB = broadcast(cent.select(col("list_id"), col("cvec")))
+    // residual per corpus vector: one zip_with against the broadcast
+    // centroid of its list; true |v| via a HOF norm (one corpus pass,
+    // fused into the same projection as the encode)
+    val resid = ivfAssign(corpus, cent, vecCol, idCol)
+      .join(centB, Seq("list_id"))
+      .select(col(idCol), col("list_id"),
+        col(vecCol),
+        expr(s"zip_with(cast($vecCol as array<double>), cvec, (x, y) -> x - y)")
+          .cast("array<float>").as("_res"),
+        sqrt(expr(s"aggregate($vecCol, 0D, (a, x) -> a + cast(x as double) * x)"))
+          .as("vnorm"))
+    val cbLit = typedLit(pqTrain(
+      resid.select(col(idCol), col("_res")), trainSample, numSub, numCents,
+      pqIters, vecCol = "_res", idCol = idCol).toSeq)
+    val enc = resid.select(col(idCol).as("neighbor_id"), col("list_id"),
+        col("vnorm"),
+        graft.functions.PqExpressions.pqEncode(
+          col("_res"), cbLit, numSub, numCents).as("_e"))
+      .select(col("neighbor_id"), col("list_id"), col("vnorm"),
+        col("_e.code").as("code"))
+    // query side: rank centroids (float kernel), keep nProbe lists,
+    // carry the EXACT q·c_L per probed list plus the residual LUT
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val centF = cent.select(col("list_id"),
+      col("cvec").cast("array<float>").as("cvecf"), col("cvec"))
+    val topLists = udaf(new graft.functions.TopKAggregator(nProbe))
+    val probes = q.crossJoin(broadcast(centF))
+      .select(col("query_id"), col("list_id"),
+        VectorFunctions.cosine(col("qv"), col("cvecf")).as("cos"))
+      .groupBy("query_id")
+      .agg(topLists(col("cos"), col("list_id")).as("lists"))
+      .select(col("query_id"), explode(col("lists")).as("list_id"))
+      .join(q, "query_id")
+      .join(centF.select(col("list_id"), col("cvec")), Seq("list_id"))
+      .select(col("query_id"), col("list_id"), col("qv"),
+        expr("aggregate(zip_with(cast(qv as array<double>), cvec, " +
+          "(x, y) -> x * y), 0D, (a, x) -> a + x)").as("qdotc"),
+        graft.functions.PqExpressions.pqLut(
+          col("qv"), cbLit, numSub, numCents).as("_l"))
+      .select(col("query_id"), col("list_id"), col("qv"), col("qdotc"),
+        col("_l.lut").as("lut"), col("_l.qnorm").as("qnorm"))
+    val approx = enc.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qnorm") === 0.0 || col("vnorm") === 0.0, lit(0.0))
+          .otherwise((col("qdotc") + graft.functions.PqExpressions.adcDot(
+            col("code"), col("lut"), numSub, numCents)) /
+            (col("qnorm") * col("vnorm"))).as("cos"))
+    val cand = topKPerQuery(approx, k * overFetch)
+      .select("query_id", "neighbor_id")
+    val qB = broadcast(q)
+    val exact = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(qB, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
   /** Exact corpus kNN graph: top-k cosine neighbors for EVERY corpus
     * vector — the building block for graph clustering, diversity
     * pruning, and near-dup audit. This is [[bruteForceTopK]] with the

@@ -970,6 +970,62 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet)
   }
 
+  test("t32: NB quality log-odds matches a driver-side recompute; partitioning-invariant") {
+    val result = graft.ext.LmQuality.nbQualityScore(docs)
+    val got = result.collect().map { r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_tokens")),
+          r.getLong(r.fieldIndex("logodds_unats")),
+          r.getBoolean(r.fieldIndex("keep"))))
+    }.toMap
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = rows.map { case (id, lang, t) => (id, lang, t.split(" ", -1).toSeq) }
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+    toks.foreach { case (_, lang, ts) =>
+      ts.foreach { t =>
+        val (a, ct) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = (a + 1, ct + (if (lang == "en") 1 else 0))
+      }
+    }
+    val nT = counts.values.map(_._2).sum
+    val nO = counts.values.map(v => v._1 - v._2).sum
+    val v = counts.size.toLong
+    val dT = rows.count(_._2 == "en").toLong
+    val dO = rows.length - dT
+    val w: Map[String, Long] = counts.filter(_._2._1 >= 2).map {
+      case (t, (cAll, cT)) =>
+        t -> math.round(math.log(((cT + 1.0) * (nO + v.toDouble)) /
+          ((cAll - cT + 1.0) * (nT + v.toDouble))) * 1000000.0)
+    }.toMap
+    val wUnk = math.round(
+      math.log((nO + v.toDouble) / (nT + v.toDouble)) * 1000000.0)
+    val prior = math.round(math.log((dT + 1.0) / (dO + 1.0)) * 1000000.0)
+    assert(got.keySet == rows.map(_._1).toSet)
+    toks.foreach { case (id, _, ts) =>
+      val lo = prior + ts.map(t => w.getOrElse(t, wUnk)).sum
+      val (gn, gl, gk) = got(id)
+      assert(gn == ts.length.toLong && gl == lo, s"doc $id NB masses")
+      assert(gk == (lo > 0L))
+    }
+    // pruned-model path: minCount above every count forces ALL tokens
+    // through the smoothed unknown weight — logodds degrades to
+    // prior + n_tokens·w_unk exactly
+    val allUnk = graft.ext.LmQuality
+      .nbQualityScore(docs, minCount = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    toks.foreach { case (id, _, ts) =>
+      assert(allUnk(id) == prior + ts.length * wUnk, s"doc $id unk path")
+    }
+    // integer µnat sums are aggregation-order-exact under any partitioning
+    val re = graft.ext.LmQuality.nbQualityScore(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    assert(re == result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet)
+  }
+
   test("t21: importance selection is the exact global top-100 of the hashed-feature ratio") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def feat(b: String): Int = {
@@ -1383,6 +1439,103 @@ class ExtSpec extends SparkSpec {
     val plan = fromIdx.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"lists scan must carry a dynamic pruning filter:\n$plan")
+  }
+
+  test("v14: IVF-PQ neighbors come from probed lists; re-rank is exact-cosine ordered; recall floored") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    // (1) containment: recompute coarse quantizer + probes with the
+    // library's own pieces at the default settings (nList=8, nProbe=4);
+    // every returned neighbor must sit in one of its query's probed lists
+    val cent = Similarity.ivfCentroids(emb, nList = 8, nIters = 1)
+    val assigned = Similarity.ivfAssign(emb, cent)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+    val centF = cent.select(col("list_id"),
+      col("cvec").cast("array<float>").as("cvecf"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centF))
+      .select(col("query_id"), col("list_id"),
+        VectorFunctions.cosine(col("qv"), col("cvecf")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("s").desc, col("list_id"))))
+      .filter(col("rk") <= 4).select("query_id", "list_id")
+    val allowed = probes.join(assigned, "list_id")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (q, n, _) =>
+      assert(allowed.contains((q, n)), s"($q,$n) outside probed lists")
+    }
+    // (2) the final re-rank is EXACT cosine: within each query's
+    // returned set, rank order equals the exact-cosine order
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosE(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._3).map(_._2).toSeq
+      val byCos = rows.map(t => (t._2, cosE(vecs(q), vecs(t._2))))
+        .sortBy(t => (-t._2, t._1)).map(_._1).toSeq
+      assert(byRank == byCos, s"query $q re-rank order")
+    }
+    // (3) recall floor vs brute force — random vectors are the worst
+    // case for BOTH stacked approximations; real corpora cluster
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall =
+      (bf intersect got.map(t => (t._1, t._2)).toSet).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
+  test("x26: minhash index ingest — stored frames match memory; planted dups rejected") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    val standing = base.filter(col("doc_id") < 150)
+    val fresh = base.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+    val standTexts = standing.orderBy("doc_id").limit(2).collect()
+      .map(_.getString(1))
+    val freshFirst = fresh.orderBy("doc_id").limit(1).collect()
+    val freshId = freshFirst(0).getLong(0)
+    val planted = Seq(
+      (9001L, standTexts(0)), // exact dup of a standing doc
+      (9002L, standTexts(1)), // exact dup of a standing doc
+      (9003L, freshFirst(0).getString(1))) // intra-batch dup, higher id
+      .toDF("doc_id", "text")
+    val batch = fresh.unionByName(planted)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-mh-spec").toString + "/idx"
+    Dedup.saveMinhashIndex(standing, path)
+    val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, path)
+    val fromIdx = Dedup.nearDupIngest(ib, ish, isz, batch)
+      .collect().map(_.getLong(0)).toSet
+    val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
+    val mem = Dedup.nearDupIngest(mb, msh, msz, batch)
+      .collect().map(_.getLong(0)).toSet
+    // the v12 discipline: stored and in-memory frames run the same
+    // probe code; signatures/shingles round-trip parquet exactly
+    assert(fromIdx == mem && fromIdx.nonEmpty)
+    // exact dups of standing always collide (identical signatures) and
+    // verify at j=1 — never admitted
+    assert(!fromIdx.contains(9001L) && !fromIdx.contains(9002L))
+    // intra-batch keep-first: the higher id of the pair is rejected,
+    // the lower stays
+    assert(!fromIdx.contains(9003L))
+    assert(fromIdx.contains(freshId))
+    // and the registered pipeline's fact row holds
+    val row = graft.analytics.ExtPipelines.minhashIndexIngest(spark, sf())
+      .collect()
+    assert(row.length == 1 && row(0).getBoolean(1) && row(0).getLong(2) == 0L,
+      row.mkString)
   }
 
   test("v12: index-persist round trip is identical AND leaves no temp index behind") {
