@@ -168,6 +168,7 @@ object SparkEntry {
     "s10_stream_sliding_totals" -> (ExtPipelines.streamSlidingTotals _),
     "s11_stream_cdc" -> (ExtPipelines.streamCdc _),
     "s12_stream_distinct_users" -> (ExtPipelines.streamDistinctUsers _),
+    "s13_stream_hot_types" -> (ExtPipelines.streamHotTypes _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -492,6 +493,24 @@ object SparkEntry {
          |FROM base, (SELECT unnest([0, 1]) AS o)
          |WHERE user_id <> 0 AND Type <> 'Error'
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // s13: the streaming windowed totals (s1's state shape keyed by raw
+    // event_type) ranked top-3 per day; integer cents keep the rank
+    // basis exact, event_type breaks ties deterministically
+    "s13_stream_hot_types" ->
+      s"""$baseCte
+         |, agg AS (
+         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         |         CAST(SUM(value_cents) AS BIGINT) AS value_cents
+         |  FROM base
+         |  WHERE user_id <> 0 AND Type <> 'Error'
+         |  GROUP BY 1, 2)
+         |SELECT day, event_type, value_cents, rk FROM (
+         |  SELECT day, event_type, value_cents,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY day ORDER BY value_cents DESC, event_type
+         |         ) AS INT) AS rk
+         |  FROM agg) WHERE rk <= 3""".stripMargin,
 
     "s2_sessionize_batch" -> sessionizeOracle,
     "s3_sessionize_stream" -> sessionizeOracle,

@@ -833,6 +833,23 @@ object ExtPipelines {
       graft.streaming.Streaming.dailyCategoryTotals(
         graft.streaming.Streaming.eventsStream(spark, dir)))
 
+  /** s13: daily hot keys — the streaming windowed totals
+    * ([[graft.streaming.Streaming.dailyTypeTotals]]) feed a per-day
+    * top-3 rank by total cents (ties broken on event_type). The rank
+    * runs over the materialized window table: per-day partitions are
+    * tiny (≤ |event types| rows), so the window function never sees a
+    * single-partition global sort. */
+  def streamHotTypes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.dailyTypeTotals(
+        graft.streaming.Streaming.eventsStream(spark, dir)))
+    agg.withColumn("rk", row_number().over(
+        Window.partitionBy("day")
+          .orderBy(col("value_cents").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+  }
+
   /** Sliding 2-day/1-day windowed totals (overlapping windows — s1's
     * tumbling form can't express a trailing-48h view). */
   def streamSlidingTotals(spark: SparkSession, dir: String): DataFrame =

@@ -166,6 +166,25 @@ object Streaming {
         date_format(col("window.end"), "yyyy-MM-dd").as("win_end"),
         col("Type"), col("value_cents"))
 
+  /** s13 — daily hot keys, streaming side: watermarked per-(day,
+    * event_type) integer-cents totals over the valid rows — s1's state
+    * shape keyed by the RAW event type. This is the part that must run
+    * incrementally (bounded state: one row per open window × key); the
+    * top-k rank over finished windows is a serving query against the
+    * continuously-maintained result table
+    * ([[graft.analytics.ExtPipelines.streamHotTypes]]), not something
+    * streaming state needs to hold — ranking inside the stream would
+    * force per-window re-emission on every update, which Append-mode
+    * semantics rightly refuse. */
+  def dailyTypeTotals(events: DataFrame): DataFrame =
+    Viewing.validRows(Viewing.categorize(events))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(sum(Viewing.cents).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value_cents"))
+
   /** Stream-static enrichment join: the stream side joins a broadcast
     * static dimension — stateless, and the stream never shuffles; the
     * standard pattern for attaching slowly-changing dimensions to a

@@ -102,6 +102,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
   }
 
+  test("streaming hot types equal the batch top-3 per day") {
+    val streamed = ExtRef.streamHotTypes(spark, sf())
+    val events = Tables.events(spark, sf())
+    val batch = graft.ops.Viewing.validRows(graft.ops.Viewing.categorize(events))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(sum(graft.ops.Viewing.cents).as("value_cents"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("day")
+          .orderBy(col("value_cents").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+    // exactly 3 (or fewer, if a day has fewer types) rows per day,
+    // ranks contiguous from 1
+    val byDay = streamed.collect().groupBy(_.getString(0))
+    byDay.foreach { case (d, rows) =>
+      val rks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(rks == (1 to rks.length), s"day $d ranks $rks")
+      assert(rks.length <= 3)
+    }
+  }
+
   test("streaming sliding totals: every valid event lands in exactly two 2-day windows") {
     val streamed = graft.analytics.ExtPipelines.streamSlidingTotals(spark, sf())
     // independent batch twin: assign each event its two window starts by
@@ -237,4 +258,6 @@ class StreamingSpec extends SparkSpec {
 private object ExtRef {
   def streamDailyTotals(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.analytics.ExtPipelines.streamDailyTotals(spark, dir)
+  def streamHotTypes(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.analytics.ExtPipelines.streamHotTypes(spark, dir)
 }
