@@ -113,7 +113,16 @@ object ScaleBench {
     // block key (brand × name-prefix) or x4/x23b candidate generation.
     "g30_copurchase_pairs",
     "t31_bigram_nll",
-    "v13_kmeans_lloyd")
+    "v13_kmeans_lloyd",
+    // round-11 third wave: NB scoring is one vocab-bounded model
+    // shuffle + a broadcast-join scan (t20's shape); IVF-PQ's
+    // candidate stage reads ~nProbe/nList of the packed codes; x26
+    // measures the persist+ingest round trip — index build ∝ corpus,
+    // probe ∝ batch (the batch is replica-scaled too, so the ratio
+    // reflects both sides growing)
+    "t32_nb_quality",
+    "v14_ann_ivfpq_topk",
+    "x26_minhash_index_ingest")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

@@ -338,6 +338,30 @@ class PlanSpec extends SparkSpec {
       "pairs must be canonical p1 < p2")
   }
 
+  test("t32: NB model broadcasts onto the token scan; doc text never reaches an exchange") {
+    val p = plan(graft.analytics.ExtPipelines.nbQualityScore(spark, sf()))
+    // scoring = explode → broadcast-hash left join against the pruned
+    // model; the only shuffles carry tokens (model build) and
+    // (doc_id, longs) (per-doc sum) — never the document text
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchangeOnText = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(!exchangeOnText, s"text must not reach an exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("v14: IVF-PQ candidate stage joins broadcast probes — the encoded corpus never shuffles") {
+    val p = plan(graft.analytics.ExtPipelines.annIvfPqTopK(spark, sf()))
+    // the (query, probed-list, LUT) side broadcasts onto the packed-code
+    // scan; only the tiny probe crosses (queries x centroids) may plan
+    // nested-loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchangeOnEmbedding = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("embedding#"))
+    assert(!exchangeOnEmbedding,
+      s"corpus vectors must not hash-shuffle:\n$p")
+  }
+
   test("x19: snapshot diff shuffles digests, never document text") {
     val docs = sources.Tables.documents(spark, sf()).select("doc_id", "text")
     val p = plan(graft.ext.Dedup.snapshotDiff(docs, docs))
