@@ -122,7 +122,9 @@ object Bench {
     // x26 measures the full persist+ingest round trip (index write to
     // a temp dir + batch probe + identity check), the v12 shape for
     // dedup — dominated by the one-time index write
-    "x26_minhash_index_ingest")
+    "x26_minhash_index_ingest",
+    "v15_cluster_balanced",
+    "s13_stream_hot_types")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -136,6 +136,7 @@ object SparkEntry {
     "v11_centroid_drift" -> (ExtPipelines.centroidDrift _),
     "v12_ivf_index_persist" -> (ExtPipelines.ivfIndexPersist _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
+    "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -271,7 +272,7 @@ object SparkEntry {
     * and `floor(avg·10⁴ + 0.5)/10⁴` re-quantizes each mean onto the
     * grid Spark broadcasts — see `Similarity.kmeansLloyd` for why the
     * quantization makes the iteration hash-exact cross-engine. */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansOracleCte(k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
@@ -294,12 +295,16 @@ object SparkEntry {
     }
     sb.append(s""",
       |df AS (SELECT e.vec_id, c$iters.cid, ${dist(s"c$iters")} AS d
-      |       FROM e CROSS JOIN c$iters)
-      |SELECT vec_id, cid AS cluster FROM (
+      |       FROM e CROSS JOIN c$iters),
+      |km AS (SELECT vec_id, cid AS cluster FROM (
       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM df)
-      |WHERE rk = 1""".stripMargin)
+      |WHERE rk = 1)""".stripMargin)
     sb.toString
   }
+
+  /** The full v13 assignment recompute (km CTE + projection). */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
+    kmeansOracleCte(k, iters, dim) + "\nSELECT vec_id, cluster FROM km"
 
   /** Full SimHash pipeline recomputed in SQL — possible because the
     * token hash is md5-derived (`Dedup.tokenHash60`), shared by both
@@ -1632,6 +1637,21 @@ object SparkEntry {
     // v13: the iterative algorithm itself is the oracle target — see
     // kmeansOracle for the per-round determinism contract
     "v13_kmeans_lloyd" -> kmeansOracle(k = 8, iters = 2, dim = 64),
+
+    // v15: cluster-balanced selection — the km CTE recomputes v13's
+    // quantized-centroid assignment exactly; the per-cluster quota
+    // ranks an integer (n_chars) with a doc_id tie-break, so the
+    // top-10 per cluster is engine-exact
+    "v15_cluster_balanced" -> (kmeansOracleCte(k = 8, iters = 2, dim = 64) +
+      """
+        |SELECT cluster, doc_id, n_chars, rk FROM (
+        |  SELECT km.cluster, d.doc_id, d.n_chars,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY km.cluster
+        |           ORDER BY d.n_chars DESC, d.doc_id
+        |         ) AS INT) AS rk
+        |  FROM km JOIN documents d ON km.vec_id = d.doc_id)
+        |WHERE rk <= 10""".stripMargin),
 
     "v11_centroid_drift" ->
       """WITH e AS (SELECT vec_id,

@@ -737,6 +737,35 @@ object ExtPipelines {
   def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansLloyd(Tables.embeddings(spark, dir), k = 8, iters = 2)
 
+  /** v15: cluster-balanced corpus selection — the DataComp/DCLM-style
+    * diversity-stratified pick. v13's Lloyd clusters stratify the
+    * corpus and each cluster contributes its top-10 docs by
+    * (n_chars desc, doc_id asc): a GLOBAL quality top-N would
+    * over-sample the dominant semantic mode, per-cluster quotas keep
+    * the selection diverse by construction.
+    *
+    * Scale shape: selection is the k-bounded [[graft.functions
+    * .TopKAggregator]] (map-side partials, ≤10 (score, id) pairs per
+    * cluster per partition) — never a per-cluster `row_number` window,
+    * which would funnel corpus/k rows through one partition; the
+    * n_chars re-attach joins the ≤10·k-row selection back against the
+    * docs (AQE broadcasts the tiny side). Oracle: the full v13
+    * assignment recompute (km CTE) + the same rank, engine-exact
+    * because the quantized centroids pin assignments and the rank
+    * basis is an integer with an id tie-break. */
+  def clusterBalancedSelect(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Similarity.kmeansLloyd(
+      Tables.embeddings(spark, dir), k = 8, iters = 2)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val topm = udaf(new graft.functions.TopKAggregator(10))
+    val sel = clusters.join(docs, col("vec_id") === col("doc_id"))
+      .groupBy("cluster")
+      .agg(topm(col("n_chars").cast("double"), col("doc_id")).as("ids"))
+      .select(col("cluster"), posexplode(col("ids")).as(Seq("rk0", "doc_id")))
+      .select(col("cluster"), col("doc_id"), (col("rk0") + 1).cast("int").as("rk"))
+    sel.join(docs, "doc_id").select("cluster", "doc_id", "n_chars", "rk")
+  }
+
   def ivfIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

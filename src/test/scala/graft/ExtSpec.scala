@@ -1538,6 +1538,26 @@ class ExtSpec extends SparkSpec {
       row.mkString)
   }
 
+  test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
+    val got = graft.analytics.ExtPipelines.clusterBalancedSelect(spark, sf())
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
+    // recompute: v13 assignment (deterministic) + driver-side quota
+    val clusters = Similarity.kmeansLloyd(emb, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = clusters.toSeq.groupBy(_._2).flatMap { case (c, members) =>
+      members.map(_._1).sortBy(id => (-chars(id), id)).take(10).zipWithIndex
+        .map { case (id, i) => (id, c, chars(id), i + 1) }
+    }.toSet
+    assert(got.toSet == want && got.nonEmpty)
+    // per-cluster quota: ≤10 rows, ranks contiguous from 1
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      val rks = rows.map(_._4).sorted.toSeq
+      assert(rks == (1 to rks.length) && rks.length <= 10, s"cluster $c ranks $rks")
+    }
+  }
+
   test("v12: index-persist round trip is identical AND leaves no temp index behind") {
     val row = graft.analytics.ExtPipelines.ivfIndexPersist(spark, sf()).collect()
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
