@@ -102,11 +102,15 @@ object LmQuality {
     * mean −ln p per bigram in nats (lower = more typical of the
     * corpus; the quality gate drops the high tail). */
   def bigramNll(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.TextExpressions.registerCharBigrams(docs.sparkSession)
     val d = docs.filter(length(col(textCol)) >= 2)
       .select(col("doc_id"), col(textCol))
+    // native one-pass bigram walk — the declarative
+    // transform(sequence)/substring form is O(len²) per doc (substring
+    // re-walks the UTF-8 bytes per position) and measured super-linear
+    // at the 10× tier; see [[graft.functions.CharBigrams]]
     def positions(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(expr(s"transform(sequence(1, length($textCol) - 1), " +
-        s"i -> substring($textCol, i, 2))")).as("b"))
+      explode(graft.functions.TextExpressions.charBigrams(col(textCol))).as("b"))
     val pos = positions(d)
     val model = pos.groupBy("b").agg(count(lit(1)).as("cbg"))
     val pre = model.groupBy(substring(col("b"), 1, 1).as("p"))
