@@ -74,6 +74,7 @@ object SparkEntry {
     "sql6_set_ops" -> (Pipelines.sqlSetOps _),
     "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
       Pipelines.coPurchasePairs(s, d)),
+    "g32_sketch_rollup" -> (Pipelines.sketchRollup _),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "x2_dedup_keep_first" -> (ExtPipelines.dedupKeepFirst _),
     "x3_neardup_jaccard" -> (ExtPipelines.neardupJaccard _),
     "x4_neardup_minhash" -> (ExtPipelines.neardupMinhash _),
+    "x27_containment_dups" -> (ExtPipelines.containmentDups _),
     "x5_neardup_embedding" -> (ExtPipelines.neardupEmbedding _),
     "x15_semantic_dedup" -> (ExtPipelines.semanticDedup _),
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
@@ -564,6 +566,29 @@ object SparkEntry {
 
     "x3_neardup_jaccard" -> jaccardOracle,
     "x4_neardup_minhash" -> jaccardOracle,
+
+    // x27: the jaccard oracle's shingle/intersection CTEs, projected to
+    // the asymmetric containment measure, one row per DIRECTION (the
+    // i/na and i/nb divisions are single deterministic IEEE ops)
+    "x27_containment_dups" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                               for i in range(1, len(w) - 1)])) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT a_id AS src_id, b_id AS dst_id,
+        |         CAST(i AS DOUBLE) / x.n AS containment, x.n AS n_src
+        |  FROM inter JOIN sz x ON a_id = x.doc_id
+        |  UNION ALL
+        |  SELECT b_id, a_id, CAST(i AS DOUBLE) / y.n, y.n
+        |  FROM inter JOIN sz y ON b_id = y.doc_id)
+        |SELECT src_id, dst_id, containment FROM dir
+        |WHERE containment >= 0.6 AND n_src >= 10""".stripMargin,
 
     // the train/test split is t7's md5 bucket rule; shingles are the
     // same distinct word 3-grams as the jaccard oracle. `rare` mirrors
@@ -1185,6 +1210,14 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |       TRUE AS hll_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // g32: persisted daily HLL sketches merged per week — the oracle
+    // recomputes the exact weekly cardinality and pins both sketch
+    // contracts (estimate-in-band, merge-agrees-with-direct) TRUE
+    "g32_sketch_rollup" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok, TRUE AS merge_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "t4b_fingerprint_bounded" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
         |       TRUE AS fp_ok

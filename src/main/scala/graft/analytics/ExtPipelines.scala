@@ -29,6 +29,14 @@ object ExtPipelines {
     Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
       maxShingleDf = Some(100))
 
+  /** x27: asymmetric containment pairs — the quote/boilerplate
+    * modality; see [[graft.ext.Dedup.containmentPairs]]. Cap OFF here
+    * for exact-oracle parity (same rationale as x3's; the capped form
+    * is pinned ≡ uncapped on this corpus in ExtSpec). */
+  def containmentDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), n = 3,
+      threshold = 0.6, minShingles = 10)
+
   def neardupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir), n = 3, threshold = 0.5)
 

@@ -690,4 +690,51 @@ object Pipelines {
     graft.ops.Skew.saltedSumCount(
       Tables.events(spark, dir).select(col("user_id"), cents(col("value")).as("cents")),
       "user_id", "cents")
+
+  /** g32 — PERSISTED mergeable distinct sketches (DataSketches HLL via
+    * Spark's `hll_sketch_agg` / `hll_union_agg`): the pre-aggregation a
+    * 100 TB system actually stores. Daily distinct-user sketches are a
+    * few KB per day regardless of data volume; any date-range rollup is
+    * then a union over |days| sketches — it never rescans events. This
+    * is the mergeable-sketch counterpart of g16's one-shot
+    * `approx_count_distinct` (whose sketch cannot be persisted or
+    * re-merged from SQL).
+    *
+    * Driver-checkable contract (g16b/x17b pattern — no ANSI SQL can
+    * recompute DataSketches register state, but the claims are
+    * pinnable booleans the oracle sets TRUE):
+    *  - `hll_ok`: the merged weekly estimate lands within ±20% of the
+    *    exact weekly distinct count (lgK=12 → rsd ≈ 1.6%; the band is
+    *    >10σ, so a legitimate sketch deviation on regenerated data
+    *    cannot read as a regression — g16b's 10σ rule).
+    *  - `merge_ok`: the union-of-dailies estimate agrees with a sketch
+    *    built directly over the whole week within ±5% (the direct path
+    *    may use the HIP estimator while a union result uses the
+    *    composite estimator — identical registers, two estimators whose
+    *    difference is O(1σ), so the 3σ-dominating band is stable).
+    * Register-level mergeability (union-of-dailies ≡ direct build,
+    * exactly) is pinned in ApproxSpec where the sketch internals are
+    * observable; the oracle row pins the user-visible contract. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_trunc("day", col("ts")).as("day"),
+      col("user_id"))
+    // what a production system persists: one tiny sketch row per day
+    val daily = ev.groupBy("week", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    // serving path: merge persisted daily sketches per week — no rescan
+    val merged = daily.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    // verification path only run at audit time: direct sketch + exact
+    val direct = ev.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+        countDistinct("user_id").as("exact_users"))
+    merged.join(direct, "week").select(
+      col("week"), col("exact_users"),
+      (abs(col("est_merged") - col("exact_users"))
+        <= greatest(col("exact_users") * lit(0.2), lit(5.0))).as("hll_ok"),
+      (abs(col("est_merged") - col("est_direct"))
+        <= greatest(col("exact_users") * lit(0.05), lit(3.0))).as("merge_ok"))
+  }
 }

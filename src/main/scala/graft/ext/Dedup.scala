@@ -84,7 +84,20 @@ object Dedup {
     *        parity on small data). */
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    shingleIntersections(df, n, maxShingleDf, textCol, idCol)
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+
+  /** Shared candidate-pair kernel for [[jaccardPairs]] (symmetric) and
+    * [[containmentPairs]] (asymmetric): one row per unordered doc pair
+    * sharing ≥1 shingle, with the intersection count and both set
+    * sizes — every set-overlap measure is a pure projection of it. */
+  private def shingleIntersections(df: DataFrame,
+      n: Int, maxShingleDf: Option[Int],
+      textCol: String, idCol: String): DataFrame = {
     // the shingle table feeds both join sides + the size aggregate:
     // persist so the tokenize+explode runs once (spills to disk at
     // scale). Persisting the UNCAPPED table (before the skew filter)
@@ -123,9 +136,37 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
-      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** x27 — asymmetric shingle CONTAINMENT: |A∩B| / |A| ≥ threshold,
+    * emitted per DIRECTION (src contained in dst). Catches the
+    * duplication modality symmetric Jaccard misses by construction: a
+    * short document quoted wholesale inside a much longer one has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B| → 0 as the host grows
+    * (quote-with-commentary scraping, aggregator pages, licence
+    * boilerplate) — the standard complement to resemblance in the
+    * Broder shingling framework the x3/x4 family implements.
+    *
+    * Same join kernel and skew cap as x3 — the intersection table is
+    * direction-free, so both directions are projections of ONE shuffle
+    * (no second self-join). `minShingles` floors the denominator: a
+    * 10-shingle src needs 6 shared shingles at τ=0.6, so one noisy
+    * shared shingle on a tiny doc can never fabricate a hit. Scale
+    * path: x4's MinHash-LSH candidates verify containment exactly the
+    * way they verify Jaccard (the shingle sets are already joined in),
+    * so the all-pairs form here is the oracle baseline, not the
+    * 100 TB plan. */
+  def containmentPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      minShingles: Int = 10, maxShingleDf: Option[Int] = None,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val inter = shingleIntersections(df, n, maxShingleDf, textCol, idCol)
+    val aInB = inter.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+      (col("i").cast("double") / col("na")).as("containment"), col("na").as("n_src"))
+    val bInA = inter.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+      (col("i").cast("double") / col("nb")).as("containment"), col("nb").as("n_src"))
+    aInB.unionByName(bInA)
+      .filter(col("containment") >= threshold && col("n_src") >= minShingles)
+      .select("src_id", "dst_id", "containment")
   }
 
   /** Cross-corpus n-gram contamination (decontamination check): pairs

@@ -310,6 +310,28 @@ class ExtSpec extends SparkSpec {
       4L -> "w1 w2 w3"))   // trailing partial segment "w3" survives
   }
 
+  test("x27: containment catches a quoted subset that jaccard misses; cap is semantics-preserving") {
+    import spark.implicits._
+    val quoted = (1 to 12).map("a" + _).mkString(" ")   // 10 shingles at n=3
+    val corpus = Seq(
+      (1L, quoted),
+      (2L, quoted + " " + (1 to 30).map("c" + _).mkString(" ")), // host: 40 shingles
+      (3L, (1 to 12).map("z" + _).mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, n = 3, threshold = 0.6,
+      minShingles = 10).as[(Long, Long, Double)].collect().toSet
+    // 1 fully inside 2; the reverse direction (10/40) and doc 3 filtered
+    assert(pairs == Set((1L, 2L, 1.0)))
+    // symmetric jaccard at the x3 threshold misses it: 10/(10+40-10) = 0.25
+    assert(Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5).isEmpty)
+    // the x3-style skew cap (far above any df here) changes nothing
+    val uncapped = graft.analytics.ExtPipelines.containmentDups(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.containmentPairs(docs, n = 3, threshold = 0.6,
+      minShingles = 10, maxShingleDf = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == capped && uncapped.nonEmpty)
+  }
+
   test("cluster split never separates a near-dup pair across train/test") {
     val split = graft.analytics.ExtPipelines.clusterSplit(spark, sf())
     val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5,

@@ -126,6 +126,41 @@ class SinkSpec extends SparkSpec {
     assert(expected == rawLineOrder)
   }
 
+  test("g32: weekly sketch rollup honors both contracts at sparse AND dense tiers") {
+    // sf0.001 → ~15 distinct/week (sparse coupon mode, estimates exact);
+    // sf0.1 → ~1500 distinct/week (dense HLL registers, real estimation)
+    for (tier <- Seq("sf0.001", "sf0.1")) {
+      val rows = graft.analytics.Pipelines.sketchRollup(spark, sf(tier)).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getBoolean(2), s"$tier hll_ok: $r")
+        assert(r.getBoolean(3), s"$tier merge_ok: $r")
+      }
+    }
+  }
+
+  test("g32: sketch union is merge-shape invariant (flat ≡ hierarchical)") {
+    // the property that makes per-day sketches safe to roll up in ANY
+    // tree shape (per-executor partials, multi-level reduce): unioning
+    // the 7 dailies flat vs odd/even-day partials first must agree on
+    // identical register state — estimates equal exactly, dense tier
+    val ev = Tables.events(spark, sf("sf0.1")).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("week", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .withColumn("g", dayofmonth(col("day")) % 2)
+    val flat = daily.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hier = daily.groupBy("week", "g")
+      .agg(expr("hll_union_agg(sk, false)").as("p"))
+      .groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(p, false))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat == hier)
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val li = Tables.lineitem(spark, sf())
     val exact = li.groupBy("l_returnflag")
