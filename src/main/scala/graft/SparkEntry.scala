@@ -139,6 +139,7 @@ object SparkEntry {
     "v12_ivf_index_persist" -> (ExtPipelines.ivfIndexPersist _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
+    "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -1685,6 +1686,56 @@ object SparkEntry {
         |         ) AS INT) AS rk
         |  FROM km JOIN documents d ON km.vec_id = d.doc_id)
         |WHERE rk <= 10""".stripMargin),
+
+    // v16: the ENTIRE greedy MMR trajectory recomputed — fixed-point
+    // integer sims (v10/v13 recipe: floor(10⁶·dot/(√na·√nb)+0.5) on
+    // exact integer moments is one IEEE op sequence, bit-equal across
+    // engines), candidates by (rel DESC, cid ASC), then a recursive CTE
+    // replays the 7·rel−3·maxsim greedy with the same id tie-break
+    "v16_mmr_topk" ->
+      """WITH RECURSIVE
+        |fx AS (SELECT vec_id AS id,
+        |         [CAST(floor(x * 10000.0 + 0.5) AS BIGINT)
+        |          for x in CAST(embedding AS DOUBLE[])] AS f
+        |       FROM embeddings),
+        |nrm AS (SELECT id, f,
+        |          list_sum([f[i+1] * f[i+1] for i in range(64)]) AS nn
+        |        FROM fx),
+        |rel0 AS (SELECT q.id AS qid, c.id AS cid,
+        |           CAST(floor(1000000.0 *
+        |             (CAST(list_sum([q.f[i+1] * c.f[i+1] for i in range(64)]) AS DOUBLE)
+        |              / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))))
+        |             + 0.5) AS BIGINT) AS rel
+        |         FROM nrm q JOIN nrm c ON q.id < 10 AND q.id <> c.id),
+        |cand AS (SELECT qid, cid, rel,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY rel DESC, cid ASC) AS rk
+        |         FROM rel0 QUALIFY rk <= 20),
+        |psim AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+        |           CAST(floor(1000000.0 *
+        |             (CAST(list_sum([x.f[i+1] * y.f[i+1] for i in range(64)]) AS DOUBLE)
+        |              / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE))))
+        |             + 0.5) AS BIGINT) AS sim
+        |         FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        |         JOIN nrm x ON x.id = a.cid JOIN nrm y ON y.id = b.cid),
+        |rec AS (
+        |  SELECT qid, [cid] AS picked, 1 AS step FROM cand WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.qid, list_append(r.picked, pick.cid), r.step + 1
+        |  FROM rec r, LATERAL (
+        |    SELECT c.cid
+        |    FROM cand c
+        |    WHERE c.qid = r.qid AND NOT list_contains(r.picked, c.cid)
+        |    ORDER BY 7 * c.rel - 3 * (SELECT max(p.sim) FROM psim p
+        |                              WHERE p.qid = r.qid AND p.ca = c.cid
+        |                                AND list_contains(r.picked, p.cb)) DESC,
+        |             c.cid ASC
+        |    LIMIT 1) pick
+        |  WHERE r.step < 5)
+        |SELECT qid AS query_id, CAST(s + 1 AS BIGINT) AS step,
+        |       picked[s + 1] AS pick_id
+        |FROM rec, LATERAL (SELECT unnest(range(5)) AS s)
+        |WHERE len(picked) = 5""".stripMargin,
 
     "v11_centroid_drift" ->
       """WITH e AS (SELECT vec_id,

@@ -745,6 +745,14 @@ object ExtPipelines {
   def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansLloyd(Tables.embeddings(spark, dir), k = 8, iters = 2)
 
+  /** v16: MMR-diversified retrieval over the first 10 query vectors —
+    * see [[graft.ext.Similarity.mmrTopK]] for the fixed-point
+    * engine-exactness argument (the whole greedy trajectory is
+    * oracle-checked, not just a recall bound). */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(Tables.embeddings(spark, dir),
+      nQueries = 10, nCand = 20, k = 5)
+
   /** v15: cluster-balanced corpus selection — the DataComp/DCLM-style
     * diversity-stratified pick. v13's Lloyd clusters stratify the
     * corpus and each cluster contributes its top-10 docs by

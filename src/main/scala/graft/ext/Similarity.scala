@@ -945,4 +945,102 @@ object Similarity {
           col("dot").cast("double") /
             (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
   }
+
+  /** v16 — MMR (maximal marginal relevance) diversified top-k: greedy
+    * re-rank of the exact top-`nCand` cosine candidates, picking at
+    * each step the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈picked} sim(c, s)` — the standard
+    * Carbonell-Goldstein diversification that keeps a RAG result list
+    * from being `k` near-copies of the same passage (which, on a
+    * near-dup-heavy corpus, is what plain v1 top-k returns).
+    *
+    * Engine-exact by the v10/v13 fixed-point recipe, so the WHOLE
+    * greedy trajectory has a cross-engine oracle (not a recall bound):
+    * embeddings quantize to `floor(x·10⁴+0.5)` longs at the scan; dot
+    * and norms are exact integer folds; each similarity becomes
+    * `floor(10⁶·dot/(√na·√nb)+0.5)` — one fixed IEEE op sequence on
+    * exact integers, bit-identical in Spark SQL, JVM math, and DuckDB —
+    * and λ=0.7 enters as the integer combination `7·rel − 3·maxsim`
+    * with ties broken by candidate id. No float ever crosses an
+    * aggregation boundary, so no summation-order hazard exists.
+    *
+    * Scale shape: the candidate stage is v1's broadcast-query scan with
+    * k-bounded partials (corpus never shuffles); the greedy stage
+    * touches `|queries| · nCand` rows — O(queries), corpus-free — and
+    * runs per query group with an O(nCand·k) in-group loop. At 100 TB
+    * the candidate stage hands off to v2/v3/v14 ANN; the greedy
+    * re-rank is unchanged (it never sees the corpus). */
+  def mmrTopK(emb: DataFrame, nQueries: Int = 10, nCand: Int = 20,
+      k: Int = 5, lambdaNum: Int = 7, divNum: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val fx = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(10000.0) + lit(0.5))).as("f"))
+    val fold = (c: Column) =>
+      aggregate(c, lit(0L), (a: Column, x: Column) => a + x)
+    val nrm = fx.withColumn("nn",
+      fold(zip_with(col("f"), col("f"), (a, b) => a * b)))
+    val q = broadcast(nrm.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("f").as("qf"), col("nn").as("qn")))
+    // integer µ-cosine: the one double sequence shared by all engines
+    val relMu = floor(lit(1000000.0) *
+      (fold(zip_with(col("qf"), col("f"), (a, b) => a * b)).cast("double")
+        / (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
+      + lit(0.5)).cast("long")
+    val scored = nrm.join(q, col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        relMu.cast("double").as("cos"))
+    // exact top-nCand per query: score desc, id asc — rk ≤ nCand
+    val cands = topKPerQuery(scored, nCand)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+    // greedy stage: |queries|·nCand rows, query vector joined back in
+    val grouped = cands
+      .join(nrm.select(col("id").as("cid"), col("f"), col("nn")), "cid")
+      .join(q, "qid")
+      .select(col("qid"), col("cid"), col("f"), col("nn"), col("qf"), col("qn"))
+      .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
+    def muCos(fa: Array[Long], na: Long, fb: Array[Long], nb: Long): Long = {
+      var i = 0; var dot = 0L
+      while (i < fa.length) { dot += fa(i) * fb(i); i += 1 }
+      math.floor(1000000.0 *
+        (dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+        + 0.5).toLong
+    }
+    grouped.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray
+        // rel recomputed in-group: same integers, same IEEE sequence
+        val rel = cs.map(c => muCos(c._5, c._6, c._3, c._4))
+        val order = cs.indices.sortBy(j => (-rel(j), cs(j)._2))
+        val n = cs.length
+        val used = new Array[Boolean](n)
+        val picked = scala.collection.mutable.ArrayBuffer[Int]()
+        picked += order.head; used(order.head) = true
+        while (picked.length < math.min(k, n)) {
+          var best = -1; var bestScore = Long.MinValue; var bestId = Long.MaxValue
+          var j = 0
+          while (j < n) {
+            if (!used(j)) {
+              var maxSim = Long.MinValue
+              picked.foreach { p =>
+                val s = muCos(cs(j)._3, cs(j)._4, cs(p)._3, cs(p)._4)
+                if (s > maxSim) maxSim = s
+              }
+              val score = lambdaNum * rel(j) - divNum * maxSim
+              if (score > bestScore || (score == bestScore && cs(j)._2 < bestId)) {
+                best = j; bestScore = score; bestId = cs(j)._2
+              }
+            }
+            j += 1
+          }
+          picked += best; used(best) = true
+        }
+        picked.iterator.zipWithIndex.map { case (j, s) =>
+          (qid, (s + 1).toLong, cs(j)._2)
+        }
+      }
+      .toDF("query_id", "step", "pick_id")
+  }
 }

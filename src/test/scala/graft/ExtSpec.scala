@@ -310,6 +310,28 @@ class ExtSpec extends SparkSpec {
       4L -> "w1 w2 w3"))   // trailing partial segment "w3" survives
   }
 
+  test("v16: MMR demotes an exact duplicate below a diverse candidate; partitioning-invariant") {
+    import spark.implicits._
+    // query 0 ∥ nothing exactly; c1 and c2 are identical (sim=1), c3 is
+    // relevant-but-diverse: 7·rel₃−3·sim₃₁ ≈ 3.97e6 beats c2's
+    // 7·0.98−3·1 = 3.86e6, so greedy picks 3 before the duplicate 2 —
+    // exactly the behavior plain top-k cannot produce
+    val crafted = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0.98f, 0.199f, 0f, 0f)),
+      (2L, Array(0.98f, 0.199f, 0f, 0f)),
+      (3L, Array(0.92f, -0.39f, 0f, 0f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrTopK(crafted, nQueries = 1, nCand = 3, k = 3)
+      .orderBy("step").select("pick_id").as[Long].collect().toSeq
+    assert(picks == Seq(1L, 3L, 2L))
+    // real corpus: deterministic under any input partitioning
+    val a = graft.analytics.ExtPipelines.mmrTopK(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Similarity.mmrTopK(emb.repartition(7), nQueries = 10, nCand = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.size == 50)
+  }
+
   test("x27: containment catches a quoted subset that jaccard misses; cap is semantics-preserving") {
     import spark.implicits._
     val quoted = (1 to 12).map("a" + _).mkString(" ")   // 10 shingles at n=3
