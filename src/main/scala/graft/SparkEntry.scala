@@ -102,6 +102,7 @@ object SparkEntry {
     "t6_top_docs_per_source" -> (ExtPipelines.topDocsPerSource _),
     "t7_train_test_split" -> (ExtPipelines.trainTestSplit _),
     "t1_token_stats" -> (ExtPipelines.tokenStats _),
+    "t33_heavy_hitters" -> (ExtPipelines.heavyHitters _),
     "t2_quality_signals" -> (ExtPipelines.qualitySignals _),
     "t3_lang_id" -> (ExtPipelines.langId _),
     "t4_fingerprints" -> (ExtPipelines.fingerprints _),
@@ -1197,6 +1198,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |      FROM documents)
         |GROUP BY word HAVING count(*) >= 3""".stripMargin,
+
+    // t33: the oracle recomputes the exact heavy-token set (integer
+    // cnt·100 ≥ N) and pins both Misra-Gries guarantees TRUE — the
+    // sketch side is engine-specific state, its CONTRACT is not
+    "t33_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tk),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+        |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+        |       TRUE AS found_ok, TRUE AS err_ok
+        |FROM c, tot WHERE cnt * 100 >= n""".stripMargin,
     // v3_ann_ivf_topk has no SQL oracle: probe membership depends on
     // the trained coarse quantizer, which SQL can't recompute. ExtSpec
     // pins the defining IVF property instead — exact top-k within the

@@ -330,6 +330,41 @@ object ExtPipelines {
       length(col("text")).as("n_chars_calc"))
   }
 
+  /** t33 — heavy-hitter tokens via the mergeable Misra-Gries summary
+    * ([[graft.functions.FreqItemsAggregator]]), the frequent-items
+    * counterpart of g32's persisted HLL: at 100 TB "what are the hot
+    * tokens" cannot afford the full-vocabulary shuffle an exact
+    * group-by needs, but a k-bounded summary whose partials merge in
+    * any tree answers it with a PROVEN undercount bound of N/(k+1).
+    *
+    * Driver-checkable contract (g32 pattern): the output rows are the
+    * EXACT heavy tokens (cnt·100 ≥ N — integer arithmetic, engine-
+    * exact), each carrying two booleans the oracle pins TRUE:
+    *  - `found_ok`: the sketch holds the token. Guaranteed, not tuned:
+    *    heavy means cnt > N/100, undercount ≤ N/513, so the surviving
+    *    counter is positive under any partitioning/merge order.
+    *  - `err_ok`: est ≤ cnt and (cnt − est)·(k+1) ≤ N — the
+    *    Misra-Gries bound itself, also order-independent.
+    * The exact side exists here for the audit; a production pipeline
+    * persists only the ≤k-entry summary per shard/day and merges on
+    * demand, never rescanning the corpus. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val k = 512
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val mg = udaf(new graft.functions.FreqItemsAggregator(k))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val est = toks.agg(mg(col("tok")).as("m"))
+      .select(explode(col("m")).as(Seq("tok", "est")))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(tot).filter(col("cnt") * 100 >= col("n"))
+      .join(est, Seq("tok"), "left")
+      .select(col("tok"), col("cnt"),
+        col("est").isNotNull.as("found_ok"),
+        (col("est").isNotNull && col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * (k + 1) <= col("n")).as("err_ok"))
+  }
+
   def qualitySignals(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(
       TextAnalysis.qualitySignals(Tables.documents(spark, dir)))

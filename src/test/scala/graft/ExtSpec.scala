@@ -310,6 +310,35 @@ class ExtSpec extends SparkSpec {
       4L -> "w1 w2 w3"))   // trailing partial segment "w3" survives
   }
 
+  test("t33: Misra-Gries summary is exact under k, bounded over k, at any partitioning") {
+    import spark.implicits._
+    val mg8 = udaf(new graft.functions.FreqItemsAggregator(8))
+    // ≤ k distinct tokens → the summary IS the exact count map
+    val small = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val exactM = small.toDF("tok").agg(mg8(col("tok"))).head.getMap[String, Long](0)
+    assert(exactM.toMap == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // hot token + 400 unique junk, k=8: N=500, undercount ≤ N/9 ≈ 55.6
+    // < 100 = true count, so "hot" is GUARANTEED found with a bounded
+    // estimate under any partitioning (compactions differ; the
+    // guarantee cannot). 50 hots would sit exactly AT the bound and
+    // can legally drop to est=0 — the margin must dominate, as the
+    // t33 query's 100-vs-513 thresholds do.
+    val stream = Seq.fill(100)("hot") ++ (1 to 400).map("junk" + _)
+    for (parts <- Seq(1, 7)) {
+      val m = stream.toDF("tok").repartition(parts)
+        .agg(mg8(col("tok"))).head.getMap[String, Long](0).toMap
+      val est = m.getOrElse("hot", 0L)
+      assert(est > 0 && est <= 100, s"parts=$parts est=$est")
+      assert((100 - est) * 9 <= 500, s"parts=$parts undercount too large: $est")
+    }
+    // the registered query: every heavy token found, every bound held
+    val rows = graft.analytics.ExtPipelines.heavyHitters(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3), r.toString)
+    }
+  }
+
   test("v16: MMR demotes an exact duplicate below a diverse candidate; partitioning-invariant") {
     import spark.implicits._
     // query 0 ∥ nothing exactly; c1 and c2 are identical (sim=1), c3 is
