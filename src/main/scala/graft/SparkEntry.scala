@@ -72,6 +72,7 @@ object SparkEntry {
     "sql4_in_subquery" -> (Pipelines.sqlInSubquery _),
     "sql5_window" -> (Pipelines.sqlWindow _),
     "sql6_set_ops" -> (Pipelines.sqlSetOps _),
+    "sql7_rollup" -> (Pipelines.sqlRollup _),
     "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
       Pipelines.coPurchasePairs(s, d)),
     "g32_sketch_rollup" -> (Pipelines.sketchRollup _),
@@ -2217,6 +2218,7 @@ object SparkEntry {
     "sql4_in_subquery" -> Pipelines.sql4InSubqueryText,
     "sql5_window" -> Pipelines.sql5WindowText,
     "sql6_set_ops" -> Pipelines.sql6SetOpsText,
+    "sql7_rollup" -> Pipelines.sql7RollupText,
 
     // g30: basket-generated pair counts; the oracle spells the same
     // semantics as a dedup + size-capped self-join — identical pair

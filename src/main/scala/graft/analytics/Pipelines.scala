@@ -681,6 +681,32 @@ object Pipelines {
     spark.sql(sql6SetOpsText)
   }
 
+  val sql7RollupText: String =
+    """SELECT n_name, o_orderpriority,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, o_orderpriority)""".stripMargin
+
+  /** sql7 — ROLLUP lattice via SQL text (the g8/g28 machinery reached
+    * through the parser): the 3-level subtotal hierarchy compiles to
+    * ONE Expand (3 projections per row) feeding ONE hash aggregate —
+    * never three scans unioned. `grouping()` markers disambiguate a
+    * real NULL key from a subtotal row identically in both engines
+    * (ANSI), and integer-cents sums make every lattice level
+    * aggregation-order-exact. The two dimension joins stay under the
+    * Expand, so the fact table fans out only AFTER the equi-joins
+    * prune/attach — at 100 TB the Expand triples rows, which is why
+    * it must sit above the joins, not below them. */
+  def sqlRollup(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "orders", "customer", "nation")
+    spark.sql(sql7RollupText)
+  }
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

@@ -326,6 +326,21 @@ class PlanSpec extends SparkSpec {
       s"priority filter must reach the orders scan:\n$p")
   }
 
+  test("sql7: ROLLUP plans one Expand ABOVE the dimension joins, one agg exchange") {
+    val p = plan(Pipelines.sqlRollup(spark, sf()))
+    assert(p.linesIterator.count(_.contains("Expand")) == 1,
+      s"the 3-level lattice must be one Expand, not unioned scans:\n$p")
+    // the Expand (row ×3 fan-out) must consume the join OUTPUT: in the
+    // formatted plan the joins are numbered deeper than the Expand
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin"))
+    assert(expandIdx >= 0 && joinIdx > expandIdx,
+      s"joins must sit under the Expand (fan out after pruning):\n$p")
+    assert(!p.contains("Union"), s"rollup must not plan a union:\n$p")
+  }
+
   test("g30: basket shape — one lineitem scan, pairs map-side, no self-join") {
     val df = Pipelines.coPurchasePairs(spark, sf())
     val p = plan(df)
