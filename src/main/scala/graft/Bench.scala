@@ -124,7 +124,16 @@ object Bench {
     // dedup — dominated by the one-time index write
     "x26_minhash_index_ingest",
     "v15_cluster_balanced",
-    "s13_stream_hot_types")
+    "s13_stream_hot_types",
+    // round-11 third wave
+    "g32_sketch_rollup",
+    "t33_heavy_hitters",
+    "v16_mmr_topk",
+    "x27_containment_dups",
+    "sql7_rollup",
+    "sql8_select_subquery",
+    "t34_weighted_sample",
+    "g33_pagerank")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

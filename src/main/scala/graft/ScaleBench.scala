@@ -122,7 +122,19 @@ object ScaleBench {
     // reflects both sides growing)
     "t32_nb_quality",
     "v14_ann_ivfpq_topk",
-    "x26_minhash_index_ingest")
+    "x26_minhash_index_ingest",
+    // round-11 third wave: both are the mergeable-summary shapes whose
+    // whole point is the 100 TB tier — t33's Misra-Gries partials are
+    // k-bounded per task (the exact audit side it carries is a
+    // vocab-bounded shuffle, linear in the scan), g32's daily HLL rows
+    // are O(|days|) regardless of volume. x27 is deliberately absent,
+    // x3-style: containment with the df cap OFF is the exact oracle
+    // form; its scale path is the capped variant measured via x4's
+    // shingle machinery. v16's greedy stage is corpus-free by
+    // construction (|queries|·nCand rows), so the scan it would
+    // measure is v1's, already covered.
+    "t33_heavy_hitters",
+    "g32_sketch_rollup")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

@@ -73,9 +73,11 @@ object SparkEntry {
     "sql5_window" -> (Pipelines.sqlWindow _),
     "sql6_set_ops" -> (Pipelines.sqlSetOps _),
     "sql7_rollup" -> (Pipelines.sqlRollup _),
+    "sql8_select_subquery" -> (Pipelines.sqlSelectSubquery _),
     "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
       Pipelines.coPurchasePairs(s, d)),
     "g32_sketch_rollup" -> (Pipelines.sketchRollup _),
+    "g33_pagerank" -> ((s: SparkSession, d: String) => Pipelines.pageRank(s, d)),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
     "x10_contamination" -> (ExtPipelines.contamination _),
@@ -111,6 +113,7 @@ object SparkEntry {
     "t8_top_ngrams" -> (ExtPipelines.topNgrams _),
     "t9_redact_pii" -> (ExtPipelines.redactedDocs _),
     "t10_sample_per_source" -> (ExtPipelines.samplePerSource _),
+    "t34_weighted_sample" -> (ExtPipelines.weightedSample _),
     "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
@@ -175,6 +178,7 @@ object SparkEntry {
     "s11_stream_cdc" -> (ExtPipelines.streamCdc _),
     "s12_stream_distinct_users" -> (ExtPipelines.streamDistinctUsers _),
     "s13_stream_hot_types" -> (ExtPipelines.streamHotTypes _),
+    "s14_stream_spikes" -> (ExtPipelines.streamSpikes _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -521,6 +525,26 @@ object SparkEntry {
          |           PARTITION BY day ORDER BY value_cents DESC, event_type
          |         ) AS INT) AS rk
          |  FROM agg) WHERE rk <= 3""".stripMargin,
+
+    // s14: the streaming per-(day, type) counts classified day-over-day
+    // — integer ratio test (n·10 ≥ prev·25), lag over observed days,
+    // first day NULL prev ⇒ never a spike; both engines agree on the
+    // NULL rows byte-for-byte
+    "s14_stream_spikes" ->
+      s"""$baseCte
+         |, agg AS (
+         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM base
+         |  WHERE user_id <> 0 AND Type <> 'Error'
+         |  GROUP BY 1, 2)
+         |SELECT day, event_type, n,
+         |  lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+         |  lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+         |  (lag(n) OVER (PARTITION BY event_type ORDER BY day) IS NOT NULL
+         |   AND n * 10 >= lag(n) OVER (PARTITION BY event_type ORDER BY day) * 25
+         |   AND n >= 20) AS spike
+         |FROM agg""".stripMargin,
 
     "s2_sessionize_batch" -> sessionizeOracle,
     "s3_sessionize_stream" -> sessionizeOracle,
@@ -932,6 +956,21 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) t WHERE rk <= 5""".stripMargin,
+
+    // t34: A-Res weighted sample — the oracle recomputes the exact
+    // 52-bit md5 uniform and the same ln(u)/w picogrid key, then takes
+    // the same (key DESC, doc_id ASC) top-1000
+    "t34_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS v
+        |  FROM documents WHERE n_chars >= 1),
+        |k AS (SELECT doc_id, n_chars,
+        |    CAST(round(ln((CAST(v AS DOUBLE) + 0.5) / 4503599627370496.0)
+        |               / CAST(n_chars AS DOUBLE) * 1000000000000.0) AS BIGINT)
+        |      AS key_pnat
+        |  FROM h)
+        |SELECT doc_id, n_chars, key_pnat FROM k
+        |ORDER BY key_pnat DESC, doc_id ASC LIMIT 1000""".stripMargin,
 
     // Gopher-style repetition signals; the Spark side computes them with
     // a per-row sorted-array scan, the oracle with explode+group — same
@@ -2219,6 +2258,7 @@ object SparkEntry {
     "sql5_window" -> Pipelines.sql5WindowText,
     "sql6_set_ops" -> Pipelines.sql6SetOpsText,
     "sql7_rollup" -> Pipelines.sql7RollupText,
+    "sql8_select_subquery" -> Pipelines.sql8SelectSubqueryText,
 
     // g30: basket-generated pair counts; the oracle spells the same
     // semantics as a dedup + size-capped self-join — identical pair
@@ -2234,6 +2274,40 @@ object SparkEntry {
         |JOIN sz ON a.l_orderkey = sz.l_orderkey
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // g33: three integer-exact power iterations unrolled as chained
+    // CTEs — `//` (DuckDB) and `div` (Spark) agree on positive longs,
+    // so the ranks are bit-identical, not approximately equal
+    "g33_pagerank" ->
+      """WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+        |sz AS (SELECT l_orderkey FROM b GROUP BY 1
+        |       HAVING count(*) BETWEEN 2 AND 64),
+        |e0 AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+        |              CAST(count(*) AS BIGINT) AS w
+        |       FROM b a
+        |       JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |       JOIN sz ON a.l_orderkey = sz.l_orderkey
+        |       GROUP BY 1, 2),
+        |e AS (SELECT p1 AS src, p2 AS dst, w FROM e0
+        |      UNION ALL SELECT p2, p1, w FROM e0),
+        |wd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_mu FROM wd),
+        |r1 AS (SELECT e.dst AS node,
+        |         CAST((15000000 + 85 * sum((r.rank_mu * e.w) // wd.wdeg)) // 100
+        |              AS BIGINT) AS rank_mu
+        |       FROM e JOIN wd ON e.src = wd.src JOIN r0 r ON e.src = r.node
+        |       GROUP BY 1),
+        |r2 AS (SELECT e.dst AS node,
+        |         CAST((15000000 + 85 * sum((r.rank_mu * e.w) // wd.wdeg)) // 100
+        |              AS BIGINT) AS rank_mu
+        |       FROM e JOIN wd ON e.src = wd.src JOIN r1 r ON e.src = r.node
+        |       GROUP BY 1),
+        |r3 AS (SELECT e.dst AS node,
+        |         CAST((15000000 + 85 * sum((r.rank_mu * e.w) // wd.wdeg)) // 100
+        |              AS BIGINT) AS rank_mu
+        |       FROM e JOIN wd ON e.src = wd.src JOIN r2 r ON e.src = r.node
+        |       GROUP BY 1)
+        |SELECT node, rank_mu FROM r3""".stripMargin,
 
     // g28: explicit grouping lattice; GROUPING()/grouping_id() share
     // the same bit order (1 = column aggregated away) in both engines

@@ -435,6 +435,39 @@ object ExtPipelines {
       .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
   }
 
+  /** t34 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res): each doc draws key = u^(1/w) from a uniform u and its
+    * weight w; the global top-K by key is a size-K weighted sample —
+    * long docs (here w = n_chars) are proportionally more likely to
+    * survive, yet no doc appears twice. The corpus-curation primitive
+    * between t10's unweighted per-group cut and t12's with-replacement
+    * epoch mixing: "give me a 1000-doc eval set biased toward
+    * substantial documents, reproducibly".
+    *
+    * Engine-exact determinism (t7/t31 discipline composed): u comes
+    * from md5(doc_id) — 52 hash bits centered to (0,1), never rand()
+    * — and the key is compared in log space, ln(u)/w, quantized to
+    * integer PICOnats before ranking (one ln + one divide per row; a
+    * cross-engine last-ulp wobble is ~1e-7 of the grid, so both
+    * engines rank identical keys), ties broken by doc_id. Scale
+    * shape: per-row map + `orderBy.limit(K)` = TakeOrderedAndProject
+    * — k-bounded partial top-K per partition merged on the driver, NO
+    * global sort, nothing shuffles but K-row partials (pinned in
+    * PlanSpec). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 1000
+    val two52 = 4503599627370496.0 // 2^52
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(two52)
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"), col("n_chars"),
+        round(log(u) / col("n_chars").cast("double") * lit(1.0e12))
+          .cast("long").as("key_pnat"))
+      .orderBy(col("key_pnat").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic hash-bucket train/test split (80/20). */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     graft.ext.DataSplit.withSplit(
@@ -928,6 +961,34 @@ object ExtPipelines {
         Window.partitionBy("day")
           .orderBy(col("value_cents").desc, col("event_type"))))
       .filter(col("rk") <= 3)
+  }
+
+  /** s14 — daily-rate spike detection: the anomaly monitor over
+    * [[graft.streaming.Streaming.dailyTypeCounts]]'s continuously-
+    * maintained window table. A (type, day) is flagged when its count
+    * is ≥2.5× the type's PREVIOUS observed day and clears a minimum
+    * volume floor — the "did ingestion just go haywire / did a source
+    * start flooding" gate a corpus pipeline runs before admitting a
+    * day's crawl. The ratio test is integer-exact (`n·10 ≥ prev·25` —
+    * no float ratio crosses the comparison), the first observed day of
+    * a type carries NULL prev and can never flag, and "previous" means
+    * previous OBSERVED day (a zero-volume day emits no window row —
+    * itself the anomaly the volume floor catches from the other side).
+    * Serving cost: one |types|-partitioned lag window over a
+    * days×types-sized table — metadata-scale regardless of corpus
+    * volume, because the stream already reduced events to one integer
+    * per (day, type). */
+  def streamSpikes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.dailyTypeCounts(
+        graft.streaming.Streaming.eventsStream(spark, dir)))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    agg.withColumn("prev_day", lag("day", 1).over(w))
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .withColumn("spike",
+        col("prev_n").isNotNull && col("n") * 10 >= col("prev_n") * 25 &&
+          col("n") >= 20)
   }
 
   /** Sliding 2-day/1-day windowed totals (overlapping windows — s1's

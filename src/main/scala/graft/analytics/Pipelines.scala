@@ -625,6 +625,53 @@ object Pipelines {
       .filter(col("n_orders") >= minSupport)
   }
 
+  /** g33 — weighted PageRank over the g30 co-purchase graph: graph
+    * centrality as a data-curation signal (the web-scale precedent:
+    * crawl frontiers and quality priors are ranked by link centrality;
+    * here "parts that co-occur with well-connected parts" — same
+    * machinery, in-warehouse). Fixed `iters` power iterations with
+    * damping 0.85 over the symmetrized edge list.
+    *
+    * Engine-exact integer arithmetic end-to-end (no float ever crosses
+    * an aggregation boundary): ranks live in µ-units starting at 10⁶;
+    * a node's contribution along an edge is `rank_mu · w div wdeg`
+    * (long division, truncating — identical to DuckDB's `//` on
+    * positives) and the damping finish is `(15·10⁶ + 85·Σ) div 100` —
+    * so every engine, partitioning, and aggregation order produces
+    * bit-identical ranks. The uniform-teleport variant keeps per-node
+    * base mass constant (classic 1/N normalization just rescales by a
+    * constant the oracle would also compute; constant-per-node keeps
+    * every intermediate in comfortable long range at any N).
+    *
+    * Scale shape: the edge list is built once (g30's basket fan-out —
+    * the fact table shuffles once, pairs never leave their basket),
+    * persisted WITH its src-side degree attached, and reused by every
+    * iteration; each iteration is then one hash join (ranks are
+    * |nodes|-sized, edges stay put) plus one shuffle on dst — the
+    * irreducible per-iteration exchange of distributed PageRank. At
+    * 100 TB you bucket the edge table by src (g20's machinery) so the
+    * per-iteration join is co-located, and AQE's skew handling covers
+    * hub nodes. Dangling nodes cannot exist: the graph is symmetric,
+    * so every node has in- and out-mass by construction. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir, maxBasket = 64, minSupport = 1L)
+      .select(col("p1"), col("p2"), col("n_orders").as("w"))
+    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    val withDeg = edges.join(wdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = wdeg.select(col("src").as("node"), lit(1000000L).as("rank_mu"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_mu * w div wdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .select(col("dst").as("node"),
+          expr("(15000000 + 85 * s) div 100").as("rank_mu"))
+    }
+    ranks
+  }
+
   val sql5WindowText: String =
     """SELECT o_custkey, o_orderkey, price_cents, rk, running_cents
       |FROM (
@@ -705,6 +752,38 @@ object Pipelines {
   def sqlRollup(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir, "orders", "customer", "nation")
     spark.sql(sql7RollupText)
+  }
+
+  val sql8SelectSubqueryText: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT CAST(COALESCE(MAX(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+      |          AS BIGINT)
+      |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order_cents,
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin
+
+  /** sql8 — CORRELATED scalar subqueries in the SELECT list (sql2
+    * covered the WHERE-clause EXISTS form; this is the other place
+    * users write correlation). The naive reading is one orders scan
+    * PER customer row — O(|customer|·|orders|); Catalyst decorrelates
+    * each subquery into a grouped aggregate on o_custkey joined LEFT
+    * OUTER under the customer scan, so orders is scanned once per
+    * subquery and the join is a plain equi-join AQE can broadcast.
+    * The two subqueries share the correlation key but not the
+    * aggregate, so the plan carries two aggregate-join legs — the
+    * documented cost of spelling it this way vs one derived table
+    * (which g7 covers); the suite pins BOTH spellings so a user can
+    * see the tradeoff. COALESCE pins the no-orders customer to 0
+    * (ANSI: empty scalar subquery is NULL in both engines), and
+    * COUNT(*) over the decorrelated left join must stay 0 — not 1 —
+    * for such customers, which is exactly the null-handling corner
+    * the decorrelation rewrite is trusted to get right; integer cents
+    * keep the MAX engine-exact. */
+  def sqlSelectSubquery(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "customer", "orders")
+    spark.sql(sql8SelectSubqueryText)
   }
 
   /** Two-stage salted aggregation registered as a query: salting is

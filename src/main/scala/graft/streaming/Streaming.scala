@@ -185,6 +185,24 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("value_cents"))
 
+  /** s14 — daily event-rate counts, streaming side: the state a
+    * volume-anomaly monitor maintains incrementally (one integer per
+    * open (day, type) window, watermark-evicted — s13's shape with
+    * count instead of cents). The spike CLASSIFICATION over finished
+    * windows is a serving query on this continuously-maintained table
+    * ([[graft.analytics.ExtPipelines.streamSpikes]]): day-over-day
+    * comparison needs the PREVIOUS day's final count, which Append-mode
+    * state rightly refuses to re-open — the monitor reads the result
+    * table, the stream only keeps it fresh. */
+  def dailyTypeCounts(events: DataFrame): DataFrame =
+    Viewing.validRows(Viewing.categorize(events))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+
   /** Stream-static enrichment join: the stream side joins a broadcast
     * static dimension — stateless, and the stream never shuffles; the
     * standard pattern for attaching slowly-changing dimensions to a

