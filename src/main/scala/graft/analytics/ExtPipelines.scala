@@ -447,9 +447,14 @@ object ExtPipelines {
     * Engine-exact determinism (t7/t31 discipline composed): u comes
     * from md5(doc_id) — 52 hash bits centered to (0,1), never rand()
     * — and the key is compared in log space, ln(u)/w, quantized to
-    * integer PICOnats before ranking (one ln + one divide per row; a
-    * cross-engine last-ulp wobble is ~1e-7 of the grid, so both
-    * engines rank identical keys), ties broken by doc_id. Scale
+    * integer PICOnats before ranking (one ln + one divide per row),
+    * ties broken by doc_id. The cross-engine agreement is
+    * PROBABILISTIC, not a theorem: a last-ulp ln() difference flips a
+    * key only when the product sits within ~1 ulp of a .5 grid
+    * boundary (≈1e-7 per row on this grid — both engines round half
+    * away from zero, so the rounding RULE itself never diverges), and
+    * a flipped key changes the SAMPLE only if that row straddles the
+    * rank-K cut. Scale
     * shape: per-row map + `orderBy.limit(K)` = TakeOrderedAndProject
     * — k-bounded partial top-K per partition merged on the driver, NO
     * global sort, nothing shuffles but K-row partials (pinned in

@@ -645,30 +645,43 @@ object Pipelines {
     *
     * Scale shape: the edge list is built once (g30's basket fan-out —
     * the fact table shuffles once, pairs never leave their basket),
-    * persisted WITH its src-side degree attached, and reused by every
-    * iteration; each iteration is then one hash join (ranks are
+    * lineage-truncated WITH its src-side degree attached, and reused by
+    * every iteration; each iteration is then one hash join (ranks are
     * |nodes|-sized, edges stay put) plus one shuffle on dst — the
     * irreducible per-iteration exchange of distributed PageRank. At
     * 100 TB you bucket the edge table by src (g20's machinery) so the
     * per-iteration join is co-located, and AQE's skew handling covers
     * hub nodes. Dangling nodes cannot exist: the graph is symmetric,
-    * so every node has in- and out-mass by construction. */
+    * so every node has in- and out-mass by construction.
+    *
+    * Cache hygiene (the [[graft.ext.Checkpoints]] discipline x9's
+    * connectedComponents established): each iteration's ranks are
+    * checkpointed — so iteration k's plan does NOT contain iterations
+    * 1..k-1 and arbitrary `iters` keeps a constant-size plan — and the
+    * superseded round plus the edge table are freed before returning.
+    * The ONE retained snapshot is the returned final ranks (a
+    * |nodes|-row frame; freeing it would free the result). */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import graft.ext.Checkpoints.{ckpt, free}
     val pairs = coPurchasePairs(spark, dir, maxBasket = 64, minSupport = 1L)
       .select(col("p1"), col("p2"), col("n_orders").as("w"))
     val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
       .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
     val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
-    val withDeg = edges.join(wdeg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = wdeg.select(col("src").as("node"), lit(1000000L).as("rank_mu"))
+    val withDeg = ckpt(edges.join(wdeg, "src"))
+    var ranks = ckpt(
+      withDeg.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("rank_mu")))
     for (_ <- 1 to iters) {
-      ranks = withDeg.join(ranks, col("src") === col("node"))
+      val next = ckpt(withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank_mu * w div wdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
         .select(col("dst").as("node"),
-          expr("(15000000 + 85 * s) div 100").as("rank_mu"))
+          expr("(15000000 + 85 * s) div 100").as("rank_mu")))
+      free(ranks) // superseded round — next is already materialized
+      ranks = next
     }
+    free(withDeg) // the final ranks no longer read the edge table
     ranks
   }
 

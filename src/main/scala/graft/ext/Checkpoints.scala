@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** The iterative-algorithm checkpoint discipline shared by
+  * [[Dedup.connectedComponents]] (x9) and
+  * [[graft.analytics.Pipelines.pageRank]] (g33): every round's result
+  * is lineage-truncated (otherwise iteration k's plan contains
+  * iterations 1..k-1 and optimizer time grows with `iters`), and a
+  * SUPERSEDED round is freed eagerly instead of waiting for LRU
+  * eviction or app exit — localCheckpoint blocks pile up in executor
+  * memory/disk, and reliable checkpoint files are NOT auto-removed
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+  * false and non-final files survive app exit). */
+private[graft] object Checkpoints {
+
+  /** Lineage-truncate `df`: reliable `checkpoint()` when the session
+    * has a checkpoint dir (the production setting), `localCheckpoint()`
+    * otherwise. Both are EAGER — the returned frame is materialized,
+    * so freeing its inputs afterwards is safe. */
+  def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Free a [[ckpt]] result that has been SUPERSEDED (its successor is
+    * fully materialized and no returned plan reads it): deletes the
+    * reliable checkpoint files or unpersists the localCheckpoint
+    * blocks. A no-op on frames that are not checkpoint roots. */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isDefined)
+          lr.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          }
+        else lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -786,28 +786,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
       maxIters: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    // Free a superseded round NOW instead of waiting: localCheckpoint
-    // blocks pile up in executor memory/disk, and reliable checkpoint
-    // files are NOT auto-removed (cleanCheckpoints defaults to false and
-    // non-final files survive app exit) — without this, up to maxIters
-    // label snapshots accumulate per invocation. Safe because free() is
-    // only called after the next round's checkpoint has fully
-    // materialized and the convergence probe has run.
-    def free(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          if (reliable)
-            lr.rdd.getCheckpointFile.foreach { f =>
-              val p = new org.apache.hadoop.fs.Path(f)
-              p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-            }
-          else lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+    // [[Checkpoints]]: truncate lineage per round, free superseded
+    // rounds eagerly — without this, up to maxIters label snapshots
+    // accumulate per invocation. free() is only called after the next
+    // round's checkpoint has fully materialized and the convergence
+    // probe has run.
+    import Checkpoints.{ckpt, free}
     val edges = ckpt(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct())

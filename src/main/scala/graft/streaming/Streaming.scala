@@ -187,8 +187,13 @@ object Streaming {
 
   /** s14 — daily event-rate counts, streaming side: the state a
     * volume-anomaly monitor maintains incrementally (one integer per
-    * open (day, type) window, watermark-evicted — s13's shape with
-    * count instead of cents). The spike CLASSIFICATION over finished
+    * open (day, type) window — s13's shape with count instead of
+    * cents). The declared watermark is what bounds that state in the
+    * production Append-mode deployment; the local harness
+    * ([[runToBatch]]'s default Complete mode, which s14's serving query
+    * needs to see every window in one finite run) does NOT evict on it
+    * — Complete mode keeps all windows by definition. The spike
+    * CLASSIFICATION over finished
     * windows is a serving query on this continuously-maintained table
     * ([[graft.analytics.ExtPipelines.streamSpikes]]): day-over-day
     * comparison needs the PREVIOUS day's final count, which Append-mode

@@ -1715,15 +1715,30 @@ class ExtSpec extends SparkSpec {
         _.map { case (s, _, w) => ranks(s) * w / wdeg(s) }.sum).toMap
       ranks = in.map { case (n, s) => n -> (15000000L + 85L * s) / 100L }
     }
+    val before = spark.sparkContext.getPersistentRDDs.size
     val got = graft.analytics.Pipelines.pageRank(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // cache hygiene: per-iteration checkpoints and the edge table are
+    // freed before pageRank returns — the ONE retained snapshot is the
+    // final ranks frame itself (|nodes| rows), so repeated invocations
+    // cannot accumulate edge-sized cached copies
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"pageRank retained ${after - before} persistent RDDs (want <= 1)")
     assert(got.keySet == ranks.keySet)
     got.foreach { case (n, r) =>
       assert(r == ranks(n), s"node $n: $r vs driver ${ranks(n)}")
     }
     // centrality sanity: ranks differentiate (not all equal) and the
-    // total mass stays within the damping contraction of the start mass
+    // total mass stays within the damping contraction of the start
+    // mass: each round emits >= 0.15e6 per node (teleport base) and,
+    // since integer div only loses mass, at most the full incoming sum
+    // — so from the 1e6-per-node start the total can never exceed it
     assert(got.values.toSet.size > 1)
+    val n = got.size.toLong
+    val mass = got.values.map(BigInt(_)).sum
+    assert(mass >= BigInt(n) * 150000L && mass <= BigInt(n) * 1000000L,
+      s"total rank mass $mass outside [0.15, 1.0] x ${n}e6")
   }
 
   test("t34: weighted sample is the exact A-Res top-1000 of the md5-drawn keys") {
@@ -1735,8 +1750,13 @@ class ExtSpec extends SparkSpec {
     }
     val rows = docs.select("doc_id", "n_chars").collect()
       .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 >= 1)
+    // HALF_UP (away from zero), matching Spark's Round on doubles and
+    // DuckDB's round() — math.round is half-toward-+inf, which diverges
+    // on these always-NEGATIVE keys at exact .5 grid boundaries
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     val expected = rows.map { case (id, w) =>
-      (id, w, math.round(math.log(u52(id)) / w.toDouble * 1.0e12))
+      (id, w, halfUp(math.log(u52(id)) / w.toDouble * 1.0e12))
     }.sortBy { case (id, _, k) => (-k, id) }.take(1000)
     val got = graft.analytics.ExtPipelines.weightedSample(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
