@@ -133,7 +133,11 @@ object Bench {
     "sql7_rollup",
     "sql8_select_subquery",
     "t34_weighted_sample",
-    "g33_pagerank")
+    "g33_pagerank",
+    // round-12 operators: x25b is the production fuzzy-name path
+    // (identical-name hash-group + distinct-name prefix-filter verify
+    // — compare with x25's brand-block all-pairs row above)
+    "x25b_jaro_name_match_blocked")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -109,8 +109,15 @@ object ScaleBench {
     // absent, x23-style: p_brand has 25 values at every SF, so
     // replication grows each block linearly and the pair count
     // quadratically — the scaladoc's documented Σblock² bound, not a
-    // regression worth harness time; its scale path is a composed
-    // block key (brand × name-prefix) or x4/x23b candidate generation.
+    // regression worth harness time. Its production twin x25b is ALSO
+    // absent in full form, but for the opposite reason: part names are
+    // replicated VERBATIM (only keys offset), so the true OUTPUT
+    // itself grows quadratically across replicas — a lower bound no
+    // algorithm undercuts, and x25b's corpus-side stages are exactly
+    // output-sized joins. The stage whose scaling is actually in
+    // question — the distinct-name candidate+verify — is measured
+    // below as x25b_name_pairs (expect ~flat: replication adds rows,
+    // not names).
     "g30_copurchase_pairs",
     "t31_bigram_nll",
     "v13_kmeans_lloyd",
@@ -216,7 +223,16 @@ object ScaleBench {
       val scaled: Seq[(String, () => DataFrame)] = Seq(
         "x15_semantic_dedup_kscaled" -> (() =>
           graft.ext.Dedup.semanticDedup(Tables.embeddings(spark, dir),
-            nClusters = 8 * factor, eps = 0.4, nIters = 1)))
+            nClusters = 8 * factor, eps = 0.4, nIters = 1)),
+        // x25b's quadratic stage in isolation: distinct names are
+        // invariant under verbatim replication, so this should be
+        // ~flat across tiers — the evidence that the fuzzy-name verify
+        // cost tracks the name VOCABULARY, not the corpus (the full
+        // x25b is output-bound on this tier; see the comment above)
+        "x25b_name_pairs" -> (() =>
+          graft.ext.Dedup.jaroWinklerNamePairs(
+            Tables(spark, dir, "part").select(
+              col("p_brand").as("blk"), col("p_name").as("nm")))))
       // SPARK_GRAFT_ONLY=<substring>[,<substring>…] re-measures a subset
       // without paying for the full sweep (e.g. after optimizing one
       // operator)

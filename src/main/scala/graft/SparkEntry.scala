@@ -97,6 +97,7 @@ object SparkEntry {
     "x6_simhash_dups" -> (ExtPipelines.simhashDups _),
     "x23_editdist_neardup" -> (ExtPipelines.editDistNearDups _),
     "x25_jaro_name_match" -> (ExtPipelines.jaroWinklerNameMatch _),
+    "x25b_jaro_name_match_blocked" -> (ExtPipelines.jaroWinklerNameMatchBlocked _),
     "x23b_editdist_blocked" -> (ExtPipelines.editDistNearDupsBlocked _),
     "x24_dedup_apply" -> (ExtPipelines.dedupApplyClusters _),
     "x24b_dedup_apply_persisted" -> (ExtPipelines.dedupApplyPersisted _),
@@ -215,6 +216,15 @@ object SparkEntry {
       |       levenshtein(a.pfx, b.pfx) AS dist
       |FROM p a JOIN p b ON a.doc_id < b.doc_id
       |WHERE levenshtein(a.pfx, b.pfx) <= 4""".stripMargin
+
+  /** Shared by x25 (brand-blocked exact all-pairs) and x25b (the
+    * distinct-name prefix-filtered twin — equal result by theorem). */
+  private val jaroOracle: String =
+    """SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+      |       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+      |FROM part a
+      |JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""".stripMargin
 
   private val jaccardOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -917,13 +927,14 @@ object SparkEntry {
 
     // x25: the native JaroWinklerExpr is bit-exact with DuckDB's
     // jaro_winkler_similarity (validated on 7k part-name pairs), so the
-    // raw double hash-compares; blocking key (p_brand) spelled in both
-    "x25_jaro_name_match" ->
-      """SELECT a.p_partkey AS p1, b.p_partkey AS p2,
-        |       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
-        |FROM part a
-        |JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""".stripMargin,
+    // raw double hash-compares; blocking key (p_brand) spelled in both.
+    // x25b (identical-name fast path + zero-loss prefix-filtered
+    // distinct-name verify) shares it, the x23/x23b relationship: the
+    // result set is equal BY THEOREM, including the jw doubles (the
+    // fast path's literal 1.0 is exactly what the formula yields on
+    // identical strings).
+    "x25_jaro_name_match" -> jaroOracle,
+    "x25b_jaro_name_match_blocked" -> jaroOracle,
 
     "t5_normalize" ->
       """SELECT doc_id,

@@ -61,9 +61,20 @@ object ExtPipelines {
 
   /** x25: brand-blocked Jaro-Winkler fuzzy part-name matching —
     * see [[graft.ext.Dedup.jaroWinklerPairs]] for the bit-exactness
-    * and block-size scale arguments. */
+    * and block-size scale arguments. The exact all-pairs oracle form;
+    * [[jaroWinklerNameMatchBlocked]] (x25b) is the production twin. */
   def jaroWinklerNameMatch(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaroWinklerPairs(Tables(spark, dir, "part"),
+      idCol = "p_partkey", nameCol = "p_name", blockCol = "p_brand",
+      threshold = 0.9)
+
+  /** x25b: the sub-quadratic twin of x25 — identical-name hash-group
+    * fast path + zero-loss prefix-filtered distinct-name verify + id
+    * expansion, sharing x25's exact oracle the way x23b shares x23's.
+    * See [[graft.ext.Dedup.jaroWinklerPairsBlocked]] for the soundness
+    * chain and the 100 TB argument. */
+  def jaroWinklerNameMatchBlocked(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaroWinklerPairsBlocked(Tables(spark, dir, "part"),
       idCol = "p_partkey", nameCol = "p_name", blockCol = "p_brand",
       threshold = 0.9)
 

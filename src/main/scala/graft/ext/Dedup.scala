@@ -624,14 +624,15 @@ object Dedup {
     * `jaro_winkler_similarity`, so the oracle hash-compares the raw
     * double).
     *
-    * Scale: cost is Σ block² — sound while blocks stay bounded (here
-    * 25 brands ≈ n/25 per block; the shuffle also has exactly 25 keys,
-    * so parallelism is block-count-bound — compose the block key, e.g.
-    * brand × name-prefix, to widen it). Unlike x23b's pigeonhole
-    * blocking, a semantic block key trades recall by DESIGN (cross-
-    * brand matches are out of scope, not missed); for unbounded blocks
-    * use x23b's segment blocking or x4's LSH as the candidate
-    * generator and this verify on top. */
+    * Scale: cost is Σ block² in the CORPUS — this is the exact
+    * all-pairs-within-block ORACLE form (the x3/x23 role): 25 brands
+    * ≈ n/25 per block, so pair count grows quadratically with data and
+    * the 25-key shuffle caps parallelism. The production twin is
+    * [[jaroWinklerPairsBlocked]] (x25b, same oracle): identical names
+    * short-circuit through a hash-group, and the pairwise stage runs
+    * on the DISTINCT name table behind a zero-recall-loss prefix
+    * filter — corpus-side work linear, quadratic work bounded by the
+    * name vocabulary. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, threshold: Double = 0.9): DataFrame = {
     graft.functions.TextExpressions.registerJaroWinkler(df.sparkSession)
@@ -645,6 +646,154 @@ object Dedup {
         graft.functions.TextExpressions.jaroWinkler(col("n1"), col("n2"))
           .as("jw"))
       .filter(col("jw") >= threshold)
+  }
+
+  /** The candidate+verify core of [[jaroWinklerPairsBlocked]] (x25b),
+    * operating on DISTINCT (block, name) rows: emits every distinct
+    * name pair within a block whose Jaro-Winkler similarity meets
+    * `threshold`, with ZERO recall loss — a theorem, not a tuned-recall
+    * claim (the x23b discipline). Exposed separately because this is
+    * the stage whose scale behavior matters: its input is the distinct
+    * NAME SPACE, not the corpus, so its cost is flat wherever the name
+    * vocabulary saturates while the corpus grows.
+    *
+    * Soundness chain (every step a worst-case bound):
+    *  1. `jw >= t` ⇒ `jaro >= (t - 0.4)/0.6`: the Winkler boost adds at
+    *     most `0.4·(1 - jaro)` (prefix cap 4, scale 0.1) — equality at
+    *     the cap, and a smaller boost only means a larger jaro.
+    *  2. Writing the Jaro as `(m/l1 + m/l2 + (m - T/2)/m)/3` with the
+    *     transposition term ≤ 1: `m/l1 + m/l2 >= 3·jaro - 1`, i.e. the
+    *     MATCHED character count obeys
+    *     `m >= (3·jLow - 1)·l1·l2/(l1+l2) = (5t-3)·l1·l2/(l1+l2) =: O`.
+    *  3. Jaro matches are a 1-1 pairing of equal characters, so the
+    *     character MULTISETS intersect in >= m >= O elements.
+    *  4. Prefix filter (the classic set-similarity-join theorem): order
+    *     each multiset's (char, occurrence) elements by one global
+    *     total order; if two multisets share >= O elements, their
+    *     prefixes of sizes `l1-O+1` and `l2-O+1` share at least one.
+    *     O depends on BOTH lengths, so each name emits its prefix once
+    *     per admissible partner-length class `c`, keyed by
+    *     `(min(l,c), max(l,c), element)` — a true pair `(l1, l2)` then
+    *     meets on the key both sides derived from the same O(l1,l2).
+    *     Classes with `O > min(l,c)` are impossible (m <= min) and
+    *     skipped; `O <= l` bounds classes at `c <= l/(5t-4)`, which is
+    *     why `threshold > 0.8` is required (below it the class range —
+    *     and the filter's power — collapses).
+    * Floating-point hazard at the bound: `5t-3` computed in doubles can
+    * land one ulp HIGH (5·0.9-3 = 1.5000000000000004), which would
+    * shrink a prefix illegally — the `- 1e-9` inside the ceil absorbs
+    * it in the safe direction (a too-small O only ADDS candidates).
+    *
+    * The global element order is corpus char rarity (ascending), so
+    * prefixes hold each name's RAREST characters — selectivity, not
+    * correctness (any total order satisfies the theorem). The rarity
+    * table collect is bounded by the charset (metadata-scale, the
+    * documented-collect discipline). Every candidate is verified with
+    * the native [[graft.functions.JaroWinklerExpr]], bit-exact with
+    * ANSI `jaro_winkler_similarity`. */
+  def jaroWinklerNamePairs(distinctNames: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.8 && threshold <= 1.0,
+      s"prefix-filter blocking needs 0.8 < threshold <= 1.0, got $threshold")
+    graft.functions.TextExpressions.registerJaroWinkler(
+      distinctNames.sparkSession)
+    val dn = distinctNames.select(col("blk"), col("nm")).distinct()
+    // global char rarity order; bounded by the charset of the name
+    // column (<= a few hundred rows for real entity names)
+    val orderStr = dn
+      .select(explode(split(col("nm"), "")).as("c"))
+      .filter(length(col("c")) === 1)
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("c"))
+      .collect().map(_.getString(0)).mkString
+    val orderArr = split(lit(orderStr), "")
+    val chars = filter(split(col("nm"), ""), x => length(x) === 1)
+    // sortable AND joinable element ids: zero-padded (rarity rank,
+    // occurrence index) — injective on (char, occ), so lexicographic
+    // order on the strings IS one global total order on elements
+    val elems = array_sort(transform(chars, (c, i) => concat(
+      lpad(array_position(orderArr, c).cast("string"), 4, "0"),
+      lpad(size(filter(slice(chars, lit(1), i), x => x === c))
+        .cast("string"), 4, "0"))))
+    // O(l, c), computed safe-side (see scaladoc)
+    def ovl(l: Column, c: Column): Column =
+      ceil((lit(5 * threshold - 3) * l * c).cast("double") /
+        (l + c).cast("double") - lit(1e-9)).cast("int")
+    val clsMax = ceil(col("len").cast("double") / lit(5 * threshold - 4) +
+      lit(2)).cast("int")
+    val sigs = dn
+      .withColumn("len", size(chars))
+      .withColumn("sorted", elems)
+      .withColumn("cls", explode(filter(sequence(lit(1), clsMax), c =>
+        ovl(col("len"), c) <= least(col("len"), c) &&
+          col("len") - ovl(col("len"), c) + 1 >= 1)))
+      .withColumn("p", col("len") - ovl(col("len"), col("cls")) + 1)
+      .withColumn("mn", least(col("len"), col("cls")))
+      .withColumn("mx", greatest(col("len"), col("cls")))
+      .select(col("blk"), col("nm"), col("len"), col("mn"), col("mx"),
+        explode(slice(col("sorted"), lit(1), col("p"))).as("sig"))
+    val cand = sigs.select(col("blk"), col("nm").as("nm1"),
+        col("len").as("l1"), col("mn"), col("mx"), col("sig"))
+      .join(sigs.select(col("blk"), col("nm").as("nm2"),
+        col("len").as("l2"), col("mn"), col("mx"), col("sig")),
+        Seq("blk", "mn", "mx", "sig"))
+      .filter(col("nm1") < col("nm2") &&
+        least(col("l1"), col("l2")) === col("mn") &&
+        greatest(col("l1"), col("l2")) === col("mx"))
+      .select("blk", "nm1", "nm2").distinct()
+    cand
+      .withColumn("jw",
+        graft.functions.TextExpressions.jaroWinkler(col("nm1"), col("nm2")))
+      .filter(col("jw") >= threshold)
+  }
+
+  /** x25b — the sub-quadratic production twin of [[jaroWinklerPairs]]
+    * (x25), same exact oracle. Two structural moves:
+    *
+    *  1. IDENTICAL names — which dominate the output of real entity
+    *     corpora — never enter pairwise similarity at all: one
+    *     hash-group on (block, name) and an output-sized equi-join
+    *     expansion emit them with jw = 1.0 exactly (identical strings
+    *     score exactly 1.0 in the formula on every engine — m = l1 =
+    *     l2, T = 0).
+    *  2. The quadratic stage runs on the DISTINCT name table via
+    *     [[jaroWinklerNamePairs]]'s zero-loss prefix filter; verified
+    *     name pairs then expand back to id pairs through two
+    *     (block, name) equi-joins.
+    *
+    * Why this is the 100 TB shape where x25's brand-only blocking is
+    * Σblock² in the CORPUS: every corpus-proportional step here is
+    * linear (hash-group, signature scan, expansion joins — the last
+    * bounded by the output, which no algorithm can undercut), and the
+    * pairwise work is (distinct names per block)², a quantity that
+    * saturates with the name vocabulary rather than growing with rows.
+    * Skew hazard, documented: a single degenerate name shared by g
+    * rows emits C(g,2) OUTPUT pairs — that is the specified result
+    * itself, so the mitigation lives upstream (x1 exact-dedup ids, or
+    * cap the group like g30's maxBasket) when the consumer doesn't
+    * want placeholder-name cliques. */
+  def jaroWinklerPairsBlocked(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, threshold: Double = 0.9): DataFrame = {
+    val names = df.select(col(blockCol).as("blk"), col(idCol).as("pid"),
+      col(nameCol).as("nm")).filter(col("nm").isNotNull)
+    // non-empty only: the empty string scores 0 against EVERYTHING in
+    // the DuckDB convention (including itself — pinned in ExtSpec), so
+    // the identical-score-1.0 shortcut must not apply to it
+    val ident = names.filter(length(col("nm")) > 0)
+      .select(col("blk"), col("nm"), col("pid").as("p1"))
+      .join(names.select(col("blk"), col("nm"), col("pid").as("p2")),
+        Seq("blk", "nm"))
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"), lit(1.0).as("jw"))
+      .filter(lit(1.0) >= threshold)
+    val cross = jaroWinklerNamePairs(names.select("blk", "nm"), threshold)
+      .join(names.select(col("blk"), col("nm").as("nm1"),
+        col("pid").as("id1")), Seq("blk", "nm1"))
+      .join(names.select(col("blk"), col("nm").as("nm2"),
+        col("pid").as("id2")), Seq("blk", "nm2"))
+      .select(least(col("id1"), col("id2")).as("p1"),
+        greatest(col("id1"), col("id2")).as("p2"), col("jw"))
+    ident.unionByName(cross)
   }
 
   /** x23b — the BLOCKED production twin of [[editDistanceNearDups]]:

@@ -1005,6 +1005,62 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.9 && r.getLong(0) < r.getLong(1)))
   }
 
+  test("x25b: blocked twin equals x25's exact all-pairs result, jw doubles included") {
+    val part = sources.Tables(spark, sf(), "part")
+    val exact = graft.ext.Dedup.jaroWinklerPairs(
+        part, "p_partkey", "p_name", "p_brand")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = graft.ext.Dedup.jaroWinklerPairsBlocked(
+        part, "p_partkey", "p_name", "p_brand")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(blocked == exact,
+      s"missed=${(exact -- blocked).take(5)} extra=${(blocked -- exact).take(5)}")
+  }
+
+  test("x25b: zero recall loss on adversarial lengths/prefixes (driver all-pairs oracle)") {
+    import graft.functions.JaroWinklerExpr.similarity
+    // names chosen to stress every branch the part table doesn't:
+    // differing lengths across the class grid, shared suffix with
+    // differing FIRST char ('old ring'/'cold ring' — a 2-gram-prefix
+    // block would lose it), repeated chars (occurrence indexes),
+    // single chars, an empty string, and identical-name groups
+    val names = Seq(
+      "old ring", "cold ring", "bold ring", "old rings", "ring old",
+      "aaaa", "aaab", "aaaaa", "a", "b", "", "zq", "zqzqzqzq",
+      "mississippi", "missisippi", "mississippee", "banana", "bananas",
+      "large bolt", "large plate", "small gear", "hot widget", "hot widget")
+    import spark.implicits._
+    val df = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, "B1", n) }.toDF("id", "blk", "nm")
+    val got = graft.ext.Dedup.jaroWinklerPairsBlocked(df, "id", "nm", "blk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for {
+      i <- names.indices; j <- names.indices if i < j
+      jw = similarity(names(i), names(j)) if jw >= 0.9
+    } yield (i.toLong, j.toLong, jw)).toSet
+    assert(want.nonEmpty) // the fixture must actually exercise matches
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("x25b: pairwise verify runs on the distinct-name table, not the corpus") {
+    // the corpus-side quadratic hazard is gone by construction: the
+    // candidate stage input is distinct (blk, nm). Pin that by feeding
+    // a corpus with massive identical-name duplication and checking
+    // the name-pair stage sees only the distinct names.
+    import spark.implicits._
+    val dn = Seq(("B1", "alpha part"), ("B1", "alpha pert"), ("B1", "beta part"))
+      .toDF("blk", "nm")
+    val pairs = graft.ext.Dedup.jaroWinklerNamePairs(dn)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getDouble(3)))
+    // alpha part / alpha pert differ in one char: jw >= 0.9; the beta
+    // pair does not reach threshold
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set(("alpha part", "alpha pert")))
+    import graft.functions.JaroWinklerExpr.similarity
+    assert(pairs.head._3 == similarity("alpha part", "alpha pert"))
+  }
+
   test("t31: bigram NLL matches a driver-side recompute; partitioning-invariant") {
     val result = graft.ext.LmQuality.bigramNll(docs)
     val got = result.collect().map { r =>
