@@ -123,6 +123,14 @@ object Bench {
     // a temp dir + batch probe + identity check), the v12 shape for
     // dedup — dominated by the one-time index write
     "x26_minhash_index_ingest",
+    // x26b: the SERVING cost of the same index — one batch (the 20%
+    // test split) ingested against the hot standing frames (the x26
+    // row above prices the audit harness: double build + identity
+    // probes; this row prices the production ingest. warmup absorbs
+    // the one-time index write + frame caching, the x24b/g20 pattern;
+    // the timed cost is batch-proportional: shingle+sign the batch,
+    // band-join + Jaccard-verify against the index)
+    "x26b_minhash_index_serve",
     "v15_cluster_balanced",
     "s13_stream_hot_types",
     // round-11 third wave

@@ -85,6 +85,7 @@ object SparkEntry {
     "x17_bloom_ingest" -> (ExtPipelines.bloomIngest _),
     "x17b_bloom_ingest_bounded" -> (ExtPipelines.bloomIngestBounded _),
     "x26_minhash_index_ingest" -> (ExtPipelines.minhashIndexIngest _),
+    "x26b_minhash_index_serve" -> (ExtPipelines.minhashIndexServe _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
@@ -734,6 +735,21 @@ object SparkEntry {
         |      FROM h)
         |SELECT CAST(count(*) AS BIGINT) AS n_batch,
         |       TRUE AS identical,
+        |       CAST(0 AS BIGINT) AS n_exact_admitted
+        |FROM b WHERE bucket >= 52428""".stripMargin,
+
+    // x26b: the serving-only twin (load stored index + one batch
+    // ingest) — same driver-checkable facts minus the dual-build
+    // identity probe, which stays x26's job
+    "x26b_minhash_index_serve" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
         |       CAST(0 AS BIGINT) AS n_exact_admitted
         |FROM b WHERE bucket >= 52428""".stripMargin,
 

@@ -465,7 +465,17 @@ object Dedup {
     * (1-(1-j^rows)^bands; identical docs always collide, so a true
     * exact duplicate can never be admitted). Docs with fewer than n
     * tokens carry no shingles and are admitted (no Jaccard evidence
-    * against them — mirrored by both paths). */
+    * against them — mirrored by both paths).
+    *
+    * EAGER at the rejected-id set: the batch's shingle frame feeds
+    * four consumers (bands, sizes, both intersection joins), so it is
+    * persisted for the duration of the call — and the only way to
+    * release that cache deterministically instead of leaking one copy
+    * per invocation (the g33/x9 hygiene rule) is to materialize the
+    * DELTA-SIZED rejected-id set first (one [[Checkpoints.ckpt]], ≤
+    * batch rows) and hand back a plan that reads only the batch and
+    * that checkpoint. The bounded eager action is the documented
+    * exception class (x26/g33). */
   def nearDupIngest(standingBands: DataFrame, standingShingles: DataFrame,
       standingSizes: DataFrame, batch: DataFrame, n: Int = 3,
       threshold: Double = 0.5, numHashes: Int = 16, bands: Int = 8,
@@ -507,8 +517,10 @@ object Dedup {
         bsizes.select(col(idCol).as("a_id"), col("n_sh").as("na")),
         bsizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")))
       .select(col("b_id").as(idCol)).distinct()
+    val rejected = Checkpoints.ckpt(dupS.unionByName(dupB).distinct())
+    bsh.unpersist()
     batch.select(col(idCol))
-      .join(dupS.unionByName(dupB).distinct(), Seq(idCol), "left_anti")
+      .join(rejected, Seq(idCol), "left_anti")
   }
 
   // ---- SimHash ----

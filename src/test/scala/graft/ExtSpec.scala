@@ -1650,6 +1650,7 @@ class ExtSpec extends SparkSpec {
     val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
     val mem = Dedup.nearDupIngest(mb, msh, msz, batch)
       .collect().map(_.getLong(0)).toSet
+    msh.unpersist() // nearDupIngest is eager at its rejected-id set
     // the v12 discipline: stored and in-memory frames run the same
     // probe code; signatures/shingles round-trip parquet exactly
     assert(fromIdx == mem && fromIdx.nonEmpty)
