@@ -170,9 +170,15 @@ case class WindowHashes(child: Expression, window: Expression)
   * for consumers that need the n-gram TEXT (corpus-level top-ngram
   * counting): one loop of `UTF8String.concatWs` per window beats the
   * interpreted `transform(sequence(...), concat_ws(element_at...))`
-  * tree that otherwise runs per window. */
+  * tree that otherwise runs per window.
+  *
+  * Code-generated, not CodegenFallback: `doGenCode` inlines the
+  * (generated) child evaluation and calls the SAME static kernel as
+  * `nullSafeEval` ([[TextKernels.ngrams]]) with the n-gram width baked
+  * in as a constant — no interpreted re-evaluation of the child tree
+  * per row, no Literal probe for the foldable width. */
 case class Ngrams(child: Expression, ngram: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = child
   override def right: Expression = ngram
@@ -189,32 +195,24 @@ case class Ngrams(child: Expression, ngram: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_ngrams"
 
-  private val sep = UTF8String.fromString(" ")
+  @transient private lazy val ngConst: Int = ngram.eval().asInstanceOf[Int]
 
-  override def nullSafeEval(v: Any, nv: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val arr = v.asInstanceOf[ArrayData]
-    val ng = nv.asInstanceOf[Int]
-    val n = arr.numElements()
-    val m = n - ng + 1
-    if (ng < 1 || m <= 0) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      toks(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
-      i += 1
-    }
-    val out = new Array[Any](m)
-    val window = new Array[UTF8String](ng)
-    i = 0
-    while (i < m) {
-      var j = 0
-      while (j < ng) { window(j) = toks(i + j); j += 1 }
-      out(i) = if (ng == 1) toks(i) else UTF8String.concatWs(sep, window: _*)
-      i += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(v: Any, nv: Any): Any =
+    TextKernels.ngrams(v.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = child.genCode(ctx)
+    ev.copy(code = leftGen.code + code"""
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TextKernels.ngrams(
+          ${leftGen.value}, $ngConst);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -378,9 +376,15 @@ case class RemoveSpans(toks: Expression, starts: Expression,
   * term byte-arrays in place — zero string allocation per row. Term
   * counts stay exact integers so the BM25 doubles derived from them
   * are bit-reproducible against the SQL oracle.
-  */
+  *
+  * Code-generated, not CodegenFallback: the foldable term list is
+  * materialized ONCE per expression instance as `byte[][]` (the old
+  * fallback path rebuilt it per ROW from the Literal's ArrayData) and
+  * handed to the generated code as a reference object; the child text
+  * evaluates in generated code and the scan runs in the shared static
+  * kernel ([[TextKernels.termFreqs]]). */
 case class TermFreqs(child: Expression, terms: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = child
   override def right: Expression = terms
@@ -401,48 +405,31 @@ case class TermFreqs(child: Expression, terms: Expression)
 
   override def prettyName: String = "graft_term_freqs"
 
-  override def nullSafeEval(v: Any, tv: Any): Any = {
-    val text = v.asInstanceOf[UTF8String]
-    val ta = tv.asInstanceOf[ArrayData]
-    val k = ta.numElements()
-    val terms = new Array[UTF8String](k)
-    var i = 0
-    while (i < k) {
+  @transient private lazy val termBytes: Array[Array[Byte]] = {
+    val ta = terms.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ta.numElements()) { i =>
       val t = ta.getUTF8String(i)
-      terms(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
-      i += 1
+      (if (t == null) UTF8String.EMPTY_UTF8 else t).getBytes
     }
-    val termBytes = terms.map(_.getBytes)
-    val tf = new Array[Long](k)
-    val bytes = text.getBytes
-    val n = bytes.length
-    var dl = 1L // m delimiters => m+1 tokens, like string_split
-    var start = 0
-    var pos = 0
-    while (pos <= n) {
-      if (pos == n || bytes(pos) == ' ') {
-        val tokLen = pos - start
-        var j = 0
-        while (j < k) {
-          val tb = termBytes(j)
-          if (tb.length == tokLen) {
-            var eq = true
-            var b = 0
-            while (eq && b < tokLen) {
-              if (bytes(start + b) != tb(b)) eq = false
-              b += 1
-            }
-            if (eq) tf(j) += 1
-          }
-          j += 1
-        }
-        if (pos < n) dl += 1
-        start = pos + 1
-      }
-      pos += 1
-    }
-    new GenericInternalRow(Array[Any](dl,
-      ArrayData.toArrayData(tf)))
+  }
+
+  override def nullSafeEval(v: Any, tv: Any): Any =
+    TextKernels.termFreqs(v.asInstanceOf[UTF8String], termBytes)
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftTermBytes", termBytes, "byte[][]")
+    ev.copy(code = leftGen.code + code"""
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TextKernels.termFreqs(
+          ${leftGen.value}, $ref);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -647,10 +634,13 @@ object JaroWinklerExpr {
   *
   * Pairing semantics are identical to Spark's `substring` / DuckDB's
   * `substr` (consecutive code points), so t31's cross-engine oracle is
-  * unaffected. */
+  * unaffected.
+  *
+  * Code-generated, not CodegenFallback: `doGenCode` delegates to the
+  * shared static kernel ([[TextKernels.charBigrams]]) with the child
+  * evaluated in generated code. */
 case class CharBigrams(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -661,31 +651,14 @@ case class CharBigrams(child: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_char_bigrams"
 
-  override def nullSafeEval(v: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    // one pass: record every code-point start offset
-    var i = 0; var c = 0
-    val starts = new Array[Int](n + 1)
-    while (i < n) {
-      starts(c) = i
-      i += UTF8String.numBytesForFirstByte(bytes(i))
-      c += 1
-    }
-    starts(c) = n
-    val m = c - 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](m)
-    var k = 0
-    while (k < m) {
-      out(k) = UTF8String.fromBytes(
-        java.util.Arrays.copyOfRange(bytes, starts(k), starts(k + 2)))
-      k += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charBigrams(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charBigrams($c)")
 
   override protected def withNewChildInternal(c: Expression): CharBigrams =
     copy(child = c)
