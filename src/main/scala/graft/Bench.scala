@@ -145,7 +145,8 @@ object Bench {
     // round-12 operators: x25b is the production fuzzy-name path
     // (identical-name hash-group + distinct-name prefix-filter verify
     // — compare with x25's brand-block all-pairs row above)
-    "x25b_jaro_name_match_blocked")
+    "x25b_jaro_name_match_blocked",
+    "sql9_multi_join")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

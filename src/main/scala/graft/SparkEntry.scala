@@ -74,6 +74,7 @@ object SparkEntry {
     "sql6_set_ops" -> (Pipelines.sqlSetOps _),
     "sql7_rollup" -> (Pipelines.sqlRollup _),
     "sql8_select_subquery" -> (Pipelines.sqlSelectSubquery _),
+    "sql9_multi_join" -> (Pipelines.sqlMultiJoin _),
     "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
       Pipelines.coPurchasePairs(s, d)),
     "g32_sketch_rollup" -> (Pipelines.sketchRollup _),
@@ -2286,6 +2287,7 @@ object SparkEntry {
     "sql6_set_ops" -> Pipelines.sql6SetOpsText,
     "sql7_rollup" -> Pipelines.sql7RollupText,
     "sql8_select_subquery" -> Pipelines.sql8SelectSubqueryText,
+    "sql9_multi_join" -> Pipelines.sql9MultiJoinText,
 
     // g30: basket-generated pair counts; the oracle spells the same
     // semantics as a dedup + size-capped self-join — identical pair

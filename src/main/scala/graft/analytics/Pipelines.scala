@@ -799,6 +799,45 @@ object Pipelines {
     spark.sql(sql8SelectSubqueryText)
   }
 
+  val sql9MultiJoinText: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_c4
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** sql9 — the TPC-H Q5-shaped SIX-table join through the parser
+    * path: the single most common "bring your SQL" query class (fact
+    * table × snowflaked dimensions with a selective dimension filter),
+    * previously exercised only as the DataFrame form (g2). One ANSI
+    * text on both engines, sql1's dialect discipline (integer-cents
+    * revenue — exact under any join/aggregation order — TIMESTAMP
+    * literals, no bare `/`).
+    *
+    * Plan shape (PlanSpec-pinned): region and nation are fixed-size
+    * dims → broadcast joins (the r_name filter prunes to one region
+    * BEFORE the broadcast); the customer⋈orders⋈lineitem⋈supplier
+    * fact-side joins shuffle on their keys with AQE free to pick
+    * broadcast when a side collapses below the threshold at runtime.
+    * The non-key predicate c_nationkey = s_nationkey rides on the
+    * supplier equi-join (it's an equi-condition, not a filter above a
+    * cross — no nested-loop anywhere). At 100 TB the o_orderdate range
+    * prunes the orders scan and everything downstream of it. */
+  def sqlMultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "customer", "orders", "lineitem",
+      "supplier", "nation", "region")
+    spark.sql(sql9MultiJoinText)
+  }
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

@@ -361,6 +361,27 @@ class PlanSpec extends SparkSpec {
       s"segment IN-filter must reach the customer scan:\n$p")
   }
 
+  test("sql9: six-table Q5 shape — broadcast dims, equi-joins only, pushed filters") {
+    val p = plan(Pipelines.sqlMultiJoin(spark, sf()))
+    // fixed-size dims broadcast; no join may degenerate to a
+    // nested-loop (the c_nationkey = s_nationkey condition is an
+    // equi-condition ON the supplier join, not a filter over a cross)
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"all six joins must stay equi-joins:\n$p")
+    // selective predicates reach their scans: region name and the
+    // orders date range (the scan pruner at 100 TB)
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the region scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range must reach the orders scan:\n$p")
+    val rows = Pipelines.sqlMultiJoin(spark, sf()).collect()
+    assert(rows.nonEmpty)
+  }
+
   test("g30: basket shape — one lineitem scan, pairs map-side, no self-join") {
     val df = Pipelines.coPurchasePairs(spark, sf())
     val p = plan(df)
