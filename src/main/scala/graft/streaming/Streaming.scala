@@ -326,4 +326,55 @@ object Streaming {
         sum("cents").as("total_cents"))
       .select("user_id", "session_start_us", "n_events", "total_cents")
   }
+
+  /** Sink-ready enriched event stream: valid categorized rows with
+    * integer cents and their event-time day — the layout a daily lake
+    * partition wants ([[parquetSink]] partitions on `day`). Works on
+    * batch and stream frames alike (stateless, so Append-mode clean). */
+  def enrichedForLake(events: DataFrame): DataFrame =
+    Viewing.validRows(Viewing.categorize(events))
+      .select(col("event_id"), col("user_id"), col("Type"),
+        Viewing.cents.as("value_cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+
+  /** Partitioned-parquet streaming SINK with checkpointed EXACTLY-ONCE
+    * restart — the missing write half of the streaming family (the
+    * other operators compute; this lands results durably).
+    *
+    * The exactly-once argument, spelled out because the restart spec
+    * relies on each step:
+    *  1. the checkpoint's offset log records, per micro-batch id, the
+    *     exact source slice (file list) BEFORE the batch runs — a
+    *     replayable source re-produces the same slice on re-execution;
+    *  2. the parquet sink is IDEMPOTENT per batch id: a batch's output
+    *     files are registered in the sink's `_spark_metadata` log in
+    *     one atomic commit keyed by that id, and a restart that
+    *     re-executes an uncommitted batch commits it exactly once (an
+    *     id already present is skipped);
+    *  3. files from a KILLED attempt are orphaned on disk but absent
+    *     from the metadata log, and metadata-aware readers (any
+    *     `spark.read.parquet` on the sink path) list files FROM the
+    *     log — so partial output is invisible, not double-counted.
+    * Replayable source + deterministic batch slices + idempotent
+    * commit = end-to-end exactly-once across kill/restart, verified in
+    * StreamingSpec by killing mid-stream and comparing the drained
+    * sink against the batch oracle of the same input.
+    *
+    * Scale notes: `partitionBy(day)` gives the lake layout whose
+    * pruned reads the m2/m1 experiment measures; one metadata commit
+    * per batch is the driver-side cost, independent of data volume;
+    * compaction of many small per-batch files is a downstream concern
+    * (the standard daily-compaction job), not a correctness one. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      partitionCols: Seq[String] = Seq("day"),
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+      .trigger(trigger)
+      .start()
 }

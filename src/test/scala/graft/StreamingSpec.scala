@@ -190,6 +190,50 @@ class StreamingSpec extends SparkSpec {
       "both stream-observable statuses occur; removed never does")
   }
 
+  test("parquet sink: mid-stream kill + restart + late files = exactly the batch result") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-sink-restart").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    // stage the normalized events as 8 parquet files so
+    // maxFilesPerTrigger=1 yields 8 distinct micro-batches; first 4
+    // now, 4 arrive "later" (after the kill)
+    val ev = Tables.events(spark, sf())
+    ev.where(pmod(col("event_id"), lit(2)) === 0).repartition(4)
+      .write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // run 1: continuous trigger, KILLED once at least one batch has
+    // committed but (almost surely) before all 4 have — the crash case
+    val q1 = Streaming.parquetSink(Streaming.enrichedForLake(src()), out, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(q1.recentProgress.nonEmpty, "run 1 never processed a batch")
+    // late arrivals land while the stream is down
+    ev.where(pmod(col("event_id"), lit(2)) === 1).repartition(4)
+      .write.mode("append").parquet(in)
+    // run 2: resume from the SAME checkpoint, drain everything
+    val q2 = Streaming.parquetSink(Streaming.enrichedForLake(src()), out, ck)
+    q2.awaitTermination()
+    // metadata-aware read-back (the _spark_metadata log hides any
+    // orphan files from the killed attempt) vs the batch oracle over
+    // the full input — multiset equality = no loss AND no dupes (a
+    // replayed batch would double its rows; a skipped one would lose
+    // them)
+    val sink = spark.read.parquet(out)
+      .select("event_id", "user_id", "Type", "value_cents", "day")
+    val oracle = Streaming.enrichedForLake(spark.read.parquet(in))
+    assert(oracle.count() > 0)
+    assert(sink.exceptAll(oracle).isEmpty && oracle.exceptAll(sink).isEmpty)
+    // the day partitioning actually materialized as directories
+    val days = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("day="))
+    assert(days.nonEmpty, "sink must be partitioned by day")
+  }
+
   test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
     val feats = Multimodal.featurize(Tables.documents(spark, sf()))
     val bad = feats.select(col("doc_id"),
