@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -22,12 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * ELEMENT (the bigram-building `transform` alone dominated the t11
   * query), while this builds the n-grams AND sorts AND scans in one
   * tight JVM loop over Tungsten `UTF8String`s (binary order — any
-  * total order groups equal elements). CodegenFallback is deliberate:
-  * the array loop dominates, codegen'ing it buys little. Null ELEMENTS
-  * sort as empty strings (split() never produces them; defensive).
+  * total order groups equal elements). Null ELEMENTS sort as empty
+  * strings (split() never produces them; defensive). Code-generated
+  * via the shared [[TextKernels.repeatStats]] kernel (doGenCode
+  * inlines the child — typically a split() — into generated code
+  * instead of re-walking it interpreted per row, the Ngrams rule).
   */
 case class RepeatStats(child: Expression, ngram: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = child
   override def right: Expression = ngram
@@ -47,48 +48,24 @@ case class RepeatStats(child: Expression, ngram: Expression)
 
   override def prettyName: String = "graft_repeat_stats"
 
-  private val sep = UTF8String.fromString(" ")
+  @transient private lazy val ngConst: Int = ngram.eval().asInstanceOf[Int]
 
-  override def nullSafeEval(v: Any, nv: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val ng = nv.asInstanceOf[Int]
-    val n = arr.numElements()
-    val m = n - ng + 1
-    if (ng < 1 || m <= 0) return new GenericInternalRow(Array[Any](0L, 0L))
-    val toks = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      toks(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
-      i += 1
-    }
-    val a = new Array[AnyRef](m)
-    if (ng == 1) {
-      System.arraycopy(toks, 0, a, 0, m)
-    } else {
-      val window = new Array[UTF8String](ng)
-      i = 0
-      while (i < m) {
-        var j = 0
-        while (j < ng) { window(j) = toks(i + j); j += 1 }
-        a(i) = UTF8String.concatWs(sep, window: _*)
-        i += 1
-      }
-    }
-    java.util.Arrays.sort(a)
-    var top = 1L
-    var dup = 0L
-    var run = 1L
-    i = 1
-    while (i < m) {
-      if ((a(i) eq a(i - 1)) || a(i).equals(a(i - 1))) {
-        run += 1
-        dup += (if (run == 2) 2L else 1L)
-        if (run > top) top = run
-      } else run = 1L
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](top, dup))
+  override def nullSafeEval(v: Any, nv: Any): Any =
+    TextKernels.repeatStats(v.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = child.genCode(ctx)
+    ev.copy(code = leftGen.code + code"""
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TextKernels.repeatStats(
+          ${leftGen.value}, $ngConst);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -112,7 +89,7 @@ case class RepeatStats(child: Expression, ngram: Expression)
   * they never need to match any SQL-recomputable value.
   */
 case class WindowHashes(child: Expression, window: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = child
   override def right: Expression = window
@@ -132,32 +109,24 @@ case class WindowHashes(child: Expression, window: Expression)
 
   override def prettyName: String = "graft_window_hashes"
 
-  override def nullSafeEval(v: Any, wv: Any): Any = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val arr = v.asInstanceOf[ArrayData]
-    val w = wv.asInstanceOf[Int]
-    val n = arr.numElements()
-    val m = n - w + 1
-    if (w < 1 || m <= 0) return new GenericArrayData(Array.empty[Any])
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      th(i) = if (s == null) 42L
-        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      i += 1
-    }
-    val out = new Array[Any](m)
-    i = 0
-    while (i < m) {
-      var h = 42L
-      var j = 0
-      while (j < w) { h = XXH64.hashLong(th(i + j), h); j += 1 }
-      out(i) = new GenericInternalRow(Array[Any](i + 1, h))
-      i += 1
-    }
-    new GenericArrayData(out)
+  @transient private lazy val wConst: Int = window.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(v: Any, wv: Any): Any =
+    TextKernels.windowHashes(v.asInstanceOf[ArrayData], wv.asInstanceOf[Int])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = child.genCode(ctx)
+    ev.copy(code = leftGen.code + code"""
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TextKernels.windowHashes(
+          ${leftGen.value}, $wConst);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -228,7 +197,7 @@ case class Ngrams(child: Expression, ngram: Expression)
   * [[Ngrams]]: one concatWs loop instead of an interpreted
   * transform/slice tree per segment. */
 case class GridSegments(child: Expression, window: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = child
   override def right: Expression = window
@@ -248,32 +217,24 @@ case class GridSegments(child: Expression, window: Expression)
 
   override def prettyName: String = "graft_grid_segments"
 
-  private val sep = UTF8String.fromString(" ")
+  @transient private lazy val wConst: Int = window.eval().asInstanceOf[Int]
 
-  override def nullSafeEval(v: Any, wv: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val arr = v.asInstanceOf[ArrayData]
-    val w = wv.asInstanceOf[Int]
-    val n = arr.numElements()
-    if (w < 1 || n == 0) return new GenericArrayData(Array.empty[Any])
-    val m = (n + w - 1) / w
-    val out = new Array[Any](m)
-    var i = 0
-    while (i < m) {
-      val start = i * w
-      val len = math.min(w, n - start)
-      val window = new Array[UTF8String](len)
-      var j = 0
-      while (j < len) {
-        val s = arr.getUTF8String(start + j)
-        window(j) = if (s == null) UTF8String.EMPTY_UTF8 else s
-        j += 1
-      }
-      out(i) = new GenericInternalRow(Array[Any](start + 1,
-        if (len == 1) window(0) else UTF8String.concatWs(sep, window: _*)))
-      i += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(v: Any, wv: Any): Any =
+    TextKernels.gridSegments(v.asInstanceOf[ArrayData], wv.asInstanceOf[Int])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = child.genCode(ctx)
+    ev.copy(code = leftGen.code + code"""
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TextKernels.gridSegments(
+          ${leftGen.value}, $wConst);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -290,7 +251,7 @@ case class GridSegments(child: Expression, window: Expression)
   * which is O(n·|starts|) with a tree-eval per position. The final step
   * of [[graft.ext.Dedup.dedupSpans]]. */
 case class RemoveSpans(toks: Expression, starts: Expression,
-    window: Expression) extends TernaryExpression with CodegenFallback {
+    window: Expression) extends TernaryExpression {
 
   override def first: Expression = toks
   override def second: Expression = starts
@@ -308,50 +269,26 @@ case class RemoveSpans(toks: Expression, starts: Expression,
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_remove_spans"
 
-  private val sep = UTF8String.fromString(" ")
+  @transient private lazy val wConst: Int = window.eval().asInstanceOf[Int]
 
-  override def nullSafeEval(t: Any, s: Any, wv: Any): Any = {
-    val arr = t.asInstanceOf[ArrayData]
-    val st = s.asInstanceOf[ArrayData]
-    val w = wv.asInstanceOf[Int]
-    val n = arr.numElements()
-    val m = st.numElements()
-    // The merged-interval sweep needs `starts` ascending. The internal
-    // caller (Dedup.dedupSpans) emits sorted starts, but the function is
-    // SQL-exposed as graft_remove_spans — copy + validate, sorting if a
-    // caller hands us unsorted input instead of silently keeping spans
-    // that should have been removed. Null elements are rejected loudly:
-    // a null start has no meaning and would otherwise corrupt the sweep.
-    val starts = new Array[Int](m)
-    var sorted = true
-    var si = 0
-    while (si < m) {
-      if (st.isNullAt(si)) throw new IllegalArgumentException(
-        s"$prettyName: starts array must not contain null elements")
-      starts(si) = st.getInt(si)
-      if (si > 0 && starts(si) < starts(si - 1)) sorted = false
-      si += 1
-    }
-    if (!sorted) java.util.Arrays.sort(starts)
-    val kept = new Array[UTF8String](n)
-    var nKept = 0
-    var idx = 0
-    var curEnd = 0L
-    var pos = 1
-    while (pos <= n) {
-      while (idx < m && starts(idx) <= pos) {
-        val end = starts(idx).toLong + w - 1
-        if (end > curEnd) curEnd = end
-        idx += 1
-      }
-      if (pos > curEnd) {
-        val tok = arr.getUTF8String(pos - 1)
-        kept(nKept) = if (tok == null) UTF8String.EMPTY_UTF8 else tok
-        nKept += 1
-      }
-      pos += 1
-    }
-    UTF8String.concatWs(sep, java.util.Arrays.copyOf(kept, nKept): _*)
+  override def nullSafeEval(t: Any, s: Any, wv: Any): Any =
+    TextKernels.removeSpans(t.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], wv.asInstanceOf[Int])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val tGen = toks.genCode(ctx)
+    val sGen = starts.genCode(ctx)
+    ev.copy(code = tGen.code + sGen.code + code"""
+      boolean ${ev.isNull} = ${tGen.isNull} || ${sGen.isNull};
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TextKernels.removeSpans(
+          ${tGen.value}, ${sGen.value}, $wConst);
+      }""")
   }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
@@ -467,7 +404,7 @@ object BpeEncode {
   * which is the broadcast-vocab shape: at 100 TB the vocab rides the
   * closure (bytes), the corpus never shuffles. */
 case class BpeEncodeExpr(child: Expression, merges: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = child
   override def right: Expression = merges
@@ -500,32 +437,24 @@ case class BpeEncodeExpr(child: Expression, merges: Expression)
     m
   }
 
-  override def nullSafeEval(v: Any, mv: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val s = v.asInstanceOf[UTF8String].toString
-    val n = s.length
-    val buf = new Array[Int](n) // ≤ one token per char
-    var k = 0
-    var i = 0
-    while (i < n) {
-      val cp1 = s.codePointAt(i)
-      val l1 = Character.charCount(cp1)
-      var advanced = false
-      if (i + l1 < n) {
-        val l2 = Character.charCount(s.codePointAt(i + l1))
-        val id = mergeIds.get(s.substring(i, i + l1 + l2))
-        if (id != null) {
-          buf(k) = id.intValue(); k += 1
-          i += l1 + l2
-          advanced = true
-        }
-      }
-      if (!advanced) {
-        buf(k) = cp1; k += 1
-        i += l1
-      }
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(buf, k))
+  override def nullSafeEval(v: Any, mv: Any): Any =
+    TextKernels.bpeEncode(v.asInstanceOf[UTF8String], mergeIds)
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftMergeIds", mergeIds,
+      "java.util.HashMap<String, Integer>")
+    ev.copy(code = leftGen.code + code"""
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TextKernels.bpeEncode(
+          ${leftGen.value}, $ref);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -544,12 +473,15 @@ case class BpeEncodeExpr(child: Expression, merges: Expression)
   * DuckDB's IEEE order — `(m/l1 + m/l2 + (m−t)/m) / 3.0`, then
   * `j + (l·0.1)·(1−j)` — and was validated bit-exact (`==` on the
   * double) against `jaro_winkler_similarity` over 7k real part-name
-  * pairs plus edge probes. CodegenFallback for the same reason as
-  * [[RepeatStats]]: the O(len·window) matching loop dominates; it runs
-  * as one tight JVM loop either way.
+  * pairs plus edge probes. Code-generated (doGenCode calls the same
+  * static [[JaroWinklerExpr.similarity]] the spec recomputes with):
+  * the matching loop runs as one tight JVM loop either way, but the
+  * generated path evaluates the child strings in generated code
+  * instead of re-walking them interpreted per candidate pair — and
+  * x25b's verify stage evaluates this per candidate.
   */
 case class JaroWinklerExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -565,6 +497,13 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     JaroWinklerExpr.similarity(a.asInstanceOf[UTF8String].toString,
       b.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerExpr.similarity($a.toString(), $b.toString())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -90,9 +89,11 @@ case class CosineSim(left: Expression, right: Expression)
   * returns struct(qscale float, qvec array<tinyint>) with qscale =
   * maxAbs/127 and elements rounded into [-127, 127] (all-zero vector →
   * qscale 0, zero qvec). One loop over the Tungsten floats instead of
-  * the interpreted aggregate(maxAbs) + transform(round/cast) pair. */
+  * the interpreted aggregate(maxAbs) + transform(round/cast) pair.
+  * Code-generated via the shared [[VectorKernels.quantize]] kernel
+  * (the TextKernels discipline: one body, both execution modes). */
 case class QuantizeVec(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -107,40 +108,21 @@ case class QuantizeVec(child: Expression)
 
   override def prettyName: String = "graft_quantize_vec"
 
-  override def nullSafeEval(v: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    var maxAbs = 0.0f
-    var i = 0
-    while (i < n) {
-      val x = math.abs(arr.getFloat(i))
-      if (x > maxAbs) maxAbs = x
-      i += 1
-    }
-    val scale = (maxAbs / 127.0).toFloat
-    val q = new Array[Byte](n)
-    if (scale != 0.0f) {
-      i = 0
-      while (i < n) {
-        // clamp: float rounding of the scale can push maxAbs/scale a
-        // hair past 127, and 128.toByte would wrap to -128
-        val r = math.round(arr.getFloat(i) / scale.toDouble)
-        q(i) = (if (r > 127L) 127L else if (r < -127L) -127L else r).toByte
-        i += 1
-      }
-    }
-    new GenericInternalRow(Array[Any](scale, new GenericArrayData(q)))
-  }
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.quantize($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** Dequantize an int8 vector back to `array<float>` (qvec[i] * qscale)
-  * — the inverse of [[QuantizeVec]], one loop. */
+  * — the inverse of [[QuantizeVec]], one loop, code-generated via
+  * [[VectorKernels.dequantize]]. */
 case class DequantizeVec(qvec: Expression, qscale: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = qvec
   override def right: Expression = qscale
@@ -157,16 +139,12 @@ case class DequantizeVec(qvec: Expression, qscale: Expression)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "graft_dequantize_vec"
 
-  override def nullSafeEval(q: Any, s: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val arr = q.asInstanceOf[ArrayData]
-    val scale = s.asInstanceOf[Float]
-    val n = arr.numElements()
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) { out(i) = arr.getByte(i) * scale; i += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(q: Any, s: Any): Any =
+    VectorKernels.dequantize(q.asInstanceOf[ArrayData], s.asInstanceOf[Float])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (q, s) => s"graft.functions.VectorKernels.dequantize($q, $s)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -179,9 +157,16 @@ case class DequantizeVec(qvec: Expression, qscale: Expression)
   * the HOF formulation (`aggregate(zip_with(...))` per plane)
   * interprets an expression tree per element per plane per row, the
   * hottest loop of the LSH paths. Accumulation order matches the HOF
-  * (left to right), so signatures are bit-identical. */
+  * (left to right), so signatures are bit-identical.
+  *
+  * Code-generated: the foldable plane literal is unpacked ONCE per
+  * expression instance into a `double[][]` (the fallback path
+  * re-walked the nested ArrayData — a getArray + element-accessor
+  * chain per plane per row) and rides into the generated code as a
+  * reference object; the dot-product loops run in
+  * [[VectorKernels.signBits]]. */
 case class SignBits(vec: Expression, planes: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = vec
   override def right: Expression = planes
@@ -206,22 +191,25 @@ case class SignBits(vec: Expression, planes: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_sign_bits"
 
-  override def nullSafeEval(v: Any, p: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val ps = p.asInstanceOf[ArrayData]
-    val nBits = ps.numElements()
-    var sig = 0L
-    var i = 0
-    while (i < nBits) {
-      val plane = ps.getArray(i)
-      val dim = math.min(arr.numElements(), plane.numElements())
-      var dot = 0.0
-      var j = 0
-      while (j < dim) { dot += arr.getFloat(j).toDouble * plane.getDouble(j); j += 1 }
-      if (dot >= 0) sig |= (1L << i)
-      i += 1
-    }
-    sig
+  @transient private lazy val planeMatrix: Array[Array[Double]] = {
+    val ps = planes.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ps.numElements())(i => ps.getArray(i).toDoubleArray())
+  }
+
+  override def nullSafeEval(v: Any, p: Any): Any =
+    VectorKernels.signBits(v.asInstanceOf[ArrayData], planeMatrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vecGen = vec.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftPlanes", planeMatrix, "double[][]")
+    ev.copy(code = vecGen.code + code"""
+      boolean ${ev.isNull} = ${vecGen.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.VectorKernels.signBits(
+          ${vecGen.value}, $ref);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
