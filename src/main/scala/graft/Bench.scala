@@ -146,7 +146,9 @@ object Bench {
     // (identical-name hash-group + distinct-name prefix-filter verify
     // — compare with x25's brand-block all-pairs row above)
     "x25b_jaro_name_match_blocked",
-    "sql9_multi_join")
+    "sql9_multi_join",
+    "v17_range_search",
+    "g34_retention_cohorts")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -148,6 +148,8 @@ object SparkEntry {
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
+    "v17_range_search" -> (ExtPipelines.rangeSearch _),
+    "g34_retention_cohorts" -> (Pipelines.retentionCohorts _),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -1773,6 +1775,38 @@ object SparkEntry {
     // exact integer moments is one IEEE op sequence, bit-equal across
     // engines), candidates by (rel DESC, cid ASC), then a recursive CTE
     // replays the 7·rel−3·maxsim greedy with the same id tie-break
+    // v17: v16's µ-cosine basis without the greedy stage — the
+    // in-radius pair set and the µ-scores hash-compare directly
+    "v17_range_search" ->
+      """WITH fx AS (SELECT vec_id AS id,
+        |         [CAST(floor(x * 10000.0 + 0.5) AS BIGINT)
+        |          for x in CAST(embedding AS DOUBLE[])] AS f
+        |       FROM embeddings),
+        |nrm AS (SELECT id, f,
+        |          list_sum([f[i+1] * f[i+1] for i in range(64)]) AS nn
+        |        FROM fx)
+        |SELECT query_id, neighbor_id, mu_cos FROM (
+        |  SELECT q.id AS query_id, c.id AS neighbor_id,
+        |    CAST(floor(1000000.0 *
+        |      (CAST(list_sum([q.f[i+1] * c.f[i+1] for i in range(64)]) AS DOUBLE)
+        |       / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))))
+        |      + 0.5) AS BIGINT) AS mu_cos
+        |  FROM nrm q JOIN nrm c ON q.id < 10 AND q.id <> c.id) t
+        |WHERE mu_cos >= 150000""".stripMargin,
+
+    // g34: all-integer retention matrix — distinct activity days,
+    // min-day cohorts, exact distinct counts per (cohort, offset)
+    "g34_retention_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', CAST(c.cohort_day AS DATE),
+        |                 CAST(d.day AS DATE)) AS INT) AS k,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "v16_mmr_topk" ->
       """WITH RECURSIVE
         |fx AS (SELECT vec_id AS id,

@@ -896,6 +896,12 @@ object ExtPipelines {
     * see [[graft.ext.Similarity.mmrTopK]] for the fixed-point
     * engine-exactness argument (the whole greedy trajectory is
     * oracle-checked, not just a recall bound). */
+  /** v17: cosine radius search over the embeddings table — see
+    * [[graft.ext.Similarity.rangeSearch]] for the µ-cosine
+    * bit-stability and zero-shuffle arguments. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.rangeSearch(Tables.embeddings(spark, dir))
+
   def mmrTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.mmrTopK(Tables.embeddings(spark, dir),
       nQueries = 10, nCand = 20, k = 5)

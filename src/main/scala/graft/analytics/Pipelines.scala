@@ -799,6 +799,32 @@ object Pipelines {
     spark.sql(sql8SelectSubqueryText)
   }
 
+  /** g34 — retention cohort matrix over the event stream: users are
+    * cohorted by their FIRST active day, and cell (cohort_day, k)
+    * counts how many of that cohort were active k days later — the
+    * canonical product-analytics rollup (every cohort's k=0 cell is
+    * its size, and the k-decay per row is the retention curve).
+    *
+    * Scale shape: the fact table is touched ONCE, reduced immediately
+    * to distinct (user, day) — the only content-bearing exchange; the
+    * cohort min-day, the cohort join, and the final (cohort, k)
+    * count-distinct all operate on that reduced activity table
+    * (≤ |users|·|days| rows regardless of event volume). All-integer
+    * output (day strings + exact distinct counts), so the oracle
+    * hash-compares directly. At 100 TB the distinct pre-aggregation
+    * is the load-bearing move: the three downstream shuffles move
+    * user-day rows, never events. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(to_date(col("day")), to_date(col("cohort_day"))).as("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val sql9MultiJoinText: String =
     """SELECT n_name,
       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)

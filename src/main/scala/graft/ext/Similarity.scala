@@ -1043,4 +1043,46 @@ object Similarity {
       }
       .toDF("query_id", "step", "pick_id")
   }
+
+  /** v17 — cosine RANGE search (radius query): every corpus vector
+    * whose similarity to a query meets `radiusMu`, as (query_id,
+    * neighbor_id, mu_cos). The retrieval primitive when the consumer
+    * wants ALL sufficiently-similar items — dedup audits, recall
+    * sweeps, near-duplicate fan-outs — rather than a fixed k (v1's
+    * shape without the top-k cut, so the OUTPUT size follows the data,
+    * not a parameter).
+    *
+    * v16's integer µ-cosine discipline end-to-end: elements quantized
+    * to 1e4 fixed-point longs, integer dot products, one shared double
+    * sequence into a µ-quantized cosine — the in-radius SET and the
+    * emitted scores are bit-stable across engines, so the oracle
+    * hash-compares raw values with no float-boundary flips at the
+    * radius (the hazard that makes v1 compare ranks, not cosines).
+    *
+    * Scale shape: query side broadcast, ONE corpus scan, zero
+    * shuffles (PlanSpec-pinned — nothing aggregates, output streams
+    * from the scan). At 100 TB with large query sets, x7's LSH
+    * buckets or v3's IVF lists generate candidates and this scan is
+    * the verify stage. */
+  def rangeSearch(emb: DataFrame, nQueries: Int = 10,
+      radiusMu: Long = 150000L, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val fx = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(10000.0) + lit(0.5))).as("f"))
+    val fold = (c: Column) =>
+      aggregate(c, lit(0L), (a: Column, x: Column) => a + x)
+    val nrm = fx.withColumn("nn",
+      fold(zip_with(col("f"), col("f"), (a, b) => a * b)))
+    val q = broadcast(nrm.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("f").as("qf"), col("nn").as("qn")))
+    val relMu = floor(lit(1000000.0) *
+      (fold(zip_with(col("qf"), col("f"), (a, b) => a * b)).cast("double")
+        / (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
+      + lit(0.5)).cast("long")
+    nrm.join(q, col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        relMu.as("mu_cos"))
+      .filter(col("mu_cos") >= radiusMu)
+  }
 }

@@ -1798,6 +1798,45 @@ class ExtSpec extends SparkSpec {
       s"total rank mass $mass outside [0.15, 1.0] x ${n}e6")
   }
 
+  test("v17: range search equals the driver µ-cosine recompute; radius is exact") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x * 10000.0 + 0.5).toLong).toArray))
+    def muCos(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(1000000.0 *
+        (dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))) + 0.5).toLong
+    }
+    val want = (for {
+      (qid, qf) <- vecs if qid < 10
+      (cid, cf) <- vecs if cid != qid
+      mu = muCos(qf, cf) if mu >= 150000L
+    } yield (qid, cid, mu)).toSet
+    val got = graft.ext.Similarity.rangeSearch(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("g34: every cohort's k=0 cell is its size; cells never exceed it") {
+    val got = graft.analytics.Pipelines.retentionCohorts(spark, sf())
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val sizes = got.filter(_._2 == 0).map(t => t._1 -> t._3).toMap
+    // every user is active on their own cohort day, so each cohort has
+    // a k=0 cell and no later cell can exceed it
+    val cohorts = got.map(_._1).distinct
+    assert(cohorts.forall(sizes.contains), "cohort missing its k=0 cell")
+    got.foreach { case (c, k, n) =>
+      assert(k >= 0 && n <= sizes(c), s"cell ($c, $k, $n) exceeds cohort size")
+    }
+    // cohort sizes partition the user population exactly
+    val totalUsers = Tables.events(spark, sf())
+      .select("user_id").distinct().count()
+    assert(sizes.values.sum == totalUsers)
+  }
+
   test("t34: weighted sample is the exact A-Res top-1000 of the md5-drawn keys") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def u52(id: Long): Double = {

@@ -382,6 +382,27 @@ class PlanSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("x25b: every stage is an equi-join — no cartesian, no nested-loop") {
+    val p = plan(graft.ext.Dedup.jaroWinklerPairsBlocked(
+      sources.Tables(spark, sf(), "part"), "p_partkey", "p_name", "p_brand"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"identical-name expansion, signature join and id expansion must all " +
+      s"be equi-joins:\n$p")
+  }
+
+  test("v17: range search is one broadcast-join scan — zero shuffles") {
+    val df = graft.ext.Similarity.rangeSearch(
+      sources.Tables.embeddings(spark, sf()))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"query side must broadcast:\n$p")
+    // nothing aggregates and nothing re-keys: output streams straight
+    // from the corpus scan (the whole point of the range form)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"range search must not shuffle the corpus:\n$p")
+  }
+
   test("g30: basket shape — one lineitem scan, pairs map-side, no self-join") {
     val df = Pipelines.coPurchasePairs(spark, sf())
     val p = plan(df)
