@@ -1033,15 +1033,21 @@ class ExtSpec extends SparkSpec {
     import spark.implicits._
     val df = names.zipWithIndex
       .map { case (n, i) => (i.toLong, "B1", n) }.toDF("id", "blk", "nm")
-    val got = graft.ext.Dedup.jaroWinklerPairsBlocked(df, "id", "nm", "blk")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val want = (for {
-      i <- names.indices; j <- names.indices if i < j
-      jw = similarity(names(i), names(j)) if jw >= 0.9
-    } yield (i.toLong, j.toLong, jw)).toSet
-    assert(want.nonEmpty) // the fixture must actually exercise matches
-    assert(got == want,
-      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // three thresholds: the class cap l/(5t-4), the overlap bound
+    // (5t-3)·l1·l2/(l1+l2) and the prefix sizes all move with t — a
+    // 0.9-only test would leave the generalized arithmetic unexercised
+    for (t <- Seq(0.85, 0.9, 0.95)) {
+      val got = graft.ext.Dedup
+        .jaroWinklerPairsBlocked(df, "id", "nm", "blk", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = (for {
+        i <- names.indices; j <- names.indices if i < j
+        jw = similarity(names(i), names(j)) if jw >= t
+      } yield (i.toLong, j.toLong, jw)).toSet
+      assert(want.nonEmpty, s"t=$t fixture must exercise matches")
+      assert(got == want,
+        s"t=$t missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
   }
 
   test("x25b: pairwise verify runs on the distinct-name table, not the corpus") {
