@@ -148,7 +148,8 @@ object Bench {
     "x25b_jaro_name_match_blocked",
     "sql9_multi_join",
     "v17_range_search",
-    "g34_retention_cohorts")
+    "g34_retention_cohorts",
+    "g35_funnel")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

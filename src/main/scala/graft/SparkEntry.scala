@@ -150,6 +150,7 @@ object SparkEntry {
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
     "v17_range_search" -> (ExtPipelines.rangeSearch _),
     "g34_retention_cohorts" -> (Pipelines.retentionCohorts _),
+    "g35_funnel" -> ((s: SparkSession, d: String) => Pipelines.funnel(s, d)),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -1793,6 +1794,27 @@ object SparkEntry {
         |      + 0.5) AS BIGINT) AS mu_cos
         |  FROM nrm q JOIN nrm c ON q.id < 10 AND q.id <> c.id) t
         |WHERE mu_cos >= 150000""".stripMargin,
+
+    // g35: first-touch funnel — stage anchors chained on exact integer
+    // microseconds, so membership and counts are engine-exact
+    "g35_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS event_type,
+        |       CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
 
     // g34: all-integer retention matrix — distinct activity days,
     // min-day cohorts, exact distinct counts per (cohort, offset)

@@ -825,6 +825,44 @@ object Pipelines {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** g35 — ordered conversion funnel over the event stream: of the
+    * users who did stage 1, how many LATER did stage 2, and later
+    * still stage 3 — the first-touch funnel (each stage anchors at the
+    * user's FIRST qualifying time strictly after the previous stage's
+    * anchor), the other canonical product-analytics rollup next to
+    * g34's retention matrix. Order matters: a purchase BEFORE the
+    * first view does not convert the view funnel.
+    *
+    * Scale shape: one `foldLeft` of per-stage (filter → per-user min)
+    * aggregations chained by user-id equi-joins — each stage's filter
+    * is pushed to the scan (only that event type's rows move), every
+    * aggregate and join keys on user_id so AQE reuses the partitioning,
+    * and each stage's frame is at most |users| rows (strictly shrinking
+    * downstream). Timestamps compare as exact integer MICROSECONDS
+    * (the s2/epoch_us convention), so stage membership — and therefore
+    * every count — is engine-exact. */
+  def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "empty funnel")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    val frames = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("us") > col("prev_t"))
+        .groupBy("user_id").agg(min("us").as("t"))
+    }
+    frames.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
+      f.select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
+        col("user_id"))
+    }.reduce(_.unionByName(_))
+      .groupBy("stage", "event_type")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val sql9MultiJoinText: String =
     """SELECT n_name,
       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)

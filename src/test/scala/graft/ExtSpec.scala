@@ -1843,6 +1843,38 @@ class ExtSpec extends SparkSpec {
     assert(sizes.values.sum == totalUsers)
   }
 
+  test("g35: funnel equals a driver-side first-touch recompute; stages shrink") {
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val stages = Seq("view", "click", "purchase")
+    // per user: first view; first click strictly after it; first
+    // purchase strictly after that
+    var counts = Map.empty[Int, Long]
+    var anchors: Map[Long, Long] = byUser.flatMap { case (u, rows) =>
+      val ts = rows.filter(_._2 == stages.head).map(_._3)
+      if (ts.isEmpty) None else Some(u -> ts.min)
+    }
+    counts += (1 -> anchors.size.toLong)
+    for ((stage, i) <- stages.tail.zipWithIndex) {
+      anchors = anchors.flatMap { case (u, t) =>
+        val ts = byUser.getOrElse(u, Array.empty)
+          .filter(r => r._2 == stage && r._3 > t).map(_._3)
+        if (ts.isEmpty) None else Some(u -> ts.min)
+      }
+      counts += ((i + 2) -> anchors.size.toLong)
+    }
+    val got = graft.analytics.Pipelines.funnel(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == stages)
+    got.foreach { case (s, _, n) => assert(n == counts(s), s"stage $s: $n vs ${counts(s)}") }
+    // a funnel can only narrow
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+    assert(got.head._3 > 0)
+  }
+
   test("t34: weighted sample is the exact A-Res top-1000 of the md5-drawn keys") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def u52(id: Long): Double = {
