@@ -805,21 +805,25 @@ object Pipelines {
     * canonical product-analytics rollup (every cohort's k=0 cell is
     * its size, and the k-decay per row is the retention curve).
     *
-    * Scale shape: the fact table is touched ONCE, reduced immediately
+    * Scale shape: the fact table is scanned ONCE, reduced immediately
     * to distinct (user, day) — the only content-bearing exchange; the
-    * cohort min-day, the cohort join, and the final (cohort, k)
-    * count-distinct all operate on that reduced activity table
-    * (≤ |users|·|days| rows regardless of event volume). All-integer
-    * output (day strings + exact distinct counts), so the oracle
-    * hash-compares directly. At 100 TB the distinct pre-aggregation
-    * is the load-bearing move: the three downstream shuffles move
-    * user-day rows, never events. */
+    * cohort day is attached by an unordered `min` WINDOW over user_id
+    * (a join of `days` against a `days`-derived cohort table would
+    * recompute — i.e. re-scan — the distinct for both sides, the plan
+    * the first cut had), and the final (cohort, k) count-distinct
+    * operates on ≤ |users|·|days| rows regardless of event volume.
+    * All-integer output (day strings + exact distinct counts), so the
+    * oracle hash-compares directly. At 100 TB the distinct
+    * pre-aggregation is the load-bearing move: everything after the
+    * first exchange moves user-day rows, never events. */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val days = Tables.events(spark, dir)
       .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .distinct()
-    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
-    days.join(cohorts, "user_id")
+    days
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"),
         datediff(to_date(col("day")), to_date(col("cohort_day"))).as("k"))
       .agg(countDistinct(col("user_id")).as("n_users"))

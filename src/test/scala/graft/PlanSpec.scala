@@ -403,6 +403,13 @@ class PlanSpec extends SparkSpec {
       s"range search must not shuffle the corpus:\n$p")
   }
 
+  test("g34: retention matrix scans the fact table ONCE (window, not self-join)") {
+    val p = plan(Pipelines.retentionCohorts(spark, sf()))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"cohort attachment must be a window over the one distinct scan — a " +
+      s"days-vs-cohorts join would scan events twice:\n$p")
+  }
+
   test("g30: basket shape — one lineitem scan, pairs map-side, no self-join") {
     val df = Pipelines.coPurchasePairs(spark, sf())
     val p = plan(df)
