@@ -149,7 +149,11 @@ object Bench {
     "sql9_multi_join",
     "v17_range_search",
     "g34_retention_cohorts",
-    "g35_funnel")
+    "g35_funnel",
+    "sql10_window_dedup",
+    // x28 reads the x24b label artifact (built once, warmup-absorbed)
+    // — the audit consumer's cost, not the CC recompute
+    "x28_dedup_stats")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -75,6 +75,8 @@ object SparkEntry {
     "sql7_rollup" -> (Pipelines.sqlRollup _),
     "sql8_select_subquery" -> (Pipelines.sqlSelectSubquery _),
     "sql9_multi_join" -> (Pipelines.sqlMultiJoin _),
+    "sql10_window_dedup" -> (Pipelines.sqlWindowDedup _),
+    "x28_dedup_stats" -> (ExtPipelines.dedupStats _),
     "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
       Pipelines.coPurchasePairs(s, d)),
     "g32_sketch_rollup" -> (Pipelines.sketchRollup _),
@@ -2344,6 +2346,33 @@ object SparkEntry {
     "sql7_rollup" -> Pipelines.sql7RollupText,
     "sql8_select_subquery" -> Pipelines.sql8SelectSubqueryText,
     "sql9_multi_join" -> Pipelines.sql9MultiJoinText,
+    "sql10_window_dedup" -> Pipelines.sql10WindowDedupText,
+
+    // x28: the histogram over the same recursive closure x9/x24 pin,
+    // plus the singleton row computed from the corpus complement
+    "x28_dedup_stats" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a_id, b_id FROM (
+         |$jaccardOracle
+         |  ) jp
+         |),
+         |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id AS id FROM edges),
+         |sym AS (SELECT a_id AS u, b_id AS v FROM edges
+         |        UNION ALL SELECT b_id AS u, a_id AS v FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM szs GROUP BY sz
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT),
+         |       CAST((SELECT count(*) FROM documents)
+         |            - (SELECT count(*) FROM cl) AS BIGINT)""".stripMargin,
 
     // g30: basket-generated pair counts; the oracle spells the same
     // semantics as a dedup + size-capped self-join — identical pair

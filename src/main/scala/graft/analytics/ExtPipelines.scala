@@ -141,18 +141,48 @@ object ExtPipelines {
     * (x24's self-contained shape) multiplies the most expensive stage
     * of the pipeline by its fan-out; reading a doc_id-only parquet
     * multiplies a metadata-scale scan. */
-  def dedupApplyPersisted(spark: SparkSession, dir: String): DataFrame = {
+  /** The persisted x9 cluster-label artifact, built once per JVM and
+    * read by every downstream consumer (x24b's apply, x28's audit). */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val path = x24bLabels.getOrElseUpdate(dir, {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_x24b_labels_${math.abs(dir.hashCode.toLong)}"
       dedupClusters(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
-    val losers = spark.read.parquet(path)
+    spark.read.parquet(path)
+  }
+
+  def dedupApplyPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val losers = clusterLabels(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     Tables.documents(spark, dir)
       .join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id", "source")
+  }
+
+  /** x28 — dedup AUDIT report: the numbers a data engineer checks
+    * after a dedup pass — the cluster-size histogram over x9's
+    * near-dup clusters plus the singleton row (docs untouched by any
+    * near-dup pair), so the histogram PARTITIONS the corpus exactly:
+    * Σ cluster_size · n_clusters = |documents| (spec-pinned). Runs off
+    * the x24b persisted labels (built once per JVM, metadata-scale
+    * read — the production fan-out shape: the audit is a downstream
+    * consumer of the dedup job's label artifact, not a recompute);
+    * output is O(distinct cluster sizes) rows. CC clusters always have
+    * ≥ 2 members (every edge labels both endpoints), so the size-1 row
+    * can never collide with a histogram row. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val hist = labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(spark, dir).select("doc_id")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.select(col("cluster_size").cast("long"), col("n_clusters"))
+      .unionByName(singles)
   }
 
   /** Decontamination: 3-gram overlap between the t7 train/test split's

@@ -906,6 +906,27 @@ object Pipelines {
     spark.sql(sql9MultiJoinText)
   }
 
+  val sql10WindowDedupText: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1""".stripMargin
+
+  /** sql10 — keep-first dedup through the parser path: the single most
+    * common hand-written dedup SQL (ROW_NUMBER over the dup key,
+    * rn = 1), x1/x2's semantics as ONE ANSI text on both engines.
+    * Plan shape (PlanSpec-pinned): Catalyst rewrites the rank-1 filter
+    * into a WindowGroupLimit BELOW the window — each partition ships
+    * only its first row per text group to the sort, so the exchange
+    * carries surviving candidates, not the corpus × window overhead.
+    * Deterministic by construction (ORDER BY doc_id tie-break), the
+    * property that makes the text safe to re-run at 100 TB. */
+  def sqlWindowDedup(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "documents")
+    spark.sql(sql10WindowDedupText)
+  }
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

@@ -1843,6 +1843,25 @@ class ExtSpec extends SparkSpec {
     assert(sizes.values.sum == totalUsers)
   }
 
+  test("x28: dedup-stats histogram partitions the corpus and matches x9 labels") {
+    val got = graft.analytics.ExtPipelines.dedupStats(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the histogram must partition the corpus exactly
+    val total = docs.count()
+    assert(got.map { case (sz, n) => sz * n }.sum == total,
+      s"sum(size*count) must equal |documents| = $total: ${got.toSeq}")
+    // and agree with a direct recompute from the cluster labels
+    val labels = graft.analytics.ExtPipelines.dedupClusters(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = labels.groupBy(_._2).map(_._2.size.toLong)
+      .groupBy(identity).map { case (sz, g) => (sz, g.size.toLong) }
+    got.filter(_._1 > 1).foreach { case (sz, n) =>
+      assert(want.get(sz).contains(n), s"size-$sz count $n vs ${want.get(sz)}")
+    }
+    assert(got.count(_._1 == 1L) == 1)
+    assert(got.find(_._1 == 1L).get._2 == total - labels.length)
+  }
+
   test("g35: funnel equals a driver-side first-touch recompute; stages shrink") {
     val ev = Tables.events(spark, sf())
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")))

@@ -403,6 +403,13 @@ class PlanSpec extends SparkSpec {
       s"range search must not shuffle the corpus:\n$p")
   }
 
+  test("sql10: the rn=1 dedup text plans a WindowGroupLimit below the window") {
+    val p = plan(Pipelines.sqlWindowDedup(spark, sf()))
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank-1 filter must push a per-group limit under the window — " +
+      s"without it every partition sorts ALL its duplicate rows:\n$p")
+  }
+
   test("g34: retention matrix scans the fact table ONCE (window, not self-join)") {
     val p = plan(Pipelines.retentionCohorts(spark, sf()))
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
