@@ -494,10 +494,25 @@ object Dedup {
       .join(standingBands.select(col(idCol).as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("a_id", "b_id").distinct()
+      // consumed by three plans below (the semi-join prune, the
+      // intersection, and — transitively — the rejected set); released
+      // with bsh once the rejected ids are materialized
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The exact-Jaccard verify needs the STANDING shingles only for
+    // candidate docs — a delta-sized id set. Without this broadcast
+    // semi-join the intersection join would shuffle the ENTIRE
+    // corpus-scale shingle frame on (b_id, shingle) for every batch;
+    // with it, the standing frame is scanned (unavoidable without an
+    // id-partitioned shingle store) but only candidates' shingles ever
+    // enter an exchange — the difference between O(corpus) and
+    // O(candidates) network per ingest at 100 TB.
+    val candStandingSh = standingShingles
+      .select(col(idCol).as("b_id"), col("shingle"))
+      .join(broadcast(candS.select("b_id").distinct()), Seq("b_id"),
+        "left_semi")
     val interS = candS
       .join(bsh.select(col(idCol).as("a_id"), col("shingle")), "a_id")
-      .join(standingShingles.select(col(idCol).as("b_id"), col("shingle")),
-        Seq("b_id", "shingle"))
+      .join(candStandingSh, Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
     val dupS = jacc(interS,
         bsizes.select(col(idCol).as("a_id"), col("n_sh").as("na")),
@@ -519,6 +534,7 @@ object Dedup {
       .select(col("b_id").as(idCol)).distinct()
     val rejected = Checkpoints.ckpt(dupS.unionByName(dupB).distinct())
     bsh.unpersist()
+    candS.unpersist()
     batch.select(col(idCol))
       .join(rejected, Seq(idCol), "left_anti")
   }
