@@ -141,7 +141,21 @@ object ScaleBench {
     // construction (|queries|·nCand rows), so the scan it would
     // measure is v1's, already covered.
     "t33_heavy_hitters",
-    "g32_sketch_rollup")
+    "g32_sketch_rollup",
+    // round-12: the SQL-text joins (linear scan+join work), the
+    // product-analytics rollups (fact reduced to user-day / per-stage
+    // user rows before any join), the zero-shuffle broadcast range
+    // scan (output ∝ corpus at fixed queries), the serving-path ingest
+    // (memoized per-tier index, warmup-absorbed — the timed cost is
+    // the batch side, which scales with the tier), and the label-
+    // consumer audit (same memoization for the x24b artifact)
+    "sql9_multi_join",
+    "sql10_window_dedup",
+    "g34_retention_cohorts",
+    "g35_funnel",
+    "v17_range_search",
+    "x26b_minhash_index_serve",
+    "x28_dedup_stats")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
