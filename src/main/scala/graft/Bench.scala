@@ -150,6 +150,7 @@ object Bench {
     "v17_range_search",
     "g34_retention_cohorts",
     "g35_funnel",
+    "g35b_funnel_single_scan",
     "sql10_window_dedup",
     // x28 reads the x24b label artifact (built once, warmup-absorbed)
     // — the audit consumer's cost, not the CC recompute

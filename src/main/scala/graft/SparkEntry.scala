@@ -153,6 +153,8 @@ object SparkEntry {
     "v17_range_search" -> (ExtPipelines.rangeSearch _),
     "g34_retention_cohorts" -> (Pipelines.retentionCohorts _),
     "g35_funnel" -> ((s: SparkSession, d: String) => Pipelines.funnel(s, d)),
+    "g35b_funnel_single_scan" ->
+      ((s: SparkSession, d: String) => Pipelines.funnelSingleScan(s, d)),
     "t14_seq_manifest" -> (ExtPipelines.seqManifest _),
     "x12_segment_dedup" -> (ExtPipelines.segmentDedup _),
     "x13_span_dedup" -> (ExtPipelines.spanDedup _),
@@ -223,6 +225,28 @@ object SparkEntry {
       |       levenshtein(a.pfx, b.pfx) AS dist
       |FROM p a JOIN p b ON a.doc_id < b.doc_id
       |WHERE levenshtein(a.pfx, b.pfx) <= 4""".stripMargin
+
+  /** Shared by g35 (chained per-stage aggregates) and g35b (the
+    * single-scan greedy-fold twin — equal result by the greedy
+    * first-touch argument). */
+  private val funnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.us > s1.t
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.us > s2.t
+      |       GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL
+      |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin
 
   /** Shared by x25 (brand-blocked exact all-pairs) and x25b (the
     * distinct-name prefix-filtered twin — equal result by theorem). */
@@ -1798,25 +1822,12 @@ object SparkEntry {
         |WHERE mu_cos >= 150000""".stripMargin,
 
     // g35: first-touch funnel — stage anchors chained on exact integer
-    // microseconds, so membership and counts are engine-exact
-    "g35_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |s1 AS (SELECT user_id, min(us) AS t FROM e
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e
-        |       JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'click' AND e.us > s1.t
-        |       GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e
-        |       JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.us > s2.t
-        |       GROUP BY e.user_id)
-        |SELECT 1 AS stage, 'view' AS event_type,
-        |       CAST(count(*) AS BIGINT) AS n_users FROM s1
-        |UNION ALL
-        |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
-        |UNION ALL
-        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+    // microseconds, so membership and counts are engine-exact. g35b
+    // (single-scan greedy fold) shares it: greedy chronological
+    // advancement computes exactly the chained minima (any stage-k
+    // witness implies the greedy sweep reaches k).
+    "g35_funnel" -> funnelOracle,
+    "g35b_funnel_single_scan" -> funnelOracle,
 
     // g34: all-integer retention matrix — distinct activity days,
     // min-day cohorts, exact distinct counts per (cohort, offset)

@@ -867,6 +867,54 @@ object Pipelines {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** g35b — the SINGLE-SCAN twin of [[funnel]], same result by the
+    * greedy-equivalence argument: taking the EARLIEST qualifying event
+    * at each stage is optimal (any stage-k witness sequence implies
+    * the greedy chronological sweep also reaches k), so one in-order
+    * fold per user computes exactly the chained-min anchors. The fold
+    * state is (stage reached, anchor time) and an event advances it
+    * only when it is the NEXT stage's type AND strictly later than the
+    * anchor — the strictness matters: two stage events sharing a
+    * microsecond must not both advance (g35's `us > prev_t` would
+    * reject the second), and a naive "advance on type match" sweep
+    * would diverge on such ties.
+    *
+    * Shape trade vs [[funnel]]: ONE fact scan (filtered to the stage
+    * types) + ONE user shuffle, against g35's |stages| filter-pushed
+    * scans + chained delta-sized joins. The cost moved into a per-user
+    * `sort_array(collect_list(...))` — bounded by each user's stage
+    * events, so the documented hazard is a bot user with millions of
+    * them (cap upstream, the g30 maxBasket rule); prefer g35 when the
+    * fact store prunes by event type, this form when it doesn't and
+    * scans dominate. */
+  def funnelSingleScan(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "empty funnel")
+    val stageArr = array(stages.map(lit): _*)
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val reached = aggregate(
+      sort_array(collect_list(struct(col("us"), col("event_type")))),
+      struct(lit(0).as("cur"), lit(Long.MinValue).as("t")),
+      (st, e) => {
+        val advance = st.getField("cur") < lit(stages.size) &&
+          e.getField("event_type") ===
+            element_at(stageArr, st.getField("cur") + 1) &&
+          e.getField("us") > st.getField("t")
+        when(advance, struct((st.getField("cur") + 1).as("cur"),
+          e.getField("us").as("t"))).otherwise(st)
+      }).getField("cur")
+    ev.groupBy("user_id").agg(reached.as("reached"))
+      .filter(col("reached") >= 1)
+      .select(explode(sequence(lit(1), col("reached"))).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("stage"), element_at(stageArr, col("stage")).as("event_type"),
+        col("n_users"))
+  }
+
   val sql9MultiJoinText: String =
     """SELECT n_name,
       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)

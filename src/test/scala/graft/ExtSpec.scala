@@ -1892,6 +1892,37 @@ class ExtSpec extends SparkSpec {
     // a funnel can only narrow
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
     assert(got.head._3 > 0)
+    // the single-scan greedy twin must agree exactly (greedy
+    // first-touch ≡ chained minima)
+    val single = graft.analytics.Pipelines.funnelSingleScan(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(single.toSeq == got.toSeq)
+  }
+
+  test("g35b: same-microsecond stage events do not double-advance the greedy fold") {
+    import spark.implicits._
+    // user 1: view@10, click@10 (tie — must NOT count), click@20,
+    // purchase@20 (strictly after the click anchor? 20 > 20 is false —
+    // must NOT count), purchase@30 (counts). Expect stages 1,2,3 = 1,1,1
+    // ... but with the tie rows removed user 1 still converts via the
+    // later events. user 2: purchase@5, click@6, view@7 — wrong order,
+    // reaches stage 1 only.
+    val rows = Seq(
+      (1L, "view", 10L), (1L, "click", 10L), (1L, "click", 20L),
+      (1L, "purchase", 20L), (1L, "purchase", 30L),
+      (2L, "purchase", 5L), (2L, "click", 6L), (2L, "view", 7L))
+    val df = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    df.write.parquet(s"$tmp/events.parquet")
+    val got = graft.analytics.Pipelines.funnelSingleScan(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val chained = graft.analytics.Pipelines.funnel(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> 2L, 2 -> 1L, 3 -> 1L), s"got $got")
+    assert(got == chained)
   }
 
   test("t34: weighted sample is the exact A-Res top-1000 of the md5-drawn keys") {
