@@ -290,11 +290,72 @@ object ScaleBench {
         if (m1p > 0) m2p / m1p else -1.0
       } catch { case e: Exception =>
         System.err.println(s"[scale] m2/m1 pruned failed at $label: $e"); -1.0 }
+      // s15: the streaming parquet sink driven over THIS tier's events
+      // — the exactly-once machinery (offset log, per-batch
+      // _spark_metadata commit, day partitioning) has a driver-side
+      // cost per batch that the fixture-scale restart spec can't see;
+      // this measures the full drain at volume. Each rep gets a FRESH
+      // sink + checkpoint (the cold checkpoint/commit path IS the cost
+      // under measurement), one AvailableNow drain per rep.
+      val sinkBase = s"target/scale/stream_sink_$label"
+      val sinkSec = try {
+        def runSink(): Unit = {
+          val base = s"$sinkBase/${System.nanoTime()}"
+          val q = graft.streaming.Streaming.parquetSink(
+            graft.streaming.Streaming.enrichedForLake(
+              graft.streaming.Streaming.eventsStream(spark, dir)),
+            s"$base/data", s"$base/ck")
+          q.awaitTermination()
+        }
+        val s = med3(runSink())
+        System.err.println(f"[scale] $label s15_stream_sink $s%.3fs")
+        s
+      } catch { case e: Exception =>
+        System.err.println(s"[scale] stream sink failed at $label: $e"); -1.0 }
+      // the exactly-once RESTART property, re-verified at the replica
+      // tier (untimed; the fixture-scale StreamingSpec proves it on 8
+      // rows — this proves the same kill/resume against the tier's
+      // real file multiplicity): kill after ≥1 committed batch, resume
+      // from the same checkpoint, and the metadata-aware read-back
+      // must hold exactly the batch oracle's rows — unique event ids
+      // at the oracle's count means no batch replayed AND none lost.
+      val sinkExactlyOnce: Option[Boolean] =
+        if (factor == 1) None
+        else Some(try {
+          val base = s"$sinkBase/restart"
+          def src() = graft.streaming.Streaming.eventsStream(spark, dir,
+            maxFilesPerTrigger = Some(4))
+          val q1 = graft.streaming.Streaming.parquetSink(
+            graft.streaming.Streaming.enrichedForLake(src()),
+            s"$base/data", s"$base/ck",
+            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+              System.nanoTime() < deadline) Thread.sleep(25)
+          q1.stop()
+          val q2 = graft.streaming.Streaming.parquetSink(
+            graft.streaming.Streaming.enrichedForLake(src()),
+            s"$base/data", s"$base/ck")
+          q2.awaitTermination()
+          val sink = spark.read.parquet(s"$base/data")
+          val oracleCount = graft.streaming.Streaming
+            .enrichedForLake(Tables.events(spark, dir)).count()
+          val ok = sink.count() == oracleCount &&
+            sink.select("event_id").distinct().count() == oracleCount
+          System.err.println(s"[scale] $label s15_exactly_once_ok=$ok")
+          ok
+        } catch { case e: Exception =>
+          System.err.println(s"[scale] sink restart check failed at $label: $e")
+          false
+        })
+      // the sink outputs are a measurement artifact, not a fixture —
+      // reclaim the disk before the next tier
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkBase))
       spark.catalog.clearCache()
-      (label, times, m2m1Pruned)
+      (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce)
     }
 
-    val Seq((l0, t0, r0), (l1, t1, r1)) = results
+    val Seq((l0, t0, r0, k0, _), (l1, t1, r1, k1, eo1)) = results
     def fmt(ts: Seq[(String, Double)]): String =
       ts.map { case (q, s) => f""""$q":$s%.4f""" }.mkString("{", ",", "}")
     val ratios = t0.zip(t1).map { case ((q, a), (_, b)) =>
@@ -302,7 +363,9 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ratio_10x","replicas":$replicas,""" +
       s""""tiers":{"$l0":${fmt(t0)},"$l1":${fmt(t1)}},"ratio":$ratios,""" +
-      f""""m2_over_m1_pruned":{"$l0":$r0%.2f,"$l1":$r1%.2f}}""")
+      f""""m2_over_m1_pruned":{"$l0":$r0%.2f,"$l1":$r1%.2f},""" +
+      f""""s15_stream_sink_sec":{"$l0":$k0%.3f,"$l1":$k1%.3f},""" +
+      s""""s15_exactly_once_ok":${eo1.getOrElse(false)}}""")
     spark.stop()
   }
 }

@@ -76,6 +76,7 @@ object SparkEntry {
     "sql8_select_subquery" -> (Pipelines.sqlSelectSubquery _),
     "sql9_multi_join" -> (Pipelines.sqlMultiJoin _),
     "sql10_window_dedup" -> (Pipelines.sqlWindowDedup _),
+    "sql11_lateral_topn" -> (Pipelines.sqlLateralTopN _),
     "x28_dedup_stats" -> (ExtPipelines.dedupStats _),
     "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
       Pipelines.coPurchasePairs(s, d)),
@@ -192,7 +193,8 @@ object SparkEntry {
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
-    "m4_media_neardup" -> (ExtPipelines.mediaNearDups _)
+    "m4_media_neardup" -> (ExtPipelines.mediaNearDups _),
+    "m5_consensus_neardup" -> (ExtPipelines.consensusNearDups _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -2358,6 +2360,11 @@ object SparkEntry {
     "sql8_select_subquery" -> Pipelines.sql8SelectSubqueryText,
     "sql9_multi_join" -> Pipelines.sql9MultiJoinText,
     "sql10_window_dedup" -> Pipelines.sql10WindowDedupText,
+    // sql11: ONE ANSI text on both engines — LATERAL is in both
+    // dialects, the ordering key is exact integer cents, and the
+    // o_orderkey tie-break makes the per-customer top-3 SET (not just
+    // its scores) deterministic, so the hash compare is meaningful
+    "sql11_lateral_topn" -> Pipelines.sql11LateralTopNText,
 
     // x28: the histogram over the same recursive closure x9/x24 pin,
     // plus the singleton row computed from the corpus complement
@@ -2528,6 +2535,46 @@ object SparkEntry {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE $l1 <= 0.001""".stripMargin
+    },
+
+    // m5: m4's media-pair CTEs + x3/x4's jaccard-pair CTEs, graded by
+    // a FULL OUTER JOIN on the (a_id, b_id) pair key — both sides
+    // orient a_id < b_id, so the keys line up without
+    // canonicalization; booleans and the CASE verdict hash exactly
+    "m5_consensus_neardup" -> {
+      val hs = (0 until 16).map(i =>
+        s"  CAST(len(list_filter(bs, x -> x[1] = '${"0123456789ABCDEF"(i)}')) AS DOUBLE)" +
+        s" / greatest(len(bs), 1) AS h${f"$i%02d"}").mkString(",\n")
+      val l1 = (0 until 16).map(i => f"abs(a.h$i%02d - b.h$i%02d)").mkString(" + ")
+      s"""WITH b0 AS (SELECT doc_id,
+         |  regexp_extract_all(upper(hex(encode(text))), '..') AS bs FROM documents),
+         |h AS (SELECT doc_id,
+         |$hs
+         |FROM b0),
+         |mpairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |           FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |           WHERE $l1 <= 0.001),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                               for i in range(1, len(w) - 1)])) AS s
+         |       FROM t WHERE len(w) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |tpairs AS (SELECT a_id, b_id
+         |           FROM inter JOIN sz x ON a_id = x.doc_id
+         |                      JOIN sz y ON b_id = y.doc_id
+         |           WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5)
+         |SELECT coalesce(m.a_id, t2.a_id) AS a_id,
+         |       coalesce(m.b_id, t2.b_id) AS b_id,
+         |       m.a_id IS NOT NULL AS media_near,
+         |       t2.a_id IS NOT NULL AS text_near,
+         |       CASE WHEN m.a_id IS NOT NULL AND t2.a_id IS NOT NULL
+         |            THEN 'dup' ELSE 'review' END AS verdict
+         |FROM mpairs m FULL OUTER JOIN tpairs t2
+         |  ON m.a_id = t2.a_id AND m.b_id = t2.b_id""".stripMargin
     }
   )
 }

@@ -286,9 +286,15 @@ object ExtPipelines {
     * across batches — one persisted copy per session per corpus,
     * REUSED by every ingest, not accumulated (the hot-cache
     * methodology [[graft.Bench.cacheBaseTables]] applies to base
-    * tables; this is the same rule applied to the serving index). */
+    * tables; this is the same rule applied to the serving index).
+    * Keyed by the session OBJECT (reference identity — SparkSession
+    * has no value equals, and hash collisions disambiguate through
+    * equals), not by identityHashCode, which is NOT unique: a
+    * collision with a stopped session's key would hand back persisted
+    * frames bound to a dead session. Stopped sessions' entries are
+    * evicted on access so discarded sessions' frames don't leak. */
   private val x26bFrames = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (DataFrame, DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
   /** x26b: the SERVING path of the persisted MinHash-LSH index — load
     * the stored frames, run one batch through
@@ -317,8 +323,8 @@ object ExtPipelines {
       Dedup.saveMinhashIndex(standing, p)
       p
     })
-    val sessionKey = System.identityHashCode(spark).toString
-    val (ib, ish, isz) = x26bFrames.getOrElseUpdate((sessionKey, dir), {
+    x26bFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val (ib, ish, isz) = x26bFrames.getOrElseUpdate((spark, dir), {
       val fs = Dedup.loadMinhashIndex(spark, path)
       import org.apache.spark.storage.StorageLevel
       Seq(fs._1, fs._2, fs._3)
@@ -1258,6 +1264,34 @@ object ExtPipelines {
   def mediaNearDups(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.mediaNearDups(
       Tables.documents(spark, dir), maxL1 = 0.001)
+
+  /** m5: CONSENSUS multimodal dedup — the operator an image-text
+    * corpus actually runs: compose m4's perceptual (media-feature)
+    * near-dup with x4's text MinHash near-dup over the SAME doc ids
+    * and grade each pair by agreement: near in BOTH modalities ⇒
+    * `dup` (safe to auto-delete — same picture AND same caption);
+    * near in exactly one ⇒ `review` (re-captioned image, or same
+    * text around different media — a human/stronger-model queue, not
+    * an auto-drop). Both kernels are the already-oracled sub-ops
+    * ([[graft.ext.Multimodal.mediaNearDups]],
+    * [[graft.ext.Dedup.minhashNearDups]]); this adds only an
+    * output-sized pair-key FULL OUTER join, so the 100 TB shape is
+    * whatever the two sub-pipelines' is (both bucketed, never
+    * all-pairs) plus an exchange bounded by the pair lists
+    * themselves. Pair orientation a_id < b_id on both sides, so the
+    * keys line up without canonicalization. */
+  def consensusNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val media = graft.ext.Multimodal.mediaNearDups(docs, maxL1 = 0.001)
+      .withColumn("media_near", lit(true))
+    val text = Dedup.minhashNearDups(docs, n = 3, threshold = 0.5)
+      .select(col("a_id"), col("b_id"), lit(true).as("text_near"))
+    media.join(text, Seq("a_id", "b_id"), "full_outer")
+      .na.fill(false, Seq("media_near", "text_near"))
+      .withColumn("verdict",
+        when(col("media_near") && col("text_near"), lit("dup"))
+          .otherwise(lit("review")))
+  }
 
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = graft.ext.Multimodal.featurize(Tables.documents(spark, dir))

@@ -880,21 +880,48 @@ object Pipelines {
     * would diverge on such ties.
     *
     * Shape trade vs [[funnel]]: ONE fact scan (filtered to the stage
-    * types) + ONE user shuffle, against g35's |stages| filter-pushed
-    * scans + chained delta-sized joins. The cost moved into a per-user
-    * `sort_array(collect_list(...))` — bounded by each user's stage
-    * events, so the documented hazard is a bot user with millions of
-    * them (cap upstream, the g30 maxBasket rule); prefer g35 when the
-    * fact store prunes by event type, this form when it doesn't and
-    * scans dominate. */
+    * types), against g35's |stages| filter-pushed scans + chained
+    * delta-sized joins; prefer g35 when the fact store prunes by event
+    * type, this form when it doesn't and scans dominate.
+    *
+    * Per-user state is CAPPED (the g30 maxBasket rule): a first
+    * (user, type) aggregation keeps each user's `maxStageEvents`
+    * EARLIEST events per stage type through the k-bounded
+    * [[graft.functions.TopKAggregator]] (map-side combine ships ≤ cap
+    * rows per group per partition), so the per-user fold's
+    * `collect_list` holds at most cap·|stages| rows no matter how
+    * many events a bot user emits — an unbounded per-user buffer is
+    * exactly the state a 100 TB event log blows up. Semantics of the
+    * cap, both directions proved in PropertySpec:
+    *  - users with ≤ cap events of every stage type are EXACT (all
+    *    their events survive the cap — the whole testdata corpus, so
+    *    g35b shares g35's oracle);
+    *  - beyond the cap the reached stage is a LOWER BOUND on the
+    *    uncapped reach: capping keeps a SUBSET of events, any witness
+    *    chain in a subset is a chain in the full set, and the greedy
+    *    fold computes exactly the max reachable stage — so dropping
+    *    events can only lower it (deliberate bot policy: a user whose
+    *    funnel conversion hinges on their 10001st click is a bot, not
+    *    a conversion).
+    * Negated-micros trick: TopKAggregator keeps the k LARGEST by
+    * (score desc, id asc), so score = −us (exact — |us| < 2^53, every
+    * long in range is a representable double) makes it keep the k
+    * EARLIEST, tie-broken on the raw value. */
   def funnelSingleScan(spark: SparkSession, dir: String,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      maxStageEvents: Int = 10000): DataFrame = {
     require(stages.nonEmpty, "empty funnel")
+    require(maxStageEvents >= 1, s"need a positive cap, got $maxStageEvents")
     val stageArr = array(stages.map(lit): _*)
+    val earliestK = udaf(new graft.functions.TopKAggregator(maxStageEvents))
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
+      .groupBy("user_id", "event_type")
+      .agg(earliestK(col("us").cast("double") * -1, col("us")).as("uss"))
+      .select(col("user_id"), col("event_type"),
+        explode(col("uss")).as("us"))
     val reached = aggregate(
       sort_array(collect_list(struct(col("us"), col("event_type")))),
       struct(lit(0).as("cur"), lit(Long.MinValue).as("t")),
@@ -973,6 +1000,48 @@ object Pipelines {
   def sqlWindowDedup(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir, "documents")
     spark.sql(sql10WindowDedupText)
+  }
+
+  val sql11LateralTopNText: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice_c
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c
+      |  FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+      |  LIMIT 3
+      |) AS t""".stripMargin
+
+  /** sql11 — LATERAL correlated-subquery-in-FROM through the parser
+    * path: top-N-per-group written the way analysts actually write it
+    * (each customer's 3 largest orders via a correlated ORDER BY …
+    * LIMIT subquery) — with sql9's snowflake join and sql8's
+    * decorrelated scalars, the third big "bring your SQL" class.
+    *
+    * Plan shape (PlanSpec-pinned): Catalyst DECORRELATES the lateral
+    * — the per-customer ORDER BY … LIMIT becomes `row_number()` over
+    * a window keyed on o_custkey with a `rn ≤ 3` filter, and the
+    * apply becomes a plain broadcast/shuffle EQUI-join — NOT a
+    * nested-loop re-executing the subquery per customer row, and
+    * orders is scanned exactly ONCE. That rewrite is what makes the
+    * text survive 100 TB: the orders side reduces to ≤ 3 rows per
+    * customer BEFORE the join, and no per-row iteration exists
+    * anywhere. Honest cost note: the decorrelated window carries no
+    * explicit order spec (it inherits the subquery's ORDER BY as a
+    * preserved global range sort below the window), so unlike sql10
+    * the `WindowGroupLimit` pushdown cannot fire — the price of the
+    * LATERAL spelling over the hand-written window form is one global
+    * sort of the filtered orders columns.
+    *
+    * Dialect discipline (sql1's rules): integer-cents ordering key and
+    * output (`round(x*100) AS BIGINT` — exact on both engines), an
+    * o_orderkey tie-break so the top-3 SET is deterministic, no bare
+    * division. Customers with no orders drop on both engines (inner
+    * lateral semantics). */
+  def sqlLateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "customer", "orders")
+    spark.sql(sql11LateralTopNText)
   }
 
   /** Two-stage salted aggregation registered as a query: salting is

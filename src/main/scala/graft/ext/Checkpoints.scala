@@ -23,20 +23,39 @@ private[graft] object Checkpoints {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** Lineage-truncate a DELTA-SIZED frame with `localCheckpoint()`
+    * REGARDLESS of the session's checkpoint-dir setting. For small
+    * per-call results inside a long-running service (x26's rejected-id
+    * set), a reliable checkpoint is the wrong tool even in production:
+    * its files are never auto-removed, so every ingest call would leak
+    * one directory. localCheckpoint blocks, by contrast, ARE reclaimed
+    * by the ContextCleaner once the RDD is garbage-collected — the
+    * frame cleans itself up when the caller drops it. */
+  def ckptLocal(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** Free a [[ckpt]] result that has been SUPERSEDED (its successor is
     * fully materialized and no returned plan reads it): deletes the
     * reliable checkpoint files or unpersists the localCheckpoint
-    * blocks. A no-op on frames that are not checkpoint roots. */
+    * blocks. A no-op on frames that are not checkpoint roots.
+    *
+    * The reliable-vs-local decision reads the RDD ITSELF (a reliable
+    * checkpoint carries its file path; a local one has none), NOT the
+    * session's checkpoint-dir setting at free time — the setting can
+    * change between ckpt and free, and deciding from it would either
+    * silently leak localCheckpoint blocks (dir set after a local ckpt:
+    * getCheckpointFile is None, nothing freed) or unpersist a reliable
+    * frame while its files stay on disk (dir cleared after a reliable
+    * ckpt). */
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isDefined)
-          lr.rdd.getCheckpointFile.foreach { f =>
+        lr.rdd.getCheckpointFile match {
+          case Some(f) =>
             val p = new org.apache.hadoop.fs.Path(f)
             p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-          }
-        else lr.rdd.unpersist(blocking = false)
+          case None => lr.rdd.unpersist(blocking = false)
+        }
       case _ => ()
     }
 }

@@ -440,10 +440,42 @@ object Dedup {
     val (banded, sh, sizes) =
       minhashIndexFrames(corpus, n, numHashes, bands, rows, textCol, idCol)
     banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
-    sizes.write.mode("overwrite").parquet(s"$path/sizes")
+    sh.withColumn("bucket", idBucket(col(idCol)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/shingles")
+    sizes.withColumn("bucket", idBucket(col(idCol)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/sizes")
     sh.unpersist()
   }
+
+  /** Doc-id bucket count for the stored shingle/size frames of a
+    * [[saveMinhashIndex]] index. The directory layout is the point: a
+    * probe's candidate-id set maps to candidate BUCKETS, whose ≤64-int
+    * list becomes a literal partition filter on the scan — each ingest
+    * batch READS only the buckets its candidates live in
+    * (≤ |candidates| of the 64, typically a handful), never the whole
+    * corpus-scale frame. This is the v12 IVF-index pattern applied to
+    * the dedup index, and at 100 TB it is the difference between an
+    * O(candidates) read and an O(corpus) scan per daily batch. 64
+    * buckets ≈ 1.6 TB/bucket at 100 TB of shingles — small enough
+    * that pruning bites, large enough that a bucket is still a
+    * multi-file parallel read. */
+  val MinhashIndexBuckets = 64
+
+  /** The bucket of a doc id — computed identically at index-write time
+    * and at probe time (both sides derive it from the id value, so no
+    * metadata handshake is needed between the two). */
+  private def idBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(MinhashIndexBuckets)).cast("int")
+
+  /** Candidate-id sets at or below this many distinct ids take the
+    * broadcast semi-join (and, against bucket-partitioned stored
+    * frames, dynamic partition pruning); above it the prune degrades
+    * to a shuffle semi-join. The guard exists because an explicit
+    * `broadcast()` hint is IRREVOCABLE — AQE cannot demote it — and a
+    * skewed batch colliding with a large standing dup-cluster can
+    * yield a corpus-scale candidate set that would OOM the driver
+    * under an unconditional hint. 2M ids ≈ tens of MB broadcast. */
+  val MaxBroadcastCandidateIds = 2000000L
 
   /** Load a [[saveMinhashIndex]] index's three frames. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -472,10 +504,38 @@ object Dedup {
     * persisted for the duration of the call — and the only way to
     * release that cache deterministically instead of leaking one copy
     * per invocation (the g33/x9 hygiene rule) is to materialize the
-    * DELTA-SIZED rejected-id set first (one [[Checkpoints.ckpt]], ≤
-    * batch rows) and hand back a plan that reads only the batch and
+    * DELTA-SIZED rejected-id set first (one [[Checkpoints.ckptLocal]],
+    * ≤ batch rows) and hand back a plan that reads only the batch and
     * that checkpoint. The bounded eager action is the documented
     * exception class (x26/g33). */
+  /** Restrict a standing index frame to a candidate-id set (column
+    * `b_id`), best available strategy first — factored out of
+    * [[nearDupIngest]] so the plan shape is spec-pinnable:
+    *  - frame carries the `bucket` partition column (stored index):
+    *    a LITERAL `bucket IN (…)` filter from the collected candidate
+    *    bucket list (`buckets`) lands in the scan's PartitionFilters →
+    *    STATIC partition pruning reads only candidate buckets. Static,
+    *    not dynamic: the bucket list is ≤ [[MinhashIndexBuckets]]
+    *    values (metadata-scale, known before planning), and a literal
+    *    filter prunes unconditionally where DPP depends on the
+    *    optimizer spotting a selective node on the probe side — which
+    *    it cannot through the persisted candidate frame;
+    *  - no bucket column (in-memory frames): semi-join only;
+    *  - `useBroadcast` gates the semi-join's broadcast hint (an
+    *    explicit hint cannot be demoted by AQE, so a corpus-scale
+    *    candidate set must take the shuffle path instead). */
+  private[graft] def pruneStandingToCandidates(standing: DataFrame,
+      candIds: DataFrame, useBroadcast: Boolean, idCol: String,
+      buckets: Seq[Int]): DataFrame = {
+    val keyed = standing.withColumnRenamed(idCol, "b_id")
+    val base =
+      if (standing.columns.contains("bucket"))
+        keyed.filter(col("bucket").isin(buckets: _*)).drop("bucket")
+      else keyed
+    val probe = if (useBroadcast) broadcast(candIds) else candIds
+    base.join(probe, Seq("b_id"), "left_semi")
+  }
+
   def nearDupIngest(standingBands: DataFrame, standingShingles: DataFrame,
       standingSizes: DataFrame, batch: DataFrame, n: Int = 3,
       threshold: Double = 0.5, numHashes: Int = 16, bands: Int = 8,
@@ -498,25 +558,46 @@ object Dedup {
       // intersection, and — transitively — the rejected set); released
       // with bsh once the rejected ids are materialized
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // The exact-Jaccard verify needs the STANDING shingles only for
-    // candidate docs — a delta-sized id set. Without this broadcast
-    // semi-join the intersection join would shuffle the ENTIRE
-    // corpus-scale shingle frame on (b_id, shingle) for every batch;
-    // with it, the standing frame is scanned (unavoidable without an
-    // id-partitioned shingle store) but only candidates' shingles ever
-    // enter an exchange — the difference between O(corpus) and
-    // O(candidates) network per ingest at 100 TB.
-    val candStandingSh = standingShingles
-      .select(col(idCol).as("b_id"), col("shingle"))
-      .join(broadcast(candS.select("b_id").distinct()), Seq("b_id"),
-        "left_semi")
+    // The exact-Jaccard verify needs the STANDING frames only for
+    // candidate docs — a delta-sized id set. Three tiers of prune, best
+    // available first:
+    //  1. Stored frames carry the `bucket` partition column
+    //     ([[saveMinhashIndex]]): the candidates' bucket list (≤ 64
+    //     ints, collected driver-side — metadata-scale, the documented
+    //     discipline) becomes a literal partition filter, so the scan
+    //     READS only the candidates' buckets — O(candidates) I/O, not
+    //     an O(corpus) scan per batch.
+    //  2. In-memory frames (no bucket column): broadcast semi-join —
+    //     full scan, but only candidates' rows enter an exchange.
+    //  3. Candidate set too large to broadcast (a skewed batch hitting
+    //     a huge standing dup-cluster can make it corpus-scale, and an
+    //     explicit broadcast hint cannot be demoted by AQE): shuffle
+    //     semi-join — degrades gracefully instead of OOMing.
+    // The strategy pick costs two bounded driver actions (a count and
+    // a ≤64-row bucket collect over the persisted candidate frame —
+    // the x26/g33 exception class).
+    val candIds = candS.select("b_id").distinct()
+    val useBroadcast = candIds.count() <= MaxBroadcastCandidateIds
+    val hasBuckets = standingShingles.columns.contains("bucket") ||
+      standingSizes.columns.contains("bucket")
+    val candBuckets =
+      if (hasBuckets)
+        candIds.select(idBucket(col("b_id")).as("bk")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+      else Seq.empty[Int]
+    def pruneToCandidates(standing: DataFrame): DataFrame =
+      pruneStandingToCandidates(standing, candIds, useBroadcast, idCol,
+        candBuckets)
+    val candStandingSh = pruneToCandidates(standingShingles)
+      .select(col("b_id"), col("shingle"))
     val interS = candS
       .join(bsh.select(col(idCol).as("a_id"), col("shingle")), "a_id")
       .join(candStandingSh, Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
     val dupS = jacc(interS,
         bsizes.select(col(idCol).as("a_id"), col("n_sh").as("na")),
-        standingSizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")))
+        pruneToCandidates(standingSizes)
+          .select(col("b_id"), col("n_sh").as("nb")))
       .select(col("a_id").as(idCol)).distinct()
     // intra-batch keep-first: reject the higher id of any verified pair
     val candB = bban.as("x").join(bban.as("y"), Seq("band", "sig"))
@@ -532,7 +613,11 @@ object Dedup {
         bsizes.select(col(idCol).as("a_id"), col("n_sh").as("na")),
         bsizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")))
       .select(col("b_id").as(idCol)).distinct()
-    val rejected = Checkpoints.ckpt(dupS.unionByName(dupB).distinct())
+    // ckptLocal, NOT ckpt: the rejected set is delta-sized, and in a
+    // long-running ingest service a reliable checkpoint per call would
+    // accumulate never-auto-removed files; localCheckpoint blocks are
+    // ContextCleaner-reclaimed once the caller drops the frame.
+    val rejected = Checkpoints.ckptLocal(dupS.unionByName(dupB).distinct())
     bsh.unpersist()
     candS.unpersist()
     batch.select(col(idCol))
@@ -735,6 +820,25 @@ object Dedup {
       .orderBy(col("n"), col("c"))
       .collect().map(_.getString(0)).mkString
     val orderArr = split(lit(orderStr), "")
+    // Injectivity guard for the 4-digit (rarity-rank, occurrence)
+    // element encoding below: Spark's lpad TRUNCATES strings longer
+    // than the target width, so a rarity rank or occurrence index
+    // beyond 9999 would silently corrupt the element total order and
+    // void the zero-recall-loss theorem. Fail loudly instead — both
+    // bounds sit far beyond real entity-name corpora (even full CJK
+    // charsets are a few thousand; a 10000-char "name" is garbage in),
+    // and the same length cap keeps ovl()'s 1e-9 ceil absorber orders
+    // of magnitude above the double rounding error of the product.
+    require(orderStr.length <= 9999,
+      s"name charset has ${orderStr.length} distinct chars; the 4-digit " +
+        "rarity-rank encoding caps at 9999 — widen the padding before " +
+        "running this corpus")
+    val maxLenRow = dn.agg(max(length(col("nm")))).head()
+    val maxNameLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    require(maxNameLen <= 9999,
+      s"longest name has $maxNameLen chars; the 4-digit occurrence " +
+        "encoding caps at 9999 — widen the padding before running this " +
+        "corpus")
     val chars = filter(split(col("nm"), ""), x => length(x) === 1)
     // sortable AND joinable element ids: zero-padded (rarity rank,
     // occurrence index) — injective on (char, occ), so lexicographic
@@ -842,10 +946,13 @@ object Dedup {
     * The pigeonhole needs both strings on ONE segment grid, so the
     * grid is a constant of `prefixLen` (full-length heads — the normal
     * case); heads shorter than `prefixLen` can't share it and instead
-    * take an exact |short|·n candidate route — bounded by the short
-    * set's size, and empty in a corpus whose documents all exceed the
-    * prefix (true of the testdata and of any real document corpus with
-    * a minimum-length gate).
+    * take a LENGTH-BANDED candidate route: distance ≤ k forces head
+    * lengths within k of each other, so each short head equi-joins
+    * only the 2k+1 length classes it could possibly match —
+    * |short|·(2k+1) join keys, zero recall loss, no crossJoin even on
+    * a tiny-doc-heavy corpus (and the set is empty entirely in a
+    * corpus whose documents all exceed the prefix, true of the
+    * testdata and of any real corpus with a minimum-length gate).
     *
     * Scale shape: per-doc key generation is pure codegen'd explode
     * (constant ≤ ~(k+1)(2k+2) keys/doc); the one shuffle is the
@@ -899,10 +1006,21 @@ object Dedup {
         greatest(col("id_seg"), col("id_probe")).as("id_b"))
       .distinct()
     // heads shorter than prefixLen (rare by construction — a corpus
-    // document shorter than 32 chars): exact candidates against
-    // everything, |short| · n pairs, bounded by the short set's size
-    val candsShort = short.select(col("_id").as("s_id"))
-      .crossJoin(pfx.select(col("_id").as("o_id")))
+    // document shorter than 32 chars): LENGTH-BANDED candidates. Edit
+    // distance ≤ k forces |len_a − len_b| ≤ k (each op changes length
+    // by at most 1 — the pigeonhole's own premise), so a short head s
+    // only needs candidates whose head length lies in [|s|−k, |s|+k]:
+    // the short side explodes its 2k+1 admissible partner lengths and
+    // equi-joins the corpus keyed by its own head length. Bounded by
+    // |short|·(2k+1) keys against per-length groups — no crossJoin
+    // node, and a tiny-doc-heavy corpus no longer degenerates to
+    // |short|·n (the full heads it can never match within k are never
+    // generated as candidates at all).
+    val candsShort = short.select(col("_id").as("s_id"),
+        explode(sequence(greatest(col("_n") - k, lit(0)),
+          col("_n") + k)).as("lc"))
+      .join(pfx.select(col("_id").as("o_id"), col("_n").as("lc")),
+        Seq("lc"))
       .filter(col("s_id") =!= col("o_id"))
       .select(least(col("s_id"), col("o_id")).as("id_a"),
         greatest(col("s_id"), col("o_id")).as("id_b"))

@@ -32,58 +32,62 @@ object ReferenceEtl {
     "SportDuration" -> "Thể thao",
     "TVDuration" -> "Truyền hình")
 
+  /** This deployment's binding of the ONE viewing-ETL implementation
+    * ([[ViewingCore]]): the reference's native columns, its 14
+    * case-sensitive app codes (both `KPLUS` and `KPlus` — the one
+    * place that list exists), the STRING `'0'` sentinel, and raw
+    * TotalDuration seconds. The operator logic is shared with
+    * [[Viewing.schema]] — only these bindings differ. */
+  val schema: ViewingSchema = ViewingSchema(
+    idCol = "Contract",
+    deviceCol = "Mac",
+    appCol = "AppName",
+    measure = col("TotalDuration"),
+    measureName = "TotalDuration",
+    validId = _ =!= "0",
+    mapping = Seq(
+      Seq("CHANNEL", "DSHD", "KPLUS", "KPlus") -> "TVDuration",
+      Seq("VOD", "FIMS_RES", "BHD_RES", "VOD_RES", "FIMS", "BHD",
+        "DANET") -> "MovieDuration",
+      Seq("RELAX") -> "RelaxDuration",
+      Seq("CHILD") -> "ChildDuration",
+      Seq("SPORT") -> "SportDuration"),
+    categories = categories,
+    catLabels = catLabels)
+
   /** E1 — first-match-wins app→category mapping, sentinel "Error"
     * (`ETL_full_output/ETL_full.py:47-56`). */
   def categorize(df: DataFrame): DataFrame =
-    df.withColumn("Type",
-      when(col("AppName").isin("CHANNEL", "DSHD", "KPLUS", "KPlus"), "TVDuration")
-        .when(col("AppName").isin("VOD", "FIMS_RES", "BHD_RES", "VOD_RES", "FIMS", "BHD", "DANET"),
-          "MovieDuration")
-        .when(col("AppName") === "RELAX", "RelaxDuration")
-        .when(col("AppName") === "CHILD", "ChildDuration")
-        .when(col("AppName") === "SPORT", "SportDuration")
-        .otherwise("Error"))
+    ViewingCore.categorize(schema)(df)
 
   /** P3+P4 — drop sentinel contract `'0'` (string compare!) and unmapped
     * categories (`ETL_full_output/ETL_full.py:59-60`). */
   def validRows(df: DataFrame): DataFrame =
-    df.filter(col("Contract") =!= "0").filter(col("Type") =!= "Error")
+    ViewingCore.validRows(schema)(df)
 
   /** A1 — seconds per (contract, category)
     * (`ETL_full_output/ETL_full.py:61`). */
   def durationByCategory(df: DataFrame): DataFrame =
-    df.select("Contract", "Type", "TotalDuration")
-      .groupBy("Contract", "Type")
-      .agg(sum("TotalDuration").as("TotalDuration"))
+    ViewingCore.durationByCategory(schema)(df)
 
   /** A2 — "TotalDevices" per contract (`ETL_full_output/ETL_full.py:42-45`).
     * Faithful mode counts LOG ROWS (the reference selects Mac but never
     * aggregates it) and runs PRE-filter, so Error rows count; `fixed`
     * mode is the intended-semantics `countDistinct(Mac)`. */
   def deviceCounts(df: DataFrame, faithful: Boolean = true): DataFrame =
-    if (faithful)
-      df.select("Contract", "Mac").groupBy("Contract").count()
-        .withColumnRenamed("count", "TotalDevices")
-    else
-      df.groupBy("Contract").agg(countDistinct("Mac").as("TotalDevices"))
+    if (faithful) ViewingCore.deviceCountsFaithful(schema)(df)
+    else ViewingCore.deviceCountsDistinct(schema)(df)
 
   /** A3+E9 — long→wide pivot with explicit values + zero-fill
     * (`ETL_full_output/ETL_full.py:63`). */
-  def pivotDurations(df: DataFrame, fillZero: Boolean = true): DataFrame = {
-    val wide = df.groupBy("Contract").pivot("Type", categories).sum("TotalDuration")
-    if (fillZero) wide.na.fill(0) else wide
-  }
+  def pivotDurations(df: DataFrame, fillZero: Boolean = true): DataFrame =
+    ViewingCore.pivotDurations(schema, fillZero)(df)
 
   /** §3.2 ETL_process + OLAP_process — the flagship full pipeline from a
     * flattened log frame to the 10-column analytics row
     * (`ETL_full_output/ETL_full.py:74-90,140-150`). */
-  def fullPipeline(flat: DataFrame): DataFrame = {
-    val devices = deviceCounts(flat)                                     // branch A (pre-filter)
-    val stats = pivotDurations(durationByCategory(validRows(categorize(flat)))) // branch B
-    val joined = stats.join(devices, Seq("Contract"), "inner")           // J1
-    val enriched = Enrich.mostWatch(catLabels)(joined)
-    Enrich.activityLevel(categories)(Enrich.taste(catLabels)(enriched))
-  }
+  def fullPipeline(flat: DataFrame): DataFrame =
+    ViewingCore.fullPipeline(schema)(flat)
 
   /** §3.1 one-day pipeline: no zero-fill (nulls survive, faithful), plus
     * the literal Date column (`ETL_one_day/ETL_one_day.py:37-40`). */

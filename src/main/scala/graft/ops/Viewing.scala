@@ -36,29 +36,38 @@ object Viewing {
   /** Exact integer cents of the 2-decimal `value` column. */
   def cents: Column = round(col("value") * 100).cast("long")
 
+  /** This deployment's binding of the ONE viewing-ETL implementation
+    * ([[ViewingCore]]): events-table columns, integer-0 sentinel,
+    * cents measure, the 4-category mapping above. The operator logic
+    * (when-chain shape, filters, aggregation/pivot/join composition)
+    * is shared with [[ReferenceEtl.schema]] — only these bindings
+    * differ. */
+  val schema: ViewingSchema = ViewingSchema(
+    idCol = "user_id",
+    deviceCol = "props",
+    appCol = "event_type",
+    measure = cents,
+    measureName = "value_cents",
+    validId = _ =!= 0,
+    mapping = Seq(
+      Seq("view", "impression") -> "ViewDuration",
+      Seq("click", "tap") -> "ClickDuration",
+      Seq("purchase") -> "PurchaseDuration",
+      Seq("signup") -> "SignupDuration"),
+    categories = categories,
+    catLabels = catLabels)
+
   /** E1 analog (`ETL_full_output/ETL_full.py:47-56`): first-match-wins
-    * when-chain over event_type; `isin` on the first two arms mirrors the
-    * reference's IN-list predicates; unmapped (incl. 'error') → "Error". */
-  def categorize(df: DataFrame): DataFrame =
-    df.withColumn("Type",
-      when(col("event_type").isin("view", "impression"), "ViewDuration")
-        .when(col("event_type").isin("click", "tap"), "ClickDuration")
-        .when(col("event_type") === "purchase", "PurchaseDuration")
-        .when(col("event_type") === "signup", "SignupDuration")
-        .otherwise("Error"))
+    * when-chain over event_type; unmapped (incl. 'error') → "Error". */
+  def categorize(df: DataFrame): DataFrame = ViewingCore.categorize(schema)(df)
 
   /** P3+P4 analog (`ETL_full_output/ETL_full.py:59-60`). */
-  def validRows(df: DataFrame): DataFrame =
-    df.filter(col("user_id") =!= 0).filter(col("Type") =!= "Error")
+  def validRows(df: DataFrame): DataFrame = ViewingCore.validRows(schema)(df)
 
-  /** A1 — cents per (user, category) (`ETL_full_output/ETL_full.py:61`).
-    * Spark plans this as partial (map-side) + final hash aggregate:
-    * the shuffle moves one row per (user, category) per partition, not
-    * raw events — the property that keeps it viable at 100 TB. */
+  /** A1 — cents per (user, category) (`ETL_full_output/ETL_full.py:61`);
+    * partial-aggregated, see [[ViewingCore.durationByCategory]]. */
   def durationByCategory(df: DataFrame): DataFrame =
-    df.select(col("user_id"), col("Type"), cents.as("value_cents"))
-      .groupBy("user_id", "Type")
-      .agg(sum("value_cents").as("value_cents"))
+    ViewingCore.durationByCategory(schema)(df)
 
   /** A2 faithful (`ETL_full_output/ETL_full.py:42-45`): counts LOG ROWS
     * pre-filter (includes Error rows), not distinct devices. (The
@@ -66,30 +75,22 @@ object Viewing {
     * here — Catalyst's column pruning makes it meaningless; the faithful
     * form survives in ReferenceEtl.deviceCounts.) */
   def deviceCounts(df: DataFrame): DataFrame =
-    df.groupBy("user_id").count()
-      .withColumnRenamed("count", "TotalDevices")
+    ViewingCore.deviceCountsFaithful(schema, projectDevice = false)(df)
 
   /** A2 fixed: the intended semantics — distinct devices (`props` plays
     * the Mac column). countDistinct shuffles (user, props) pairs once. */
   def deviceCountsDistinct(df: DataFrame): DataFrame =
-    df.groupBy("user_id").agg(countDistinct("props").as("TotalDevices"))
+    ViewingCore.deviceCountsDistinct(schema)(df)
 
   /** A3+E9 (`ETL_full_output/ETL_full.py:63`): explicit-values pivot +
     * zero-fill. */
-  def pivotDurations(df: DataFrame, fillZero: Boolean = true): DataFrame = {
-    val wide = df.groupBy("user_id").pivot("Type", categories).sum("value_cents")
-    if (fillZero) wide.na.fill(0) else wide
-  }
+  def pivotDurations(df: DataFrame, fillZero: Boolean = true): DataFrame =
+    ViewingCore.pivotDurations(schema, fillZero)(df)
 
   /** §3.2 flagship shape: two aggregate branches over one scan,
     * re-converging in J1, then E4–E7 enrichment. */
-  def fullPipeline(events: DataFrame): DataFrame = {
-    val devices = deviceCounts(events)
-    val stats = pivotDurations(durationByCategory(validRows(categorize(events))))
-    val joined = stats.join(devices, Seq("user_id"), "inner")
-    val enriched = Enrich.mostWatch(catLabels)(joined)
-    Enrich.activityLevel(categories)(Enrich.taste(catLabels)(enriched))
-  }
+  def fullPipeline(events: DataFrame): DataFrame =
+    ViewingCore.fullPipeline(schema)(events)
 
   /** Single-pass flagship: same output as [[fullPipeline]], better plan.
     * The faithful shape (two aggregate branches + join, reference

@@ -41,13 +41,15 @@ object Streaming {
     * regenerated this data in at least two physical timestamp layouts
     * (nanos; NTZ-micros), and a stream hard-wired to one of them reads
     * garbage on the other. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = graft.sources.Tables.fileSchema(spark, dir, "events")
+    val reader = spark.readStream.schema(schema)
+      .option("basePath", dir)          // file-stream source needs a dir base
+    val withTrigger = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("basePath", dir)        // file-stream source needs a dir base
-        .parquet(s"$dir/events.*"),
-      Seq("ts"))
+      withTrigger.parquet(s"$dir/events.*"), Seq("ts"))
   }
 
   /** Documents stream from the testdata parquet — the streaming ingest

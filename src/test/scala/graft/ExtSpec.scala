@@ -1674,6 +1674,51 @@ class ExtSpec extends SparkSpec {
       row.mkString)
   }
 
+  test("x26: stored index is doc-bucketed; the candidate probe partition-prunes the standing scan") {
+    import spark.implicits._
+    val standing = docs.select("doc_id", "text").filter(col("doc_id") < 150)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-mh-dpp").toString + "/idx"
+    Dedup.saveMinhashIndex(standing, path)
+    // layout: shingles and sizes land in bucket=N directories — the
+    // precondition for partition pruning
+    for (sub <- Seq("shingles", "sizes")) {
+      val d = new java.io.File(s"$path/$sub")
+      assert(d.listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("bucket=")), sub)
+    }
+    val (_, ish, _) = Dedup.loadMinhashIndex(spark, path)
+    val candIds = Seq(3L, 7L, 11L).toDF("b_id").distinct()
+    val candBuckets = candIds
+      .select(pmod(xxhash64(col("b_id")), lit(Dedup.MinhashIndexBuckets))
+        .cast("int").as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = Dedup.pruneStandingToCandidates(ish, candIds,
+      useBroadcast = true, "doc_id", candBuckets)
+    // the candidates' bucket list must land in the scan's
+    // PartitionFilters — the scan then READS only those directories
+    // (the v12 discipline; without it every ingest batch scans the
+    // whole corpus-scale frame)
+    val p = pruned.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("shingles"))
+      .getOrElse(fail(s"no shingle scan in plan:\n$p"))
+    assert(scanLine.matches(""".*PartitionFilters: \[[^\]]*bucket#\d+ IN.*"""),
+      s"bucket IN (…) must be a partition filter on the standing scan:\n$scanLine")
+    // the prune is a pure semi-join: exactly the candidates' rows
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("b_id"), col("shingle"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = key(ish.filter(col("doc_id").isin(3L, 7L, 11L))
+      .withColumnRenamed("doc_id", "b_id"))
+    assert(key(pruned) == want && want.nonEmpty)
+    // the too-many-candidates fallback (no broadcast hint — AQE must
+    // stay free to pick the join strategy) returns the same rows
+    val fallback = Dedup.pruneStandingToCandidates(ish, candIds,
+      useBroadcast = false, "doc_id", candBuckets)
+    assert(key(fallback) == want)
+  }
+
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
     val got = graft.analytics.ExtPipelines.clusterBalancedSelect(spark, sf())
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
@@ -1923,6 +1968,39 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
     assert(got == Map(1 -> 2L, 2 -> 1L, 3 -> 1L), s"got $got")
     assert(got == chained)
+  }
+
+  test("g35b: per-user state cap — exact under the cap, a lower bound over it (bot policy)") {
+    import spark.implicits._
+    // user 1 is the bot: 50 clicks BEFORE its first view, then a clean
+    // view → click → purchase chain. user 2 is a normal view → click.
+    val rows = (1L to 50L).map(us => (1L, "click", us)) ++ Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "view", 1L), (2L, "click", 2L))
+    val df = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val tmp =
+      java.nio.file.Files.createTempDirectory("graft-funnel-cap").toString
+    df.write.parquet(s"$tmp/events.parquet")
+    def run(cap: Int) = graft.analytics.Pipelines
+      .funnelSingleScan(spark, tmp, maxStageEvents = cap)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val exact = graft.analytics.Pipelines.funnel(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(exact == Map(1 -> 2L, 2 -> 2L, 3 -> 1L), s"fixture: $exact")
+    // cap above every per-(user, stage-type) count → EXACT (all events
+    // survive the earliest-k filter, so the fold sees the full stream)
+    assert(run(100) == exact)
+    // cap 10 keeps only the bot's 10 earliest clicks — all before its
+    // first view, so its conversion beyond stage 1 is no longer
+    // witnessed. The normal user is untouched. Capping keeps a SUBSET
+    // of events, so the reached stage is a LOWER BOUND, never an
+    // overcount.
+    val capped = run(10)
+    assert(capped == Map(1 -> 2L, 2 -> 1L), s"capped: $capped")
+    capped.foreach { case (s, n) =>
+      assert(n <= exact(s), s"stage $s overcounted under the cap") }
   }
 
   test("t34: weighted sample is the exact A-Res top-1000 of the md5-drawn keys") {

@@ -275,6 +275,31 @@ class PlanSpec extends SparkSpec {
       pExact.contains("CartesianProduct"), pExact)
   }
 
+  test("x23b: short heads take the length-band equi-join — no cross join in the plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny head"), (2L, "tiny hxad"),
+      (3L, "a full length document head well past thirty-two characters"))
+      .toDF("doc_id", "text")
+    val df = graft.ext.Dedup.editDistanceNearDupsBlocked(docs, maxDist = 4)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a tiny-doc-heavy corpus must not degenerate to short × everything:\n$p")
+    // and the banded route still finds the planted short pair exactly
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1)), got.mkString(","))
+  }
+
+  test("sql11: lateral top-N decorrelates to window + equi-join — one orders scan, no nested loop") {
+    val p = plan(Pipelines.sqlLateralTopN(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the correlated LIMIT subquery must decorrelate, not re-execute per row:\n$p")
+    assert(p.contains("row_number"),
+      s"the per-customer LIMIT must become a rank filter:\n$p")
+    assert(p.linesIterator.count(_.contains("orders.parquet")) == 1,
+      s"orders must be scanned exactly once (a nested-loop apply re-scans it):\n$p")
+  }
+
   test("g28: grouping sets plan one Expand and one aggregate exchange") {
     val p = plan(Pipelines.groupingSetsSummary(spark, sf()))
     assert(p.contains("Expand"), p)
