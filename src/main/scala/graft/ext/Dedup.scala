@@ -440,9 +440,17 @@ object Dedup {
     val (banded, sh, sizes) =
       minhashIndexFrames(corpus, n, numHashes, bands, rows, textCol, idCol)
     banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // repartition ON the partition column before the partitioned write:
+    // without it every write task emits a file into every bucket
+    // directory (tasks × 64 small files — slow commits now, slow
+    // listings forever); with it each bucket is a handful of files and
+    // the one extra shuffle is a one-time build cost the read path
+    // repays on every batch
     sh.withColumn("bucket", idBucket(col(idCol)))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/shingles")
     sizes.withColumn("bucket", idBucket(col(idCol)))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/sizes")
     sh.unpersist()
   }
@@ -573,18 +581,21 @@ object Dedup {
     //     a huge standing dup-cluster can make it corpus-scale, and an
     //     explicit broadcast hint cannot be demoted by AQE): shuffle
     //     semi-join — degrades gracefully instead of OOMing.
-    // The strategy pick costs two bounded driver actions (a count and
-    // a ≤64-row bucket collect over the persisted candidate frame —
-    // the x26/g33 exception class).
+    // The strategy pick costs ONE bounded driver action over the
+    // persisted candidate frame (the x26/g33 exception class): a
+    // per-bucket count whose ≤64 rows yield both the candidate count
+    // (broadcast gate) and the bucket list (partition filter).
     val candIds = candS.select("b_id").distinct()
-    val useBroadcast = candIds.count() <= MaxBroadcastCandidateIds
     val hasBuckets = standingShingles.columns.contains("bucket") ||
       standingSizes.columns.contains("bucket")
-    val candBuckets =
-      if (hasBuckets)
-        candIds.select(idBucket(col("b_id")).as("bk")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-      else Seq.empty[Int]
+    val (nCand, candBuckets) =
+      if (hasBuckets) {
+        val perBucket = candIds
+          .groupBy(idBucket(col("b_id")).as("bk"))
+          .agg(count(lit(1)).as("n")).collect()
+        (perBucket.map(_.getLong(1)).sum, perBucket.map(_.getInt(0)).toSeq)
+      } else (candIds.count(), Seq.empty[Int])
+    val useBroadcast = nCand <= MaxBroadcastCandidateIds
     def pruneToCandidates(standing: DataFrame): DataFrame =
       pruneStandingToCandidates(standing, candIds, useBroadcast, idCol,
         candBuckets)
