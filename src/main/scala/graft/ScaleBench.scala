@@ -155,7 +155,25 @@ object ScaleBench {
     "g35_funnel",
     "v17_range_search",
     "x26b_minhash_index_serve",
-    "x28_dedup_stats")
+    "x28_dedup_stats",
+    // round-13: the decorrelated LATERAL (scan + window + equi-join,
+    // all linear) and the capped single-scan funnel twin (per-user
+    // state bounded by the earliest-k aggregator, so the fold's cost
+    // is capped per user no matter the tier). m5 is deliberately
+    // absent, x23-style: its media side composes m4's exact all-pairs
+    // BASELINE whose comparisons grow quadratically by specification —
+    // the text side it composes is x4, measured above.
+    // m4/m5 are deliberately absent: m4 is the all-pairs oracle
+    // baseline by specification (x23's class), m5 an output-sized
+    // composition of x4 (measured above) with it. A banded
+    // quantized-L1 blocker for m4 was built and MEASURED HERE —
+    // 22.6s at sf0.1 (the exact form: 0.77s) and ratio 14.8 at the
+    // 10x tier — then removed: concentrated same-generator histograms
+    // put hundreds of docs per eps-cell and the multiprobe inflates
+    // candidates quadratically. See Multimodal.mediaNearDups scaladoc
+    // for the perceptual-hash production path instead.
+    "sql11_lateral_topn",
+    "g35b_funnel_single_scan")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

@@ -273,6 +273,25 @@ object SparkEntry {
       |FROM inter JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5""".stripMargin
 
+  /** m4's oracle: m2's histogram CTE + an L1 chain summed in BIN
+    * ORDER — the same fold order as Spark's expression chain, so the
+    * distances are bit-identical and the threshold compare is
+    * deterministic. */
+  private val mediaL1Oracle: String = {
+    val hs = (0 until 16).map(i =>
+      s"  CAST(len(list_filter(bs, x -> x[1] = '${"0123456789ABCDEF"(i)}')) AS DOUBLE)" +
+      s" / greatest(len(bs), 1) AS h${f"$i%02d"}").mkString(",\n")
+    val l1 = (0 until 16).map(i => f"abs(a.h$i%02d - b.h$i%02d)").mkString(" + ")
+    s"""WITH b0 AS (SELECT doc_id,
+       |  regexp_extract_all(upper(hex(encode(text))), '..') AS bs FROM documents),
+       |h AS (SELECT doc_id,
+       |$hs
+       |FROM b0)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE $l1 <= 0.001""".stripMargin
+  }
+
   /** Shared sessionization oracle — the batch (window-function) and
     * streaming (flatMapGroupsWithState) forms must both match it:
     * equal-timestamp events always share a session, so replay order
@@ -2519,23 +2538,7 @@ object SparkEntry {
          |FROM b""".stripMargin
     },
 
-    "m4_media_neardup" -> {
-      // m2's histogram CTE + an L1 chain summed in BIN ORDER — the same
-      // fold order as Spark's aggregate over the array, so the distances
-      // are bit-identical and the threshold compare is deterministic.
-      val hs = (0 until 16).map(i =>
-        s"  CAST(len(list_filter(bs, x -> x[1] = '${"0123456789ABCDEF"(i)}')) AS DOUBLE)" +
-        s" / greatest(len(bs), 1) AS h${f"$i%02d"}").mkString(",\n")
-      val l1 = (0 until 16).map(i => f"abs(a.h$i%02d - b.h$i%02d)").mkString(" + ")
-      s"""WITH b0 AS (SELECT doc_id,
-         |  regexp_extract_all(upper(hex(encode(text))), '..') AS bs FROM documents),
-         |h AS (SELECT doc_id,
-         |$hs
-         |FROM b0)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |WHERE $l1 <= 0.001""".stripMargin
-    },
+    "m4_media_neardup" -> mediaL1Oracle,
 
     // m5: m4's media-pair CTEs + x3/x4's jaccard-pair CTEs, graded by
     // a FULL OUTER JOIN on the (a_id, b_id) pair key — both sides

@@ -1265,6 +1265,7 @@ object ExtPipelines {
     graft.ext.Multimodal.mediaNearDups(
       Tables.documents(spark, dir), maxL1 = 0.001)
 
+
   /** m5: CONSENSUS multimodal dedup — the operator an image-text
     * corpus actually runs: compose m4's perceptual (media-feature)
     * near-dup with x4's text MinHash near-dup over the SAME doc ids
@@ -1275,11 +1276,17 @@ object ExtPipelines {
     * an auto-drop). Both kernels are the already-oracled sub-ops
     * ([[graft.ext.Multimodal.mediaNearDups]],
     * [[graft.ext.Dedup.minhashNearDups]]); this adds only an
-    * output-sized pair-key FULL OUTER join, so the 100 TB shape is
-    * whatever the two sub-pipelines' is (both bucketed, never
-    * all-pairs) plus an exchange bounded by the pair lists
-    * themselves. Pair orientation a_id < b_id on both sides, so the
-    * keys line up without canonicalization. */
+    * output-sized pair-key FULL OUTER join, so the composition costs
+    * what the two sub-pipelines cost. Honest scale note: the text
+    * side (x4) is banded-bucket LSH, never all-pairs; the media side
+    * here is m4's EXACT all-pairs baseline — its measured scale story
+    * (including a banded L1 blocker that was built, measured
+    * super-linear on concentrated histograms, and removed) lives in
+    * the [[graft.ext.Multimodal.mediaNearDups]] scaladoc, and any
+    * replacement with the same pair contract slots in unchanged
+    * because the composition only consumes (a_id, b_id) sets. Pair
+    * orientation a_id < b_id on both sides, so the keys line up
+    * without canonicalization. */
   def consensusNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val media = graft.ext.Multimodal.mediaNearDups(docs, maxL1 = 0.001)
