@@ -173,7 +173,13 @@ object ScaleBench {
     // candidates quadratically. See Multimodal.mediaNearDups scaladoc
     // for the perceptual-hash production path instead.
     "sql11_lateral_topn",
-    "g35b_funnel_single_scan")
+    "g35b_funnel_single_scan",
+    // round-13 second wave: the recursive spine (12 one-row
+    // iterations + one filter-pushed orders agg — only the scan is
+    // corpus-proportional) and the perceptual-signature dedup (x1's
+    // one-hash-shuffle class on a short string key)
+    "sql12_recursive_spine",
+    "m6_media_sig_dedup")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

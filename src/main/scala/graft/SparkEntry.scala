@@ -194,7 +194,9 @@ object SparkEntry {
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
     "m4_media_neardup" -> (ExtPipelines.mediaNearDups _),
-    "m5_consensus_neardup" -> (ExtPipelines.consensusNearDups _)
+    "m5_consensus_neardup" -> (ExtPipelines.consensusNearDups _),
+    "m6_media_sig_dedup" -> (ExtPipelines.mediaSigDedup _),
+    "sql12_recursive_spine" -> (Pipelines.sqlRecursiveSpine _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -2384,6 +2386,10 @@ object SparkEntry {
     // o_orderkey tie-break makes the per-customer top-3 SET (not just
     // its scores) deterministic, so the hash compare is meaningful
     "sql11_lateral_topn" -> Pipelines.sql11LateralTopNText,
+    // sql12: WITH RECURSIVE runs natively on Spark 4.x AND DuckDB —
+    // integer-only recursion (date+interval syntax diverges between
+    // dialects), integer-cents revenue, unique window key
+    "sql12_recursive_spine" -> Pipelines.sql12RecursiveSpineText,
 
     // x28: the histogram over the same recursive closure x9/x24 pin,
     // plus the singleton row computed from the corpus complement
@@ -2578,6 +2584,25 @@ object SparkEntry {
          |            THEN 'dup' ELSE 'review' END AS verdict
          |FROM mpairs m FULL OUTER JOIN tpairs t2
          |  ON m.a_id = t2.a_id AND m.b_id = t2.b_id""".stripMargin
+    },
+
+    // m6: m2's histogram CTE quantized at 32 (a power of two, so h*32
+    // scales the exponent without rounding — floor lands identically
+    // on both engines) and grouped exactly, x1's output shape
+    "m6_media_sig_dedup" -> {
+      val hs = (0 until 16).map(i =>
+        s"  CAST(len(list_filter(bs, x -> x[1] = '${"0123456789ABCDEF"(i)}')) AS DOUBLE)" +
+        s" / greatest(len(bs), 1) AS h${f"$i%02d"}").mkString(",\n")
+      val sig = (0 until 16).map(i =>
+        f"CAST(CAST(floor(h$i%02d * 32) AS BIGINT) AS VARCHAR)").mkString(", ")
+      s"""WITH b0 AS (SELECT doc_id,
+         |  regexp_extract_all(upper(hex(encode(text))), '..') AS bs FROM documents),
+         |h AS (SELECT doc_id,
+         |$hs
+         |FROM b0),
+         |s AS (SELECT doc_id, concat_ws(':', $sig) AS sig FROM h)
+         |SELECT sig, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM s GROUP BY sig""".stripMargin
     }
   )
 }

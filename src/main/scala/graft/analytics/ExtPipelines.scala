@@ -1265,6 +1265,11 @@ object ExtPipelines {
     graft.ext.Multimodal.mediaNearDups(
       Tables.documents(spark, dir), maxL1 = 0.001)
 
+  /** m6: perceptual-signature media dedup — the x1-shaped production
+    * path (see [[graft.ext.Multimodal.mediaSigDedup]]). */
+  def mediaSigDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.mediaSigDedup(Tables.documents(spark, dir))
+
 
   /** m5: CONSENSUS multimodal dedup — the operator an image-text
     * corpus actually runs: compose m4's perceptual (media-feature)

@@ -1044,6 +1044,50 @@ object Pipelines {
     spark.sql(sql11LateralTopNText)
   }
 
+  val sql12RecursiveSpineText: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT 1 AS m
+      |  UNION ALL
+      |  SELECT m + 1 FROM months WHERE m < 12
+      |),
+      |rev AS (
+      |  SELECT month(o_orderdate) AS m,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY month(o_orderdate)
+      |)
+      |SELECT months.m AS month, COALESCE(rev.rev_c, 0) AS rev_c,
+      |  CAST(SUM(COALESCE(rev.rev_c, 0)) OVER (ORDER BY months.m)
+      |       AS BIGINT) AS cum_rev_c
+      |FROM months LEFT JOIN rev ON months.m = rev.m""".stripMargin
+
+  /** sql12 — WITH RECURSIVE through the parser path: the gap-free
+    * spine + cumulative total, the single most common recursive CTE
+    * in analytics SQL (a month with zero orders must still appear,
+    * and its cumulative value must carry — a plain GROUP BY silently
+    * drops the gap). Spark 4.x executes recursive CTEs natively
+    * (iterative union), so the SAME ANSI text runs verbatim on Spark
+    * and DuckDB — with sql9/sql10/sql11 this completes the "bring
+    * your SQL" front end's fourth major class.
+    *
+    * Dialect discipline: the recursion is pure integer arithmetic (no
+    * date+interval syntax, which diverges between dialects); revenue
+    * is integer cents; `month()` exists in both engines; the window
+    * has a unique ORDER BY key so the running sum is deterministic.
+    *
+    * Scale shape: the recursion iterates 12 times over a ONE-ROW
+    * frame (driver-trivial — the spine is metadata, not data); the
+    * orders aggregation is filter-pushed and partial-aggregated; the
+    * spine join broadcasts 12 rows; the window sorts 12 rows. At
+    * 100 TB the only corpus-proportional work is the orders scan. */
+  def sqlRecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "orders")
+    spark.sql(sql12RecursiveSpineText)
+  }
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

@@ -103,6 +103,35 @@ object Multimodal {
       .select("a_id", "b_id")
   }
 
+  /** m6 — perceptual-SIGNATURE dedup: the production media-dedup
+    * discipline (the pHash trade) the [[mediaNearDups]] scaladoc
+    * names. Quantize every histogram bin at resolution `q` and group
+    * EXACTLY on the concatenated signature — one hash-shuffle on a
+    * short string key, x1's scale class, trivially linear at 100 TB.
+    * Re-encodes with near-identical feature vectors land in the same
+    * cell and dedup; a pair straddling a cell boundary is missed —
+    * tuned recall BY DESIGN, which is precisely the trade production
+    * perceptual-hash dedup makes (and why m4's exact form stays as
+    * the fixture-scale verification oracle).
+    *
+    * Oracle-exact cross-engine: the bins are exact IEEE divisions
+    * (m2's oracle proves them bit-identical), and `q` is a power of
+    * two, so `h * q` scales the exponent WITHOUT rounding — `floor`
+    * then lands on the same integer on both engines, no boundary
+    * hazard. Output is x1's shape: signature, kept (minimum) doc id,
+    * copy count. */
+  def mediaSigDedup(docs: DataFrame, q: Int = 32): DataFrame = {
+    require(q > 0 && (q & (q - 1)) == 0,
+      s"q must be a power of two for exact cross-engine quantization, got $q")
+    val f = featurize(docs).select(
+      col("doc_id") +: (0 until 16).map(i => col("histogram")(i).as(f"h$i%02d")): _*)
+    val sig = concat_ws(":", (0 until 16).map(i =>
+      floor(col(f"h$i%02d") * q).cast("long").cast("string")): _*)
+    f.withColumn("sig", sig)
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   // ---- frame sampling / resize ----
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -300,6 +300,27 @@ class PlanSpec extends SparkSpec {
       s"orders must be scanned exactly once (a nested-loop apply re-scans it):\n$p")
   }
 
+  test("sql12: recursion is a UnionLoop over one row; orders filter pushed; spine join broadcast") {
+    val p = plan(Pipelines.sqlRecursiveSpine(spark, sf()))
+    assert(p.contains("UnionLoop"),
+      s"WITH RECURSIVE must execute as Spark's native iterative union:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"the date range must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 12-row spine must broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue must partial-aggregate before its exchange:\n$p")
+  }
+
+  test("m6: signature dedup is one partial-aggregated exchange — x1's scale class") {
+    val p = plan(graft.analytics.ExtPipelines.mediaSigDedup(spark, sf()))
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"map-side combine must precede the one signature shuffle:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"exactly one sig shuffle expected:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a hash-group dedup:\n$p")
+  }
+
   test("g28: grouping sets plan one Expand and one aggregate exchange") {
     val p = plan(Pipelines.groupingSetsSummary(spark, sf()))
     assert(p.contains("Expand"), p)

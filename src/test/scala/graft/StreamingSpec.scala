@@ -265,6 +265,24 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("m6: signature groups partition the corpus; identical texts share a group") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val groups = Multimodal.mediaSigDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // partition property: group sizes sum to the corpus exactly (no
+    // doc dropped, none double-counted) and keep ids are distinct
+    assert(groups.map(_._3).sum == docs.count())
+    assert(groups.map(_._2).distinct.length == groups.length)
+    // identical payloads have identical histograms, hence identical
+    // signatures: planted exact-text dups can never split
+    val planted = Seq((1L, "same text body"), (2L, "same text body"),
+      (3L, "a different body")).toDF("doc_id", "text")
+    val got = Multimodal.mediaSigDedup(planted).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got.exists { case (keep, n) => keep == 1L && n == 2L }, got.mkString)
+  }
+
   test("sampleFrames: bounded count, uniform spacing, exact frame bytes") {
     import spark.implicits._
     val payload = Array.tabulate(300)(i => (i % 251).toByte) // 5 frames of 64 (last=44)
