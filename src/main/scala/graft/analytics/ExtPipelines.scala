@@ -309,8 +309,10 @@ object ExtPipelines {
     * docs always collide in LSH and verify at j = 1, so a true exact
     * duplicate of a standing doc can never be admitted — exactly 0,
     * counted over the >= 3-token docs the shingle guarantee covers).
-    * The two driver actions here are the query's own output facts
-    * (bounded: two counts), mirroring x26. */
+    * Both facts ride ONE lazy plan (an aggregate crossJoin of two
+    * 1-row counts), so the serve path adds ZERO driver actions beyond
+    * nearDupIngest's internal bounded one — the driver's single
+    * collect over the returned row does all the counting. */
   def minhashIndexServe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = graft.ext.DataSplit.withSplit(
@@ -332,12 +334,13 @@ object ExtPipelines {
       fs
     })
     val admitted = Dedup.nearDupIngest(ib, ish, isz, batch)
-    val nExact = admitted
+    admitted
       .join(batch.filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), col("text")), "doc_id")
       .join(standing.select(col("text")), Seq("text"), "left_semi")
-      .count()
-    Seq((batch.count(), nExact)).toDF("n_batch", "n_exact_admitted")
+      .agg(count(lit(1)).as("n_exact_admitted"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .select(col("n_batch"), col("n_exact_admitted"))
   }
 
   /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
