@@ -375,11 +375,53 @@ object ScaleBench {
       // the sink outputs are a measurement artifact, not a fixture —
       // reclaim the disk before the next tier
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkBase))
+      // x26 partition-pruning READ evidence at the replica tier. A
+      // timed read pair cannot show it on this box (the index just
+      // landed in the page cache and both variants are job-overhead-
+      // bound at ~0.1s), so the evidence is BYTES, which is what the
+      // pruning actually saves: the ExtSpec PartitionFilters pin
+      // proves the pruned scan reads ONLY the candidate buckets'
+      // directories, and this measures what fraction of the stored
+      // shingle frame those directories hold — the per-batch read
+      // reduction a disk-resident corpus gets.
+      val readFraction: Double =
+        if (factor == 1) -1.0
+        else try {
+          val idxBase = s"target/scale/mh_idx_$label"
+          if (!new java.io.File(s"$idxBase/_BUILT").exists()) {
+            val t = timeOnce(graft.ext.Dedup.saveMinhashIndex(
+              Tables.documents(spark, dir).select("doc_id", "text"),
+              s"$idxBase/idx"))
+            System.err.println(f"[scale] $label x26 index built in $t%.1fs")
+            new java.io.File(s"$idxBase/_BUILT").createNewFile()
+          }
+          val candIds = Tables.documents(spark, dir)
+            .select(col("doc_id").as("b_id"))
+            .filter(col("b_id") % 9973 === 0).distinct()
+          val buckets = candIds
+            .select(pmod(xxhash64(col("b_id")),
+              lit(graft.ext.Dedup.MinhashIndexBuckets)).cast("int").as("bk"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          def dirBytes(f: java.io.File): Long =
+            if (f.isFile) f.length
+            else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+          val shRoot = new java.io.File(s"$idxBase/idx/shingles")
+          val all = dirBytes(shRoot)
+          val sel = buckets
+            .map(b => dirBytes(new java.io.File(shRoot, s"bucket=$b"))).sum
+          val frac = if (all > 0) sel.toDouble / all else -1.0
+          System.err.println(
+            f"[scale] $label x26 pruned read: ${buckets.length} of ${graft.ext.Dedup.MinhashIndexBuckets} buckets, $sel of $all bytes ($frac%.3f)")
+          frac
+        } catch { case e: Exception =>
+          System.err.println(s"[scale] x26 read evidence failed at $label: $e")
+          -1.0
+        }
       spark.catalog.clearCache()
-      (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce)
+      (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce, readFraction)
     }
 
-    val Seq((l0, t0, r0, k0, _), (l1, t1, r1, k1, eo1)) = results
+    val Seq((l0, t0, r0, k0, _, _), (l1, t1, r1, k1, eo1, rfr1)) = results
     def fmt(ts: Seq[(String, Double)]): String =
       ts.map { case (q, s) => f""""$q":$s%.4f""" }.mkString("{", ",", "}")
     val ratios = t0.zip(t1).map { case ((q, a), (_, b)) =>
@@ -389,7 +431,8 @@ object ScaleBench {
       s""""tiers":{"$l0":${fmt(t0)},"$l1":${fmt(t1)}},"ratio":$ratios,""" +
       f""""m2_over_m1_pruned":{"$l0":$r0%.2f,"$l1":$r1%.2f},""" +
       f""""s15_stream_sink_sec":{"$l0":$k0%.3f,"$l1":$k1%.3f},""" +
-      s""""s15_exactly_once_ok":${eo1.getOrElse(false)}}""")
+      s""""s15_exactly_once_ok":${eo1.getOrElse(false)},""" +
+      f""""x26_pruned_read_fraction":$rfr1%.4f}""")
     spark.stop()
   }
 }
