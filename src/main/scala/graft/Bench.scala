@@ -154,7 +154,14 @@ object Bench {
     "sql10_window_dedup",
     // x28 reads the x24b label artifact (built once, warmup-absorbed)
     // — the audit consumer's cost, not the CC recompute
-    "x28_dedup_stats")
+    "x28_dedup_stats",
+    // round-13 operators: the two new SQL-text classes, the
+    // consensus multimodal dedup, and the perceptual-signature media
+    // dedup
+    "sql11_lateral_topn",
+    "sql12_recursive_spine",
+    "m5_consensus_neardup",
+    "m6_media_sig_dedup")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
