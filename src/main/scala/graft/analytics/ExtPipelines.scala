@@ -292,7 +292,13 @@ object ExtPipelines {
     * equals), not by identityHashCode, which is NOT unique: a
     * collision with a stopped session's key would hand back persisted
     * frames bound to a dead session. Stopped sessions' entries are
-    * evicted on access so discarded sessions' frames don't leak. */
+    * evicted on access; the blocks themselves died with the stopped
+    * context, so the only thing an unreaped entry holds is the map
+    * row — no executor memory leaks even if the op is never called
+    * again. Concurrent first calls race through `putIfAbsent`, and
+    * the LOSER unpersists its freshly-built frames — `TrieMap
+    * .getOrElseUpdate` alone is not atomic, and the losing copy would
+    * otherwise stay persisted for the session's lifetime. */
   private val x26bFrames = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
@@ -326,13 +332,18 @@ object ExtPipelines {
       p
     })
     x26bFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val (ib, ish, isz) = x26bFrames.getOrElseUpdate((spark, dir), {
+    val (ib, ish, isz) = x26bFrames.get((spark, dir)).getOrElse {
       val fs = Dedup.loadMinhashIndex(spark, path)
       import org.apache.spark.storage.StorageLevel
       Seq(fs._1, fs._2, fs._3)
         .foreach(f => f.persist(StorageLevel.MEMORY_AND_DISK).count())
-      fs
-    })
+      x26bFrames.putIfAbsent((spark, dir), fs) match {
+        case None => fs // this call won the build race
+        case Some(winner) => // lost: free the duplicate persisted copy
+          Seq(fs._1, fs._2, fs._3).foreach(_.unpersist(blocking = false))
+          winner
+      }
+    }
     val admitted = Dedup.nearDupIngest(ib, ish, isz, batch)
     admitted
       .join(batch.filter(size(split(col("text"), " ")) >= 3)

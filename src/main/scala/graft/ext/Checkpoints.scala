@@ -30,8 +30,21 @@ private[graft] object Checkpoints {
     * its files are never auto-removed, so every ingest call would leak
     * one directory. localCheckpoint blocks, by contrast, ARE reclaimed
     * by the ContextCleaner once the RDD is garbage-collected — the
-    * frame cleans itself up when the caller drops it. */
-  def ckptLocal(df: DataFrame): DataFrame = df.localCheckpoint()
+    * frame cleans itself up when the caller drops it.
+    *
+    * Local checkpoint blocks are NOT recomputable (the lineage is
+    * truncated by design), so a lost executor between materialization
+    * and consumption would fail the job — exactly the hazard of the
+    * long-running-service deployment this path serves. The blocks are
+    * therefore written at `MEMORY_AND_DISK_2` (2 replicas): a single
+    * executor loss — crash or dynamic-allocation decommission — leaves
+    * the surviving replica readable and the batch completes. A
+    * SIMULTANEOUS loss of both replica holders still fails the batch;
+    * the service's contract is retry-the-batch on that (rare) double
+    * fault, which is safe because ingest admission is deterministic. */
+  def ckptLocal(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
 
   /** Free a [[ckpt]] result that has been SUPERSEDED (its successor is
     * fully materialized and no returned plan reads it): deletes the

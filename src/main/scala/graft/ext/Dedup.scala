@@ -824,12 +824,19 @@ object Dedup {
     val dn = distinctNames.select(col("blk"), col("nm")).distinct()
     // global char rarity order; bounded by the charset of the name
     // column (<= a few hundred rows for real entity names)
-    val orderStr = dn
-      .select(explode(split(col("nm"), "")).as("c"))
+    // max(length(nm)) rides the SAME job as the charset collect (a
+    // second aggregate on the exploded plan) so the injectivity guard
+    // below costs zero extra scans. Names contributing no single-char
+    // element produce no encoded elements either, so the max over
+    // contributing names still bounds every occurrence index.
+    val charRows = dn
+      .select(explode(split(col("nm"), "")).as("c"),
+        length(col("nm")).as("nl"))
       .filter(length(col("c")) === 1)
-      .groupBy("c").agg(count(lit(1)).as("n"))
+      .groupBy("c").agg(count(lit(1)).as("n"), max(col("nl")).as("ml"))
       .orderBy(col("n"), col("c"))
-      .collect().map(_.getString(0)).mkString
+      .collect()
+    val orderStr = charRows.map(_.getString(0)).mkString
     val orderArr = split(lit(orderStr), "")
     // Injectivity guard for the 4-digit (rarity-rank, occurrence)
     // element encoding below: Spark's lpad TRUNCATES strings longer
@@ -844,8 +851,7 @@ object Dedup {
       s"name charset has ${orderStr.length} distinct chars; the 4-digit " +
         "rarity-rank encoding caps at 9999 — widen the padding before " +
         "running this corpus")
-    val maxLenRow = dn.agg(max(length(col("nm")))).head()
-    val maxNameLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    val maxNameLen = if (charRows.isEmpty) 0 else charRows.map(_.getInt(2)).max
     require(maxNameLen <= 9999,
       s"longest name has $maxNameLen chars; the 4-digit occurrence " +
         "encoding caps at 9999 — widen the padding before running this " +

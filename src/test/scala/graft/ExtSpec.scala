@@ -793,10 +793,34 @@ class ExtSpec extends SparkSpec {
     val agg = new graft.functions.TopKAggregator(2)
     val buf = Seq((5.0, 10L), (5.0, 3L), (7.0, 99L), (1.0, 1L))
       .foldLeft(agg.zero)(agg.reduce)
-    assert(buf.length == 2)                       // buffer never exceeds k
+    assert(buf._1.length == 2)                    // buffer never exceeds k
     assert(agg.finish(buf) == Seq(99L, 3L))       // score desc, id asc on tie
-    val merged = agg.merge(buf, Seq((6.0, 42L)))
+    val merged = agg.merge(buf, agg.reduce(agg.zero, (6.0, 42L)))
     assert(agg.finish(merged) == Seq(99L, 42L))
+    // reduce must not mutate a rejected-into buffer (early-exit path
+    // returns the SAME arrays — callers rely on value semantics)
+    val same = agg.reduce(merged, (0.5, 7L))
+    assert(same._1.sameElements(merged._1) && same._2.sameElements(merged._2))
+  }
+
+  test("TopKAggregator: equals naive sort on adversarial bot-group input") {
+    // a single degenerate group: 50k rows, heavy score ties, ids shuffled
+    // deterministically — the early-exit reduce and the linear merge must
+    // agree exactly with the brute-force sort at every split point
+    val k = 10
+    val agg = new graft.functions.TopKAggregator(k)
+    val rows = (0 until 50000).map { i =>
+      ((i * 2654435761L % 97).toDouble, (i * 40503L) % 50021L)
+    }
+    val expected = rows.sorted(
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) })
+      .take(k).map(_._2)
+    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(whole) == expected)
+    // partial-aggregate shape: fold per slice, then merge the partials
+    val partials = rows.grouped(1331).map(_.foldLeft(agg.zero)(agg.reduce))
+    val merged = partials.foldLeft(agg.zero)(agg.merge)
+    assert(agg.finish(merged) == expected)
   }
 
   test("quality signals are bounded and deterministic") {
