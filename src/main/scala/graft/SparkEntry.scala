@@ -90,6 +90,7 @@ object SparkEntry {
     "x17b_bloom_ingest_bounded" -> (ExtPipelines.bloomIngestBounded _),
     "x26_minhash_index_ingest" -> (ExtPipelines.minhashIndexIngest _),
     "x26b_minhash_index_serve" -> (ExtPipelines.minhashIndexServe _),
+    "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
     "x1_dedup_exact" -> (ExtPipelines.dedupExact _),
@@ -2390,6 +2391,27 @@ object SparkEntry {
     // integer-only recursion (date+interval syntax diverges between
     // dialects), integer-cents revenue, unique window key
     "sql12_recursive_spine" -> Pipelines.sql12RecursiveSpineText,
+
+    // x29: incremental CC maintenance must equal the FULL recompute
+    // over standing ∪ delta — which is every jaccard pair, so the
+    // oracle is exactly x9's recursive closure (the standing/delta
+    // split is a Spark-side implementation detail the result must be
+    // invariant to)
+    "x29_cc_incremental" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a_id, b_id FROM (
+         |$jaccardOracle
+         |  ) jp
+         |),
+         |nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id AS id FROM edges),
+         |sym AS (SELECT a_id AS u, b_id AS v FROM edges
+         |        UNION ALL SELECT b_id AS u, a_id AS v FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     // x28: the histogram over the same recursive closure x9/x24 pin,
     // plus the singleton row computed from the corpus complement

@@ -161,6 +161,47 @@ object ExtPipelines {
       .select("doc_id", "source")
   }
 
+  /** Memoized per-JVM store for [[ccIncremental]] (x29): the standing
+    * label artifact and the delta pair list, split deterministically
+    * from the x9 pair set (~15% of pairs by pair-keyed xxhash64) and
+    * written once per JVM — the x24b pattern, so the bench's warmup
+    * rep absorbs the standing CC build and the timed reps measure the
+    * INCREMENTAL maintenance path only (which is the production shape:
+    * the standing labels are yesterday's persisted artifact, the delta
+    * pairs come from today's batch). */
+  private val x29Store = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** x29 — incremental connected-components maintenance: patch a
+    * standing cluster-label set with a delta batch of near-dup pairs
+    * via [[graft.ext.Dedup.connectedComponentsIncremental]] (CC runs
+    * only on the CONTRACTED delta graph; the standing labels are
+    * scanned twice through gated-broadcast joins and never shuffled).
+    * The oracle is the strongest one available: the patched labels
+    * must equal a full recursive-CTE recompute over ALL pairs —
+    * standing ∪ delta — exactly, row for row. */
+  def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = x29Store.getOrElseUpdate(dir, {
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft_x29_cc_${math.abs(dir.hashCode.toLong)}"
+      import org.apache.spark.storage.StorageLevel
+      val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3,
+        threshold = 0.5, maxShingleDf = Some(100))
+        .withColumn("_delta",
+          pmod(xxhash64(col("a_id"), col("b_id"), lit("x29")), lit(100)) < 15)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        Dedup.connectedComponents(pairs.filter(!col("_delta")))
+          .write.mode("overwrite").parquet(s"$p/labels")
+        pairs.filter(col("_delta")).select("a_id", "b_id")
+          .write.mode("overwrite").parquet(s"$p/delta")
+      } finally pairs.unpersist(blocking = false)
+      p
+    })
+    Dedup.connectedComponentsIncremental(
+      spark.read.parquet(s"$root/labels"),
+      spark.read.parquet(s"$root/delta"))
+  }
+
   /** x28 — dedup AUDIT report: the numbers a data engineer checks
     * after a dedup pass — the cluster-size histogram over x9's
     * near-dup clusters plus the singleton row (docs untouched by any

@@ -115,6 +115,46 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("x29: incremental CC merges, extends, and leaves untouched components alone") {
+    import spark.implicits._
+    // standing graph: {1,2,3} lbl 1, {10,11} lbl 10, {20,21} lbl 20
+    val standingPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val labels = graft.ext.Dedup.connectedComponents(standingPairs)
+    // delta: merges {1..3} with {10,11}; attaches fresh 40 to {10,11};
+    // a brand-new pair (30,31); a redundant intra-component edge
+    // (20,21) that must change nothing; a duplicate-direction edge
+    val delta = Seq((3L, 10L), (40L, 11L), (30L, 31L), (21L, 20L), (10L, 3L))
+      .toDF("a_id", "b_id")
+    val inc = graft.ext.Dedup.connectedComponentsIncremental(labels, delta)
+      .as[(Long, Long)].collect().toMap
+    val full = graft.ext.Dedup.connectedComponents(
+        standingPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(40L) == 1L && inc(10L) == 1L)   // merged + extended
+    assert(inc(30L) == 30L && inc(31L) == 30L) // fresh component
+    assert(inc(20L) == 20L && inc(21L) == 20L) // untouched survives
+  }
+
+  test("x29: empty delta is the identity; patch-apply join broadcasts") {
+    import spark.implicits._
+    val standingPairs = Seq((1L, 2L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = graft.ext.Dedup.connectedComponents(standingPairs)
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = graft.ext.Dedup.connectedComponentsIncremental(labels, none)
+    assert(out.as[(Long, Long)].collect().toMap ==
+      labels.as[(Long, Long)].collect().toMap)
+    // the standing labels must be patched through a broadcast hash
+    // join (delta-sized build side), never a shuffle of the labels
+    val delta = Seq((2L, 10L)).toDF("a_id", "b_id")
+    val patched = graft.ext.Dedup.connectedComponentsIncremental(labels, delta)
+    assert(patched.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(patched.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("connectedComponents: empty edge set returns empty labels, no iteration blow-up") {
     import spark.implicits._
     // a fully-unique corpus produces zero near-dup pairs — the checksum
