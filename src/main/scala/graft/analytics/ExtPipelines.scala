@@ -129,8 +129,10 @@ object ExtPipelines {
     * FIXED path per input dir, written once per JVM with overwrite —
     * repeated runs reuse it (the bench's warmup rep absorbs the build,
     * the g20 pattern) and reruns across JVMs overwrite rather than
-    * accumulate (the v12 hygiene rule). */
-  private val x24bLabels = scala.collection.concurrent.TrieMap.empty[String, String]
+    * accumulate (the v12 hygiene rule). [[graft.ext.BuildOnce]] keyed:
+    * the build writes parquet to a fixed path, so two concurrent first
+    * calls must not both run it. */
+  private val x24bLabels = new graft.ext.BuildOnce[String, String]
 
   /** x24b: the PRODUCTION dedup-apply — x9's cluster labels persisted
     * to parquet once, then the corpus cleaned by a label read + a
@@ -144,12 +146,12 @@ object ExtPipelines {
   /** The persisted x9 cluster-label artifact, built once per JVM and
     * read by every downstream consumer (x24b's apply, x28's audit). */
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = x24bLabels.getOrElseUpdate(dir, {
+    val path = x24bLabels(dir) {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_x24b_labels_${math.abs(dir.hashCode.toLong)}"
       dedupClusters(spark, dir).write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -168,8 +170,11 @@ object ExtPipelines {
     * rep absorbs the standing CC build and the timed reps measure the
     * INCREMENTAL maintenance path only (which is the production shape:
     * the standing labels are yesterday's persisted artifact, the delta
-    * pairs come from today's batch). */
-  private val x29Store = scala.collection.concurrent.TrieMap.empty[String, String]
+    * pairs come from today's batch). [[graft.ext.BuildOnce]] keyed:
+    * the build issues overwrite parquet writes to a fixed path, so
+    * two concurrent first calls must not both run it (the same
+    * non-atomicity `TrieMap.getOrElseUpdate` had here before). */
+  private val x29Store = new graft.ext.BuildOnce[String, String]
 
   /** x29 — incremental connected-components maintenance: patch a
     * standing cluster-label set with a delta batch of near-dup pairs
@@ -180,7 +185,7 @@ object ExtPipelines {
     * must equal a full recursive-CTE recompute over ALL pairs —
     * standing ∪ delta — exactly, row for row. */
   def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val root = x29Store.getOrElseUpdate(dir, {
+    val root = x29Store(dir) {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_x29_cc_${math.abs(dir.hashCode.toLong)}"
       import org.apache.spark.storage.StorageLevel
@@ -196,7 +201,7 @@ object ExtPipelines {
           .write.mode("overwrite").parquet(s"$p/delta")
       } finally pairs.unpersist(blocking = false)
       p
-    })
+    }
     Dedup.connectedComponentsIncremental(
       spark.read.parquet(s"$root/labels"),
       spark.read.parquet(s"$root/delta"))
@@ -319,8 +324,9 @@ object ExtPipelines {
     * (x26b) — the x24b pattern: one FIXED path per input dir, written
     * once per JVM with overwrite, so the bench's warmup rep absorbs
     * the one-time corpus signing and the timed reps measure the
-    * serving path only. */
-  private val x26bIndex = scala.collection.concurrent.TrieMap.empty[String, String]
+    * serving path only. [[graft.ext.BuildOnce]] keyed — the build
+    * writes the index to a fixed path. */
+  private val x26bIndex = new graft.ext.BuildOnce[String, String]
 
   /** Loaded-and-persisted standing index frames, keyed by (session,
     * dir): a long-running ingest service keeps its standing index HOT
@@ -336,12 +342,12 @@ object ExtPipelines {
     * evicted on access; the blocks themselves died with the stopped
     * context, so the only thing an unreaped entry holds is the map
     * row — no executor memory leaks even if the op is never called
-    * again. Concurrent first calls race through `putIfAbsent`, and
-    * the LOSER unpersists its freshly-built frames — `TrieMap
-    * .getOrElseUpdate` alone is not atomic, and the losing copy would
-    * otherwise stay persisted for the session's lifetime. */
-  private val x26bFrames = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+    * again. [[graft.ext.BuildOnce]] keyed: concurrent first calls
+    * resolve atomically and the loser BLOCKS on the winner's build —
+    * strictly better than the earlier build-then-putIfAbsent race,
+    * which persisted a duplicate frame set just to unpersist it. */
+  private val x26bFrames =
+    new graft.ext.BuildOnce[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
   /** x26b: the SERVING path of the persisted MinHash-LSH index — load
     * the stored frames, run one batch through
@@ -366,24 +372,19 @@ object ExtPipelines {
       Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
     val standing = parts.filter(col("split") === "train")
     val batch = parts.filter(col("split") === "test")
-    val path = x26bIndex.getOrElseUpdate(dir, {
+    val path = x26bIndex(dir) {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_x26b_idx_${math.abs(dir.hashCode.toLong)}"
       Dedup.saveMinhashIndex(standing, p)
       p
-    })
-    x26bFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val (ib, ish, isz) = x26bFrames.get((spark, dir)).getOrElse {
+    }
+    x26bFrames.evict(_._1.sparkContext.isStopped)
+    val (ib, ish, isz) = x26bFrames((spark, dir)) {
       val fs = Dedup.loadMinhashIndex(spark, path)
       import org.apache.spark.storage.StorageLevel
       Seq(fs._1, fs._2, fs._3)
         .foreach(f => f.persist(StorageLevel.MEMORY_AND_DISK).count())
-      x26bFrames.putIfAbsent((spark, dir), fs) match {
-        case None => fs // this call won the build race
-        case Some(winner) => // lost: free the duplicate persisted copy
-          Seq(fs._1, fs._2, fs._3).foreach(_.unpersist(blocking = false))
-          winner
-      }
+      fs
     }
     val admitted = Dedup.nearDupIngest(ib, ish, isz, batch)
     admitted

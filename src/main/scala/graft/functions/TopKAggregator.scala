@@ -32,9 +32,18 @@ class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Seq[Long]] {
   require(k >= 1, s"top-k needs k >= 1, got $k")
 
-  /** (s1, id1) ranks strictly before (s2, id2) in the kept order. */
-  @inline private def beats(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** (s1, id1) ranks strictly before (s2, id2) in the kept order.
+    * NaN-explicit total order: a NaN score ranks strictly LAST (as if
+    * -inf, with the id tie-break among NaNs) — `>` alone is not a
+    * total order for NaN (it never beats and is never beaten), and a
+    * NaN that reached the k-th slot would make the steady-state early
+    * exit in [[reduce]] reject every later row regardless of score. */
+  @inline private def beats(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val n1 = s1 != s1; val n2 = s2 != s2
+    if (n1 != n2) n2                            // the non-NaN side wins
+    else if (n1) id1 < id2                      // both NaN: id asc
+    else s1 > s2 || (s1 == s2 && id1 < id2)
+  }
 
   override def zero: (Array[Double], Array[Long]) =
     (Array.emptyDoubleArray, Array.emptyLongArray)

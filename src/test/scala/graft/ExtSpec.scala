@@ -146,13 +146,23 @@ class ExtSpec extends SparkSpec {
     assert(out.as[(Long, Long)].collect().toMap ==
       labels.as[(Long, Long)].collect().toMap)
     // the standing labels must be patched through a broadcast hash
-    // join (delta-sized build side), never a shuffle of the labels
+    // join (delta-sized build side), never a shuffle of the labels.
+    // auto-broadcast is DISABLED for this probe: at fixture sizes AQE
+    // would broadcast-convert any join and the assertion would pass
+    // vacuously — with the threshold off, a BroadcastHashJoin in the
+    // plan can only come from the operator's explicit gated broadcast()
+    // hint on the delta-derived side.
     val delta = Seq((2L, 10L)).toDF("a_id", "b_id")
-    val patched = graft.ext.Dedup.connectedComponentsIncremental(labels, delta)
-    assert(patched.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"))
-    assert(patched.as[(Long, Long)].collect().toMap ==
-      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val patched = graft.ext.Dedup.connectedComponentsIncremental(labels, delta)
+      assert(patched.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(patched.as[(Long, Long)].collect().toMap ==
+        Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    } finally spark.conf.set(thresholdKey, saved)
   }
 
   test("connectedComponents: empty edge set returns empty labels, no iteration blow-up") {
@@ -861,6 +871,25 @@ class ExtSpec extends SparkSpec {
     val partials = rows.grouped(1331).map(_.foldLeft(agg.zero)(agg.reduce))
     val merged = partials.foldLeft(agg.zero)(agg.merge)
     assert(agg.finish(merged) == expected)
+  }
+
+  test("TopKAggregator: NaN scores rank last and are evicted by real scores") {
+    // NaN is not ordered by `>`: a naive comparison would let a NaN that
+    // reaches the k-th slot block every later row via the early-exit.
+    // The NaN-explicit total order ranks NaN as -inf, so finite scores
+    // arriving AFTER the NaNs must still evict them.
+    val agg = new graft.functions.TopKAggregator(2)
+    val buf = Seq((Double.NaN, 1L), (Double.NaN, 2L), (5.0, 30L), (7.0, 40L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Seq(40L, 30L))
+    // a NaN survives only while there is room, always at the end, with
+    // the id tie-break keeping the order deterministic
+    val partial = Seq((3.0, 9L), (Double.NaN, 8L), (Double.NaN, 4L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(partial) == Seq(9L, 4L))
+    // merge path agrees: NaNs in either partial lose to finite scores
+    val other = agg.reduce(agg.zero, (1.0, 5L))
+    assert(agg.finish(agg.merge(partial, other)) == Seq(9L, 5L))
   }
 
   test("quality signals are bounded and deterministic") {
