@@ -90,6 +90,7 @@ object SparkEntry {
     "x17b_bloom_ingest_bounded" -> (ExtPipelines.bloomIngestBounded _),
     "x26_minhash_index_ingest" -> (ExtPipelines.minhashIndexIngest _),
     "x26b_minhash_index_serve" -> (ExtPipelines.minhashIndexServe _),
+    "x26c_minhash_index_append" -> (ExtPipelines.minhashIndexAppend _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -806,6 +807,24 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_batch,
         |       CAST(0 AS BIGINT) AS n_exact_admitted
         |FROM b WHERE bucket >= 52428""".stripMargin,
+
+    // x26c: index APPEND maintenance. The admitted sets are
+    // engine-internal; the driver-checkable facts are the day-2 batch
+    // size (md5-bucket rule, buckets >= 0.9*65536) and the identity
+    // pin — append-then-serve must equal rebuild-then-serve exactly
+    // (frames are per-doc functions of text, so frame sets are equal
+    // by construction; the flag probes the two served admitted sets)
+    "x26c_minhash_index_append" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch2,
+        |       TRUE AS identical
+        |FROM b WHERE bucket >= 58982""".stripMargin,
 
     // the composite pipeline: dedup keep-first → t7 split → x10
     // decontamination (train side) → t2 quality ≥ 0.5. CTEs mirror the

@@ -396,6 +396,60 @@ object ExtPipelines {
       .select(col("n_batch"), col("n_exact_admitted"))
   }
 
+  /** x26c: persisted MinHash index APPEND — the maintenance pin that
+    * makes the x26 family a complete daily regime. Two days of
+    * batches: day-1 batch (md5 buckets [52428, 58982)) ingests against
+    * the standing (train) index and its ADMITTED docs are appended in
+    * place ([[graft.ext.Dedup.appendToMinhashIndex]] — O(batch)
+    * partition-appends, standing data untouched); day-2 batch
+    * (buckets >= 58982) then ingests against the APPENDED index. The
+    * identity pin (v12's discipline): day-2's admitted set must equal
+    * what a FULL REBUILD over standing ∪ day-1-admitted serves —
+    * exact, because every index row is a per-doc function of text, so
+    * frames(corpus ∪ admitted) = frames(corpus) ∪ frames(admitted) and
+    * parquet round-trips are bit-stable. Emits `n_batch2` (the oracle
+    * recomputes the md5-bucket rule) and `identical` (TRUE). */
+  def minhashIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bk = graft.ext.DataSplit.bucket(col("doc_id"))
+    val standing = docs.filter(bk < 52428)
+    val batch1 = docs.filter(bk >= 52428 && bk < 58982)
+    val batch2 = docs.filter(bk >= 58982)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_append")
+    try {
+      // incremental path: build on standing, ingest day 1, append its
+      // admitted docs, ingest day 2 against the appended index
+      val incPath = tmpRoot.toString + "/inc"
+      Dedup.saveMinhashIndex(standing, incPath)
+      val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, incPath)
+      val admitted1 = Dedup.nearDupIngest(b1, s1, z1, batch1)
+      val admittedDocs1 = batch1.join(admitted1, Seq("doc_id"), "left_semi")
+        // the append re-derives shingles/signatures from the text; a
+        // delta-sized localCheckpoint pins the admitted id set so the
+        // three appended frames agree even if the plan re-executes
+        .localCheckpoint(true)
+      Dedup.appendToMinhashIndex(admittedDocs1, incPath)
+      val (b2, s2, z2) = Dedup.loadMinhashIndex(spark, incPath)
+      val incAdmitted2 = Dedup.nearDupIngest(b2, s2, z2, batch2)
+      // rebuild path: one full index over standing ∪ day-1-admitted
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndex(standing.unionByName(admittedDocs1), rbPath)
+      val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
+      val rbAdmitted2 = Dedup.nearDupIngest(rb, rs, rz, batch2)
+      val identical = incAdmitted2.exceptAll(rbAdmitted2).isEmpty &&
+        rbAdmitted2.exceptAll(incAdmitted2).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((batch2.count(), identical)).toDF("n_batch2", "identical")
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
     * row of facts an SQL oracle can recompute or assert:
     * `n_dups_admitted` (bloom admitted a true corpus duplicate — must

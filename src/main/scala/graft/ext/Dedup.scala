@@ -455,6 +455,56 @@ object Dedup {
     sh.unpersist()
   }
 
+  /** Append an ADMITTED batch into an existing [[saveMinhashIndex]]
+    * layout — the maintenance half of the persisted index's daily
+    * regime: after [[nearDupIngest]] admits a batch, the admitted
+    * docs' bands/shingles/sizes must join the standing index so
+    * TOMORROW's batch dedups against TODAY's admissions. Without this,
+    * keeping the index current costs an O(corpus) rebuild per batch;
+    * with it, `mode("append")` + `partitionBy` writes NEW files into
+    * the existing `band=`/`bucket=` directories — the standing data is
+    * never read, rewritten, or even listed, so the job is O(batch).
+    *
+    * Correct by frame-set equality: every index row is a PER-DOC
+    * function of the doc's text (fixed hash families), so
+    * frames(corpus ∪ admitted) = frames(corpus) ∪ frames(admitted)
+    * exactly — build-then-append serves identically to a full rebuild
+    * over the union (pinned by the x26c oracle and by ExtSpec's
+    * frame-level equality test). The append preserves the layout's two
+    * scale properties: band directories stay the probe join's pruning
+    * prefix, and the admitted docs land in their [[idBucket]]
+    * partitions, so the candidate-bucket literal filter keeps pruning
+    * the appended rows like the original ones.
+    *
+    * Unlike the corpus-scale initial build, the batch-sized band frame
+    * IS repartitioned on `band` before the write (8 result files, not
+    * tasks × 8): a daily append must not shed hundreds of small files
+    * into directories that are listed on every later probe.
+    *
+    * Durability note: `mode("append")`'s job commit is not atomic — a
+    * KILLED append can leave a partial batch in place, and re-running
+    * it would duplicate the committed part. A scheduled batch pipeline
+    * handles that the standard way (re-build or restore the index on
+    * job failure); the streaming composition
+    * ([[graft.streaming.Streaming]]'s near-dup ingest) instead writes
+    * per-batch DELTA directories with overwrite, which makes replays
+    * idempotent. */
+  def appendToMinhashIndex(admitted: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val (banded, sh, sizes) =
+      minhashIndexFrames(admitted, n, numHashes, bands, rows, textCol, idCol)
+    banded.repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    sh.withColumn("bucket", idBucket(col(idCol)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/shingles")
+    sizes.withColumn("bucket", idBucket(col(idCol)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/sizes")
+    sh.unpersist()
+  }
+
   /** Doc-id bucket count for the stored shingle/size frames of a
     * [[saveMinhashIndex]] index. The directory layout is the point: a
     * probe's candidate-id set maps to candidate BUCKETS, whose ≤64-int

@@ -1812,6 +1812,53 @@ class ExtSpec extends SparkSpec {
     assert(key(fallback) == want)
   }
 
+  test("x26c: appendToMinhashIndex equals a full rebuild; appended layout still prunes") {
+    import spark.implicits._
+    val standing = docs.select("doc_id", "text").filter(col("doc_id") < 150)
+    val batch = docs.select("doc_id", "text")
+      .filter(col("doc_id") >= 150 && col("doc_id") < 180)
+    val root = java.nio.file.Files.createTempDirectory("graft-mh-append").toString
+    Dedup.saveMinhashIndex(standing, s"$root/inc")
+    Dedup.appendToMinhashIndex(batch, s"$root/inc")
+    Dedup.saveMinhashIndex(standing.unionByName(batch), s"$root/rebuild")
+    // frame-SET equality — the property that makes append serving-equal
+    // to rebuild under ANY probe, not just one measured batch: every
+    // index row is a per-doc function of the text, so
+    // frames(standing ∪ batch) = frames(standing) ∪ frames(batch)
+    val (ab, ash, asz) = Dedup.loadMinhashIndex(spark, s"$root/inc")
+    val (rb, rsh, rsz) = Dedup.loadMinhashIndex(spark, s"$root/rebuild")
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.map(col).toSeq
+      df.select(cols: _*).collect().map(_.toSeq).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    assert(rows(ab) == rows(rb), "bands diverge from rebuild")
+    assert(rows(ash) == rows(rsh), "shingles diverge from rebuild")
+    assert(rows(asz) == rows(rsz), "sizes diverge from rebuild")
+    // appended rows land in their idBucket partitions, so the
+    // candidate-bucket literal filter keeps pruning them: probe with an
+    // APPENDED doc's id and require both the PartitionFilters pin and
+    // the appended rows in the result
+    val candIds = Seq(160L).toDF("b_id")
+    val candBuckets = candIds
+      .select(pmod(xxhash64(col("b_id")), lit(Dedup.MinhashIndexBuckets))
+        .cast("int").as("bk")).collect().map(_.getInt(0)).toSeq
+    val pruned = Dedup.pruneStandingToCandidates(ash, candIds,
+      useBroadcast = true, "doc_id", candBuckets)
+    val scanLine = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("shingles"))
+      .getOrElse(fail("no shingle scan in plan"))
+    // one candidate bucket compiles to `bucket = N` instead of `IN`
+    assert(scanLine.matches(""".*PartitionFilters: \[[^\]]*bucket#\d+ (IN|=).*"""),
+      s"the bucket list must stay a partition filter on the appended layout:\n$scanLine")
+    assert(pruned.count() ==
+      ash.filter(col("doc_id") === 160L).count() && pruned.count() > 0)
+    // the registered pipeline's identity row holds end-to-end
+    val row = graft.analytics.ExtPipelines.minhashIndexAppend(spark, sf())
+      .collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
     val got = graft.analytics.ExtPipelines.clusterBalancedSelect(spark, sf())
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
