@@ -150,6 +150,7 @@ object SparkEntry {
     "v10_centroid_outliers" -> (ExtPipelines.centroidOutliers _),
     "v11_centroid_drift" -> (ExtPipelines.centroidDrift _),
     "v12_ivf_index_persist" -> (ExtPipelines.ivfIndexPersist _),
+    "v18_ivf_index_append" -> (ExtPipelines.ivfIndexAppend _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
@@ -1383,6 +1384,15 @@ object SparkEntry {
     // build (shared probe/re-rank code + bit-exact parquet round trip)
     // — the oracle pins the identity flag and the query-batch size
     "v12_ivf_index_persist" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v18: index APPEND maintenance — build on the standing split,
+    // append the batch under the stored quantizer, serve; must equal a
+    // same-centroid rebuild over the union (assignment is per-row
+    // independent, so the identity is exact). Facts: query-batch size
+    // + the identity flag, v12's form.
+    "v18_ivf_index_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

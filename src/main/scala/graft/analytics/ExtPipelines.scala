@@ -1107,6 +1107,54 @@ object ExtPipelines {
     }
   }
 
+  /** v18: persisted IVF index APPEND — the daily-maintenance pin for
+    * the vector index (x26c's discipline applied to embeddings). The
+    * v9 split (md5 buckets: 80% standing, 20% batch) builds the index
+    * on the standing vectors, appends the batch via
+    * [[graft.ext.Similarity.appendToIvfIndex]] (assigned by the STORED
+    * centroids, O(batch) partition-appends), and serves a query batch
+    * from the appended index. Identity pin: the served top-k must
+    * equal the same probe against a REBUILD of the lists over
+    * standing ∪ batch under the SAME centroids — exact, because
+    * assignment is per-row independent of everything but the fixed
+    * quantizer and float vectors round-trip parquet bit-stably. Emits
+    * (n_queries, identical) — v12's oracle form. */
+  def ivfIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    val standing = emb.filter(b < 52428)
+    val batch = emb.filter(b >= 52428)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+    try {
+      val incPath = tmpRoot.toString + "/inc"
+      Similarity.saveIvfIndex(standing, incPath, nList = 8, nIters = 1)
+      Similarity.appendToIvfIndex(spark, incPath, batch)
+      val queries = emb.filter(col("vec_id") < 10)
+      val fromAppended = Similarity.ivfTopKFromIndex(spark, incPath, queries,
+        k = 5, nProbe = 4)
+      // rebuild twin: SAME stored quantizer, lists re-assigned over the
+      // full union in one pass — the form the append must be equal to
+      val rbPath = tmpRoot.toString + "/rebuild"
+      val cent = spark.read.parquet(s"$incPath/centroids")
+      cent.write.parquet(s"$rbPath/centroids")
+      Similarity.ivfAssign(standing.unionByName(batch), cent)
+        .write.partitionBy("list_id").parquet(s"$rbPath/lists")
+      val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
+        k = 5, nProbe = 4)
+      val identical = fromAppended.exceptAll(fromRebuild).isEmpty &&
+        fromRebuild.exceptAll(fromAppended).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((queries.count(), identical)).toDF("n_queries", "identical")
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** v11: per-source centroid drift
     * ([[graft.ext.Similarity.snapshotCentroidDrift]]) between the x19
     * snapshot memberships (same salted '#snap' bucket rule, so the

@@ -340,6 +340,39 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** Append a batch of vectors into a [[saveIvfIndex]] layout WITHOUT
+    * retraining — the maintenance half of the persisted IVF index's
+    * daily regime (the x26c discipline applied to vectors): new
+    * embeddings are assigned by the STORED centroids (the coarse
+    * quantizer is immutable after build — FAISS's `add()` contract)
+    * and each lands in its `list_id=` partition directory as an
+    * appended file. O(batch): the standing lists are never read,
+    * rewritten, or listed; the one corpus-scale cost (training) stays
+    * amortized in the original build.
+    *
+    * Identity: because assignment is per-row independent and the
+    * quantizer is fixed, build-then-append equals a rebuild of the
+    * lists over the union UNDER THE SAME CENTROIDS — exactly what a
+    * production index does (drift of the quantizer is monitored by
+    * v11's centroid-drift op and handled by a scheduled retrain, not
+    * by per-batch retraining, which would invalidate every stored
+    * assignment). Pinned by the v18 oracle and ExtSpec.
+    *
+    * Same durability note as [[graft.ext.Dedup.appendToMinhashIndex]]:
+    * `mode("append")` is not atomic across a job kill — a failed
+    * append is re-run against a restored index, or composed through
+    * per-batch delta directories in the streaming form. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    ivfAssign(batch, cent, vecCol, idCol)
+      // batch-sized repartition on the partition column: a daily append
+      // adds ≤1 file per list, not tasks × nList small files
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   /** ANN top-k against a [[saveIvfIndex]]-persisted index: identical
     * results to [[ivfTopK]] at the same build settings (the probe and
     * re-rank stage is literally shared), with the candidate scan

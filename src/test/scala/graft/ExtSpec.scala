@@ -1669,6 +1669,41 @@ class ExtSpec extends SparkSpec {
       s"lists scan must carry a dynamic pruning filter:\n$plan")
   }
 
+  test("v18: appendToIvfIndex equals a same-centroid rebuild; appended layout still DPPs") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    val standing = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    Similarity.saveIvfIndex(standing, path, nList = 8, nIters = 1)
+    Similarity.appendToIvfIndex(spark, path, batch)
+    // the appended lists equal a one-pass assignment of the union under
+    // the SAME stored centroids (assignment is per-row independent)
+    val cent = spark.read.parquet(s"$path/centroids")
+    def listRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("list_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = listRows(spark.read.parquet(s"$path/lists"))
+    val want = listRows(Similarity.ivfAssign(standing.unionByName(batch), cent))
+    assert(got == want && want.nonEmpty)
+    // the appended index is SERVED through the same pruned probe: DPP
+    // still fires on the (partially appended) list_id directories, and
+    // appended vectors are reachable as neighbors
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = Similarity.ivfTopKFromIndex(spark, path, queries,
+      k = 5, nProbe = 8)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"appended lists scan must keep the dynamic pruning filter:\n$plan")
+    // nProbe = nList makes the probe exhaustive, so the served top-k is
+    // exactly brute force over standing ∪ batch — appended rows included
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(served) ==
+      key(Similarity.bruteForceTopK(standing.unionByName(batch), queries, k = 5)))
+    // end-to-end pipeline identity row
+    val row = graft.analytics.ExtPipelines.ivfIndexAppend(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
   test("v14: IVF-PQ neighbors come from probed lists; re-rank is exact-cosine ordered; recall floored") {
     VectorFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
