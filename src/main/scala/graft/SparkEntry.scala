@@ -193,6 +193,7 @@ object SparkEntry {
     "s12_stream_distinct_users" -> (ExtPipelines.streamDistinctUsers _),
     "s13_stream_hot_types" -> (ExtPipelines.streamHotTypes _),
     "s14_stream_spikes" -> (ExtPipelines.streamSpikes _),
+    "s15_stream_neardup_ingest" -> (ExtPipelines.streamNearDupIngest _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -791,6 +792,26 @@ object SparkEntry {
         |      FROM h)
         |SELECT CAST(count(*) AS BIGINT) AS n_batch,
         |       TRUE AS identical,
+        |       CAST(0 AS BIGINT) AS n_exact_admitted
+        |FROM b WHERE bucket >= 52428""".stripMargin,
+
+    // s15: the streaming composition of x26b — the test split streamed
+    // through foreachBatch against the same standing index, with
+    // cross-batch deltas. The admitted SET is engine-internal; the
+    // driver-checkable facts are x26b's exactly (the s9 ≡ x16
+    // pattern: one SQL covers the batch serve and the streaming run,
+    // because LSH admission of exact duplicates is deterministic —
+    // they always collide and verify at j = 1, so n_exact_admitted is
+    // 0 regardless of how the stream micro-batched)
+    "s15_stream_neardup_ingest" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
         |       CAST(0 AS BIGINT) AS n_exact_admitted
         |FROM b WHERE bucket >= 52428""".stripMargin,
 

@@ -450,6 +450,57 @@ object ExtPipelines {
     }
   }
 
+  /** s15: STREAMING MinHash near-dup ingest — the x26b serving path
+    * run as a real Structured Streaming query
+    * ([[graft.streaming.Streaming.nearDupIngestStream]]): the test
+    * split streams in as micro-batches, each admitted against the
+    * memoized standing (train) index plus the deltas of previously
+    * committed batches, with idempotent per-batch sinks. Emits x26b's
+    * driver-checkable facts from the drained sink: `n_batch` (the
+    * md5-bucket rule, oracle-recomputed) and `n_exact_admitted`
+    * (identical docs always collide in LSH and verify at j = 1, so a
+    * true exact duplicate of a standing doc can never be admitted —
+    * exactly 0 over the >= 3-token docs the shingle guarantee covers).
+    * One AvailableNow drain per call against fresh sink/checkpoint
+    * dirs; the standing index is the x26b memoized artifact, so the
+    * per-call cost is the batch side (the production shape). */
+  def streamNearDupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = graft.ext.DataSplit.withSplit(
+      Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    val standing = parts.filter(col("split") === "train")
+    val batch = parts.filter(col("split") === "test")
+    val path = x26bIndex(dir) {
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft_x26b_idx_${math.abs(dir.hashCode.toLong)}"
+      Dedup.saveMinhashIndex(standing, p)
+      p
+    }
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s15")
+    try {
+      val docsStream = graft.streaming.Streaming.documentsStream(spark, dir)
+        .filter(graft.ext.DataSplit.bucket(col("doc_id")) >= 52428)
+        .select("doc_id", "text")
+      val q = graft.streaming.Streaming.nearDupIngestStream(docsStream, path,
+        s"$tmpRoot/out", s"$tmpRoot/delta", s"$tmpRoot/ck")
+      q.awaitTermination()
+      val admitted = spark.read.parquet(s"$tmpRoot/out").select("doc_id")
+      val nExact = admitted
+        .join(batch.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), col("text")), "doc_id")
+        .join(standing.select(col("text")), Seq("text"), "left_semi")
+        .count()
+      // driver-side local relation: the sink dirs are deleted below, so
+      // nothing lazy may still read them
+      Seq((batch.count(), nExact)).toDF("n_batch", "n_exact_admitted")
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
     * row of facts an SQL oracle can recompute or assert:
     * `n_dups_admitted` (bloom admitted a true corpus duplicate — must

@@ -522,7 +522,7 @@ object Dedup {
   /** The bucket of a doc id — computed identically at index-write time
     * and at probe time (both sides derive it from the id value, so no
     * metadata handshake is needed between the two). */
-  private def idBucket(id: Column): Column =
+  private[graft] def idBucket(id: Column): Column =
     pmod(xxhash64(id), lit(MinhashIndexBuckets)).cast("int")
 
   /** Candidate-id sets at or below this many distinct ids take the

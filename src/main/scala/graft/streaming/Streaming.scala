@@ -94,6 +94,89 @@ object Streaming {
       .select(col(idCol))
   }
 
+  /** s15 — streaming MinHash NEAR-dup ingest: the persisted-index
+    * serving path (x26b) composed into `foreachBatch`, so a streaming
+    * corpus gets the SAME LSH near-dup admission as the batch pipeline
+    * — previously [[ingestDedup]] (s9) gave streams only digest-EXACT
+    * dedup, a strictly weaker gate than the batch side's.
+    *
+    * Per micro-batch:
+    *  1. the standing index frames ([[graft.ext.Dedup.loadMinhashIndex]])
+    *     are unioned with the DELTA frames of previously COMMITTED
+    *     batches (`batch < batchId` — a partition-pruned filter, so a
+    *     replayed batch never dedups against its own killed attempt's
+    *     partial delta);
+    *  2. [[graft.ext.Dedup.nearDupIngest]] admits the batch docs that
+    *     are not Jaccard-near-dups of standing ∪ previously-admitted —
+    *     cross-micro-batch near-dups are caught, which a stateless
+    *     per-batch probe would miss;
+    *  3. the admitted ids land in `outPath/batch_id=N` and the admitted
+    *     docs' index frames in `deltaPath/{bands,shingles,sizes}/batch=N`
+    *     — BOTH with per-batch-directory overwrite, so a replay after a
+    *     kill rewrites its own directories byte-for-byte instead of
+    *     duplicating rows: exactly-once output from an at-least-once
+    *     `foreachBatch`, with no torn-append window (this is why the
+    *     stream writes per-batch deltas rather than
+    *     [[graft.ext.Dedup.appendToMinhashIndex]]'s in-place appends,
+    *     whose job commit is not kill-atomic).
+    *
+    * Scale shape: each batch's work is O(batch) plus candidate-pruned
+    * index reads (the delta dirs carry the same `band=`/`bucket=`
+    * partitioning as the standing index, so the literal bucket filter
+    * prunes them identically); the standing corpus is never
+    * re-shingled. A scheduled compaction folds accumulated deltas into
+    * the main index via [[graft.ext.Dedup.appendToMinhashIndex]] and
+    * clears them — the standard streaming-lake small-file discipline. */
+  def nearDupIngestStream(docs: DataFrame, indexPath: String,
+      outPath: String, deltaPath: String, checkpoint: String,
+      n: Int = 3, threshold: Double = 0.5, numHashes: Int = 16,
+      bands: Int = 8, rows: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.Dedup
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val (sb, ssh, ssz) = Dedup.loadMinhashIndex(spark, indexPath)
+        def withDeltas(standing: DataFrame, sub: String): DataFrame = {
+          val dir = new java.io.File(s"$deltaPath/$sub")
+          val hasData = dir.exists() &&
+            Option(dir.listFiles()).exists(_.exists(_.getName.startsWith("batch=")))
+          if (!hasData) standing
+          else standing.unionByName(
+            spark.read.parquet(dir.getPath)
+              .filter(col("batch") < batchId).drop("batch"))
+        }
+        val batchDocs = batch.select(col("doc_id"), col("text"))
+        val admitted = Dedup.nearDupIngest(
+          withDeltas(sb, "bands"), withDeltas(ssh, "shingles"),
+          withDeltas(ssz, "sizes"), batchDocs,
+          n, threshold, numHashes, bands, rows)
+        // pin the delta-sized admitted set once: the id write and the
+        // three delta-frame writes below must agree even though each
+        // triggers its own job
+        val admittedDocs = batchDocs.join(admitted, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        admittedDocs.select("doc_id")
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        val (db, dsh, dsz) = Dedup.minhashIndexFrames(
+          admittedDocs, n, numHashes, bands, rows)
+        db.repartition(col("band")).write.mode("overwrite")
+          .partitionBy("band").parquet(s"$deltaPath/bands/batch=$batchId")
+        dsh.withColumn("bucket", Dedup.idBucket(col("doc_id")))
+          .repartition(col("bucket")).write.mode("overwrite")
+          .partitionBy("bucket").parquet(s"$deltaPath/shingles/batch=$batchId")
+        dsz.withColumn("bucket", Dedup.idBucket(col("doc_id")))
+          .repartition(col("bucket")).write.mode("overwrite")
+          .partitionBy("bucket").parquet(s"$deltaPath/sizes/batch=$batchId")
+        dsh.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** s11 — streaming CDC against a standing snapshot: as re-crawled
     * documents arrive, classify each against the stored corpus —
     * `added` (id never seen) or `changed` (id present with different

@@ -234,6 +234,68 @@ class StreamingSpec extends SparkSpec {
     assert(days.nonEmpty, "sink must be partitioned by day")
   }
 
+  test("s15: streaming near-dup ingest — cross-batch dedup; kill/resume admits nothing twice") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.ext.Dedup
+    val tmp = Files.createTempDirectory("graft-s15-restart").toString
+    val standing = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val idxPath = s"$tmp/idx"
+    Dedup.saveMinhashIndex(standing, idxPath)
+    // two source files → two micro-batches at maxFilesPerTrigger=1.
+    // Planted cases: 101 exactly duplicates a STANDING doc; 103/201
+    // duplicate each other ACROSS micro-batches (the case the per-batch
+    // delta frames exist for — a stateless per-batch probe admits both);
+    // 102/202 are fresh.
+    val fileA = Seq(
+      (101L, "alpha beta gamma delta epsilon"),
+      (102L, "unique text number one about cats and dogs playing"),
+      (103L, "shared sentence tokens here we go again and again"))
+      .toDF("doc_id", "text")
+    val fileB = Seq(
+      (201L, "shared sentence tokens here we go again and again"),
+      (202L, "another fresh document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val in = s"$tmp/in"
+    fileA.coalesce(1).write.parquet(in)
+    fileB.coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // run 1: continuous trigger, KILLED once ≥1 batch has committed
+    val out = s"$tmp/out"; val delta = s"$tmp/delta"; val ck = s"$tmp/ck"
+    val q1 = Streaming.nearDupIngestStream(src(), idxPath, out, delta, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(q1.recentProgress.nonEmpty, "run 1 never processed a batch")
+    // run 2: resume from the SAME checkpoint, drain the rest
+    val q2 = Streaming.nearDupIngestStream(src(), idxPath, out, delta, ck)
+    q2.awaitTermination()
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0))
+    // exactly-once across the kill: no doc admitted twice (a replayed
+    // batch overwrites its own batch_id directory, never appends)
+    assert(admitted.length == admitted.toSet.size)
+    val set = admitted.toSet
+    assert(!set.contains(101L), "exact dup of a standing doc admitted")
+    assert(Set(103L, 201L).intersect(set).size == 1,
+      s"cross-micro-batch dup pair must admit exactly one, got $set")
+    assert(set.contains(102L) && set.contains(202L), s"fresh docs lost: $set")
+    // an UNINTERRUPTED control run over the same source admits the
+    // same set — the kill/resume changed nothing
+    val q3 = Streaming.nearDupIngestStream(src(), idxPath,
+      s"$tmp/out2", s"$tmp/delta2", s"$tmp/ck2")
+    q3.awaitTermination()
+    val control = spark.read.parquet(s"$tmp/out2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(control == set)
+  }
+
   test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
     val feats = Multimodal.featurize(Tables.documents(spark, sf()))
     val bad = feats.select(col("doc_id"),
