@@ -200,7 +200,8 @@ object SparkEntry {
     "m4_media_neardup" -> (ExtPipelines.mediaNearDups _),
     "m5_consensus_neardup" -> (ExtPipelines.consensusNearDups _),
     "m6_media_sig_dedup" -> (ExtPipelines.mediaSigDedup _),
-    "sql12_recursive_spine" -> (Pipelines.sqlRecursiveSpine _)
+    "sql12_recursive_spine" -> (Pipelines.sqlRecursiveSpine _),
+    "sql13_multi_exists" -> (Pipelines.sqlMultiExists _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -2441,6 +2442,10 @@ object SparkEntry {
     // integer-only recursion (date+interval syntax diverges between
     // dialects), integer-cents revenue, unique window key
     "sql12_recursive_spine" -> Pipelines.sql12RecursiveSpineText,
+    // sql13: ONE ANSI text on both engines — correlated EXISTS /
+    // NOT EXISTS self-joins are core ANSI, count(*) is BIGINT in
+    // both dialects, and s_name uniqueness makes the order total
+    "sql13_multi_exists" -> Pipelines.sql13MultiExistsText,
 
     // x29: incremental CC maintenance must equal the FULL recompute
     // over standing ∪ delta — which is every jaccard pair, so the

@@ -1088,6 +1088,55 @@ object Pipelines {
     spark.sql(sql12RecursiveSpineText)
   }
 
+  val sql13MultiExistsText: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** sql13 — the TPC-H Q21 shape through the parser path: correlated
+    * EXISTS and NOT EXISTS subqueries over the SAME table the outer
+    * query scans (suppliers solely responsible for the returned items
+    * of multi-supplier finalized orders — Q21's "waiting" predicate
+    * re-expressed on the columns this lineitem carries). The last big
+    * "bring your SQL" class after sql1–sql12: two correlated
+    * self-join subqueries with inequality correlation predicates, the
+    * pattern hand-written dedup/blame/attribution SQL uses constantly.
+    *
+    * Plan shape (PlanSpec-pinned): Catalyst DECORRELATES both
+    * subqueries — EXISTS becomes a left-SEMI join and NOT EXISTS a
+    * left-ANTI join on l_orderkey (the `l_suppkey <> …` inequality
+    * rides each join as a secondary condition, not a filter over a
+    * cross) — so lineitem is scanned three times as three hash-joined
+    * legs, never re-executed per outer row, and no nested-loop or
+    * cartesian node exists anywhere. The returnflag filter is pushed
+    * into l1's and l3's scans, orderstatus into orders'. At 100 TB
+    * each leg is a pruned columnar scan (two columns for l2, three
+    * for l3) feeding shuffle hash joins on the same l_orderkey key —
+    * the documented single-key co-shuffle strategy; an engine could
+    * alternatively CTE-materialize one scan, but three pruned scans
+    * beat one wide materialization when the columns are this narrow.
+    *
+    * Dialect discipline: count(*) is BIGINT on both engines; the
+    * (numwait DESC, s_name) order is total because s_name is unique
+    * per supplier. */
+  def sqlMultiExists(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "supplier", "lineitem", "orders", "nation")
+    spark.sql(sql13MultiExistsText)
+  }
+
   /** Two-stage salted aggregation registered as a query: salting is
     * semantics-preserving (sum/count compose from partials), so the
     * plain group-by SQL is the oracle. The salt spreads any hot user_id

@@ -312,6 +312,26 @@ class PlanSpec extends SparkSpec {
       s"revenue must partial-aggregate before its exchange:\n$p")
   }
 
+  test("sql13: Q21 shape — EXISTS/NOT EXISTS decorrelate to semi/anti joins, no nested loop") {
+    val p = plan(Pipelines.sqlMultiExists(spark, sf()))
+    // both correlated subqueries must decorrelate into hash joins on
+    // l_orderkey (the l_suppkey <> … inequality rides the join as a
+    // secondary condition) — never a per-outer-row re-execution
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no join may degenerate to a nested loop:\n$p")
+    // the three lineitem legs stay pruned columnar scans: the
+    // returnflag filter reaches l1/l3, and the semi-join leg (l2) reads
+    // only its join/condition columns
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || p.contains("EqualTo(l_returnflag,R)"),
+      s"the returnflag filter must reach the lineitem scans:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("lineitem.parquet")
+        && l.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>")),
+      s"the EXISTS leg must prune to its two join columns:\n$p")
+  }
+
   test("m6: signature dedup is one partial-aggregated exchange — x1's scale class") {
     val p = plan(graft.analytics.ExtPipelines.mediaSigDedup(spark, sf()))
     assert(p.contains("partial_min") && p.contains("partial_count"),
