@@ -166,7 +166,18 @@ object Bench {
     // standing-label + delta-pair artifacts (built once,
     // warmup-absorbed), so the row measures the daily patch cost,
     // not the standing CC build
-    "x29_cc_incremental")
+    "x29_cc_incremental",
+    // round-15: the two index-APPEND audit rows (each builds the index
+    // twice — incremental and rebuild — plus the identity probes, so
+    // like x26/v12 they price the audit harness; the production append
+    // itself is O(batch), measured in isolation by ScaleBench), the
+    // streaming near-dup ingest (fresh sink + one AvailableNow drain
+    // per rep against the memoized standing index — the streaming
+    // serve cost), and the Q21-shaped SQL class
+    "x26c_minhash_index_append",
+    "v18_ivf_index_append",
+    "s15_stream_neardup_ingest",
+    "sql13_multi_exists")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -417,11 +417,43 @@ object ScaleBench {
           System.err.println(s"[scale] x26 read evidence failed at $label: $e")
           -1.0
         }
+      // x26c append-cost evidence: build a FRESH index over THIS tier's
+      // corpus (timed once — the O(corpus) side of the amortization),
+      // then append a FIXED 500-doc batch (replica-0 ids, identical at
+      // both tiers) and time the append. appendToMinhashIndex never
+      // reads, lists, or rewrites standing data, so the append time
+      // must stay ~FLAT across the 10× corpus step (ratio ≈ 1) while
+      // the build scales with the tier — the measured form of
+      // "maintenance is O(batch), not O(corpus)". Temp index per run
+      // (deleted below) so repeated appends never drift the
+      // read-fraction index above across rounds.
+      val (appendBuildSec, appendSec) = try {
+        val idxTmp = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_append_$label")
+        val idxPath = idxTmp.toString + "/idx"
+        val corpus = Tables.documents(spark, dir).select("doc_id", "text")
+        val fixedBatch = corpus.filter(col("doc_id") < 500)
+          .withColumn("doc_id", col("doc_id") + 5000000000L) // fresh ids
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        fixedBatch.count()
+        val b = timeOnce(graft.ext.Dedup.saveMinhashIndex(corpus, idxPath))
+        val a = med3(graft.ext.Dedup.appendToMinhashIndex(fixedBatch, idxPath))
+        fixedBatch.unpersist(blocking = false)
+        org.apache.commons.io.FileUtils.deleteQuietly(idxTmp.toFile)
+        System.err.println(
+          f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs")
+        (b, a)
+      } catch { case e: Exception =>
+        System.err.println(s"[scale] append experiment failed at $label: $e")
+        (-1.0, -1.0)
+      }
       spark.catalog.clearCache()
-      (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce, readFraction)
+      (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce, readFraction,
+        appendBuildSec, appendSec)
     }
 
-    val Seq((l0, t0, r0, k0, _, _), (l1, t1, r1, k1, eo1, rfr1)) = results
+    val Seq((l0, t0, r0, k0, _, _, ab0, aa0),
+      (l1, t1, r1, k1, eo1, rfr1, ab1, aa1)) = results
     def fmt(ts: Seq[(String, Double)]): String =
       ts.map { case (q, s) => f""""$q":$s%.4f""" }.mkString("{", ",", "}")
     val ratios = t0.zip(t1).map { case ((q, a), (_, b)) =>
@@ -432,7 +464,10 @@ object ScaleBench {
       f""""m2_over_m1_pruned":{"$l0":$r0%.2f,"$l1":$r1%.2f},""" +
       f""""s15_stream_sink_sec":{"$l0":$k0%.3f,"$l1":$k1%.3f},""" +
       s""""s15_exactly_once_ok":${eo1.getOrElse(false)},""" +
-      f""""x26_pruned_read_fraction":$rfr1%.4f}""")
+      f""""x26_pruned_read_fraction":$rfr1%.4f,""" +
+      f""""x26c_index_build_sec":{"$l0":$ab0%.3f,"$l1":$ab1%.3f},""" +
+      f""""x26c_fixed_batch_append_sec":{"$l0":$aa0%.3f,"$l1":$aa1%.3f},""" +
+      f""""x26c_append_ratio_10x":${if (aa0 > 0 && aa1 > 0) aa1 / aa0 else -1.0}%.2f}""")
     spark.stop()
   }
 }

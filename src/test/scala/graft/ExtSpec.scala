@@ -165,6 +165,27 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("ckptLocal requests 2-replica blocks (cluster property; placement untestable on local)") {
+    import spark.implicits._
+    // The MEMORY_AND_DISK_2 level is what survives a single executor
+    // loss between materialization and consumption of a non-recomputable
+    // localCheckpoint. Under local[*] there is only ONE executor, so the
+    // second replica can never PLACE — the property this buys is
+    // cluster-only (see BENCH_SCALE.md's scale notes) — but the level
+    // being REQUESTED on the checkpointed RDD is assertable anywhere,
+    // and is the part the code controls.
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val ck = graft.ext.Checkpoints.ckptLocal(df)
+    val rdd = ck.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => fail(s"expected a checkpointed LogicalRDD, got $other")
+    }
+    assert(rdd.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2,
+      s"ckptLocal must request MEMORY_AND_DISK_2, got ${rdd.getStorageLevel}")
+    assert(ck.collect().length == 2) // and the frame still reads back
+  }
+
   test("connectedComponents: empty edge set returns empty labels, no iteration blow-up") {
     import spark.implicits._
     // a fully-unique corpus produces zero near-dup pairs — the checksum
