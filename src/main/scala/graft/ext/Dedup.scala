@@ -505,6 +505,46 @@ object Dedup {
     sh.unpersist()
   }
 
+  /** Fold a [[graft.streaming.Streaming.nearDupIngestStream]] DELTA
+    * layout into the standing [[saveMinhashIndex]] index and CLEAR it
+    * — the scheduled compaction that closes the streaming ingest
+    * lifecycle (without it, delta batch directories accumulate and
+    * every micro-batch's standing union grows a file-listing term).
+    * The delta dirs already HOLD the admitted docs' index rows, so
+    * compaction moves rows, never re-derives them from text: each
+    * frame is read (minus its `batch` partition column), repartitioned
+    * on its partition key, and appended into the standing layout —
+    * O(deltas), standing data untouched. Afterwards the delta dirs are
+    * deleted so the next stream epoch starts empty.
+    *
+    * PRECONDITION — single-writer, drained stream: run only while the
+    * ingest stream is STOPPED after a clean drain (an AvailableNow
+    * `awaitTermination`, the nightly-compaction window). A delta dir
+    * from a killed, UNCOMMITTED batch would be folded into the
+    * standing index here, and the batch's replay would then find its
+    * own docs standing and reject them all. Kill-safety of the
+    * compaction itself follows [[appendToMinhashIndex]]'s contract:
+    * the append job is not atomic, so a failed compaction is re-run
+    * against a restored index. */
+  def compactMinhashDeltas(spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String, path: String): Unit = {
+    def delta(name: String): Option[DataFrame] = {
+      val d = new java.io.File(s"$deltaPath/$name")
+      val has = d.exists() &&
+        Option(d.listFiles()).exists(_.exists(_.getName.startsWith("batch=")))
+      if (has) Some(spark.read.parquet(d.getPath).drop("batch")) else None
+    }
+    delta("bands").foreach(_.repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands"))
+    delta("shingles").foreach(_.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/shingles"))
+    delta("sizes").foreach(_.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/sizes"))
+    Seq("bands", "shingles", "sizes").foreach(name =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$deltaPath/$name")))
+  }
+
   /** Doc-id bucket count for the stored shingle/size frames of a
     * [[saveMinhashIndex]] index. The directory layout is the point: a
     * probe's candidate-id set maps to candidate BUCKETS, whose ≤64-int

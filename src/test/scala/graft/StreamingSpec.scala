@@ -294,6 +294,37 @@ class StreamingSpec extends SparkSpec {
     val control = spark.read.parquet(s"$tmp/out2").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(control == set)
+    // COMPACTION closes the lifecycle: fold the drained epoch's deltas
+    // into the standing index and clear them
+    val admittedDocs = spark.read.parquet(in)
+      .join(spark.read.parquet(out).select("doc_id"), Seq("doc_id"), "left_semi")
+    Dedup.compactMinhashDeltas(spark, delta, idxPath)
+    for (sub <- Seq("bands", "shingles", "sizes"))
+      assert(!new java.io.File(s"$delta/$sub").exists(), s"$sub deltas must clear")
+    // the compacted index equals a rebuild over standing ∪ admitted —
+    // frame-multiset equality, the x26c pin applied to the stream's
+    // moved-not-rederived delta rows
+    Dedup.saveMinhashIndex(
+      standing.unionByName(admittedDocs), s"$tmp/rebuild")
+    val (cb, csh, csz) = Dedup.loadMinhashIndex(spark, idxPath)
+    val (rb2, rsh2, rsz2) = Dedup.loadMinhashIndex(spark, s"$tmp/rebuild")
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.map(col).toSeq
+      df.select(cols: _*).collect().map(_.toSeq).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    assert(rows(cb) == rows(rb2), "compacted bands diverge from rebuild")
+    assert(rows(csh) == rows(rsh2), "compacted shingles diverge from rebuild")
+    assert(rows(csz) == rows(rsz2), "compacted sizes diverge from rebuild")
+    // and a NEXT epoch serves identically against the compacted index:
+    // a doc duplicating a previously STREAM-ADMITTED doc is rejected
+    val next = Seq(
+      (301L, "unique text number one about cats and dogs playing"), // dup of admitted 102
+      (302L, "completely new content that matches nothing before now"))
+      .toDF("doc_id", "text")
+    val admittedNext = Dedup.nearDupIngest(cb, csh, csz, next)
+      .collect().map(_.getLong(0)).toSet
+    assert(admittedNext == Set(302L), admittedNext.toString)
   }
 
   test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
