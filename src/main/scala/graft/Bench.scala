@@ -177,6 +177,7 @@ object Bench {
     "x26c_minhash_index_append",
     "v18_ivf_index_append",
     "s15_stream_neardup_ingest",
+    "s16_stream_ivf_ingest",
     "sql13_multi_exists")
 
   private def runNoop(df: DataFrame): Unit =

@@ -194,6 +194,7 @@ object SparkEntry {
     "s13_stream_hot_types" -> (ExtPipelines.streamHotTypes _),
     "s14_stream_spikes" -> (ExtPipelines.streamSpikes _),
     "s15_stream_neardup_ingest" -> (ExtPipelines.streamNearDupIngest _),
+    "s16_stream_ivf_ingest" -> (ExtPipelines.streamIvfIngest _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -465,6 +466,35 @@ object SparkEntry {
        |  ($terms) AS kl
        |FROM j""".stripMargin
   }
+
+  /** v9: incremental IVF ingest — t7's md5-bucket split carves the
+    * standing index (80%) from the new batch (20%); seeds are x15's
+    * md5 draw but from the STANDING subset only; assignment is the
+    * x15 argmax (double cosine, lowest-seed-id tie-break) over the
+    * batch only — the delta a stored index appends. Shared verbatim
+    * by s16 (the batch streamed in micro-batches): assignment is
+    * per-row independent, so stream ≡ batch. */
+  private val v9IvfIngestOracle: String =
+    """WITH h AS (SELECT vec_id, embedding,
+      |             md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings),
+      |b AS (SELECT vec_id, embedding,
+      |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+      |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+      |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+      |      FROM h),
+      |standing AS (SELECT vec_id, embedding FROM b WHERE bucket < 52428),
+      |batch AS (SELECT vec_id, embedding FROM b WHERE bucket >= 52428),
+      |seeds AS (SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |          FROM standing
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |assign AS (SELECT e.vec_id, s.seed_id,
+      |             row_number() OVER (PARTITION BY e.vec_id
+      |               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                               s.cvec) DESC,
+      |                        s.seed_id ASC) AS rk
+      |           FROM batch e CROSS JOIN seeds s)
+      |SELECT vec_id, seed_id AS list_id FROM assign WHERE rk = 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "t27_source_drift" -> t27OracleSql,
@@ -2152,32 +2182,13 @@ object SparkEntry {
         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
 
-    // v9: incremental IVF ingest — t7's md5-bucket split carves the
-    // standing index (80%) from the new batch (20%); seeds are x15's
-    // md5 draw but from the STANDING subset only; assignment is the
-    // x15 argmax (double cosine, lowest-seed-id tie-break) over the
-    // batch only — the delta a stored index appends
-    "v9_ivf_ingest" ->
-      """WITH h AS (SELECT vec_id, embedding,
-        |             md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings),
-        |b AS (SELECT vec_id, embedding,
-        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
-        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
-        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
-        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
-        |      FROM h),
-        |standing AS (SELECT vec_id, embedding FROM b WHERE bucket < 52428),
-        |batch AS (SELECT vec_id, embedding FROM b WHERE bucket >= 52428),
-        |seeds AS (SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS cvec
-        |          FROM standing
-        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        |assign AS (SELECT e.vec_id, s.seed_id,
-        |             row_number() OVER (PARTITION BY e.vec_id
-        |               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                               s.cvec) DESC,
-        |                        s.seed_id ASC) AS rk
-        |           FROM batch e CROSS JOIN seeds s)
-        |SELECT vec_id, seed_id AS list_id FROM assign WHERE rk = 1""".stripMargin,
+    "v9_ivf_ingest" -> v9IvfIngestOracle,
+
+    // s16 = v9 with the batch STREAMED: assignment is per-row
+    // independent of batching, so the drained stream's (vec_id,
+    // list_id) union equals the one-shot batch assignment exactly —
+    // one SQL covers both runs (the s9 ≡ x16 pattern)
+    "s16_stream_ivf_ingest" -> v9IvfIngestOracle,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =
     // streamed docs whose text (≡ sha2 digest, up to collisions) is

@@ -1240,6 +1240,44 @@ object ExtPipelines {
       emb.filter(b < 52428), emb.filter(b >= 52428), nList = 8, nIters = 0)
   }
 
+  /** s16: STREAMING IVF ingest — v9's assignment run as a real
+    * Structured Streaming query
+    * ([[graft.streaming.Streaming.ivfIngestStream]]): the test-split
+    * vectors stream in micro-batches and are assigned by the
+    * once-materialized standing seed quantizer into per-batch
+    * idempotent delta dirs. Assignment is per-row independent, so the
+    * drained union equals the one-shot batch assignment bit-for-bit —
+    * v9's oracle SQL covers this run verbatim (the s9 ≡ x16 pattern). */
+  def streamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    // nList=8 seed rows, pinned eagerly so the standing corpus is
+    // scanned exactly once for the whole stream
+    val seeds = Similarity.ivfSeedCentroids(emb.filter(b < 52428), nList = 8)
+      .localCheckpoint(true)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s16")
+    try {
+      val stream = graft.streaming.Streaming.embeddingsStream(spark, dir)
+        .filter(graft.ext.DataSplit.bucket(col("vec_id")) >= 52428)
+      val q = graft.streaming.Streaming.ivfIngestStream(stream, seeds,
+        s"$tmpRoot/out", s"$tmpRoot/ck")
+      q.awaitTermination()
+      // driver-side local relation: the sink dirs are deleted below.
+      // Bounded at the TEST batch split's row count (delta-sized ids,
+      // two longs per row), the x26/v18 harness-row exception class.
+      val rows = spark.read.parquet(s"$tmpRoot/out")
+        .select(col("vec_id").cast("long"), col("list_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      rows.toDF("vec_id", "list_id")
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

@@ -256,23 +256,44 @@ object Similarity {
   def ivfIngest(standing: DataFrame, batch: DataFrame, nList: Int = 8,
       nIters: Int = 0, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    if (nIters == 0) {
-      graft.functions.VectorFunctions.register(batch.sparkSession)
-      val seeds = standing
-        .select(col(idCol).cast("long").as("seed_id"),
-          col(vecCol).cast("array<double>").as("cvec"))
-        .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
-        .limit(nList)
-      batch.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-        .crossJoin(broadcast(seeds))
-        .select(col(idCol), col("seed_id"),
-          graft.functions.VectorFunctions.cosineHof(col("_v"), col("cvec")).as("sim"))
-        .groupBy(col(idCol))
-        .agg(max_by(col("seed_id"), struct(col("sim"), -col("seed_id"))).as("list_id"))
-    } else {
+    if (nIters == 0)
+      ivfAssignExact(batch,
+        ivfSeedCentroids(standing, nList, vecCol, idCol), vecCol, idCol)
+    else {
       val cent = ivfCentroids(standing, nList, nIters, vecCol, idCol)
       ivfAssign(batch, cent, vecCol, idCol).select(col(idCol), col("list_id"))
     }
+  }
+
+  /** The oracle-parity seed draw of [[ivfIngest]]'s `nIters = 0`
+    * regime, factored out so a long-running composition (the s16
+    * streaming ingest) can materialize the nList-row seed frame ONCE
+    * instead of re-planning the standing scan per micro-batch: the
+    * `nList` standing vectors with the lowest md5(id) — the
+    * deterministic draw DuckDB reproduces. orderBy+limit ships one
+    * (hash, id, vec) top-nList per partition; nothing else is scanned. */
+  def ivfSeedCentroids(standing: DataFrame, nList: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    standing
+      .select(col(idCol).cast("long").as("seed_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))
+      .limit(nList)
+
+  /** The oracle-parity assignment of [[ivfIngest]]'s `nIters = 0`
+    * regime: double-HOF cosine against the broadcast seed frame with
+    * the lowest-seed-id tie-break — per-row independent, so it
+    * commutes with any batching (the property that makes the
+    * streaming ingest share v9's oracle verbatim). */
+  def ivfAssignExact(batch: DataFrame, seeds: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(batch.sparkSession)
+    batch.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(seeds))
+      .select(col(idCol), col("seed_id"),
+        graft.functions.VectorFunctions.cosineHof(col("_v"), col("cvec")).as("sim"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("seed_id"), struct(col("sim"), -col("seed_id"))).as("list_id"))
   }
 
   /** IVF-Flat ANN search: each query ranks the (broadcast) centroids,

@@ -64,6 +64,43 @@ object Streaming {
       .option("basePath", dir)
       .parquet(s"$dir/documents.*")
 
+  /** Embeddings stream from the testdata parquet — the streaming
+    * arrival path of the vector corpus. Read schema from the actual
+    * file footer, same rule as [[eventsStream]]/[[documentsStream]]. */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(graft.sources.Tables.fileSchema(spark, dir, "embeddings"))
+      .option("basePath", dir)
+      .parquet(s"$dir/embeddings.*")
+
+  /** s16 — streaming IVF index ingest: the v9/v18 maintenance path as
+    * a real stream. Arriving vectors are assigned to the standing
+    * index's lists by the PRE-MATERIALIZED quantizer (`seeds` — pass
+    * [[graft.ext.Similarity.ivfSeedCentroids]] pinned with an eager
+    * localCheckpoint, or a loaded `centroids` frame renamed to
+    * (seed_id, cvec); the standing corpus is scanned ZERO times per
+    * micro-batch), and each batch's (vec_id, list_id) delta lands in
+    * `outPath/batch_id=N` with overwrite — the s15 idempotence
+    * discipline, so a replay after a kill rewrites its own directory
+    * and nothing is assigned twice. Assignment is per-row independent,
+    * so the union over micro-batches equals the one-shot batch
+    * assignment bit-for-bit: v9's oracle covers the streaming run
+    * verbatim (the s9 ≡ x16 pattern). Appending the accumulated
+    * deltas into a persisted index is
+    * [[graft.ext.Similarity.appendToIvfIndex]]'s job at epoch close. */
+  def ivfIngestStream(vecs: DataFrame, seeds: DataFrame, outPath: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ext.Similarity.ivfAssignExact(batch, seeds)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming corpus quality gate: the stateless per-row quality
     * filter applied at INGEST, so low-quality docs never land in the
     * corpus at all. Pure codegen'd expressions — no state, no

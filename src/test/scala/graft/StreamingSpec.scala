@@ -327,6 +327,43 @@ class StreamingSpec extends SparkSpec {
     assert(admittedNext == Set(302L), admittedNext.toString)
   }
 
+  test("s16: streaming IVF ingest equals the batch assignment; kill/resume assigns nothing twice") {
+    import java.nio.file.Files
+    import graft.ext.{DataSplit, Similarity}
+    val tmp = Files.createTempDirectory("graft-s16-restart").toString
+    val emb = Tables.embeddings(spark, sf())
+    val b = DataSplit.bucket(col("vec_id"))
+    val standing = emb.filter(b < 52428)
+    val batchDf = emb.filter(b >= 52428)
+    // batch oracle: v9's one-shot assignment
+    val expected = Similarity.ivfIngest(standing, batchDf, nList = 8, nIters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stage the batch as 4 files → ≥4 micro-batches at maxFilesPerTrigger=1
+    val in = s"$tmp/in"
+    batchDf.repartition(4).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val seeds = Similarity.ivfSeedCentroids(standing, nList = 8)
+      .localCheckpoint(true)
+    // run 1: killed once ≥1 batch committed; run 2 resumes and drains
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val q1 = Streaming.ivfIngestStream(src(), seeds, out, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop()
+    val q2 = Streaming.ivfIngestStream(src(), seeds, out, ck)
+    q2.awaitTermination()
+    val got = spark.read.parquet(out).select("vec_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // nothing assigned twice (per-batch overwrite), and the union over
+    // micro-batches equals the one-shot batch assignment bit-for-bit
+    assert(got.length == got.map(_._1).distinct.length)
+    assert(got.toMap == expected && expected.nonEmpty)
+  }
+
   test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
     val feats = Multimodal.featurize(Tables.documents(spark, sf()))
     val bad = feats.select(col("doc_id"),
