@@ -298,9 +298,10 @@ object Bench {
     // (x25's verbatim-replicated names) and the audit rows multiply a
     // corpus-scale build by 6 reps. The driver's per-round run sets no
     // env, so the published artifact always carries the full set.
+    val skipExtended = sys.env.get("SPARK_GRAFT_SKIP_EXTENDED")
+      .exists(v => v.nonEmpty && v != "0" && !v.equalsIgnoreCase("false"))
     val extResults =
-      (if (sys.env.contains("SPARK_GRAFT_SKIP_EXTENDED")) Seq.empty[String]
-       else extended).map { name =>
+      (if (skipExtended) Seq.empty[String] else extended).map { name =>
         name -> timeStatsSafe(name, runNoop(SparkEntry.queries(name)(spark, sfDir)))
       }
 

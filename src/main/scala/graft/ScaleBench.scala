@@ -433,7 +433,11 @@ object ScaleBench {
         val idxPath = idxTmp.toString + "/idx"
         val corpus = Tables.documents(spark, dir).select("doc_id", "text")
         val fixedBatch = corpus.filter(col("doc_id") < 500)
-          .withColumn("doc_id", col("doc_id") + 5000000000L) // fresh ids
+          // fresh ids: offset far beyond every replica's key range
+          // (replica r holds ids near r * Stride, r < replicas — a
+          // 5e9 offset would collide with replica 5's ids at the 10x
+          // tier)
+          .withColumn("doc_id", col("doc_id") + lit(100L * Stride))
           .persist(StorageLevel.MEMORY_AND_DISK)
         fixedBatch.count()
         val b = timeOnce(graft.ext.Dedup.saveMinhashIndex(corpus, idxPath))

@@ -12,6 +12,14 @@ import graft.sources.Tables
   */
 object ExtPipelines {
 
+  /** Recursive delete of a per-invocation temp artifact (index copies,
+    * stream sinks): every Verify dump and bench rep creates one, and
+    * it must not accumulate in /tmp across rounds. One closed-resource
+    * call (the earlier per-site Files.walk copies leaked the walk
+    * stream until GC). */
+  private def deleteTempTree(root: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -312,12 +320,7 @@ object ExtPipelines {
       // nothing lazy still reads the index files after cleanup
       Seq((batch.count(), identical, nExactAdmitted))
         .toDF("n_batch", "identical", "n_exact_admitted")
-    } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
-      paths.foreach(p => Files.deleteIfExists(p))
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** Memoized per-JVM MinHash index store for [[minhashIndexServe]]
@@ -424,11 +427,11 @@ object ExtPipelines {
       Dedup.saveMinhashIndex(standing, incPath)
       val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, incPath)
       val admitted1 = Dedup.nearDupIngest(b1, s1, z1, batch1)
-      val admittedDocs1 = batch1.join(admitted1, Seq("doc_id"), "left_semi")
-        // the append re-derives shingles/signatures from the text; a
-        // delta-sized localCheckpoint pins the admitted id set so the
-        // three appended frames agree even if the plan re-executes
-        .localCheckpoint(true)
+      // the append re-derives shingles/signatures from the text; a
+      // delta-sized ckptLocal pins the admitted doc set so the three
+      // appended frames agree even if the plan re-executes
+      val admittedDocs1 = graft.ext.Checkpoints.ckptLocal(
+        batch1.join(admitted1, Seq("doc_id"), "left_semi"))
       Dedup.appendToMinhashIndex(admittedDocs1, incPath)
       val (b2, s2, z2) = Dedup.loadMinhashIndex(spark, incPath)
       val incAdmitted2 = Dedup.nearDupIngest(b2, s2, z2, batch2)
@@ -442,12 +445,7 @@ object ExtPipelines {
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((batch2.count(), identical)).toDF("n_batch2", "identical")
-    } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
-      paths.foreach(p => Files.deleteIfExists(p))
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** s15: STREAMING MinHash near-dup ingest — the x26b serving path
@@ -493,12 +491,7 @@ object ExtPipelines {
       // driver-side local relation: the sink dirs are deleted below, so
       // nothing lazy may still read them
       Seq((batch.count(), nExact)).toDF("n_batch", "n_exact_admitted")
-    } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
-      paths.foreach(p => Files.deleteIfExists(p))
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
@@ -1148,14 +1141,7 @@ object ExtPipelines {
       // the result is a driver-side local relation (the exceptAll probes
       // above are eager), so nothing lazy still reads the index files
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
-    } finally {
-      // an embeddings-sized index copy per invocation (every Verify dump
-      // and bench rep) must not accumulate in /tmp across rounds
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
-      paths.foreach(p => Files.deleteIfExists(p))
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** v18: persisted IVF index APPEND — the daily-maintenance pin for
@@ -1198,12 +1184,7 @@ object ExtPipelines {
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
-    } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
-      paths.foreach(p => Files.deleteIfExists(p))
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** v11: per-source centroid drift
@@ -1253,9 +1234,10 @@ object ExtPipelines {
     val emb = Tables.embeddings(spark, dir)
     val b = graft.ext.DataSplit.bucket(col("vec_id"))
     // nList=8 seed rows, pinned eagerly so the standing corpus is
-    // scanned exactly once for the whole stream
-    val seeds = Similarity.ivfSeedCentroids(emb.filter(b < 52428), nList = 8)
-      .localCheckpoint(true)
+    // scanned exactly once for the whole stream (ckptLocal — the
+    // non-recomputable-checkpoint discipline's 2-replica level)
+    val seeds = graft.ext.Checkpoints.ckptLocal(
+      Similarity.ivfSeedCentroids(emb.filter(b < 52428), nList = 8))
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s16")
     try {
       val stream = graft.streaming.Streaming.embeddingsStream(spark, dir)
@@ -1270,12 +1252,7 @@ object ExtPipelines {
         .select(col("vec_id").cast("long"), col("list_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       rows.toDF("vec_id", "list_id")
-    } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val paths = Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
-      paths.foreach(p => Files.deleteIfExists(p))
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -11,10 +11,15 @@ package graft.ext
   * losing thread BLOCKS on the winner's build instead of duplicating
   * it — one build per key, ever, no loser cleanup needed.
   *
-  * A builder that THROWS does not poison the key: Scala lazy-val
-  * initialization is retried on the next access, so a transient
-  * failure (e.g. a full /tmp) re-runs the build instead of caching
-  * the exception forever.
+  * A builder that THROWS does not poison the key: the failed cell is
+  * REMOVED from the map (conditionally, so a concurrent success is
+  * never evicted), and the next call installs a fresh cell with its
+  * OWN builder closure. Without the removal, lazy-val retry would
+  * re-run the FIRST caller's closure forever — including anything it
+  * captured (e.g. a SparkSession that has since been stopped). The
+  * at-most-once guarantee is for SUCCESSFUL builds; after a failure,
+  * retrying callers may each run a build, which is the desired
+  * transient-failure behavior.
   */
 private[graft] final class BuildOnce[K, V] {
   private final class Cell(body: () => V) { lazy val value: V = body() }
@@ -24,7 +29,9 @@ private[graft] final class BuildOnce[K, V] {
     * if absent. */
   def apply(key: K)(build: => V): V = {
     val cell = new Cell(() => build)
-    cells.putIfAbsent(key, cell).getOrElse(cell).value
+    val winner = cells.putIfAbsent(key, cell).getOrElse(cell)
+    try winner.value
+    catch { case t: Throwable => cells.remove(key, winner); throw t }
   }
 
   /** Drop entries whose key matches `p` (e.g. keys bound to stopped

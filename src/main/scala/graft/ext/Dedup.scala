@@ -526,13 +526,29 @@ object Dedup {
     * compaction itself follows [[appendToMinhashIndex]]'s contract:
     * the append job is not atomic, so a failed compaction is re-run
     * against a restored index. */
+  /** True iff the tree under `dir` holds at least one parquet DATA
+    * file. A micro-batch that admits nothing still creates its
+    * `batch=N` directory — a partitioned write of an empty frame
+    * leaves only `_SUCCESS`, no footers — and a bare
+    * `spark.read.parquet` over a tree with zero footers throws at
+    * schema inference. Delta-presence checks must therefore look for
+    * FILES, not directory names: with this guard an all-empty epoch
+    * reads as "no deltas" instead of poisoning every later batch and
+    * the compaction (empty batch dirs alongside non-empty ones are
+    * harmless — the reader ignores them once any footer exists). */
+  private[graft] def hasParquetData(dir: java.io.File): Boolean = {
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    entries.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
+      entries.exists(f => f.isDirectory && hasParquetData(f))
+  }
+
   def compactMinhashDeltas(spark: org.apache.spark.sql.SparkSession,
       deltaPath: String, path: String): Unit = {
     def delta(name: String): Option[DataFrame] = {
       val d = new java.io.File(s"$deltaPath/$name")
-      val has = d.exists() &&
-        Option(d.listFiles()).exists(_.exists(_.getName.startsWith("batch=")))
-      if (has) Some(spark.read.parquet(d.getPath).drop("batch")) else None
+      if (d.exists() && hasParquetData(d))
+        Some(spark.read.parquet(d.getPath).drop("batch"))
+      else None
     }
     delta("bands").foreach(_.repartition(col("band"))
       .write.mode("append").partitionBy("band").parquet(s"$path/bands"))
@@ -641,6 +657,26 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val (bban, bsh, bsizes) =
       minhashIndexFrames(batch, n, numHashes, bands, rows, textCol, idCol)
+    val admitted = nearDupIngestFromFrames(standingBands, standingShingles,
+      standingSizes, batch.select(col(idCol)), bban, bsh, bsizes,
+      threshold, idCol)
+    bsh.unpersist()
+    admitted
+  }
+
+  /** The probe/verify core of [[nearDupIngest]], taking the batch's
+    * PRE-COMPUTED index frames instead of deriving them from text —
+    * for callers that need those frames again after admission (the
+    * streaming ingest filters them to the admitted ids for its delta
+    * write; re-deriving would shingle/sign the admitted docs twice per
+    * micro-batch). The caller owns `bsh`'s persist lifetime (the
+    * [[minhashIndexFrames]] contract); this function is EAGER at the
+    * rejected-id set, so unpersisting right after return is safe. */
+  def nearDupIngestFromFrames(standingBands: DataFrame,
+      standingShingles: DataFrame, standingSizes: DataFrame,
+      batchIds: DataFrame, bban: DataFrame, bsh: DataFrame,
+      bsizes: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id"): DataFrame = {
     def jacc(inter: DataFrame, aSz: DataFrame, bSz: DataFrame) = inter
       .join(aSz, "a_id").join(bSz, "b_id")
       .filter(col("i").cast("double") /
@@ -719,10 +755,8 @@ object Dedup {
     // accumulate never-auto-removed files; localCheckpoint blocks are
     // ContextCleaner-reclaimed once the caller drops the frame.
     val rejected = Checkpoints.ckptLocal(dupS.unionByName(dupB).distinct())
-    bsh.unpersist()
     candS.unpersist()
-    batch.select(col(idCol))
-      .join(rejected, Seq(idCol), "left_anti")
+    batchIds.join(rejected, Seq(idCol), "left_anti")
   }
 
   // ---- SimHash ----

@@ -170,43 +170,52 @@ object Streaming {
       bands: Int = 8, rows: Int = 2,
       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.ext.Dedup
+    import graft.ext.{Checkpoints, Dedup}
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val (sb, ssh, ssz) = Dedup.loadMinhashIndex(spark, indexPath)
+        // delta presence is detected by parquet FILES, not batch= dir
+        // names: a batch that admitted nothing leaves a footer-less
+        // batch=N directory, and a bare read over an all-empty tree
+        // throws at schema inference (see Dedup.hasParquetData)
         def withDeltas(standing: DataFrame, sub: String): DataFrame = {
           val dir = new java.io.File(s"$deltaPath/$sub")
-          val hasData = dir.exists() &&
-            Option(dir.listFiles()).exists(_.exists(_.getName.startsWith("batch=")))
-          if (!hasData) standing
+          if (!dir.exists() || !Dedup.hasParquetData(dir)) standing
           else standing.unionByName(
             spark.read.parquet(dir.getPath)
               .filter(col("batch") < batchId).drop("batch"))
         }
         val batchDocs = batch.select(col("doc_id"), col("text"))
-        val admitted = Dedup.nearDupIngest(
-          withDeltas(sb, "bands"), withDeltas(ssh, "shingles"),
-          withDeltas(ssz, "sizes"), batchDocs,
-          n, threshold, numHashes, bands, rows)
-        // pin the delta-sized admitted set once: the id write and the
-        // three delta-frame writes below must agree even though each
-        // triggers its own job
-        val admittedDocs = batchDocs.join(admitted, Seq("doc_id"), "left_semi")
-          .localCheckpoint(true)
-        admittedDocs.select("doc_id")
+        // the batch's index frames are derived ONCE and reused for the
+        // delta write below (filtered to the admitted ids) — the
+        // FromFrames variant exists so admission doesn't shingle the
+        // batch and the delta write re-shingle the admitted subset
+        val (bban, bsh, bsizes) = Dedup.minhashIndexFrames(
+          batchDocs, n, numHashes, bands, rows)
+        // pin the delta-sized admitted id set once: the id write and
+        // the three delta-frame writes below must agree even though
+        // each triggers its own job (ckptLocal = 2-replica blocks, the
+        // non-recomputable-checkpoint discipline)
+        val admitted = Checkpoints.ckptLocal(
+          Dedup.nearDupIngestFromFrames(
+            withDeltas(sb, "bands"), withDeltas(ssh, "shingles"),
+            withDeltas(ssz, "sizes"), batchDocs.select(col("doc_id")),
+            bban, bsh, bsizes, threshold))
+        admitted
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        val (db, dsh, dsz) = Dedup.minhashIndexFrames(
-          admittedDocs, n, numHashes, bands, rows)
-        db.repartition(col("band")).write.mode("overwrite")
+        def admittedOnly(frame: DataFrame): DataFrame =
+          frame.join(admitted, Seq("doc_id"), "left_semi")
+        admittedOnly(bban).repartition(col("band"))
+          .write.mode("overwrite")
           .partitionBy("band").parquet(s"$deltaPath/bands/batch=$batchId")
-        dsh.withColumn("bucket", Dedup.idBucket(col("doc_id")))
+        admittedOnly(bsh).withColumn("bucket", Dedup.idBucket(col("doc_id")))
           .repartition(col("bucket")).write.mode("overwrite")
           .partitionBy("bucket").parquet(s"$deltaPath/shingles/batch=$batchId")
-        dsz.withColumn("bucket", Dedup.idBucket(col("doc_id")))
+        admittedOnly(bsizes).withColumn("bucket", Dedup.idBucket(col("doc_id")))
           .repartition(col("bucket")).write.mode("overwrite")
           .partitionBy("bucket").parquet(s"$deltaPath/sizes/batch=$batchId")
-        dsh.unpersist()
+        bsh.unpersist()
         ()
       }
       .option("checkpointLocation", checkpoint)

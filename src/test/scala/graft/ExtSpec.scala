@@ -165,6 +165,37 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("BuildOnce: concurrent first calls run the builder exactly once; failures retry") {
+    val store = new graft.ext.BuildOnce[String, Int]
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val startGate = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val callers = (1 to 8).map(_ => Future {
+      startGate.await()
+      store("k") { builds.incrementAndGet(); Thread.sleep(50); 42 }
+    })
+    startGate.countDown()
+    val got = Await.result(Future.sequence(callers), 30.seconds)
+    // the race the class exists for: every caller sees the one value,
+    // and the side-effectful builder ran exactly once (losers BLOCK on
+    // the winner's build instead of duplicating it)
+    assert(got.forall(_ == 42) && builds.get() == 1)
+    // a throwing builder does not poison the key: the failed cell is
+    // evicted, so the NEXT call installs and runs ITS OWN builder (not
+    // the first caller's captured closure)
+    val flaky = new graft.ext.BuildOnce[String, Int]
+    var firstRan = 0
+    intercept[RuntimeException](flaky("f") {
+      firstRan += 1; sys.error("transient")
+    })
+    var secondRan = 0
+    assert(flaky("f") { secondRan += 1; 7 } == 7)
+    assert(firstRan == 1 && secondRan == 1,
+      s"retry must run the retrying caller's builder, got $firstRan/$secondRan")
+  }
+
   test("ckptLocal requests 2-replica blocks (cluster property; placement untestable on local)") {
     import spark.implicits._
     // The MEMORY_AND_DISK_2 level is what survives a single executor

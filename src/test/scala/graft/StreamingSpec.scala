@@ -327,6 +327,56 @@ class StreamingSpec extends SparkSpec {
     assert(admittedNext == Set(302L), admittedNext.toString)
   }
 
+  test("s15: an all-rejected micro-batch neither poisons later batches nor the compaction") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.ext.Dedup
+    // a partitioned write of an EMPTY frame creates a footer-less
+    // batch=N directory; delta detection must look for parquet files,
+    // or batch 1 (and the nightly compaction) dies at schema inference
+    val tmp = Files.createTempDirectory("graft-s15-empty").toString
+    val standing = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val idxPath = s"$tmp/idx"
+    Dedup.saveMinhashIndex(standing, idxPath)
+    val in = s"$tmp/in"
+    // file A: ONLY exact dups of standing — batch 0 admits nothing
+    Seq((101L, "alpha beta gamma delta epsilon"),
+      (102L, "one two three four five six")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(in)
+    // file B: a fresh doc — batch 1 must still run and admit it
+    Seq((201L, "a genuinely fresh document with brand new words"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = Streaming.nearDupIngestStream(src, idxPath,
+      s"$tmp/out", s"$tmp/delta", s"$tmp/ck")
+    q.awaitTermination()
+    val admitted = spark.read.parquet(s"$tmp/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(201L), admitted.toString)
+    // the compaction reads an epoch holding one EMPTY and one data
+    // batch, folds the data, and clears the dirs
+    Dedup.compactMinhashDeltas(spark, s"$tmp/delta", idxPath)
+    for (sub <- Seq("bands", "shingles", "sizes"))
+      assert(!new java.io.File(s"$tmp/delta/$sub").exists(), sub)
+    val (cb, csh, csz) = Dedup.loadMinhashIndex(spark, idxPath)
+    val next = Seq((301L, "a genuinely fresh document with brand new words"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupIngest(cb, csh, csz, next).count() == 0,
+      "the compacted stream admission must reject a dup of doc 201")
+    // an ALL-empty epoch compacts as a no-op (delta dirs with zero
+    // footers anywhere must read as 'no deltas', not throw)
+    val q2 = Streaming.nearDupIngestStream(
+      spark.readStream.schema(schema).parquet(in).filter(col("doc_id") < 0),
+      idxPath, s"$tmp/out2", s"$tmp/delta2", s"$tmp/ck2")
+    q2.awaitTermination()
+    Dedup.compactMinhashDeltas(spark, s"$tmp/delta2", idxPath)
+  }
+
   test("s16: streaming IVF ingest equals the batch assignment; kill/resume assigns nothing twice") {
     import java.nio.file.Files
     import graft.ext.{DataSplit, Similarity}
