@@ -178,7 +178,17 @@ object Bench {
     "v18_ivf_index_append",
     "s15_stream_neardup_ingest",
     "s16_stream_ivf_ingest",
-    "sql13_multi_exists")
+    "sql13_multi_exists",
+    // the two index-DELETE audit rows (tombstone serve + compaction +
+    // same-quantizer rebuild, three served identities each — like the
+    // append rows they price the audit harness; the production delete
+    // is an O(batch) tombstone append)
+    "x26d_minhash_index_delete",
+    "v19_ivf_index_delete",
+    // the refresh-composite audit row (decisions + refresh + fresh
+    // rebuild + three frame-multiset compares; production cost is the
+    // delete/compact/append inside it)
+    "x26e_minhash_index_refresh")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

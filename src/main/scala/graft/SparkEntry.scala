@@ -91,6 +91,8 @@ object SparkEntry {
     "x26_minhash_index_ingest" -> (ExtPipelines.minhashIndexIngest _),
     "x26b_minhash_index_serve" -> (ExtPipelines.minhashIndexServe _),
     "x26c_minhash_index_append" -> (ExtPipelines.minhashIndexAppend _),
+    "x26d_minhash_index_delete" -> (ExtPipelines.minhashIndexDelete _),
+    "x26e_minhash_index_refresh" -> (ExtPipelines.minhashIndexRefresh _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -151,6 +153,7 @@ object SparkEntry {
     "v11_centroid_drift" -> (ExtPipelines.centroidDrift _),
     "v12_ivf_index_persist" -> (ExtPipelines.ivfIndexPersist _),
     "v18_ivf_index_append" -> (ExtPipelines.ivfIndexAppend _),
+    "v19_ivf_index_delete" -> (ExtPipelines.ivfIndexDelete _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
@@ -879,6 +882,70 @@ object SparkEntry {
         |       TRUE AS identical
         |FROM b WHERE bucket >= 58982""".stripMargin,
 
+    // x26d: index DELETE maintenance. The admitted sets are
+    // engine-internal; the driver-checkable facts are the batch size
+    // (md5-bucket rule, buckets >= 0.8*65536) and the identity pin —
+    // tombstoned-serve and compacted-serve must both equal a rebuild
+    // over standing-minus-deleted exactly (tombstones strike candidate
+    // b_ids, which is all the probe ever reads of a standing doc; the
+    // compaction preserves surviving rows row-for-row)
+    "x26d_minhash_index_delete" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       TRUE AS identical
+        |FROM b WHERE bucket >= 52428""".stripMargin,
+
+    // x26e: index REFRESH maintenance — x20's decision CTEs verbatim
+    // (same salted #snap snapshots, digest dup gate, quality gate);
+    // the driver-checkable facts are the admitted count and the
+    // frame-multiset identity flag (refreshed index ≡ fresh build over
+    // the x22 next snapshot, exact because every index row is a
+    // per-doc function of text)
+    "x26e_minhash_index_refresh" ->
+      """WITH h AS (SELECT doc_id, text,
+        |             md5(CAST(doc_id AS VARCHAR) || '#snap') AS m FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h),
+        |o AS (SELECT doc_id, text FROM b WHERE bucket < 58982),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN bucket >= 26214 AND bucket < 32768
+        |             THEN text || ' [recrawled]' ELSE text END AS text
+        |      FROM b WHERE bucket >= 6554),
+        |d AS (SELECT n.doc_id, n.text,
+        |        CASE WHEN o.doc_id IS NULL THEN 'added'
+        |             WHEN o.text <> n.text THEN 'changed' END AS status
+        |      FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+        |      WHERE o.doc_id IS NULL OR o.text <> n.text),
+        |q AS (SELECT doc_id, text, status,
+        |        (least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |         + least((CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |                  ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                       x -> x IN ('the','a','of','and','in','to','is','it','for','on'))) AS DOUBLE)
+        |                     / len(string_split(text, ' ')) END) * 5.0, 1.0) * 0.3
+        |         + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                     / length(text) END) * 10.0, 1.0)) * 0.3) AS quality
+        |      FROM d),
+        |od AS (SELECT DISTINCT text FROM o),
+        |acts AS (SELECT q.doc_id,
+        |           CASE WHEN od.text IS NOT NULL THEN 'reject_dup'
+        |                WHEN q.quality < 0.5 THEN 'reject_quality'
+        |                WHEN q.status = 'added' THEN 'admit_new'
+        |                ELSE 'admit_update' END AS action
+        |         FROM q LEFT JOIN od ON q.text = od.text)
+        |SELECT CAST(count(*) AS BIGINT) AS n_admitted, TRUE AS identical
+        |FROM acts WHERE action IN ('admit_new', 'admit_update')""".stripMargin,
+
     // the composite pipeline: dedup keep-first → t7 split → x10
     // decontamination (train side) → t2 quality ≥ 0.5. CTEs mirror the
     // verified per-stage oracles exactly, including x10's
@@ -1445,6 +1512,15 @@ object SparkEntry {
     // independent, so the identity is exact). Facts: query-batch size
     // + the identity flag, v12's form.
     "v18_ivf_index_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v19: index DELETE maintenance — tombstoned serve and
+    // compacted serve must both equal a same-centroid rebuild over
+    // standing∖deleted (candidates are struck pre-top-k, so freed
+    // slots refill; compaction preserves survivors row-for-row).
+    // Facts: query-batch size + the identity flag, v12's form.
+    "v19_ivf_index_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

@@ -448,6 +448,110 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** x26d: persisted MinHash index DELETE — the removal pin that
+    * completes the x26 family's CRUD lifecycle (build x26 / serve x26b
+    * / append x26c / delete+compact here). Standing = the train split;
+    * the DOOMED set is its upper md5-bucket range [39321, 52428) —
+    * deleted via [[graft.ext.Dedup.deleteFromMinhashIndex]] (an
+    * O(delete)-cost tombstone append; standing data untouched). The
+    * test split then ingests three ways: (a) against the tombstoned
+    * index (merge-on-read: candidates anti-joined on tombstone ids),
+    * (b) against the index after
+    * [[graft.ext.Dedup.compactMinhashTombstones]] physically removed
+    * the doomed rows (bucket-pruned rewrite), and (c) against a FULL
+    * REBUILD over standing∖doomed. The identity pin (v12's
+    * discipline): all three admitted sets must be EXACTLY equal —
+    * merge-on-read is candidate-level-equivalent to removal by
+    * construction, and compaction preserves the surviving frame set
+    * row-for-row. Emits `n_batch` (oracle recomputes the md5-bucket
+    * rule) and `identical` (TRUE). */
+  def minhashIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bk = graft.ext.DataSplit.bucket(col("doc_id"))
+    val standing = docs.filter(bk < 52428)
+    val doomed = docs.filter(bk >= 39321 && bk < 52428)
+    val batch = docs.filter(bk >= 52428)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_delete")
+    try {
+      val incPath = tmpRoot.toString + "/inc"
+      Dedup.saveMinhashIndex(standing, incPath)
+      Dedup.deleteFromMinhashIndex(doomed.select("doc_id"), incPath)
+      val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, incPath)
+      val tombAdmitted = Dedup.nearDupIngest(b1, s1, z1, batch,
+        tombstones = Dedup.loadMinhashTombstones(spark, incPath))
+      Dedup.compactMinhashTombstones(spark, incPath)
+      val (b2, s2, z2) = Dedup.loadMinhashIndex(spark, incPath)
+      // post-compaction the tombstone dir is gone — served bare
+      val compAdmitted = Dedup.nearDupIngest(b2, s2, z2, batch,
+        tombstones = Dedup.loadMinhashTombstones(spark, incPath))
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath)
+      val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
+      val rbAdmitted = Dedup.nearDupIngest(rb, rs, rz, batch)
+      def eq(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val identical =
+        eq(tombAdmitted, rbAdmitted) && eq(compAdmitted, rbAdmitted)
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((batch.count(), identical)).toDF("n_batch", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** x26e: persisted MinHash index REFRESH — the composite that closes
+    * the living-corpus loop by feeding x20's refresh decisions into the
+    * index-maintenance verbs
+    * ([[graft.ext.Dedup.refreshMinhashIndex]] = delete → compact →
+    * append): the index is built over the OLD snapshot, the epoch's
+    * adjudication ([[refreshDecisions]] on the x19/x20 snapshot pair)
+    * yields the leaving set (crawl-removed ids ∪ old revisions of
+    * admitted updates) and the entering set (admitted adds ∪ new
+    * revisions of admitted updates), and the refresh applies both in
+    * place. The identity pin is the STRONGEST in the family — not
+    * serve-equality on one probe batch but frame-multiset equality:
+    * every index row is a per-doc function of the doc's text (fixed
+    * hash families), so the refreshed index must hold EXACTLY the rows
+    * of a fresh [[graft.ext.Dedup.saveMinhashIndex]] build over
+    * [[nextSnapshot]] — bands, shingles and sizes each compared by
+    * two-sided exceptAll. Serve-equality for every possible batch
+    * follows a fortiori. Emits `n_admitted` (the oracle recomputes the
+    * x20 decision CTEs) and `identical` (TRUE). */
+  def minhashIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (oldSnap, newSnap) = snapshots(spark, dir)
+    // delta-sized and consumed by several writes below; pinned so the
+    // quality-gate/digest jobs run once, not per consumer
+    val acts = graft.ext.Checkpoints.ckptLocal(
+      refreshDecisions(oldSnap, newSnap))
+    val removedIds = Dedup.snapshotDiff(oldSnap, newSnap)
+      .filter(col("status") === "removed").select("doc_id")
+    val updatedIds = acts.filter(col("action") === "admit_update")
+      .select("doc_id")
+    val admittedDocs = graft.ext.Checkpoints.ckptLocal(
+      newSnap.join(
+        acts.filter(col("action").isin("admit_new", "admit_update"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_refresh")
+    try {
+      val incPath = tmpRoot.toString + "/inc"
+      Dedup.saveMinhashIndex(oldSnap, incPath)
+      Dedup.refreshMinhashIndex(spark, incPath,
+        removedIds.unionByName(updatedIds), admittedDocs)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndex(nextSnapshot(spark, dir), rbPath)
+      val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, incPath)
+      val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
+      def eq(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val identical = eq(ib, rb) && eq(ish, rs) && eq(isz, rz)
+      // driver-side local relation (the comparisons above are eager),
+      // so nothing lazy still reads the index files after cleanup
+      Seq((admittedDocs.count(), identical)).toDF("n_admitted", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
   /** s15: STREAMING MinHash near-dup ingest — the x26b serving path
     * run as a real Structured Streaming query
     * ([[graft.streaming.Streaming.nearDupIngestStream]]): the test
@@ -1181,6 +1285,61 @@ object ExtPipelines {
         k = 5, nProbe = 4)
       val identical = fromAppended.exceptAll(fromRebuild).isEmpty &&
         fromRebuild.exceptAll(fromAppended).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((queries.count(), identical)).toDF("n_queries", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** v19: persisted IVF index DELETE — x26d's removal discipline
+    * applied to the vector index, completing its CRUD lifecycle (build
+    * v12 / append v18 / delete+compact here). The index is built on
+    * the standing split, the upper md5-bucket range [39321, 52428) is
+    * deleted via [[graft.ext.Similarity.deleteFromIvfIndex]] (an
+    * O(delete) tombstone append), and a query batch is served three
+    * ways: (a) tombstoned (merge-on-read: candidates struck after the
+    * probe join, freed top-k slots go to the next-best neighbors), (b)
+    * after [[graft.ext.Similarity.compactIvfTombstones]] physically
+    * removed the rows (list-pruned rewrite), and (c) against lists
+    * re-assigned over standing∖doomed under the SAME stored quantizer
+    * (v18's rebuild form — the coarse quantizer is immutable across
+    * maintenance, so rebuild must reuse it for the identity to be
+    * meaningful). Identity pin: all three served top-k sets are
+    * exactly equal. Emits (n_queries, identical). */
+  def ivfIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    val standing = emb.filter(b < 52428)
+    val doomed = standing.filter(b >= 39321)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_delete")
+    try {
+      val incPath = tmpRoot.toString + "/inc"
+      Similarity.saveIvfIndex(standing, incPath, nList = 8, nIters = 1)
+      Similarity.deleteFromIvfIndex(doomed.select("vec_id"), incPath)
+      val queries = emb.filter(col("vec_id") < 10)
+      // pinned EAGERLY (delta-sized): the compaction below deletes the
+      // tombstone files and swaps list dirs this plan reads
+      val fromTomb = graft.ext.Checkpoints.ckptLocal(
+        Similarity.ivfTopKFromIndex(spark, incPath, queries,
+          k = 5, nProbe = 4))
+      Similarity.compactIvfTombstones(spark, incPath)
+      val fromCompacted = Similarity.ivfTopKFromIndex(spark, incPath, queries,
+        k = 5, nProbe = 4)
+      // rebuild twin: SAME stored quantizer, lists re-assigned over the
+      // surviving vectors in one pass
+      val rbPath = tmpRoot.toString + "/rebuild"
+      val cent = spark.read.parquet(s"$incPath/centroids")
+      cent.write.parquet(s"$rbPath/centroids")
+      Similarity.ivfAssign(standing.filter(b < 39321), cent)
+        .write.partitionBy("list_id").parquet(s"$rbPath/lists")
+      val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
+        k = 5, nProbe = 4)
+      val identical =
+        fromTomb.exceptAll(fromRebuild).isEmpty &&
+          fromRebuild.exceptAll(fromTomb).isEmpty &&
+          fromCompacted.exceptAll(fromRebuild).isEmpty &&
+          fromRebuild.exceptAll(fromCompacted).isEmpty
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")

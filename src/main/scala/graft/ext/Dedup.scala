@@ -561,6 +561,143 @@ object Dedup {
         new java.io.File(s"$deltaPath/$name")))
   }
 
+  /** DELETE docs from a persisted [[saveMinhashIndex]] index — the
+    * merge-on-read half of removal (corpus refresh, takedowns,
+    * right-to-be-forgotten): the deleted ids are appended as a
+    * bucket-partitioned TOMBSTONE frame under `<path>/tombstones`, an
+    * O(delete-batch) write that never reads, lists, or rewrites the
+    * standing data. Probes honor tombstones at the CANDIDATE level
+    * ([[nearDupIngestFromFrames]] anti-joins the delta-sized candidate
+    * pairs against the tombstone ids), so serving cost gains no
+    * corpus-scale term: deleted docs' index rows still sit in storage
+    * until [[compactMinhashTombstones]] physically removes them, but
+    * they can never reject a batch doc — deletion is semantically
+    * immediate, physically deferred, the Iceberg/Delta delete-file
+    * discipline re-expressed for this layout.
+    *
+    * CONTRACT — id reuse: a standing tombstone shadows its id
+    * entirely, including rows APPENDED after the delete, so
+    * re-admitting a deleted id requires compacting first (document
+    * stores mint fresh ids instead; same answer as the delete-file
+    * systems). Repeated deletes of one id just accumulate harmless
+    * duplicate tombstone rows until compaction clears them. */
+  def deleteFromMinhashIndex(ids: DataFrame, path: String,
+      idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol)).distinct()
+      .withColumn("bucket", idBucket(col(idCol)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/tombstones")
+
+  /** The standing tombstone ids of a [[saveMinhashIndex]] index, if
+    * any ([[deleteFromMinhashIndex]] wrote some since the last
+    * [[compactMinhashTombstones]]). None when the dir is absent or
+    * holds no parquet footers (the [[hasParquetData]] rule: an
+    * all-distinct delete of zero ids leaves a footer-less dir). */
+  def loadMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "doc_id"): Option[DataFrame] = {
+    val d = new java.io.File(s"$path/tombstones")
+    if (d.exists() && hasParquetData(d))
+      Some(spark.read.parquet(d.getPath).select(col(idCol)))
+    else None
+  }
+
+  /** Physically remove tombstoned docs from a [[saveMinhashIndex]]
+    * layout and clear the tombstones — the scheduled compaction that
+    * closes [[deleteFromMinhashIndex]]'s merge-on-read lifecycle.
+    * Cost is PRUNED where the layout allows it:
+    *  - `shingles`/`sizes` are bucket-partitioned by [[idBucket]], and
+    *    tombstoned ids name their buckets — only AFFECTED buckets
+    *    (≤ [[MinhashIndexBuckets]], a literal partition filter) are
+    *    read, anti-joined, and swapped; untouched buckets are never
+    *    read or listed.
+    *  - `bands` has no id-derived partitioning (a doc's rows land in
+    *    every `band=` dir), so it is rewritten whole — the one
+    *    O(corpus) term, on the SMALLEST frame (a fixed `bands`
+    *    rows/doc of (id, band, sig) vs the shingle frame's ~|tokens|
+    *    string rows), amortized across every delete since the last
+    *    compaction.
+    * Survivors are written to a temp dir first, then swapped in
+    * driver-side — Spark refuses to overwrite a path it is reading,
+    * and a same-path dynamic partition overwrite would anyway leave
+    * stale files in any bucket whose rows were ALL deleted. The swap
+    * is not atomic (same contract as [[appendToMinhashIndex]]): run
+    * from the single-writer maintenance window, and re-run against a
+    * restored index if killed mid-swap. */
+  def compactMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "doc_id"): Unit = {
+    import org.apache.commons.io.FileUtils
+    loadMinhashTombstones(spark, path, idCol).foreach { tombRaw =>
+      // the tombstone set feeds two anti-joins and a bucket-list
+      // aggregate; delta-sized, so one ckptLocal pins it for all three
+      val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
+      val affected = tomb.select(idBucket(col(idCol)).as("bk")).distinct()
+        .collect().map(_.getInt(0)).toSeq // ≤ 64 rows: bounded driver action
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mh_compact")
+      def swapBuckets(sub: String): Unit = {
+        val survivors = spark.read.parquet(s"$path/$sub")
+          .filter(col("bucket").isin(affected: _*))
+          .join(tomb, Seq(idCol), "left_anti")
+        survivors.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$tmp/$sub")
+        affected.foreach { bk =>
+          val dst = new java.io.File(s"$path/$sub/bucket=$bk")
+          FileUtils.deleteQuietly(dst)
+          val src = new java.io.File(s"$tmp/$sub/bucket=$bk")
+          // a bucket absent from the survivors had ALL its rows
+          // deleted: its dir stays gone
+          if (src.exists()) FileUtils.moveDirectory(src, dst)
+        }
+      }
+      try {
+        swapBuckets("shingles")
+        swapBuckets("sizes")
+        spark.read.parquet(s"$path/bands")
+          .join(tomb, Seq(idCol), "left_anti")
+          .repartition(col("band"))
+          .write.partitionBy("band").parquet(s"$tmp/bands")
+        FileUtils.deleteQuietly(new java.io.File(s"$path/bands"))
+        FileUtils.moveDirectory(
+          new java.io.File(s"$tmp/bands"), new java.io.File(s"$path/bands"))
+        FileUtils.deleteQuietly(new java.io.File(s"$path/tombstones"))
+      } finally FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
+
+  /** REFRESH a persisted [[saveMinhashIndex]] index to the next corpus
+    * epoch — the composite maintenance verb a living corpus runs after
+    * its refresh adjudication (the x20 decision layer): `deletedIds`
+    * are the docs leaving the index (REMOVED from the crawl, plus the
+    * OLD revisions of admitted updates) and `admittedDocs` are the
+    * (id, text) rows entering it (admitted adds, plus the NEW revisions
+    * of admitted updates). Rejected updates appear in neither frame, so
+    * their old rows stand untouched — exactly the x22 next-snapshot
+    * semantics, under which refresh(index over old) is frame-for-frame
+    * identical to a fresh build over the next snapshot (pinned by the
+    * x26e oracle).
+    *
+    * Sequencing: delete → COMPACT → append, and the middle step is not
+    * optional when updates exist — an admitted update RE-USES its
+    * doc id, and a standing tombstone shadows its id across later
+    * appends ([[deleteFromMinhashIndex]]'s id-reuse contract), so the
+    * new revision's rows must land only after the tombstone is
+    * physically resolved. Cost per epoch: O(delete) + the compaction's
+    * pruned rewrite (affected id-buckets for shingles/sizes; the bands
+    * frame — the smallest — whole, the one O(corpus) term, amortized
+    * per refresh EPOCH rather than per ingest batch) + O(admitted)
+    * partition-appends. A removal-only epoch (no re-used ids) that
+    * wants to defer even that can call [[deleteFromMinhashIndex]]
+    * alone and let serving honor the tombstones merge-on-read. */
+  def refreshMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletedIds: DataFrame, admittedDocs: DataFrame,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    deleteFromMinhashIndex(deletedIds, path, idCol)
+    compactMinhashTombstones(spark, path, idCol)
+    appendToMinhashIndex(admittedDocs, path, n, numHashes, bands, rows,
+      textCol, idCol)
+  }
+
   /** Doc-id bucket count for the stored shingle/size frames of a
     * [[saveMinhashIndex]] index. The directory layout is the point: a
     * probe's candidate-id set maps to candidate BUCKETS, whose ≤64-int
@@ -654,12 +791,13 @@ object Dedup {
       standingSizes: DataFrame, batch: DataFrame, n: Int = 3,
       threshold: Double = 0.5, numHashes: Int = 16, bands: Int = 8,
       rows: Int = 2, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val (bban, bsh, bsizes) =
       minhashIndexFrames(batch, n, numHashes, bands, rows, textCol, idCol)
     val admitted = nearDupIngestFromFrames(standingBands, standingShingles,
       standingSizes, batch.select(col(idCol)), bban, bsh, bsizes,
-      threshold, idCol)
+      threshold, idCol, tombstones)
     bsh.unpersist()
     admitted
   }
@@ -676,7 +814,8 @@ object Dedup {
       standingShingles: DataFrame, standingSizes: DataFrame,
       batchIds: DataFrame, bban: DataFrame, bsh: DataFrame,
       bsizes: DataFrame, threshold: Double = 0.5,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      tombstones: Option[DataFrame] = None): DataFrame = {
     def jacc(inter: DataFrame, aSz: DataFrame, bSz: DataFrame) = inter
       .join(aSz, "a_id").join(bSz, "b_id")
       .filter(col("i").cast("double") /
@@ -684,10 +823,23 @@ object Dedup {
     // vs standing: batch band keys probe the stored bands; the batch
     // side is the small build side (AQE broadcasts it), the standing
     // frames stream
-    val candS = bban.select(col(idCol).as("a_id"), col("band"), col("sig"))
+    val candRaw = bban.select(col(idCol).as("a_id"), col("band"), col("sig"))
       .join(standingBands.select(col(idCol).as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("a_id", "b_id").distinct()
+    // tombstones ([[deleteFromMinhashIndex]]) apply HERE, at the
+    // delta-sized candidate-pair level, which is exactly equivalent to
+    // having removed the docs from all three standing frames: standing
+    // rows reach this probe only through candidate b_ids (the shingle/
+    // size prunes below are semi-joins on candIds), so striking a
+    // b_id strikes every downstream trace of the doc. The anti-join
+    // costs O(candidates): AQE broadcasts a small tombstone side, and
+    // even a huge one shuffles only the delta-sized pairs — deletion
+    // adds NO corpus-scale term to serving, which is what makes the
+    // merge-on-read design viable between compactions.
+    val candS = tombstones.fold(candRaw)(t =>
+        candRaw.join(t.select(col(idCol).as("b_id")).distinct(),
+          Seq("b_id"), "left_anti"))
       // consumed by three plans below (the semi-join prune, the
       // intersection, and — transitively — the rejected set); released
       // with bsh once the rejected ids are materialized

@@ -319,7 +319,8 @@ object Similarity {
     * probed lists' vectors. */
   private def ivfProbeAndRank(cent: DataFrame, lists: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int,
-      vecCol: String, idCol: String): DataFrame = {
+      vecCol: String, idCol: String,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val centF = cent.select(col("list_id"),
@@ -334,9 +335,19 @@ object Similarity {
       .agg(topLists(col("cos"), col("list_id")).as("lists"))
       .select(col("query_id"), explode(col("lists")).as("list_id"))
       .join(q, "query_id") // re-attach the query vector (tiny side)
-    val cands = lists
+    val candRaw = lists
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col(idCol))
+    // tombstones ([[deleteFromIvfIndex]]) strike candidates HERE —
+    // after the probe join (so the scan's dynamic partition pruning is
+    // undisturbed: an anti-join between the partitioned scan and the
+    // probe join would blind the DPP rule, which traverses only
+    // projects/filters to find the scan) and BEFORE the top-k (a
+    // deleted vector must FREE its slot for the next-best neighbor,
+    // not leave a k-1 hole). Cost is O(probed candidates): the anti
+    // side is delta-sized and AQE broadcasts it.
+    val cands = tombstones.fold(candRaw)(t =>
+        candRaw.join(t.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
     topKPerQuery(cands, k)
@@ -404,7 +415,102 @@ object Similarity {
     val cent = spark.read.parquet(s"$path/centroids")
     val lists = spark.read.parquet(s"$path/lists")
       .withColumn("list_id", col("list_id").cast("long"))
-    ivfProbeAndRank(cent, lists, queries, k, nProbe, vecCol, idCol)
+    // standing tombstones (if any) are honored by default: a deleted
+    // vector can never be served, whether or not its rows have been
+    // physically compacted away yet
+    ivfProbeAndRank(cent, lists, queries, k, nProbe, vecCol, idCol,
+      loadIvfTombstones(spark, path, idCol))
+  }
+
+  /** DELETE vectors from a [[saveIvfIndex]] layout — the x26d
+    * discipline applied to the vector index: deleted ids append to an
+    * O(delete)-cost `<path>/tombstones` frame (standing lists never
+    * read or rewritten), [[ivfTopKFromIndex]] strikes tombstoned
+    * candidates after the probe join (deletion is semantically
+    * immediate; a freed top-k slot goes to the next-best neighbor),
+    * and [[compactIvfTombstones]] later removes the rows physically.
+    * Same id-reuse contract as the MinHash tombstones: a standing
+    * tombstone shadows its id even across later appends — compact
+    * before re-admitting an id, or mint fresh ids. */
+  def deleteFromIvfIndex(ids: DataFrame, path: String,
+      idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The standing tombstone ids of a [[saveIvfIndex]] index, if any
+    * (None once [[compactIvfTombstones]] has cleared them; the
+    * parquet-footer presence rule of
+    * [[graft.ext.Dedup.hasParquetData]]). */
+  def loadIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "vec_id"): Option[DataFrame] = {
+    val d = new java.io.File(s"$path/tombstones")
+    if (d.exists() && Dedup.hasParquetData(d))
+      Some(spark.read.parquet(d.getPath).select(col(idCol)))
+    else None
+  }
+
+  /** Physically remove tombstoned vectors from a [[saveIvfIndex]]
+    * layout and clear the tombstones. The lists are partitioned by
+    * `list_id`, not by id, so affected lists are DISCOVERED first with
+    * a column-pruned scan of (id, list_id) — ids are one slim column
+    * and list_id is free partition metadata, so the discovery reads no
+    * embedding bytes — and only those ≤ nList partitions are then
+    * read, anti-joined, and swapped; untouched lists are never read.
+    * Survivors go through a temp dir (Spark refuses same-path
+    * read+overwrite, and a list whose EVERY vector was deleted must
+    * end with its directory gone, which a dynamic partition overwrite
+    * would silently skip). Same non-atomic-swap contract as
+    * [[graft.ext.Dedup.compactMinhashTombstones]]: single-writer
+    * maintenance window, re-run against a restored index if killed. */
+  def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "vec_id"): Unit = {
+    import org.apache.commons.io.FileUtils
+    loadIvfTombstones(spark, path, idCol).foreach { tombRaw =>
+      val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
+      val lists = spark.read.parquet(s"$path/lists")
+      val affected = lists.select(col(idCol), col("list_id"))
+        .join(tomb, Seq(idCol), "left_semi")
+        .select("list_id").distinct()
+        .collect().map(_.get(0).toString.toLong) // ≤ nList rows: bounded
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_compact")
+      try {
+        val survivors = lists
+          .filter(col("list_id").isin(affected: _*))
+          .join(tomb, Seq(idCol), "left_anti")
+        survivors.repartition(col("list_id"))
+          .write.partitionBy("list_id").parquet(s"$tmp/lists")
+        affected.foreach { lid =>
+          val dst = new java.io.File(s"$path/lists/list_id=$lid")
+          FileUtils.deleteQuietly(dst)
+          val src = new java.io.File(s"$tmp/lists/list_id=$lid")
+          if (src.exists()) FileUtils.moveDirectory(src, dst)
+        }
+        FileUtils.deleteQuietly(new java.io.File(s"$path/tombstones"))
+      } finally FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
+
+  /** REFRESH a persisted [[saveIvfIndex]] index to the next corpus
+    * epoch — [[graft.ext.Dedup.refreshMinhashIndex]]'s composite on
+    * the vector side, the verb a living embedding corpus runs after
+    * re-embedding: `deletedIds` leave (dropped docs ∪ the stale
+    * vectors of re-embedded ones), `admittedVecs` enter (new docs'
+    * vectors ∪ the re-embedded revisions), assignment is by the STORED
+    * centroids (the quantizer stays immutable across maintenance — a
+    * retrain is a scheduled rebuild, not a refresh). Sequencing
+    * delete → COMPACT → append for the same reason as the MinHash
+    * form: a re-embedded doc RE-USES its id, and a standing tombstone
+    * shadows its id across later appends, so the new vector may land
+    * only after the tombstone is physically resolved. Cost per epoch:
+    * O(delete) + the list-pruned compaction (only lists holding
+    * deleted vectors are rewritten — there is no whole-frame term
+    * here, unlike the MinHash bands) + O(admitted) appends. */
+  def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletedIds: DataFrame, admittedVecs: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    deleteFromIvfIndex(deletedIds, path, idCol)
+    compactIvfTombstones(spark, path, idCol)
+    appendToIvfIndex(spark, path, admittedVecs, vecCol, idCol)
   }
 
   /** LSH-bucketed ANN: corpus and queries are hashed with the same

@@ -201,7 +201,12 @@ object Streaming {
           Dedup.nearDupIngestFromFrames(
             withDeltas(sb, "bands"), withDeltas(ssh, "shingles"),
             withDeltas(ssz, "sizes"), batchDocs.select(col("doc_id")),
-            bban, bsh, bsizes, threshold))
+            bban, bsh, bsizes, threshold,
+            // standing tombstones (deleteFromMinhashIndex) strike
+            // deleted docs — standing AND previously-admitted delta
+            // docs — from the candidate set, so a streaming corpus
+            // honors deletions exactly like the batch path
+            tombstones = Dedup.loadMinhashTombstones(spark, indexPath)))
         admitted
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         def admittedOnly(frame: DataFrame): DataFrame =

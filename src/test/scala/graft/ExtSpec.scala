@@ -1756,6 +1756,116 @@ class ExtSpec extends SparkSpec {
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
   }
 
+  test("v19: IVF tombstones free top-k slots; compaction removes rows and spares untouched lists") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    val path = s"$root/idx"
+    val standing = emb.filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.saveIvfIndex(standing, path, nList = 8, nIters = 1)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the doomed vector is query 0's CURRENT top neighbor, so the
+    // delete must both remove it and REFILL the freed slot (nProbe =
+    // nList ⇒ the probe is exhaustive and serve ≡ brute force)
+    val doomedId = Similarity.bruteForceTopK(standing, queries, k = 1)
+      .filter(col("query_id") === 0).collect()(0).getLong(1)
+    assert(key(Similarity.ivfTopKFromIndex(spark, path, queries,
+        k = 5, nProbe = 8)).exists(r => r._1 == 0L && r._2 == doomedId))
+    Similarity.deleteFromIvfIndex(Seq(doomedId).toDF("vec_id"), path)
+    val servedTomb = Similarity.ivfTopKFromIndex(spark, path, queries,
+      k = 5, nProbe = 8)
+    // DPP must survive the tombstone anti-join (it is applied ABOVE
+    // the probe join, so the rule still sees scan-under-join)
+    val plan = servedTomb.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"tombstoned serve must keep the dynamic pruning filter:\n$plan")
+    val wantAfter =
+      key(Similarity.bruteForceTopK(
+        standing.filter(col("vec_id") =!= doomedId), queries, k = 5))
+    assert(key(servedTomb) == wantAfter,
+      "tombstoned serve must equal brute force over the survivors")
+    // compaction: physical removal, pruned to the doomed vector's list
+    val doomedList = spark.read.parquet(s"$path/lists")
+      .filter(col("vec_id") === doomedId)
+      .select(col("list_id").cast("long")).collect()(0).getLong(0)
+    val spared = new java.io.File(s"$path/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id=") &&
+        f.getName != s"list_id=$doomedList").head
+    val sparedBefore = spared.listFiles().map(_.getName).toSet
+    Similarity.compactIvfTombstones(spark, path)
+    assert(spared.listFiles().map(_.getName).toSet == sparedBefore,
+      "compaction must not rewrite lists holding no tombstoned ids")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/lists")
+      .filter(col("vec_id") === doomedId).count() == 0)
+    assert(Similarity.loadIvfTombstones(spark, path).isEmpty)
+    assert(key(Similarity.ivfTopKFromIndex(spark, path, queries,
+      k = 5, nProbe = 8)) == wantAfter)
+    // fully-deleted list edge: an index whose one list loses every
+    // vector must end with that list's directory GONE (a dynamic
+    // partition overwrite would silently leave the stale files)
+    val p2 = s"$root/idx2"
+    Similarity.saveIvfIndex(standing, p2, nList = 8, nIters = 1)
+    val lists2 = spark.read.parquet(s"$p2/lists")
+    val (lid2, n2) = lists2.groupBy(col("list_id").cast("long").as("l"))
+      .agg(count(lit(1)).as("n")).orderBy(col("n")).collect()(0) match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    val victims = lists2.filter(col("list_id").cast("long") === lid2)
+      .select("vec_id")
+    assert(victims.count() == n2)
+    Similarity.deleteFromIvfIndex(victims, p2)
+    Similarity.compactIvfTombstones(spark, p2)
+    assert(!new java.io.File(s"$p2/lists/list_id=$lid2").exists(),
+      "a fully-deleted list's dir must be removed")
+    // end-to-end pipeline identity row
+    val row = graft.analytics.ExtPipelines.ivfIndexDelete(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
+  test("v20: IVF refresh swaps re-embedded vectors in place under the stored quantizer") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-refresh").toString
+    val path = s"$root/idx"
+    val standing = emb.filter(col("vec_id") < 300)
+    Similarity.saveIvfIndex(standing, path, nList = 8, nIters = 1)
+    // the epoch: id 5 leaves the corpus, id 7 is RE-EMBEDDED (new
+    // vector borrowed from row 600 — a real unit vector the stored
+    // quantizer has never assigned), ids [300, 305) arrive new. Id 7
+    // re-uses its id: the case that forces the compact inside refresh.
+    val reembedded = emb.filter(col("vec_id") === 600)
+      .select(lit(7L).as("vec_id"), col("embedding"))
+    val adds = emb.filter(col("vec_id") >= 300 && col("vec_id") < 305)
+      .select("vec_id", "embedding")
+    val admitted = reembedded.unionByName(adds)
+    Similarity.refreshIvfIndex(spark, path,
+      deletedIds = Seq(5L, 7L).toDF("vec_id"), admittedVecs = admitted)
+    assert(Similarity.loadIvfTombstones(spark, path).isEmpty,
+      "refresh must leave no standing tombstones")
+    // identity: refreshed lists ≡ stored-quantizer assignment over
+    // survivors ∪ admitted (per-row independent, so exact)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val nextCorpus = standing.filter(!col("vec_id").isin(5L, 7L))
+      .select("vec_id", "embedding").unionByName(admitted)
+    val cols = Seq(col("vec_id").cast("long"), col("list_id").cast("long"),
+      col("embedding").cast("array<float>"))
+    val want = Similarity.ivfAssign(nextCorpus, cent).select(cols: _*)
+    val got = spark.read.parquet(s"$path/lists").select(cols: _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "refreshed lists must equal a same-quantizer assignment of the next corpus")
+    // serve: the exhaustive probe over the refreshed index ≡ brute
+    // force over the next corpus (id 7 found through its NEW vector)
+    val queries = emb.filter(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Similarity.ivfTopKFromIndex(spark, path, queries,
+        k = 5, nProbe = 8)) ==
+      key(Similarity.bruteForceTopK(nextCorpus, queries, k = 5)))
+  }
+
   test("v14: IVF-PQ neighbors come from probed lists; re-rank is exact-cosine ordered; recall floored") {
     VectorFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
@@ -1942,6 +2052,120 @@ class ExtSpec extends SparkSpec {
       ash.filter(col("doc_id") === 160L).count() && pruned.count() > 0)
     // the registered pipeline's identity row holds end-to-end
     val row = graft.analytics.ExtPipelines.minhashIndexAppend(spark, sf())
+      .collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
+  test("x26d: tombstones un-reject immediately; compaction removes rows and spares untouched buckets") {
+    import spark.implicits._
+    def bucketOf(id: Long): Int = Seq(id).toDF("i")
+      .select(pmod(xxhash64(col("i")), lit(Dedup.MinhashIndexBuckets))
+        .cast("int")).head.getInt(0)
+    // the donor is PLANTED: gibberish shingles shared with no fixture
+    // doc, so after its delete NOTHING in standing can reject its dup
+    // (a mined donor could keep rejecting through an exact or near-dup
+    // twin — the fixture corpus carries both by design)
+    val (donorId, donorText) =
+      (9000L, "zyx wvu tsr qpo nml kji hgf edc ba")
+    val standing = docs.select("doc_id", "text").filter(col("doc_id") < 150)
+      .unionByName(Seq((donorId, donorText)).toDF("doc_id", "text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-mh-delete").toString
+    val path = s"$root/idx"
+    Dedup.saveMinhashIndex(standing, path)
+    val dup = Seq((9001L, donorText)).toDF("doc_id", "text")
+    val (b0, s0, z0) = Dedup.loadMinhashIndex(spark, path)
+    assert(Dedup.nearDupIngest(b0, s0, z0, dup).count() == 0,
+      "before the delete, the exact dup must be rejected")
+    // tombstone delete: REJECTION FLIPS TO ADMISSION with the standing
+    // data untouched — deletion is semantically immediate
+    Dedup.deleteFromMinhashIndex(Seq(donorId).toDF("doc_id"), path)
+    val admittedTomb = Dedup.nearDupIngest(b0, s0, z0, dup,
+      tombstones = Dedup.loadMinhashTombstones(spark, path))
+    assert(admittedTomb.collect().map(_.getLong(0)).toSeq == Seq(9001L))
+    // pin an UNTOUCHED bucket's physical files across the compaction:
+    // pruned compaction must not rewrite (or even list) spared buckets
+    val donorBucket = bucketOf(donorId)
+    val spared = new java.io.File(s"$path/shingles").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=") &&
+        f.getName != s"bucket=$donorBucket").head
+    val sparedBefore = spared.listFiles().map(_.getName).toSet
+    Dedup.compactMinhashTombstones(spark, path)
+    assert(spared.listFiles().map(_.getName).toSet == sparedBefore,
+      "compaction must not rewrite buckets with no tombstoned ids")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the tombstones")
+    // physical removal: no trace of the donor in any frame; bare serve
+    // (no tombstones) now admits the dup
+    val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, path)
+    for ((f, nm) <- Seq((b1, "bands"), (s1, "shingles"), (z1, "sizes")))
+      assert(f.filter(col("doc_id") === donorId).count() == 0, nm)
+    assert(Dedup.loadMinhashTombstones(spark, path).isEmpty)
+    assert(Dedup.nearDupIngest(b1, s1, z1, dup)
+      .collect().map(_.getLong(0)).toSeq == Seq(9001L))
+    // empty-bucket edge: a bucket whose EVERY row is deleted must end
+    // with its directory gone (dynamic-overwrite-style compaction would
+    // silently leave the stale files in place)
+    val p2 = s"$root/idx2"
+    val two = Seq((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    Dedup.saveMinhashIndex(two, p2)
+    Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"), p2)
+    Dedup.compactMinhashTombstones(spark, p2)
+    if (bucketOf(1L) != bucketOf(2L))
+      assert(!new java.io.File(s"$p2/shingles/bucket=${bucketOf(1L)}").exists(),
+        "a fully-deleted bucket's dir must be removed")
+    val (_, xs, _) = Dedup.loadMinhashIndex(spark, p2)
+    assert(xs.filter(col("doc_id") === 1L).count() == 0 &&
+      xs.filter(col("doc_id") === 2L).count() > 0)
+    // the registered pipeline's identity row holds end-to-end
+    val row = graft.analytics.ExtPipelines.minhashIndexDelete(spark, sf())
+      .collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
+  test("x26e: refresh applies an epoch's decisions — removals un-reject, updates swap revisions, adds reject") {
+    import spark.implicits._
+    // four planted standing docs, mutually shingle-disjoint gibberish:
+    // A will be REMOVED, B UPDATED (to the equally-disjoint B'),
+    // C untouched, D arrives as an ADD
+    val ta = "qqa qqb qqc qqd qqe qqf"
+    val tb = "rra rrb rrc rrd rre rrf"
+    val tb2 = "ssa ssb ssc ssd sse ssf"
+    val tc = "tta ttb ttc ttd tte ttf"
+    val td = "uua uub uuc uud uue uuf"
+    val standing = Seq((1L, ta), (2L, tb), (3L, tc)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-mh-refresh").toString
+    val path = s"$root/idx"
+    Dedup.saveMinhashIndex(standing, path)
+    // the epoch: delete {A, old-B}, admit {new-B, D} — note B RE-USES
+    // its id, the case that forces the compact between delete and
+    // append (a standing tombstone would shadow the re-appended rows)
+    Dedup.refreshMinhashIndex(spark, path,
+      deletedIds = Seq(1L, 2L).toDF("doc_id"),
+      admittedDocs = Seq((2L, tb2), (4L, td)).toDF("doc_id", "text"))
+    val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, path)
+    def admits(id: Long, text: String): Boolean =
+      Dedup.nearDupIngest(b1, s1, z1, Seq((id, text)).toDF("doc_id", "text"))
+        .count() == 1
+    assert(admits(100L, ta), "a dup of the REMOVED doc must now admit")
+    assert(admits(101L, tb), "a dup of the update's OLD revision must now admit")
+    assert(!admits(102L, tb2), "a dup of the update's NEW revision must reject")
+    assert(!admits(103L, tc), "a dup of the untouched survivor must still reject")
+    assert(!admits(104L, td), "a dup of the ADDED doc must reject")
+    assert(Dedup.loadMinhashTombstones(spark, path).isEmpty,
+      "refresh must leave no standing tombstones")
+    // frame-multiset identity vs a fresh build over the next snapshot
+    val rbPath = s"$root/rebuild"
+    Dedup.saveMinhashIndex(
+      Seq((2L, tb2), (3L, tc), (4L, td)).toDF("doc_id", "text"), rbPath)
+    val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
+    def eq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(eq(b1, rb) && eq(s1, rs) && eq(z1, rz),
+      "refreshed frames must equal a fresh build over the next snapshot")
+    // the registered pipeline's identity row holds end-to-end
+    val row = graft.analytics.ExtPipelines.minhashIndexRefresh(spark, sf())
       .collect()
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
   }
