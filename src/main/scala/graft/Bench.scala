@@ -179,6 +179,7 @@ object Bench {
     "s15_stream_neardup_ingest",
     "s16_stream_ivf_ingest",
     "sql13_multi_exists",
+    "sql14_not_in",
     // the two index-DELETE audit rows (tombstone serve + compaction +
     // same-quantizer rebuild, three served identities each — like the
     // append rows they price the audit harness; the production delete

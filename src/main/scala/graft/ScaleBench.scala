@@ -427,7 +427,16 @@ object ScaleBench {
       // "maintenance is O(batch), not O(corpus)". Temp index per run
       // (deleted below) so repeated appends never drift the
       // read-fraction index above across rounds.
-      val (appendBuildSec, appendSec) = try {
+      // x26d delete/compaction evidence rides the same index: a FIXED
+      // 500-id tombstone delete must stay ~FLAT across the 10× corpus
+      // step (deleteFromMinhashIndex writes the id set and nothing
+      // else — the measured form of "O(delete), standing data
+      // untouched"), while the compaction that physically resolves it
+      // is ALLOWED to grow with the tier (its bands rewrite is the
+      // documented amortized O(corpus) term; shingles/sizes stay
+      // bucket-pruned) — both numbers are printed so the contrast is
+      // the evidence.
+      val (appendBuildSec, appendSec, deleteSec, compactSec) = try {
         val idxTmp = java.nio.file.Files
           .createTempDirectory(s"graft_scale_append_$label")
         val idxPath = idxTmp.toString + "/idx"
@@ -442,22 +451,28 @@ object ScaleBench {
         fixedBatch.count()
         val b = timeOnce(graft.ext.Dedup.saveMinhashIndex(corpus, idxPath))
         val a = med3(graft.ext.Dedup.appendToMinhashIndex(fixedBatch, idxPath))
+        // med3 re-deletes the same ids: duplicate tombstone rows are
+        // harmless by contract and cleared by the compaction below
+        val fixedIds = corpus.filter(col("doc_id") < 500).select("doc_id")
+        val d = med3(graft.ext.Dedup.deleteFromMinhashIndex(fixedIds, idxPath))
+        val c = timeOnce(graft.ext.Dedup.compactMinhashTombstones(spark, idxPath))
         fixedBatch.unpersist(blocking = false)
         org.apache.commons.io.FileUtils.deleteQuietly(idxTmp.toFile)
         System.err.println(
-          f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs")
-        (b, a)
+          f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs, " +
+            f"fixed-id delete $d%.3fs, compaction $c%.3fs")
+        (b, a, d, c)
       } catch { case e: Exception =>
         System.err.println(s"[scale] append experiment failed at $label: $e")
-        (-1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0)
       }
       spark.catalog.clearCache()
       (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce, readFraction,
-        appendBuildSec, appendSec)
+        appendBuildSec, appendSec, deleteSec, compactSec)
     }
 
-    val Seq((l0, t0, r0, k0, _, _, ab0, aa0),
-      (l1, t1, r1, k1, eo1, rfr1, ab1, aa1)) = results
+    val Seq((l0, t0, r0, k0, _, _, ab0, aa0, dd0, cc0),
+      (l1, t1, r1, k1, eo1, rfr1, ab1, aa1, dd1, cc1)) = results
     def fmt(ts: Seq[(String, Double)]): String =
       ts.map { case (q, s) => f""""$q":$s%.4f""" }.mkString("{", ",", "}")
     val ratios = t0.zip(t1).map { case ((q, a), (_, b)) =>
@@ -471,7 +486,10 @@ object ScaleBench {
       f""""x26_pruned_read_fraction":$rfr1%.4f,""" +
       f""""x26c_index_build_sec":{"$l0":$ab0%.3f,"$l1":$ab1%.3f},""" +
       f""""x26c_fixed_batch_append_sec":{"$l0":$aa0%.3f,"$l1":$aa1%.3f},""" +
-      f""""x26c_append_ratio_10x":${if (aa0 > 0 && aa1 > 0) aa1 / aa0 else -1.0}%.2f}""")
+      f""""x26c_append_ratio_10x":${if (aa0 > 0 && aa1 > 0) aa1 / aa0 else -1.0}%.2f,""" +
+      f""""x26d_fixed_id_delete_sec":{"$l0":$dd0%.3f,"$l1":$dd1%.3f},""" +
+      f""""x26d_delete_ratio_10x":${if (dd0 > 0 && dd1 > 0) dd1 / dd0 else -1.0}%.2f,""" +
+      f""""x26d_compact_sec":{"$l0":$cc0%.3f,"$l1":$cc1%.3f}}""")
     spark.stop()
   }
 }

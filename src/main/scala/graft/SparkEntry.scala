@@ -205,7 +205,8 @@ object SparkEntry {
     "m5_consensus_neardup" -> (ExtPipelines.consensusNearDups _),
     "m6_media_sig_dedup" -> (ExtPipelines.mediaSigDedup _),
     "sql12_recursive_spine" -> (Pipelines.sqlRecursiveSpine _),
-    "sql13_multi_exists" -> (Pipelines.sqlMultiExists _)
+    "sql13_multi_exists" -> (Pipelines.sqlMultiExists _),
+    "sql14_not_in" -> (Pipelines.sqlNotIn _)
   )
 
   /** Shared SQL prelude mirroring `graft.ops.Viewing`: integer-cents value
@@ -2533,6 +2534,11 @@ object SparkEntry {
     // NOT EXISTS self-joins are core ANSI, count(*) is BIGINT in
     // both dialects, and s_name uniqueness makes the order total
     "sql13_multi_exists" -> Pipelines.sql13MultiExistsText,
+    // sql14: ONE ANSI text on both engines — NOT IN's three-valued
+    // NULL semantics are core ANSI and identical in both dialects;
+    // count(*) is BIGINT in both, c_mktsegment order is total after
+    // the group-by
+    "sql14_not_in" -> Pipelines.sql14NotInText,
 
     // x29: incremental CC maintenance must equal the FULL recompute
     // over standing ∪ delta — which is every jaccard pair, so the

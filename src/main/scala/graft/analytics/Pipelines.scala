@@ -532,11 +532,11 @@ object Pipelines {
     * the IN to a LEFT SEMI join on c_custkey (no per-row subquery
     * re-execution, no distinct materialization of the IN-list), with
     * the segment filter pushed into the customer scan and the date
-    * filter into the orders scan. NOT IN is deliberately absent from
-    * the suite: its three-valued NULL semantics force a null-aware
-    * anti-join that degenerates to a broadcast nested loop — the
-    * NOT EXISTS form (plain anti-join, g6's shape) is the scalable
-    * spelling of that question. */
+    * filter into the orders scan. The NOT IN counterpart — whose
+    * three-valued NULL semantics force a null-aware anti join — is
+    * sql14, with the broadcast-only caveat documented there; the
+    * NOT EXISTS form (plain anti-join, g6's shape) remains the
+    * scalable spelling when NULL semantics aren't wanted. */
   def sqlInSubquery(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir, "customer", "orders")
     spark.sql(sql4InSubqueryText)
@@ -1135,6 +1135,43 @@ object Pipelines {
   def sqlMultiExists(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir, "supplier", "lineitem", "orders", "nation")
     spark.sql(sql13MultiExistsText)
+  }
+
+  val sql14NotInText: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'F')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** sql14 — NOT IN through the parser path: the one remaining "bring
+    * your SQL" class users write whether the style guide likes it or
+    * not, and the classic three-valued-logic trap — `x NOT IN (subq)`
+    * is NOT the complement of `x IN (subq)`: one NULL in the subquery
+    * empties the whole result, and a NULL x never qualifies. Both
+    * engines implement the same ANSI semantics, so the identical text
+    * is its own oracle.
+    *
+    * Plan shape (PlanSpec-pinned): Spark plans the single-column form
+    * as a NULL-AWARE broadcast hash anti join — `BroadcastHashJoin …
+    * LeftAnti, BuildRight, true`, the trailing flag marking the
+    * null-aware build (`HashedRelationBroadcastMode(…, true)` tracks
+    * whether any build key was NULL so the probe can return the ANSI
+    * empty-result answer without a nested loop). The status filter is
+    * pushed into the orders scan and both scans prune to two columns.
+    *
+    * Scale honesty: the null-aware build side MUST broadcast — Spark
+    * has no shuffled NAAJ, so an unbroadcastable subquery side
+    * degenerates to BroadcastNestedLoopJoin. When NULL semantics
+    * aren't the point, NOT EXISTS (sql13's anti-join leg, g6's shape)
+    * remains the scalable spelling; sql14 covers the case where the
+    * user's SQL — and its NULL semantics — must be answered as
+    * written, which at 100 TB is fine exactly when the exclusion list
+    * is dimension-sized (here: distinct finalized-order custkeys). */
+  def sqlNotIn(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, "customer", "orders")
+    spark.sql(sql14NotInText)
   }
 
   /** Two-stage salted aggregation registered as a query: salting is

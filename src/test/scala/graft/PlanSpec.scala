@@ -332,6 +332,24 @@ class PlanSpec extends SparkSpec {
       s"the EXISTS leg must prune to its two join columns:\n$p")
   }
 
+  test("sql14: NOT IN plans the null-aware broadcast anti join, not a nested loop") {
+    val p = plan(Pipelines.sqlNotIn(spark, sf()))
+    // the single-column NOT IN must become a BroadcastHashJoin with
+    // the null-aware flag (trailing `true` in the node's argument
+    // list) — the build tracks whether any key was NULL so the probe
+    // answers the ANSI three-valued semantics without a nested loop
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin")
+        && l.contains("LeftAnti, BuildRight, true")),
+      s"NOT IN must plan as a null-aware broadcast anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"the null-aware anti join must not degenerate to a nested loop:\n$p")
+    // both scans pruned; the status filter reaches the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"the status filter must push into the orders scan:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      s"the customer scan must prune to its two columns:\n$p")
+  }
+
   test("m6: signature dedup is one partial-aggregated exchange — x1's scale class") {
     val p = plan(graft.analytics.ExtPipelines.mediaSigDedup(spark, sf()))
     assert(p.contains("partial_min") && p.contains("partial_count"),
