@@ -332,6 +332,40 @@ class PlanSpec extends SparkSpec {
       s"the EXISTS leg must prune to its two join columns:\n$p")
   }
 
+  test("runtime bloom filter: a selective dim predicate pre-prunes the fact scan at cluster thresholds") {
+    // Spark injects a runtime BLOOM filter of the filtered build side
+    // into the fact side of a shuffle join when the fact scan exceeds
+    // spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold
+    // (10GB default — the deployment knob, left alone in production).
+    // At 100 TB this is the difference between shuffling every fact
+    // row and shuffling only rows whose key MIGHT match the selective
+    // dim predicate — the runtime analog of a static partition prune.
+    // Local data never crosses 10GB, so the test lowers the threshold
+    // (and disables broadcast, which would bypass the shuffle join) to
+    // pin that the feature fires on our plans at cluster sizes.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    try {
+      import org.apache.spark.sql.functions._
+      val li = sources.Tables.lineitem(spark, sf())
+      val ord = sources.Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val p = plan(joined)
+      assert(p.contains("might_contain"),
+        s"the fact side must carry the runtime bloom probe:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"the filtered dim side must build the bloom filter:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("sql14: NOT IN plans the null-aware broadcast anti join, not a nested loop") {
     val p = plan(Pipelines.sqlNotIn(spark, sf()))
     // the single-column NOT IN must become a BroadcastHashJoin with
