@@ -178,6 +178,7 @@ object Bench {
     "v18_ivf_index_append",
     "s15_stream_neardup_ingest",
     "s16_stream_ivf_ingest",
+    "s17_stream_ivf_serve",
     "sql13_multi_exists",
     "sql14_not_in",
     // the two index-DELETE audit rows (tombstone serve + compaction +

@@ -436,35 +436,38 @@ object ScaleBench {
       // documented amortized O(corpus) term; shingles/sizes stay
       // bucket-pruned) — both numbers are printed so the contrast is
       // the evidence.
-      val (appendBuildSec, appendSec, deleteSec, compactSec) = try {
+      val (appendBuildSec, appendSec, deleteSec, compactSec) = {
+        // temp index freed in finally — a failed tier run must not
+        // leak a corpus-scale index copy into /tmp
         val idxTmp = java.nio.file.Files
           .createTempDirectory(s"graft_scale_append_$label")
-        val idxPath = idxTmp.toString + "/idx"
-        val corpus = Tables.documents(spark, dir).select("doc_id", "text")
-        val fixedBatch = corpus.filter(col("doc_id") < 500)
-          // fresh ids: offset far beyond every replica's key range
-          // (replica r holds ids near r * Stride, r < replicas — a
-          // 5e9 offset would collide with replica 5's ids at the 10x
-          // tier)
-          .withColumn("doc_id", col("doc_id") + lit(100L * Stride))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        fixedBatch.count()
-        val b = timeOnce(graft.ext.Dedup.saveMinhashIndex(corpus, idxPath))
-        val a = med3(graft.ext.Dedup.appendToMinhashIndex(fixedBatch, idxPath))
-        // med3 re-deletes the same ids: duplicate tombstone rows are
-        // harmless by contract and cleared by the compaction below
-        val fixedIds = corpus.filter(col("doc_id") < 500).select("doc_id")
-        val d = med3(graft.ext.Dedup.deleteFromMinhashIndex(fixedIds, idxPath))
-        val c = timeOnce(graft.ext.Dedup.compactMinhashTombstones(spark, idxPath))
-        fixedBatch.unpersist(blocking = false)
-        org.apache.commons.io.FileUtils.deleteQuietly(idxTmp.toFile)
-        System.err.println(
-          f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs, " +
-            f"fixed-id delete $d%.3fs, compaction $c%.3fs")
-        (b, a, d, c)
-      } catch { case e: Exception =>
-        System.err.println(s"[scale] append experiment failed at $label: $e")
-        (-1.0, -1.0, -1.0, -1.0)
+        try {
+          val idxPath = idxTmp.toString + "/idx"
+          val corpus = Tables.documents(spark, dir).select("doc_id", "text")
+          val fixedBatch = corpus.filter(col("doc_id") < 500)
+            // fresh ids: offset far beyond every replica's key range
+            // (replica r holds ids near r * Stride, r < replicas — a
+            // 5e9 offset would collide with replica 5's ids at the 10x
+            // tier)
+            .withColumn("doc_id", col("doc_id") + lit(100L * Stride))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          fixedBatch.count()
+          val b = timeOnce(graft.ext.Dedup.saveMinhashIndex(corpus, idxPath))
+          val a = med3(graft.ext.Dedup.appendToMinhashIndex(fixedBatch, idxPath))
+          // med3 re-deletes the same ids: duplicate tombstone rows are
+          // harmless by contract and cleared by the compaction below
+          val fixedIds = corpus.filter(col("doc_id") < 500).select("doc_id")
+          val d = med3(graft.ext.Dedup.deleteFromMinhashIndex(fixedIds, idxPath))
+          val c = timeOnce(graft.ext.Dedup.compactMinhashTombstones(spark, idxPath))
+          fixedBatch.unpersist(blocking = false)
+          System.err.println(
+            f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs, " +
+              f"fixed-id delete $d%.3fs, compaction $c%.3fs")
+          (b, a, d, c)
+        } catch { case e: Exception =>
+          System.err.println(s"[scale] append experiment failed at $label: $e")
+          (-1.0, -1.0, -1.0, -1.0)
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(idxTmp.toFile)
       }
       spark.catalog.clearCache()
       (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce, readFraction,

@@ -198,6 +198,7 @@ object SparkEntry {
     "s14_stream_spikes" -> (ExtPipelines.streamSpikes _),
     "s15_stream_neardup_ingest" -> (ExtPipelines.streamNearDupIngest _),
     "s16_stream_ivf_ingest" -> (ExtPipelines.streamIvfIngest _),
+    "s17_stream_ivf_serve" -> (ExtPipelines.streamIvfServe _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -2266,6 +2267,14 @@ object SparkEntry {
     // list_id) union equals the one-shot batch assignment exactly —
     // one SQL covers both runs (the s9 ≡ x16 pattern)
     "s16_stream_ivf_ingest" -> v9IvfIngestOracle,
+
+    // s17: streaming vector SERVE — per-query independence makes the
+    // folded micro-batch outputs equal the one-shot batch serve, so
+    // v12's oracle form covers the streaming run (facts: query-set
+    // size + the identity flag)
+    "s17_stream_ivf_serve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =
     // streamed docs whose text (≡ sha2 digest, up to collisions) is

@@ -1414,6 +1414,53 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** Memoized per-JVM IVF index store for [[streamIvfServe]] (s17) —
+    * the x26bIndex pattern on the vector side: one FIXED path per
+    * input dir, written once per JVM, so the bench's warmup rep
+    * absorbs the one-time index build and the timed reps measure the
+    * STREAMING SERVE (the production shape: a serving fleet answers
+    * from a standing index; it does not rebuild it per request). */
+  private val s17Index = new graft.ext.BuildOnce[String, String]
+
+  /** s17: STREAMING vector serve — the v12 serving path run as a real
+    * Structured Streaming query
+    * ([[graft.streaming.Streaming.ivfServeStream]]): the index is
+    * built once per JVM over the corpus ([[s17Index]]), the v12 query
+    * set (vec_id < 10) arrives as a stream, and every micro-batch is
+    * answered from the persisted layout. Because each query's top-k is
+    * a per-row function of the index, the folded per-batch outputs
+    * must equal the one-shot batch serve EXACTLY — pinned here
+    * (identical flag) and oracle-covered by v12's SQL form verbatim. */
+  def streamIvfServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = s17Index(dir) {
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft_s17_idx_${math.abs(dir.hashCode.toLong)}"
+      Similarity.saveIvfIndex(emb, p, nList = 8, nIters = 1)
+      p
+    }
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s17")
+    try {
+      val stream = graft.streaming.Streaming.embeddingsStream(spark, dir)
+        .filter(col("vec_id") < 10)
+      val q = graft.streaming.Streaming.ivfServeStream(stream, path,
+        s"$tmpRoot/out", s"$tmpRoot/ck")
+      q.awaitTermination()
+      val queries = emb.filter(col("vec_id") < 10)
+      val batchServed = Similarity.ivfTopKFromIndex(spark, path, queries,
+        k = 5, nProbe = 4)
+      val streamServed = spark.read.parquet(s"$tmpRoot/out")
+        .select("query_id", "neighbor_id", "rk")
+      val identical =
+        streamServed.exceptAll(batchServed).isEmpty &&
+          batchServed.exceptAll(streamServed).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the per-run output after cleanup
+      Seq((queries.count(), identical)).toDF("n_queries", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

@@ -526,28 +526,12 @@ object Dedup {
     * compaction itself follows [[appendToMinhashIndex]]'s contract:
     * the append job is not atomic, so a failed compaction is re-run
     * against a restored index. */
-  /** True iff the tree under `dir` holds at least one parquet DATA
-    * file. A micro-batch that admits nothing still creates its
-    * `batch=N` directory — a partitioned write of an empty frame
-    * leaves only `_SUCCESS`, no footers — and a bare
-    * `spark.read.parquet` over a tree with zero footers throws at
-    * schema inference. Delta-presence checks must therefore look for
-    * FILES, not directory names: with this guard an all-empty epoch
-    * reads as "no deltas" instead of poisoning every later batch and
-    * the compaction (empty batch dirs alongside non-empty ones are
-    * harmless — the reader ignores them once any footer exists). */
-  private[graft] def hasParquetData(dir: java.io.File): Boolean = {
-    val entries = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-    entries.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
-      entries.exists(f => f.isDirectory && hasParquetData(f))
-  }
-
   def compactMinhashDeltas(spark: org.apache.spark.sql.SparkSession,
       deltaPath: String, path: String): Unit = {
     def delta(name: String): Option[DataFrame] = {
-      val d = new java.io.File(s"$deltaPath/$name")
-      if (d.exists() && hasParquetData(d))
-        Some(spark.read.parquet(d.getPath).drop("batch"))
+      val d = s"$deltaPath/$name"
+      if (IndexFs.hasParquetData(spark, d))
+        Some(spark.read.parquet(d).drop("batch"))
       else None
     }
     delta("bands").foreach(_.repartition(col("band"))
@@ -557,8 +541,7 @@ object Dedup {
     delta("sizes").foreach(_.repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/sizes"))
     Seq("bands", "shingles", "sizes").foreach(name =>
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$deltaPath/$name")))
+      IndexFs.delete(spark, s"$deltaPath/$name"))
   }
 
   /** DELETE docs from a persisted [[saveMinhashIndex]] index — the
@@ -592,13 +575,16 @@ object Dedup {
   /** The standing tombstone ids of a [[saveMinhashIndex]] index, if
     * any ([[deleteFromMinhashIndex]] wrote some since the last
     * [[compactMinhashTombstones]]). None when the dir is absent or
-    * holds no parquet footers (the [[hasParquetData]] rule: an
-    * all-distinct delete of zero ids leaves a footer-less dir). */
+    * holds no parquet footers (the [[IndexFs.hasParquetData]] rule: an
+    * all-distinct delete of zero ids leaves a footer-less dir).
+    * Resolved through the path's own FileSystem ([[IndexFs]]), so an
+    * hdfs:/s3a: index honors its tombstones exactly like a local
+    * one. */
   def loadMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "doc_id"): Option[DataFrame] = {
-    val d = new java.io.File(s"$path/tombstones")
-    if (d.exists() && hasParquetData(d))
-      Some(spark.read.parquet(d.getPath).select(col(idCol)))
+    val d = s"$path/tombstones"
+    if (IndexFs.hasParquetData(spark, d))
+      Some(spark.read.parquet(d).select(col(idCol)))
     else None
   }
 
@@ -626,41 +612,60 @@ object Dedup {
     * restored index if killed mid-swap. */
   def compactMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "doc_id"): Unit = {
-    import org.apache.commons.io.FileUtils
     loadMinhashTombstones(spark, path, idCol).foreach { tombRaw =>
       // the tombstone set feeds two anti-joins and a bucket-list
       // aggregate; delta-sized, so one ckptLocal pins it for all three
       val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
       val affected = tomb.select(idBucket(col(idCol)).as("bk")).distinct()
         .collect().map(_.getInt(0)).toSeq // ≤ 64 rows: bounded driver action
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mh_compact")
+      // staging lives UNDER the index path (hidden, so Spark's reader
+      // and hasParquetData both skip it): survivors must land on the
+      // SAME FileSystem as the index for the swap renames to work at
+      // all — a driver-local temp dir would strand executor writes on
+      // a real cluster. All file ops go through [[IndexFs]] (the
+      // path's own FileSystem), so hdfs:/s3a: indexes compact exactly
+      // like local ones. A leftover from a killed compaction is
+      // cleared up front (single-writer contract).
+      val tmp = s"$path/.compact_tmp"
+      IndexFs.delete(spark, tmp)
+      // a compaction that deletes EVERY row of a frame would otherwise
+      // leave a footer-less dir (a partitioned write of an empty frame
+      // emits only _SUCCESS) that throws at the next load's schema
+      // inference — so after the swaps, a frame with no footers left
+      // gets one empty SCHEMA-ANCHOR file inside a `part=0` dir
+      // (partition-shaped, so later partitioned appends stay layout-
+      // consistent). limit(0) folds to an empty local relation with
+      // the frame's resolved schema: no stale file listing is read.
+      def anchorIfEmpty(sub: String, partCol: String,
+          shape: DataFrame): Unit =
+        if (!IndexFs.hasParquetData(spark, s"$path/$sub"))
+          shape.limit(0).drop(partCol).coalesce(1)
+            .write.mode("append").parquet(s"$path/$sub/$partCol=0")
       def swapBuckets(sub: String): Unit = {
-        val survivors = spark.read.parquet(s"$path/$sub")
+        val shape = spark.read.parquet(s"$path/$sub")
+        val survivors = shape
           .filter(col("bucket").isin(affected: _*))
           .join(tomb, Seq(idCol), "left_anti")
         survivors.repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$tmp/$sub")
-        affected.foreach { bk =>
-          val dst = new java.io.File(s"$path/$sub/bucket=$bk")
-          FileUtils.deleteQuietly(dst)
-          val src = new java.io.File(s"$tmp/$sub/bucket=$bk")
-          // a bucket absent from the survivors had ALL its rows
-          // deleted: its dir stays gone
-          if (src.exists()) FileUtils.moveDirectory(src, dst)
-        }
+        // a bucket absent from the survivors had ALL its rows deleted:
+        // IndexFs.move removes the dst first, so its dir ends GONE
+        affected.foreach(bk => IndexFs.move(spark,
+          s"$tmp/$sub/bucket=$bk", s"$path/$sub/bucket=$bk"))
+        anchorIfEmpty(sub, "bucket", shape)
       }
       try {
         swapBuckets("shingles")
         swapBuckets("sizes")
-        spark.read.parquet(s"$path/bands")
+        val bandsShape = spark.read.parquet(s"$path/bands")
+        bandsShape
           .join(tomb, Seq(idCol), "left_anti")
           .repartition(col("band"))
           .write.partitionBy("band").parquet(s"$tmp/bands")
-        FileUtils.deleteQuietly(new java.io.File(s"$path/bands"))
-        FileUtils.moveDirectory(
-          new java.io.File(s"$tmp/bands"), new java.io.File(s"$path/bands"))
-        FileUtils.deleteQuietly(new java.io.File(s"$path/tombstones"))
-      } finally FileUtils.deleteQuietly(tmp.toFile)
+        IndexFs.move(spark, s"$tmp/bands", s"$path/bands")
+        anchorIfEmpty("bands", "band", bandsShape)
+        IndexFs.delete(spark, s"$path/tombstones")
+      } finally IndexFs.delete(spark, tmp)
     }
   }
 

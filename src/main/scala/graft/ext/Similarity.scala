@@ -440,12 +440,14 @@ object Similarity {
   /** The standing tombstone ids of a [[saveIvfIndex]] index, if any
     * (None once [[compactIvfTombstones]] has cleared them; the
     * parquet-footer presence rule of
-    * [[graft.ext.Dedup.hasParquetData]]). */
+    * [[graft.ext.IndexFs.hasParquetData]]). Resolved through the
+    * path's own FileSystem, so an hdfs:/s3a: index honors its
+    * tombstones exactly like a local one. */
   def loadIvfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): Option[DataFrame] = {
-    val d = new java.io.File(s"$path/tombstones")
-    if (d.exists() && Dedup.hasParquetData(d))
-      Some(spark.read.parquet(d.getPath).select(col(idCol)))
+    val d = s"$path/tombstones"
+    if (IndexFs.hasParquetData(spark, d))
+      Some(spark.read.parquet(d).select(col(idCol)))
     else None
   }
 
@@ -464,7 +466,6 @@ object Similarity {
     * maintenance window, re-run against a restored index if killed. */
   def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): Unit = {
-    import org.apache.commons.io.FileUtils
     loadIvfTombstones(spark, path, idCol).foreach { tombRaw =>
       val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
       val lists = spark.read.parquet(s"$path/lists")
@@ -472,21 +473,32 @@ object Similarity {
         .join(tomb, Seq(idCol), "left_semi")
         .select("list_id").distinct()
         .collect().map(_.get(0).toString.toLong) // ≤ nList rows: bounded
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_compact")
+      // staging UNDER the index path on the index's own FileSystem
+      // (hidden dir — Spark's reader and hasParquetData skip it); see
+      // [[graft.ext.Dedup.compactMinhashTombstones]] for the cluster
+      // rationale. Leftovers of a killed compaction cleared up front.
+      val tmp = s"$path/.compact_tmp"
+      IndexFs.delete(spark, tmp)
       try {
         val survivors = lists
           .filter(col("list_id").isin(affected: _*))
           .join(tomb, Seq(idCol), "left_anti")
         survivors.repartition(col("list_id"))
           .write.partitionBy("list_id").parquet(s"$tmp/lists")
-        affected.foreach { lid =>
-          val dst = new java.io.File(s"$path/lists/list_id=$lid")
-          FileUtils.deleteQuietly(dst)
-          val src = new java.io.File(s"$tmp/lists/list_id=$lid")
-          if (src.exists()) FileUtils.moveDirectory(src, dst)
-        }
-        FileUtils.deleteQuietly(new java.io.File(s"$path/tombstones"))
-      } finally FileUtils.deleteQuietly(tmp.toFile)
+        // a list absent from the survivors lost ALL its vectors:
+        // IndexFs.move removes the dst first, so its dir ends GONE
+        affected.foreach(lid => IndexFs.move(spark,
+          s"$tmp/lists/list_id=$lid", s"$path/lists/list_id=$lid"))
+        // a compaction that deleted EVERY vector would leave a
+        // footer-less lists dir that throws at the next serve's schema
+        // inference — anchor it with one empty partition-shaped file
+        // (limit(0) folds to an empty local relation with the resolved
+        // schema; graft.ext.Dedup.compactMinhashTombstones's rule)
+        if (!IndexFs.hasParquetData(spark, s"$path/lists"))
+          lists.limit(0).drop("list_id").coalesce(1)
+            .write.mode("append").parquet(s"$path/lists/list_id=0")
+        IndexFs.delete(spark, s"$path/tombstones")
+      } finally IndexFs.delete(spark, tmp)
     }
   }
 

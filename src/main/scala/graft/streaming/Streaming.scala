@@ -101,6 +101,39 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** s17 — STREAMING vector SERVE: query vectors arrive as a stream
+    * and each micro-batch is answered from the persisted
+    * [[graft.ext.Similarity.saveIvfIndex]] layout
+    * ([[graft.ext.Similarity.ivfTopKFromIndex]] — the probed lists are
+    * a dynamic-partition-pruned scan per batch, and STANDING TOMBSTONES
+    * are honored, so a vector deleted mid-stream can never be served
+    * by any later micro-batch). Per-batch top-k results land in
+    * `outPath/batch_id=N` with overwrite — the s15/s16 idempotence
+    * discipline: a replay after a kill rewrites its own directory, so
+    * no query is answered twice in the folded output.
+    *
+    * Serving is per-QUERY independent — a row's top-k is a function of
+    * the index alone, never of other queries — so the union over
+    * micro-batches equals the one-shot batch serve bit-for-bit and
+    * v12's oracle form covers the streaming run verbatim (the s16
+    * discipline, applied to the read side). This closes the streaming
+    * symmetry for the vector index: ingest went streaming in s16,
+    * retrieval goes streaming here. */
+  def ivfServeStream(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, k: Int = 5, nProbe: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ext.Similarity.ivfTopKFromIndex(batch.sparkSession, indexPath,
+          batch, k = k, nProbe = nProbe)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming corpus quality gate: the stateless per-row quality
     * filter applied at INGEST, so low-quality docs never land in the
     * corpus at all. Pure codegen'd expressions — no state, no
@@ -175,15 +208,18 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val (sb, ssh, ssz) = Dedup.loadMinhashIndex(spark, indexPath)
-        // delta presence is detected by parquet FILES, not batch= dir
-        // names: a batch that admitted nothing leaves a footer-less
-        // batch=N directory, and a bare read over an all-empty tree
-        // throws at schema inference (see Dedup.hasParquetData)
+        // delta presence is detected by COMMITTED parquet FILES, not
+        // batch= dir names: a batch that admitted nothing leaves a
+        // footer-less batch=N directory, a hard-killed write leaves
+        // only _temporary task files, and a bare read over an
+        // all-empty tree throws at schema inference — the IndexFs
+        // rule (resolved on the delta path's own FileSystem, so an
+        // hdfs:/s3a: delta layout replays exactly like a local one)
         def withDeltas(standing: DataFrame, sub: String): DataFrame = {
-          val dir = new java.io.File(s"$deltaPath/$sub")
-          if (!dir.exists() || !Dedup.hasParquetData(dir)) standing
+          val dir = s"$deltaPath/$sub"
+          if (!graft.ext.IndexFs.hasParquetData(spark, dir)) standing
           else standing.unionByName(
-            spark.read.parquet(dir.getPath)
+            spark.read.parquet(dir)
               .filter(col("batch") < batchId).drop("batch"))
         }
         val batchDocs = batch.select(col("doc_id"), col("text"))

@@ -194,6 +194,28 @@ class ExtSpec extends SparkSpec {
     assert(flaky("f") { secondRan += 1; 7 } == 7)
     assert(firstRan == 1 && secondRan == 1,
       s"retry must run the retrying caller's builder, got $firstRan/$secondRan")
+    // a WAITER already blocked on a failing winner must not re-run the
+    // winner's captured closure (the lazy-val retry hole: a failed
+    // lazy val stays uninitialized, so the blocked thread would become
+    // the initializer of the DEAD cell and race a fresh cell's build);
+    // it observes the memoized failure and retries with ITS OWN builder
+    val racy = new graft.ext.BuildOnce[String, Int]
+    val winnerRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val waiterRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val winnerIn = new java.util.concurrent.CountDownLatch(1)
+    val winner = Future {
+      intercept[RuntimeException](racy("r") {
+        winnerRuns.incrementAndGet(); winnerIn.countDown()
+        Thread.sleep(200); sys.error("winner fails")
+      })
+    }
+    winnerIn.await()
+    val waiter = Future { racy("r") { waiterRuns.incrementAndGet(); 9 } }
+    assert(Await.result(waiter, 30.seconds) == 9)
+    Await.result(winner, 30.seconds)
+    assert(winnerRuns.get() == 1 && waiterRuns.get() == 1,
+      s"waiter must run its own builder once, never the winner's " +
+        s"closure again: ${winnerRuns.get()}/${waiterRuns.get()}")
   }
 
   test("ckptLocal requests 2-replica blocks (cluster property; placement untestable on local)") {
@@ -1820,6 +1842,14 @@ class ExtSpec extends SparkSpec {
     Similarity.compactIvfTombstones(spark, p2)
     assert(!new java.io.File(s"$p2/lists/list_id=$lid2").exists(),
       "a fully-deleted list's dir must be removed")
+    // TOTAL wipe-out: deleting EVERY vector must leave the lists
+    // layout readable (empty schema anchor) and serving empty
+    Similarity.deleteFromIvfIndex(standing.select("vec_id"), p2)
+    Similarity.compactIvfTombstones(spark, p2)
+    assert(spark.read.parquet(s"$p2/lists").count() == 0,
+      "an emptied lists layout must read as zero rows, not throw")
+    assert(Similarity.ivfTopKFromIndex(spark, p2, queries,
+      k = 5, nProbe = 8).count() == 0)
     // end-to-end pipeline identity row
     val row = graft.analytics.ExtPipelines.ivfIndexDelete(spark, sf()).collect()
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
@@ -2117,6 +2147,17 @@ class ExtSpec extends SparkSpec {
     val (_, xs, _) = Dedup.loadMinhashIndex(spark, p2)
     assert(xs.filter(col("doc_id") === 1L).count() == 0 &&
       xs.filter(col("doc_id") === 2L).count() > 0)
+    // TOTAL wipe-out: deleting EVERY remaining doc must leave the
+    // layout readable (the empty schema-anchor file) — an empty index
+    // that admits everything, not one that throws at schema inference
+    Dedup.deleteFromMinhashIndex(Seq(2L).toDF("doc_id"), p2)
+    Dedup.compactMinhashTombstones(spark, p2)
+    val (eb, es, ez) = Dedup.loadMinhashIndex(spark, p2)
+    assert(eb.count() == 0 && es.count() == 0 && ez.count() == 0)
+    assert(Dedup.nearDupIngest(eb, es, ez,
+        Seq((5L, "aa bb cc dd ee")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSeq == Seq(5L),
+      "an emptied index must admit a dup of its deleted content")
     // the registered pipeline's identity row holds end-to-end
     val row = graft.analytics.ExtPipelines.minhashIndexDelete(spark, sf())
       .collect()

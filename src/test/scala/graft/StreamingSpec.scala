@@ -414,6 +414,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap == expected && expected.nonEmpty)
   }
 
+  test("s17: streaming serve equals batch serve; mid-stream deletes honored; kill/resume answers nothing twice") {
+    import java.nio.file.Files
+    import graft.ext.Similarity
+    val tmp = Files.createTempDirectory("graft-s17-restart").toString
+    val emb = Tables.embeddings(spark, sf())
+    val idx = s"$tmp/idx"
+    Similarity.saveIvfIndex(emb, idx, nList = 8, nIters = 1)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = key(Similarity.ivfTopKFromIndex(spark, idx, queries,
+      k = 5, nProbe = 4))
+    // stage the queries as 4 files → ≥4 micro-batches at maxFilesPerTrigger=1
+    val in = s"$tmp/in"
+    queries.repartition(4).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // run 1: killed once ≥1 batch answered; run 2 resumes and drains
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val q1 = Streaming.ivfServeStream(src(), idx, out, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop()
+    val q2 = Streaming.ivfServeStream(src(), idx, out, ck)
+    q2.awaitTermination()
+    val got = spark.read.parquet(out)
+    // no query answered twice in the folded output (per-batch
+    // overwrite), and the union over micro-batches equals the one-shot
+    // batch serve bit-for-bit
+    assert(got.select("query_id", "rk").distinct().count() == got.count())
+    assert(key(got) == expected && expected.nonEmpty)
+    // a delete between epochs is honored by the NEXT stream run: the
+    // doomed vector is query 0's current top neighbor, so its slot
+    // must refill from the surviving corpus
+    val doomedId = expected.filter(r => r._1 == 0L && r._3 == 1).head._2
+    Similarity.deleteFromIvfIndex(
+      { import spark.implicits._; Seq(doomedId).toDF("vec_id") }, idx)
+    val q3 = Streaming.ivfServeStream(src(), idx, s"$tmp/out2", s"$tmp/ck2")
+    q3.awaitTermination()
+    val got2 = key(spark.read.parquet(s"$tmp/out2"))
+    assert(!got2.exists(_._2 == doomedId),
+      "a tombstoned vector must never be served by a later stream run")
+    assert(got2 == key(Similarity.ivfTopKFromIndex(spark, idx, queries,
+      k = 5, nProbe = 4)), "stream ≡ batch must hold on the tombstoned index")
+    // the registered pipeline's identity row holds end-to-end
+    val row = graft.analytics.ExtPipelines.streamIvfServe(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
   test("multimodal featurize: histogram sums to 1, byte_len matches text bytes") {
     val feats = Multimodal.featurize(Tables.documents(spark, sf()))
     val bad = feats.select(col("doc_id"),
