@@ -1448,8 +1448,9 @@ object ExtPipelines {
         s"$tmpRoot/out", s"$tmpRoot/ck")
       q.awaitTermination()
       val queries = emb.filter(col("vec_id") < 10)
-      val batchServed = Similarity.ivfTopKFromIndex(spark, path, queries,
-        k = 5, nProbe = 4)
+      // default stream vs default batch serve (the wrapper's defaults
+      // are pinned to ivfTopKFromIndex's)
+      val batchServed = Similarity.ivfTopKFromIndex(spark, path, queries)
       val streamServed = spark.read.parquet(s"$tmpRoot/out")
         .select("query_id", "neighbor_id", "rk")
       val identical =

@@ -88,18 +88,40 @@ object Streaming {
     * verbatim (the s9 ≡ x16 pattern). Appending the accumulated
     * deltas into a persisted index is
     * [[graft.ext.Similarity.appendToIvfIndex]]'s job at epoch close. */
-  def ivfIngestStream(vecs: DataFrame, seeds: DataFrame, outPath: String,
-      checkpoint: String, trigger: Trigger = Trigger.AvailableNow())
+  /** The shared frame of every per-batch-overwrite streaming sink here
+    * (s15/s16/s17): `foreachBatch` + per-batch `batch_id=N` overwrite
+    * directories, which turn at-least-once batch replays into
+    * exactly-once folded output (a replay rewrites its own directory
+    * byte-for-byte instead of duplicating rows).
+    *
+    * LIFECYCLE CONTRACT — the checkpoint and every output/delta dir
+    * fed by `f` live and die TOGETHER: batch ids restart at 0 under a
+    * fresh checkpoint, so re-pointing a new checkpoint at retained
+    * output dirs both folds STALE higher-numbered `batch_id=` dirs
+    * from the old run into every later read and (for the near-dup
+    * deltas) excludes them from the `batch < batchId` replay guard —
+    * silently re-admitting near-dups of previously-admitted docs. To
+    * restart from scratch, clear checkpoint AND outputs; to resume,
+    * keep both. */
+  private def perBatchSink(src: DataFrame, checkpoint: String,
+      trigger: Trigger)(
+      f: (Dataset[org.apache.spark.sql.Row], Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
+    src.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.ext.Similarity.ivfAssignExact(batch, seeds)
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        ()
+        f(batch, batchId); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  def ivfIngestStream(vecs: DataFrame, seeds: DataFrame, outPath: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    perBatchSink(vecs, checkpoint, trigger) { (batch, batchId) =>
+      graft.ext.Similarity.ivfAssignExact(batch, seeds)
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    }
 
   /** s17 — STREAMING vector SERVE: query vectors arrive as a stream
     * and each micro-batch is answered from the persisted
@@ -116,23 +138,22 @@ object Streaming {
     * the index alone, never of other queries — so the union over
     * micro-batches equals the one-shot batch serve bit-for-bit and
     * v12's oracle form covers the streaming run verbatim (the s16
-    * discipline, applied to the read side). This closes the streaming
-    * symmetry for the vector index: ingest went streaming in s16,
-    * retrieval goes streaming here. */
+    * discipline, applied to the read side; defaults — k, nProbe —
+    * match [[graft.ext.Similarity.ivfTopKFromIndex]]'s exactly, so the
+    * default stream really is the default batch serve). This closes
+    * the streaming symmetry for the vector index: ingest went
+    * streaming in s16, retrieval goes streaming here. Checkpoint and
+    * outPath follow [[perBatchSink]]'s coupled-lifecycle contract. */
   def ivfServeStream(queries: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String, k: Int = 5, nProbe: Int = 4,
+      checkpoint: String, k: Int = 5, nProbe: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id",
       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    queries.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.ext.Similarity.ivfTopKFromIndex(batch.sparkSession, indexPath,
-          batch, k = k, nProbe = nProbe)
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .start()
+    perBatchSink(queries, checkpoint, trigger) { (batch, batchId) =>
+      graft.ext.Similarity.ivfTopKFromIndex(batch.sparkSession, indexPath,
+        batch, k = k, nProbe = nProbe, vecCol = vecCol, idCol = idCol)
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    }
 
   /** Streaming corpus quality gate: the stateless per-row quality
     * filter applied at INGEST, so low-quality docs never land in the
@@ -196,7 +217,14 @@ object Streaming {
     * prunes them identically); the standing corpus is never
     * re-shingled. A scheduled compaction folds accumulated deltas into
     * the main index via [[graft.ext.Dedup.appendToMinhashIndex]] and
-    * clears them — the standard streaming-lake small-file discipline. */
+    * clears them — the standard streaming-lake small-file discipline.
+    *
+    * `checkpoint`, `outPath` AND `deltaPath` are one coupled lifecycle
+    * ([[perBatchSink]]'s contract): a fresh checkpoint restarts batch
+    * ids at 0, so retained deltas from an old run would both escape
+    * the `batch < batchId` replay guard (silently re-admitting
+    * near-dups of previously-admitted docs) and poison the eventual
+    * delta compaction. Restart from scratch = clear all three. */
   def nearDupIngestStream(docs: DataFrame, indexPath: String,
       outPath: String, deltaPath: String, checkpoint: String,
       n: Int = 3, threshold: Double = 0.5, numHashes: Int = 16,
@@ -204,8 +232,13 @@ object Streaming {
       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.{Checkpoints, Dedup}
-    docs.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+    // once a delta sub-tree holds committed data it never empties
+    // within this stream's lifetime (compaction requires a stopped,
+    // drained stream), so a per-query memo spares the recursive
+    // remote listing on every later micro-batch — on s3a:/hdfs: the
+    // ingest path's LIST traffic stops growing with accumulated deltas
+    val knownNonEmpty = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    perBatchSink(docs, checkpoint, trigger) { (batch, batchId) =>
         val spark = batch.sparkSession
         val (sb, ssh, ssz) = Dedup.loadMinhashIndex(spark, indexPath)
         // delta presence is detected by COMMITTED parquet FILES, not
@@ -217,7 +250,11 @@ object Streaming {
         // hdfs:/s3a: delta layout replays exactly like a local one)
         def withDeltas(standing: DataFrame, sub: String): DataFrame = {
           val dir = s"$deltaPath/$sub"
-          if (!graft.ext.IndexFs.hasParquetData(spark, dir)) standing
+          val present = knownNonEmpty.contains(sub) ||
+            (graft.ext.IndexFs.hasParquetData(spark, dir) && {
+              knownNonEmpty.add(sub); true
+            })
+          if (!present) standing
           else standing.unionByName(
             spark.read.parquet(dir)
               .filter(col("batch") < batchId).drop("batch"))
@@ -257,11 +294,13 @@ object Streaming {
           .repartition(col("bucket")).write.mode("overwrite")
           .partitionBy("bucket").parquet(s"$deltaPath/sizes/batch=$batchId")
         bsh.unpersist()
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .start()
+        // the per-batch checkpoint blocks are superseded the moment the
+        // four writes above commit — free them NOW instead of waiting
+        // for driver GC + ContextCleaner, which on a long-running
+        // stream would pool 2x-replicated blocks from dozens of batches
+        // in executor storage against the hot standing index
+        Checkpoints.free(admitted)
+    }
   }
 
   /** s11 — streaming CDC against a standing snapshot: as re-crawled

@@ -425,8 +425,10 @@ class StreamingSpec extends SparkSpec {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "neighbor_id", "rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val expected = key(Similarity.ivfTopKFromIndex(spark, idx, queries,
-      k = 5, nProbe = 4))
+    // DEFAULT stream vs DEFAULT batch serve: the wrapper's defaults
+    // must match ivfTopKFromIndex's, or the documented equivalence
+    // lies for default invocations
+    val expected = key(Similarity.ivfTopKFromIndex(spark, idx, queries))
     // stage the queries as 4 files → ≥4 micro-batches at maxFilesPerTrigger=1
     val in = s"$tmp/in"
     queries.repartition(4).write.parquet(in)
@@ -460,8 +462,8 @@ class StreamingSpec extends SparkSpec {
     val got2 = key(spark.read.parquet(s"$tmp/out2"))
     assert(!got2.exists(_._2 == doomedId),
       "a tombstoned vector must never be served by a later stream run")
-    assert(got2 == key(Similarity.ivfTopKFromIndex(spark, idx, queries,
-      k = 5, nProbe = 4)), "stream ≡ batch must hold on the tombstoned index")
+    assert(got2 == key(Similarity.ivfTopKFromIndex(spark, idx, queries)),
+      "stream ≡ batch must hold on the tombstoned index")
     // the registered pipeline's identity row holds end-to-end
     val row = graft.analytics.ExtPipelines.streamIvfServe(spark, sf()).collect()
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
