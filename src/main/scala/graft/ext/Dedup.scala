@@ -581,12 +581,8 @@ object Dedup {
     * hdfs:/s3a: index honors its tombstones exactly like a local
     * one. */
   def loadMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String = "doc_id"): Option[DataFrame] = {
-    val d = s"$path/tombstones"
-    if (IndexFs.hasParquetData(spark, d))
-      Some(spark.read.parquet(d).select(col(idCol)))
-    else None
-  }
+      path: String, idCol: String = "doc_id"): Option[DataFrame] =
+    IndexFs.loadTombstones(spark, path, idCol)
 
   /** Physically remove tombstoned docs from a [[saveMinhashIndex]]
     * layout and clear the tombstones — the scheduled compaction that
@@ -609,7 +605,13 @@ object Dedup {
     * stale files in any bucket whose rows were ALL deleted. The swap
     * is not atomic (same contract as [[appendToMinhashIndex]]): run
     * from the single-writer maintenance window, and re-run against a
-    * restored index if killed mid-swap. */
+    * restored index if killed mid-swap. The window excludes concurrent
+    * READERS of the affected partitions too — a serve (or streaming
+    * serve) that listed files before a swap can hit files that vanish
+    * mid-execution; this layout trades online compaction for
+    * simplicity (merge-on-read tombstones ARE the online path —
+    * deletion is already served before any compaction runs), so stop
+    * serving, compact, resume. */
   def compactMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "doc_id"): Unit = {
     loadMinhashTombstones(spark, path, idCol).foreach { tombRaw =>
@@ -628,19 +630,11 @@ object Dedup {
       // cleared up front (single-writer contract).
       val tmp = s"$path/.compact_tmp"
       IndexFs.delete(spark, tmp)
-      // a compaction that deletes EVERY row of a frame would otherwise
-      // leave a footer-less dir (a partitioned write of an empty frame
-      // emits only _SUCCESS) that throws at the next load's schema
-      // inference — so after the swaps, a frame with no footers left
-      // gets one empty SCHEMA-ANCHOR file inside a `part=0` dir
-      // (partition-shaped, so later partitioned appends stay layout-
-      // consistent). limit(0) folds to an empty local relation with
-      // the frame's resolved schema: no stale file listing is read.
-      def anchorIfEmpty(sub: String, partCol: String,
-          shape: DataFrame): Unit =
-        if (!IndexFs.hasParquetData(spark, s"$path/$sub"))
-          shape.limit(0).drop(partCol).coalesce(1)
-            .write.mode("append").parquet(s"$path/$sub/$partCol=0")
+      // swap + wipe-out anchor discipline shared with the IVF
+      // compaction: [[IndexFs.swapPartitions]] (a fully-deleted
+      // bucket's dir ends GONE) and [[IndexFs.anchorIfEmpty]] (a frame
+      // that lost EVERY row keeps one empty schema-anchor file so the
+      // layout stays readable)
       def swapBuckets(sub: String): Unit = {
         val shape = spark.read.parquet(s"$path/$sub")
         val survivors = shape
@@ -648,11 +642,9 @@ object Dedup {
           .join(tomb, Seq(idCol), "left_anti")
         survivors.repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$tmp/$sub")
-        // a bucket absent from the survivors had ALL its rows deleted:
-        // IndexFs.move removes the dst first, so its dir ends GONE
-        affected.foreach(bk => IndexFs.move(spark,
-          s"$tmp/$sub/bucket=$bk", s"$path/$sub/bucket=$bk"))
-        anchorIfEmpty(sub, "bucket", shape)
+        IndexFs.swapPartitions(spark, s"$tmp/$sub", s"$path/$sub",
+          "bucket", affected)
+        IndexFs.anchorIfEmpty(spark, s"$path/$sub", "bucket", shape)
       }
       try {
         swapBuckets("shingles")
@@ -663,7 +655,7 @@ object Dedup {
           .repartition(col("band"))
           .write.partitionBy("band").parquet(s"$tmp/bands")
         IndexFs.move(spark, s"$tmp/bands", s"$path/bands")
-        anchorIfEmpty("bands", "band", bandsShape)
+        IndexFs.anchorIfEmpty(spark, s"$path/bands", "band", bandsShape)
         IndexFs.delete(spark, s"$path/tombstones")
       } finally IndexFs.delete(spark, tmp)
     }
@@ -841,9 +833,12 @@ object Dedup {
     // costs O(candidates): AQE broadcasts a small tombstone side, and
     // even a huge one shuffles only the delta-sized pairs — deletion
     // adds NO corpus-scale term to serving, which is what makes the
-    // merge-on-read design viable between compactions.
+    // merge-on-read design viable between compactions. No distinct on
+    // the build side: anti-join semantics are duplicate-insensitive,
+    // and the aggregate would tax every serve just to trim rows only
+    // repeated deletes of one id can produce.
     val candS = tombstones.fold(candRaw)(t =>
-        candRaw.join(t.select(col(idCol).as("b_id")).distinct(),
+        candRaw.join(t.select(col(idCol).as("b_id")),
           Seq("b_id"), "left_anti"))
       // consumed by three plans below (the semi-join prune, the
       // intersection, and — transitively — the rejected set); released

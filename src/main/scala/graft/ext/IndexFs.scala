@@ -50,6 +50,41 @@ private[graft] object IndexFs {
       throw new java.io.IOException(s"rename refused: $src -> $dst")
   }
 
+  /** Swap the AFFECTED `partCol=v` partition dirs of `dst` with the
+    * rewritten ones under `src` — [[move]] per value, so a partition
+    * absent from `src` (every row deleted) ends with its dir GONE.
+    * The shared swap step of both tombstone compactions. */
+  def swapPartitions(spark: SparkSession, src: String, dst: String,
+      partCol: String, affected: Seq[Any]): Unit =
+    affected.foreach(v =>
+      move(spark, s"$src/$partCol=$v", s"$dst/$partCol=$v"))
+
+  /** If `dir` holds no committed footers (a compaction deleted EVERY
+    * row), write one empty SCHEMA-ANCHOR file inside a `partCol=0` dir
+    * so the layout stays readable (a bare read over a footer-less tree
+    * throws at schema inference) and stays consistent with later
+    * partitioned appends. `shape.limit(0)` folds to an empty local
+    * relation carrying the frame's resolved schema, so no stale file
+    * listing is ever read. Shared by both tombstone compactions. */
+  def anchorIfEmpty(spark: SparkSession, dir: String, partCol: String,
+      shape: org.apache.spark.sql.DataFrame): Unit =
+    if (!hasParquetData(spark, dir))
+      shape.limit(0).drop(partCol).coalesce(1)
+        .write.mode("append").parquet(s"$dir/$partCol=0")
+
+  /** The standing tombstone ids of a persisted index, if any — None
+    * when the dir is absent or holds no committed footers. The shared
+    * loader behind `Dedup.loadMinhashTombstones` and
+    * `Similarity.loadIvfTombstones`. */
+  def loadTombstones(spark: SparkSession, path: String,
+      idCol: String): Option[org.apache.spark.sql.DataFrame] = {
+    val d = s"$path/tombstones"
+    if (hasParquetData(spark, d))
+      Some(spark.read.parquet(d)
+        .select(org.apache.spark.sql.functions.col(idCol)))
+    else None
+  }
+
   /** True iff the tree under `path` holds at least one COMMITTED
     * parquet DATA file. A partitioned write of an empty frame leaves
     * only `_SUCCESS` (no footers), and a bare `spark.read.parquet`

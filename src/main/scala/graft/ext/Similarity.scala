@@ -345,9 +345,12 @@ object Similarity {
     // projects/filters to find the scan) and BEFORE the top-k (a
     // deleted vector must FREE its slot for the next-best neighbor,
     // not leave a k-1 hole). Cost is O(probed candidates): the anti
-    // side is delta-sized and AQE broadcasts it.
+    // side is delta-sized and AQE broadcasts it. NO distinct on the
+    // build side — anti-join semantics are duplicate-insensitive, and
+    // the aggregate would add an exchange to EVERY serve just to trim
+    // rows only repeated deletes of one id can produce.
     val cands = tombstones.fold(candRaw)(t =>
-        candRaw.join(t.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
+        candRaw.join(t.select(col(idCol)), Seq(idCol), "left_anti"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
     topKPerQuery(cands, k)
@@ -431,11 +434,20 @@ object Similarity {
     * and [[compactIvfTombstones]] later removes the rows physically.
     * Same id-reuse contract as the MinHash tombstones: a standing
     * tombstone shadows its id even across later appends — compact
-    * before re-admitting an id, or mint fresh ids. */
+    * before re-admitting an id, or mint fresh ids.
+    *
+    * An EMPTY ids frame writes nothing: unlike the MinHash tombstones
+    * (whose bucket-PARTITIONED empty write leaves no footer), an
+    * unpartitioned empty write emits one schema-anchor footer, which
+    * would read back as standing-tombstones-present and tax every
+    * later serve with a pointless anti-join stage (and every refresh
+    * with a pointless compaction). The emptiness probe is one job over
+    * the delta-sized delete set. */
   def deleteFromIvfIndex(ids: DataFrame, path: String,
-      idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol)).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      idCol: String = "vec_id"): Unit = {
+    val d = ids.select(col(idCol)).distinct()
+    if (!d.isEmpty) d.write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** The standing tombstone ids of a [[saveIvfIndex]] index, if any
     * (None once [[compactIvfTombstones]] has cleared them; the
@@ -444,12 +456,8 @@ object Similarity {
     * path's own FileSystem, so an hdfs:/s3a: index honors its
     * tombstones exactly like a local one. */
   def loadIvfTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String = "vec_id"): Option[DataFrame] = {
-    val d = s"$path/tombstones"
-    if (IndexFs.hasParquetData(spark, d))
-      Some(spark.read.parquet(d).select(col(idCol)))
-    else None
-  }
+      path: String, idCol: String = "vec_id"): Option[DataFrame] =
+    IndexFs.loadTombstones(spark, path, idCol)
 
   /** Physically remove tombstoned vectors from a [[saveIvfIndex]]
     * layout and clear the tombstones. The lists are partitioned by
@@ -458,12 +466,18 @@ object Similarity {
     * and list_id is free partition metadata, so the discovery reads no
     * embedding bytes — and only those ≤ nList partitions are then
     * read, anti-joined, and swapped; untouched lists are never read.
-    * Survivors go through a temp dir (Spark refuses same-path
-    * read+overwrite, and a list whose EVERY vector was deleted must
-    * end with its directory gone, which a dynamic partition overwrite
-    * would silently skip). Same non-atomic-swap contract as
+    * Survivors go through a hidden staging dir UNDER the index path
+    * (Spark refuses same-path read+overwrite; same-FS staging is what
+    * makes the swap renames work on a cluster), then
+    * [[IndexFs.swapPartitions]] — a list whose EVERY vector was
+    * deleted ends with its directory gone, and a total wipe-out keeps
+    * one [[IndexFs.anchorIfEmpty]] schema-anchor file so the layout
+    * stays readable. Same non-atomic-swap contract as
     * [[graft.ext.Dedup.compactMinhashTombstones]]: single-writer
-    * maintenance window, re-run against a restored index if killed. */
+    * maintenance window with NO concurrent readers of the affected
+    * lists (merge-on-read tombstones are the online path; deletion is
+    * already served before any compaction runs), re-run against a
+    * restored index if killed. */
   def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): Unit = {
     loadIvfTombstones(spark, path, idCol).foreach { tombRaw =>
@@ -473,10 +487,6 @@ object Similarity {
         .join(tomb, Seq(idCol), "left_semi")
         .select("list_id").distinct()
         .collect().map(_.get(0).toString.toLong) // ≤ nList rows: bounded
-      // staging UNDER the index path on the index's own FileSystem
-      // (hidden dir — Spark's reader and hasParquetData skip it); see
-      // [[graft.ext.Dedup.compactMinhashTombstones]] for the cluster
-      // rationale. Leftovers of a killed compaction cleared up front.
       val tmp = s"$path/.compact_tmp"
       IndexFs.delete(spark, tmp)
       try {
@@ -485,18 +495,9 @@ object Similarity {
           .join(tomb, Seq(idCol), "left_anti")
         survivors.repartition(col("list_id"))
           .write.partitionBy("list_id").parquet(s"$tmp/lists")
-        // a list absent from the survivors lost ALL its vectors:
-        // IndexFs.move removes the dst first, so its dir ends GONE
-        affected.foreach(lid => IndexFs.move(spark,
-          s"$tmp/lists/list_id=$lid", s"$path/lists/list_id=$lid"))
-        // a compaction that deleted EVERY vector would leave a
-        // footer-less lists dir that throws at the next serve's schema
-        // inference — anchor it with one empty partition-shaped file
-        // (limit(0) folds to an empty local relation with the resolved
-        // schema; graft.ext.Dedup.compactMinhashTombstones's rule)
-        if (!IndexFs.hasParquetData(spark, s"$path/lists"))
-          lists.limit(0).drop("list_id").coalesce(1)
-            .write.mode("append").parquet(s"$path/lists/list_id=0")
+        IndexFs.swapPartitions(spark, s"$tmp/lists", s"$path/lists",
+          "list_id", affected)
+        IndexFs.anchorIfEmpty(spark, s"$path/lists", "list_id", lists)
         IndexFs.delete(spark, s"$path/tombstones")
       } finally IndexFs.delete(spark, tmp)
     }
@@ -514,9 +515,13 @@ object Similarity {
     * form: a re-embedded doc RE-USES its id, and a standing tombstone
     * shadows its id across later appends, so the new vector may land
     * only after the tombstone is physically resolved. Cost per epoch:
-    * O(delete) + the list-pruned compaction (only lists holding
-    * deleted vectors are rewritten — there is no whole-frame term
-    * here, unlike the MinHash bands) + O(admitted) appends. */
+    * O(delete) + the compaction + O(admitted) appends. The compaction
+    * REWRITES only the affected lists (no whole-frame rewrite, unlike
+    * the MinHash bands), but its affected-list DISCOVERY semi-joins
+    * the id column of every list — a column-pruned O(corpus-rows)
+    * scan of one slim column, no embedding bytes; that scan is the
+    * epoch's one corpus-term, amortized exactly like the bands
+    * rewrite on the MinHash side. */
   def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deletedIds: DataFrame, admittedVecs: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {

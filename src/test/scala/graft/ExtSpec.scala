@@ -1795,6 +1795,13 @@ class ExtSpec extends SparkSpec {
       .filter(col("query_id") === 0).collect()(0).getLong(1)
     assert(key(Similarity.ivfTopKFromIndex(spark, path, queries,
         k = 5, nProbe = 8)).exists(r => r._1 == 0L && r._2 == doomedId))
+    // an EMPTY delete must leave no phantom tombstones (an
+    // unpartitioned empty write would emit a footer'd file that reads
+    // back as standing-tombstones-present, taxing every later serve)
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") < 0).select("vec_id"), path)
+    assert(Similarity.loadIvfTombstones(spark, path).isEmpty,
+      "an empty delete must not create standing tombstones")
     Similarity.deleteFromIvfIndex(Seq(doomedId).toDF("vec_id"), path)
     val servedTomb = Similarity.ivfTopKFromIndex(spark, path, queries,
       k = 5, nProbe = 8)
