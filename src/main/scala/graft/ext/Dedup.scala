@@ -630,25 +630,16 @@ object Dedup {
       // cleared up front (single-writer contract).
       val tmp = s"$path/.compact_tmp"
       IndexFs.delete(spark, tmp)
-      // swap + wipe-out anchor discipline shared with the IVF
-      // compaction: [[IndexFs.swapPartitions]] (a fully-deleted
-      // bucket's dir ends GONE) and [[IndexFs.anchorIfEmpty]] (a frame
-      // that lost EVERY row keeps one empty schema-anchor file so the
-      // layout stays readable)
-      def swapBuckets(sub: String): Unit = {
-        val shape = spark.read.parquet(s"$path/$sub")
-        val survivors = shape
-          .filter(col("bucket").isin(affected: _*))
-          .join(tomb, Seq(idCol), "left_anti")
-        survivors.repartition(col("bucket"))
-          .write.partitionBy("bucket").parquet(s"$tmp/$sub")
-        IndexFs.swapPartitions(spark, s"$tmp/$sub", s"$path/$sub",
-          "bucket", affected)
-        IndexFs.anchorIfEmpty(spark, s"$path/$sub", "bucket", shape)
-      }
+      // rewrite + swap + wipe-out anchor discipline shared with the
+      // IVF compaction — one [[IndexFs.compactPartitions]] per
+      // bucket-partitioned frame (a fully-deleted bucket's dir ends
+      // GONE; a frame that lost EVERY row keeps one empty
+      // schema-anchor file so the layout stays readable)
       try {
-        swapBuckets("shingles")
-        swapBuckets("sizes")
+        IndexFs.compactPartitions(spark, s"$path/shingles",
+          s"$tmp/shingles", "bucket", affected, tomb, idCol)
+        IndexFs.compactPartitions(spark, s"$path/sizes",
+          s"$tmp/sizes", "bucket", affected, tomb, idCol)
         val bandsShape = spark.read.parquet(s"$path/bands")
         bandsShape
           .join(tomb, Seq(idCol), "left_anti")

@@ -51,13 +51,48 @@ private[graft] object IndexFs {
   }
 
   /** Swap the AFFECTED `partCol=v` partition dirs of `dst` with the
-    * rewritten ones under `src` — [[move]] per value, so a partition
-    * absent from `src` (every row deleted) ends with its dir GONE.
-    * The shared swap step of both tombstone compactions. */
+    * rewritten ones under `src` — a partition absent from `src` (every
+    * row deleted) ends with its dir GONE. The shared swap step of both
+    * tombstone compactions.
+    *
+    * The REPLACE leg moves staged partitions by their ON-DISK names
+    * (listed from `src`), never by re-formatting `affected` values —
+    * a toString/dir-encoding mismatch therefore cannot point a rename
+    * at the wrong directory. Only the REMOVE leg (affected partitions
+    * Spark staged nothing for) formats values into names, where a
+    * mismatch deletes a nonexistent name — a no-op that defers the
+    * removal, never a deletion of live data. */
   def swapPartitions(spark: SparkSession, src: String, dst: String,
-      partCol: String, affected: Seq[Any]): Unit =
-    affected.foreach(v =>
-      move(spark, s"$src/$partCol=$v", s"$dst/$partCol=$v"))
+      partCol: String, affected: Seq[Any]): Unit = {
+    val f = fs(spark, src)
+    val srcPath = new Path(src)
+    val staged: Set[String] =
+      if (f.exists(srcPath))
+        f.listStatus(srcPath).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith(s"$partCol=")).toSet
+      else Set.empty
+    staged.foreach(name => move(spark, s"$src/$name", s"$dst/$name"))
+    affected.map(v => s"$partCol=$v").filterNot(staged)
+      .foreach(name => delete(spark, s"$dst/$name"))
+  }
+
+  /** The shared REWRITE step of both tombstone compactions: read the
+    * partitioned frame at `dir`, prune to the AFFECTED partitions (a
+    * literal partition filter — spared partitions are never read),
+    * anti-join the tombstone ids out, stage the survivors under `tmp`,
+    * [[swapPartitions]] them in, and [[anchorIfEmpty]] the layout. */
+  def compactPartitions(spark: SparkSession, dir: String, tmp: String,
+      partCol: String, affected: Seq[Any],
+      tomb: org.apache.spark.sql.DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val shape = spark.read.parquet(dir)
+    shape.filter(col(partCol).isin(affected: _*))
+      .join(tomb, Seq(idCol), "left_anti")
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(tmp)
+    swapPartitions(spark, tmp, dir, partCol, affected)
+    anchorIfEmpty(spark, dir, partCol, shape)
+  }
 
   /** If `dir` holds no committed footers (a compaction deleted EVERY
     * row), write one empty SCHEMA-ANCHOR file inside a `partCol=0` dir

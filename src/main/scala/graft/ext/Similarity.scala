@@ -445,8 +445,16 @@ object Similarity {
     * the delta-sized delete set. */
   def deleteFromIvfIndex(ids: DataFrame, path: String,
       idCol: String = "vec_id"): Unit = {
+    // persisted across the two actions (emptiness probe + write): the
+    // delete set may be an expensive upstream plan, and running it
+    // twice would double every delete's cost — or diverge if the
+    // source moved between the jobs
     val d = ids.select(col(idCol)).distinct()
-    if (!d.isEmpty) d.write.mode("append").parquet(s"$path/tombstones")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (d.take(1).nonEmpty)
+        d.write.mode("append").parquet(s"$path/tombstones")
+    } finally d.unpersist(blocking = false)
   }
 
   /** The standing tombstone ids of a [[saveIvfIndex]] index, if any
@@ -490,14 +498,8 @@ object Similarity {
       val tmp = s"$path/.compact_tmp"
       IndexFs.delete(spark, tmp)
       try {
-        val survivors = lists
-          .filter(col("list_id").isin(affected: _*))
-          .join(tomb, Seq(idCol), "left_anti")
-        survivors.repartition(col("list_id"))
-          .write.partitionBy("list_id").parquet(s"$tmp/lists")
-        IndexFs.swapPartitions(spark, s"$tmp/lists", s"$path/lists",
-          "list_id", affected)
-        IndexFs.anchorIfEmpty(spark, s"$path/lists", "list_id", lists)
+        IndexFs.compactPartitions(spark, s"$path/lists", s"$tmp/lists",
+          "list_id", affected, tomb, idCol)
         IndexFs.delete(spark, s"$path/tombstones")
       } finally IndexFs.delete(spark, tmp)
     }

@@ -2113,6 +2113,13 @@ class ExtSpec extends SparkSpec {
     val (b0, s0, z0) = Dedup.loadMinhashIndex(spark, path)
     assert(Dedup.nearDupIngest(b0, s0, z0, dup).count() == 0,
       "before the delete, the exact dup must be rejected")
+    // an EMPTY delete must not create phantom standing tombstones (a
+    // deletion-free refresh epoch relies on the bucket-partitioned
+    // empty write leaving no footer — pin it against Spark changes)
+    Dedup.deleteFromMinhashIndex(
+      standing.filter(col("doc_id") < 0).select("doc_id"), path)
+    assert(Dedup.loadMinhashTombstones(spark, path).isEmpty,
+      "an empty delete must not create standing tombstones")
     // tombstone delete: REJECTION FLIPS TO ADMISSION with the standing
     // data untouched — deletion is semantically immediate
     Dedup.deleteFromMinhashIndex(Seq(donorId).toDF("doc_id"), path)
