@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -36,7 +35,7 @@ case class RepeatStats(child: Expression, ngram: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, ngram.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if ngram.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextExpressions.nonNullConst(prettyName, "ngram", ngram)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<string>, foldable int), got " +
         s"(${l.catalogString}, ${r.catalogString})")
@@ -97,7 +96,7 @@ case class WindowHashes(child: Expression, window: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, window.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if window.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextExpressions.nonNullConst(prettyName, "window", window)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<string>, foldable int), got " +
         s"(${l.catalogString}, ${r.catalogString})")
@@ -155,7 +154,7 @@ case class Ngrams(child: Expression, ngram: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, ngram.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if ngram.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextExpressions.nonNullConst(prettyName, "ngram", ngram)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<string>, foldable int), got " +
         s"(${l.catalogString}, ${r.catalogString})")
@@ -205,7 +204,7 @@ case class GridSegments(child: Expression, window: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, window.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if window.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextExpressions.nonNullConst(prettyName, "window", window)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<string>, foldable int), got " +
         s"(${l.catalogString}, ${r.catalogString})")
@@ -260,7 +259,8 @@ case class RemoveSpans(toks: Expression, starts: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     (toks.dataType, starts.dataType, window.dataType) match {
       case (ArrayType(StringType, _), ArrayType(IntegerType, _), IntegerType)
-          if window.foldable => TypeCheckResult.TypeCheckSuccess
+          if window.foldable =>
+        TextExpressions.nonNullConst(prettyName, "window", window)
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<string>, array<int>, foldable int), " +
         s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
@@ -329,7 +329,7 @@ case class TermFreqs(child: Expression, terms: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, terms.dataType) match {
       case (StringType, ArrayType(StringType, _)) if terms.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextExpressions.nonNullConst(prettyName, "terms", terms)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, foldable array<string>), got " +
         s"(${l.catalogString}, ${r.catalogString})")
@@ -412,7 +412,7 @@ case class BpeEncodeExpr(child: Expression, merges: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, merges.dataType) match {
       case (StringType, ArrayType(StringType, _)) if merges.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextExpressions.nonNullConst(prettyName, "merges", merges)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, foldable array<string>), got " +
         s"(${l.catalogString}, ${r.catalogString})")
@@ -464,16 +464,22 @@ case class BpeEncodeExpr(child: Expression, merges: Expression)
 
 /** Native Jaro-Winkler similarity between two strings, DuckDB/RapidFuzz
   * convention so the x25 oracle can hash-compare the raw double:
-  * match window `floor(max(len)/2) - 1`; transpositions = FLOOR of
-  * half the mismatched matched-pairs (an integer — textbook
-  * descriptions use the half-fractional form, DuckDB floors);
-  * Winkler prefix bonus (≤4 chars, p = 0.1) only when jaro > 0.7;
-  * any empty input scores 0.0 (including both-empty — DuckDB returns
-  * 0.0, not the textbook 1.0). The finishing arithmetic is spelled in
-  * DuckDB's IEEE order — `(m/l1 + m/l2 + (m−t)/m) / 3.0`, then
-  * `j + (l·0.1)·(1−j)` — and was validated bit-exact (`==` on the
-  * double) against `jaro_winkler_similarity` over 7k real part-name
-  * pairs plus edge probes. Code-generated (doGenCode calls the same
+  * the match runs over UTF-8 BYTES, not code points or UTF-16 units —
+  * DuckDB strings are UTF-8 byte arrays and its matcher walks bytes
+  * (probed: `jaro_winkler_similarity('éx','ex')` is 0.0 in DuckDB,
+  * impossible under code-unit matching, because the 2-byte é shifts
+  * 'x' outside the window); lengths, the match window
+  * `floor(max(len)/2) - 1`, and the ≤4-unit prefix bonus therefore all
+  * count bytes. Transpositions = FLOOR of half the mismatched
+  * matched-pairs (an integer — textbook descriptions use the
+  * half-fractional form, DuckDB floors); Winkler prefix bonus
+  * (p = 0.1) only when jaro > 0.7; any empty input scores 0.0
+  * (including both-empty — DuckDB returns 0.0, not the textbook 1.0).
+  * The finishing arithmetic is spelled in DuckDB's IEEE order —
+  * `(m/l1 + m/l2 + (m−t)/m) / 3.0`, then `j + (l·0.1)·(1−j)` — and was
+  * validated bit-exact (`==` on the double) against
+  * `jaro_winkler_similarity` over 7k real part-name pairs plus edge
+  * probes. Code-generated (doGenCode calls the same
   * static [[JaroWinklerExpr.similarity]] the spec recomputes with):
   * the matching loop runs as one tight JVM loop either way, but the
   * generated path evaluates the child strings in generated code
@@ -495,15 +501,15 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaro_winkler"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    JaroWinklerExpr.similarity(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    JaroWinklerExpr.similarity(a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
 
   override def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.JaroWinklerExpr.similarity($a.toString(), $b.toString())")
+      s"graft.functions.JaroWinklerExpr.similarity($a.getBytes(), $b.getBytes())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -511,8 +517,15 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 }
 
 object JaroWinklerExpr {
-  /** See [[JaroWinklerExpr]] for the exact convention. */
-  def similarity(s1: String, s2: String): Double = {
+  /** String convenience overload (tests, driver-side probes): the
+    * match itself runs over the UTF-8 bytes — see [[JaroWinklerExpr]]
+    * for why that is the DuckDB-faithful domain. */
+  def similarity(s1: String, s2: String): Double =
+    similarity(s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** See [[JaroWinklerExpr]] for the exact convention (UTF-8 bytes). */
+  def similarity(s1: Array[Byte], s2: Array[Byte]): Double = {
     val l1 = s1.length; val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
     val window = math.max(0, math.max(l1, l2) / 2 - 1)
@@ -526,7 +539,7 @@ object JaroWinklerExpr {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; done = true
         }
         j += 1
@@ -541,7 +554,7 @@ object JaroWinklerExpr {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(j2)) j2 += 1
-        if (s1.charAt(i) != s2.charAt(j2)) mism += 1
+        if (s1(i) != s2(j2)) mism += 1
         j2 += 1
       }
       i += 1
@@ -552,7 +565,7 @@ object JaroWinklerExpr {
     if (jaro > 0.7) {
       var l = 0
       val maxP = math.min(4, math.min(l1, l2))
-      while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
+      while (l < maxP && s1(l) == s2(l)) l += 1
       jaro = jaro + l * 0.1 * (1.0 - jaro)
     }
     jaro
@@ -605,13 +618,40 @@ case class CharBigrams(child: Expression)
 
 object TextExpressions {
 
+  /** Shared analysis-time guard for this file's REQUIRED foldable
+    * constant arguments: a NULL literal must FAIL ANALYSIS rather than
+    * diverge between execution modes — interpreted eval would return
+    * NULL row-wise (BinaryExpression's null short-circuit), while the
+    * codegen path bakes the constant at planning time, silently
+    * unboxing a null Integer to 0 (or NPE-ing on a null array). One
+    * clear error beats two different answers. */
+  private[functions] def nonNullConst(prettyName: String, argName: String,
+      e: Expression): TypeCheckResult =
+    if (e.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-NULL $argName literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** Arity guard for the SQL builders: a wrong argument count gets a
+    * named error instead of an IndexOutOfBoundsException from deep in
+    * analysis. */
+  private def arity(name: String, lo: Int, hi: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length < lo || exprs.length > hi)
+        throw new IllegalArgumentException(
+          s"$name expects ${if (lo == hi) s"$lo" else s"$lo to $hi"} " +
+            s"arguments, got ${exprs.length}")
+      build(exprs)
+    }
+
   /** Register `graft_repeat_stats` for Column-API and SQL use. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_repeat_stats",
-        exprs => RepeatStats(exprs(0),
-          if (exprs.length > 1) exprs(1) else Literal(1)), "built-in")
+        arity("graft_repeat_stats", 1, 2)(exprs => RepeatStats(exprs(0),
+          if (exprs.length > 1) exprs(1) else Literal(1))), "built-in")
 
   /** struct(top, dup) repetition stats over the token array's
     * `ngram`-grams (requires [[register]]). */
@@ -623,7 +663,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_window_hashes",
-        exprs => WindowHashes(exprs(0), exprs(1)), "built-in")
+        arity("graft_window_hashes", 2, 2)(exprs => WindowHashes(exprs(0), exprs(1))), "built-in")
 
   /** array<struct<s,h>> overlapping window hashes (requires
     * [[registerWindowHashes]]). */
@@ -635,7 +675,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_ngrams",
-        exprs => Ngrams(exprs(0), exprs(1)), "built-in")
+        arity("graft_ngrams", 2, 2)(exprs => Ngrams(exprs(0), exprs(1))), "built-in")
 
   /** array<string> overlapping n-grams (requires [[registerNgrams]]). */
   def ngrams(arr: Column, n: Int): Column =
@@ -646,7 +686,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_grid_segments",
-        exprs => GridSegments(exprs(0), exprs(1)), "built-in")
+        arity("graft_grid_segments", 2, 2)(exprs => GridSegments(exprs(0), exprs(1))), "built-in")
 
   /** array<struct<pos,seg>> fixed-grid segments (requires
     * [[registerGridSegments]]). */
@@ -658,7 +698,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_remove_spans",
-        exprs => RemoveSpans(exprs(0), exprs(1), exprs(2)), "built-in")
+        arity("graft_remove_spans", 3, 3)(exprs => RemoveSpans(exprs(0), exprs(1), exprs(2))), "built-in")
 
   /** Span-removal rebuild (requires [[registerRemoveSpans]]). */
   def removeSpans(toks: Column, starts: Column, window: Int): Column =
@@ -669,7 +709,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_term_freqs",
-        exprs => TermFreqs(exprs(0), exprs(1)), "built-in")
+        arity("graft_term_freqs", 2, 2)(exprs => TermFreqs(exprs(0), exprs(1))), "built-in")
 
   /** struct(dl, tf) one-pass length + term counts (requires
     * [[registerTermFreqs]]). */
@@ -682,7 +722,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_bpe_encode",
-        exprs => BpeEncodeExpr(exprs(0), exprs(1)), "built-in")
+        arity("graft_bpe_encode", 2, 2)(exprs => BpeEncodeExpr(exprs(0), exprs(1))), "built-in")
 
   /** array<int> greedy merge-encode of `text` against the rank-ordered
     * `merges` pair list (requires [[registerBpeEncode]]). */
@@ -695,7 +735,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_char_bigrams",
-        exprs => CharBigrams(exprs(0)), "built-in")
+        arity("graft_char_bigrams", 1, 1)(exprs => CharBigrams(exprs(0))), "built-in")
 
   /** array<string> consecutive code-point pairs (requires
     * [[registerCharBigrams]]). */
@@ -707,7 +747,7 @@ object TextExpressions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_jaro_winkler",
-        exprs => JaroWinklerExpr(exprs(0), exprs(1)), "built-in")
+        arity("graft_jaro_winkler", 2, 2)(exprs => JaroWinklerExpr(exprs(0), exprs(1))), "built-in")
 
   /** Jaro-Winkler similarity (requires [[registerJaroWinkler]]). */
   def jaroWinkler(a: Column, b: Column): Column =

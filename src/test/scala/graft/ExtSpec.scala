@@ -1161,6 +1161,11 @@ class ExtSpec extends SparkSpec {
     assert(similarity("abcdefgh", "abzzzzzz") == 0.5)
     // window = max/2 - 1 = 0 → adjacent transposition can't match
     assert(similarity("ab", "ba") == 0.0)
+    // NON-ASCII: the match runs over UTF-8 BYTES like DuckDB's (both
+    // values probed against duckdb 1.0.0) — the 2-byte é shifts 'x'
+    // outside the window, impossible under code-unit matching
+    assert(similarity("éx", "ex") == 0.0)
+    assert(similarity("日本語", "日本誤") == 0.9555555555555556)
     // blocked pairs: equi-join on the block key, no cartesian
     val df = graft.ext.Dedup.jaroWinklerPairs(
       sources.Tables(spark, sf(), "part"), "p_partkey", "p_name", "p_brand")

@@ -61,6 +61,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.getStruct(5).getLong(0) == 0L && rows.getStruct(5).getLong(1) == 0L)
   }
 
+  test("constant args: NULL literals and wrong arity fail ANALYSIS, not diverge or IOOBE") {
+    graft.functions.TextExpressions.registerNgrams(spark)
+    graft.functions.TextExpressions.registerTermFreqs(spark)
+    // a NULL constant would DIVERGE between execution modes (the
+    // interpreted path null-short-circuits row-wise, the codegen path
+    // bakes the constant — unboxing null to 0) — one analysis error
+    // beats two different answers
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_ngrams(array('a','b'), CAST(NULL AS INT))")
+        .collect()
+    }
+    assert(e1.getMessage.contains("non-NULL"), e1.getMessage)
+    // a NULL constant ARRAY would NPE at planning time inside the
+    // baked-constant lazy val — same rule
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_term_freqs('a b', CAST(NULL AS ARRAY<STRING>))")
+        .collect()
+    }
+    assert(e2.getMessage.contains("non-NULL"), e2.getMessage)
+    // wrong arity names the function and the expected count instead of
+    // an IndexOutOfBoundsException from deep in analysis
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_ngrams(array('a','b'))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e3).exists(m =>
+      m.contains("graft_ngrams") && m.contains("2")), messages(e3).toString)
+  }
+
   test("graft_sign_bits rejects more than 64 planes at analysis time") {
     VectorFunctions.register(spark)
     // 64 planes is the Long-signature ceiling; 65 must fail ANALYSIS
