@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens (the corpus is single-space separated). */
+  /** Whitespace tokens (the corpus is single-space separated). The
+    * empty string tokenizes to ONE empty token — `split('', ' ')` is
+    * `['']` in Spark AND DuckDB's `string_split`, so every ratio and
+    * count built on this agrees across engines; treat it as the
+    * shared convention, not a bug to fix on one side. */
   def tokens(text: Column): Column = split(text, " ")
 
   /** BPE-ish word/number/symbol tokens via regex — the pattern class
@@ -33,7 +37,14 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(markers.map(lit): _*)))
 
   /** Language ID: CJK charset short-circuit, then function-word voting
-    * with deterministic tie-break (highest count, first language wins). */
+    * with deterministic tie-break (highest count, first language wins).
+    * Domain stated honestly: the voting covers the four marker
+    * languages plus Han; a text hitting ZERO markers (Korean, Cyrillic,
+    * Arabic, kana-heavy Japanese, empty strings) ties at best = 0 and
+    * takes the first-language fallback "en" — there is deliberately no
+    * "unknown" class because the t3-family oracles and the t20/t31
+    * target-language subsets mirror this exact rule in SQL; widening
+    * the label set is a both-engines change, not a Spark-side patch. */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
@@ -97,7 +108,20 @@ object TextAnalysis {
     * sum — metadata-scale, same rule as Packing/IVF; (3) a window
     * WITHIN each band (ordered quality desc, id) adds the in-band
     * prefix to the band base. Identical to the global window's output;
-    * per-partition state is one band, not the corpus. */
+    * per-partition state is one band, not the corpus.
+    *
+    * Two edges stated honestly: (a) NULL-text rows score quality 0.7
+    * (both engines' `least` skips NULLs) with no tokens — their token
+    * count is coalesced to 0 here so they ride along budget-free
+    * instead of NULLing a band total (which would NPE the driver-side
+    * prefix sum); filter them upstream if they shouldn't be selected
+    * at all. (b) The banding is exact for ANY key monotone in the
+    * selection order, but its SKEW bound assumes quality spreads
+    * across bands: a corpus whose mass saturates at exactly
+    * quality = 1.0 (every clamp at its ceiling) collapses into one
+    * band and re-creates the single-partition window this scheme
+    * exists to avoid — at that point select on a finer score (the t18
+    * adaptive gate, t31's NLL) whose ties don't concentrate. */
   def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long = 10000L,
       nBands: Int = 1000, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -105,7 +129,8 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val scored = qualityScore(qualitySignals(docs, textCol))
-      .select(col(idCol), col("quality"), col("n_tokens").cast("long").as("n_tokens"))
+      .select(col(idCol), col("quality"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("_band",
         floor((lit(1.0) - col("quality")) * nBands).cast("long"))
     val bandTotals = scored.groupBy("_band")
@@ -136,7 +161,12 @@ object TextAnalysis {
     * stay in the regex subset Java and RE2 interpret identically, so
     * the DuckDB oracle recomputes the exact same output. Order matters:
     * emails first (their local part would otherwise be eaten by the
-    * digit rule), then URLs, then digit runs. */
+    * digit rule), then URLs, then digit runs. The digit rule fires at
+    * ≥8 total characters — the false-positive/recall dial set where
+    * years, zip codes and 7-digit quantities survive while full phone
+    * and account numbers redact; a stricter corpus lowers the interior
+    * quantifier, accepting more numeric-literal loss (mirror any change
+    * in the t-oracle SQL — the rule is cross-engine by construction). */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
@@ -209,29 +239,6 @@ object TextAnalysis {
     array_min(transform(windows, w => pmod(xxhash64(w), lit(2147483647L))))
   }
 
-  /** BM25 relevance scores for a fixed query-term set — the ranking
-    * function behind corpus search / retrieval-quality filtering.
-    * Returns `(idCol, dl, tf0..tfi, bm25)` for every document matching
-    * at least one term.
-    *
-    * Two corpus scans, zero corpus shuffle — the shape that holds at
-    * 100 TB:
-    *  1. per-row [[graft.functions.TextExpressions.termFreqs]] (one
-    *     native pass: token count `dl` + exact per-term counts), then
-    *     ONE single-row all-integer aggregate (N, Σdl, per-term doc
-    *     frequencies) — partials combine map-side, the exchange carries
-    *     one tiny row per task;
-    *  2. that row rides a broadcast back over the corpus and the BM25
-    *     doubles are a fixed-order per-row expression.
-    * Keeping every AGGREGATE integer is what makes the result
-    * hash-reproducible: float math happens only per-row, in one
-    * deterministic association order, mirrored token-for-token by the
-    * DuckDB oracle (same ln / same literal arithmetic → identical
-    * doubles, compared at 1e-9).
-    *
-    * Formula (BM25+-style non-negative idf):
-    * `Σ_i ln(1 + (N - df_i + 0.5)/(df_i + 0.5)) · tf_i(k1+1) /
-    *  (tf_i + k1(1 - b + b·dl·N/Σdl))`. */
   /** t28 — per-document keyword extraction: the top-k tokens of each
     * document by TF-IDF, the classic summarize-what-this-doc-is-about
     * signal a corpus pipeline attaches before topic bucketing or
@@ -274,6 +281,29 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** BM25 relevance scores for a fixed query-term set — the ranking
+    * function behind corpus search / retrieval-quality filtering.
+    * Returns `(idCol, dl, tf0..tfi, bm25)` for every document matching
+    * at least one term.
+    *
+    * Two corpus scans, zero corpus shuffle — the shape that holds at
+    * 100 TB:
+    *  1. per-row [[graft.functions.TextExpressions.termFreqs]] (one
+    *     native pass: token count `dl` + exact per-term counts), then
+    *     ONE single-row all-integer aggregate (N, Σdl, per-term doc
+    *     frequencies) — partials combine map-side, the exchange carries
+    *     one tiny row per task;
+    *  2. that row rides a broadcast back over the corpus and the BM25
+    *     doubles are a fixed-order per-row expression.
+    * Keeping every AGGREGATE integer is what makes the result
+    * hash-reproducible: float math happens only per-row, in one
+    * deterministic association order, mirrored token-for-token by the
+    * DuckDB oracle (same ln / same literal arithmetic → identical
+    * doubles, compared at 1e-9).
+    *
+    * Formula (BM25+-style non-negative idf):
+    * `Σ_i ln(1 + (N - df_i + 0.5)/(df_i + 0.5)) · tf_i(k1+1) /
+    *  (tf_i + k1(1 - b + b·dl·N/Σdl))`. */
   def bm25(df: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -418,7 +448,7 @@ object TextAnalysis {
   def bpePairStats(docs: DataFrame, k: Int = 50,
       textCol: String = "text"): DataFrame = {
     val words = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
+      .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wn"))
     words
       .select(col("wn"), explode(expr(

@@ -714,8 +714,19 @@ object TextExpressions {
   /** struct(dl, tf) one-pass length + term counts (requires
     * [[registerTermFreqs]]). */
   def termFreqs(text: Column, terms: Seq[String]): Column =
-    call_function("graft_term_freqs", text,
-      org.apache.spark.sql.functions.array(terms.map(lit): _*))
+    call_function("graft_term_freqs", text, stringArrayLit(terms))
+
+  /** A foldable `array<string>` literal that stays `array<string>` at
+    * ZERO elements — `functions.array()` with no children types as
+    * `array<null>` (Spark infers the element type from the children),
+    * which the constant-array expressions here reject at analysis. An
+    * empty trained artifact (no merges learned from a single-char
+    * corpus, an empty term list) must mean "no-op model", not a
+    * crash. */
+  private def stringArrayLit(xs: Seq[String]): Column =
+    if (xs.isEmpty)
+      org.apache.spark.sql.functions.typedlit(Array.empty[String])
+    else org.apache.spark.sql.functions.array(xs.map(lit): _*)
 
   /** Register `graft_bpe_encode`. Idempotent. */
   def registerBpeEncode(spark: SparkSession): Unit =
@@ -725,10 +736,11 @@ object TextExpressions {
         arity("graft_bpe_encode", 2, 2)(exprs => BpeEncodeExpr(exprs(0), exprs(1))), "built-in")
 
   /** array<int> greedy merge-encode of `text` against the rank-ordered
-    * `merges` pair list (requires [[registerBpeEncode]]). */
+    * `merges` pair list (requires [[registerBpeEncode]]); an EMPTY
+    * merge list is the no-op tokenizer — per-code-point ids, no
+    * merges applied. */
   def bpeEncode(text: Column, merges: Seq[String]): Column =
-    call_function("graft_bpe_encode", text,
-      org.apache.spark.sql.functions.array(merges.map(lit): _*))
+    call_function("graft_bpe_encode", text, stringArrayLit(merges))
 
   /** Register `graft_char_bigrams`. Idempotent. */
   def registerCharBigrams(spark: SparkSession): Unit =

@@ -90,6 +90,16 @@ class ExtensionsSpec extends SparkSpec {
       if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e3).exists(m =>
       m.contains("graft_ngrams") && m.contains("2")), messages(e3).toString)
+    // an EMPTY trained artifact is a no-op model, not a crash:
+    // functions.array() with zero children would type as array<null>
+    // and fail the type check — the helpers build a typed empty array
+    graft.functions.TextExpressions.registerBpeEncode(spark)
+    import spark.implicits._
+    val ids = Seq("ab").toDF("t")
+      .select(graft.functions.TextExpressions.bpeEncode(
+        org.apache.spark.sql.functions.col("t"), Seq()))
+      .collect()(0).getSeq[Int](0)
+    assert(ids.length == 2, s"zero merges = per-code-point ids: $ids")
   }
 
   test("graft_sign_bits rejects more than 64 planes at analysis time") {
