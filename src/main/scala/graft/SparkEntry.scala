@@ -1251,7 +1251,9 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok_offset,
         |  tok_offset // 2048 AS seq_id,
-        |  ((tok_offset + n_tokens - 1) // 2048) - (tok_offset // 2048) + 1 AS n_seqs
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE ((tok_offset + n_tokens - 1) // 2048)
+        |          - (tok_offset // 2048) + 1 END AS n_seqs
         |FROM o""".stripMargin,
 
     // t17 mirrors DataSplit.shuffledShards: same salted md5 (salt

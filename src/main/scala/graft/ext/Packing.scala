@@ -37,29 +37,34 @@ object Packing {
     require(seqLen > 0 && bucketSize > 0)
     val spark = df.sparkSession
     import spark.implicits._
-    // coalesce(col, raise_error) — free when the schema already proves
-    // non-null (Catalyst folds it away), a per-row guard otherwise
+    // coalesce(when-guard, raise_error) — free when the schema already
+    // proves non-null (Catalyst folds it away), a per-row guard
+    // otherwise. Negative counts are poison too (they'd silently shift
+    // every later offset down and break the manifest tiling), so the
+    // when() nulls them into the same raise_error arm.
     val bucketed = df.select(
         coalesce(col(idCol), raise_error(
           lit(s"Packing.tokenOffsets: null `$idCol`"))).as(idCol),
-        coalesce(col(nTokCol).cast("long"), raise_error(
-          lit(s"Packing.tokenOffsets: null `$nTokCol`"))).as(nTokCol))
+        coalesce(when(col(nTokCol) >= 0, col(nTokCol).cast("long")),
+          raise_error(lit(
+            s"Packing.tokenOffsets: null or negative `$nTokCol`")))
+          .as(nTokCol))
       .withColumn("_bkt", expr(s"`$idCol` DIV $bucketSize"))
-    // eager checkpoint: the bucket-totals aggregation runs ONCE — the
+    // eager ckptLocal: the bucket-totals aggregation runs ONCE — the
     // superbucket collect below and the bktBases branch of the final
-    // plan both read the materialized blocks instead of re-scanning the
-    // source. Chosen over persist(): no CacheManager entry to leak
-    // across calls (local blocks are freed by the ContextCleaner when
-    // the returned frame is GC'd), and nDocs/bucketSize rows (~24M at
-    // 10^11 docs) sit comfortably in executor storage. Same policy as
-    // connectedComponents: a RELIABLE checkpoint (survives executor
-    // loss) when the session has a checkpoint dir, localCheckpoint as
-    // the single-JVM fallback.
-    val bktTotals0 = bucketed.groupBy("_bkt").agg(sum(nTokCol).as("_tot"))
-      .withColumn("_sbkt", expr(s"_bkt DIV $bucketSize"))
-    val bktTotals =
-      if (spark.sparkContext.getCheckpointDir.isDefined) bktTotals0.checkpoint()
-      else bktTotals0.localCheckpoint(true)
+    // plan both read the materialized 2-replica blocks instead of
+    // re-scanning the source, and the blocks are ContextCleaner-freed
+    // when the returned frame is GC'd. A RELIABLE checkpoint is the
+    // wrong tool for this per-call shape even in production
+    // (Checkpoints.ckptLocal's rule): its files are never auto-removed
+    // and the returned plan reads them, so every call would leak one
+    // checkpoint dir. nDocs/bucketSize rows (~24M at 10^11 docs) sit
+    // comfortably in executor storage; a double executor-loss between
+    // here and consumption fails the job and the caller retries —
+    // packing is deterministic.
+    val bktTotals = Checkpoints.ckptLocal(
+      bucketed.groupBy("_bkt").agg(sum(nTokCol).as("_tot"))
+        .withColumn("_sbkt", expr(s"_bkt DIV $bucketSize")))
     val superTotals = bktTotals.groupBy("_sbkt").agg(sum("_tot").as("_stot"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -81,8 +86,14 @@ object Packing {
         col("_base") + coalesce(sum(col(nTokCol)).over(w), lit(0L)))
       .select(col(idCol), col(nTokCol), col("tok_offset"),
         expr(s"tok_offset DIV $seqLen").as("seq_id"),
-        (expr(s"(tok_offset + `$nTokCol` - 1) DIV $seqLen")
-          - expr(s"tok_offset DIV $seqLen") + 1).as("n_seqs"))
+        // a ZERO-token doc spans zero sequences by definition; without
+        // the case, the `-1` trick makes its n_seqs position-dependent
+        // (0 exactly on a cut boundary, 1 otherwise) — inconsistent
+        // metadata any docs-per-sequence consumer would double-count.
+        // Mirrored in the t13 oracle SQL.
+        when(col(nTokCol) === 0, lit(0L))
+          .otherwise(expr(s"(tok_offset + `$nTokCol` - 1) DIV $seqLen")
+            - expr(s"tok_offset DIV $seqLen") + 1).as("n_seqs"))
   }
 
   /** Explode a [[tokenOffsets]] result into the per-(sequence, doc)
@@ -97,11 +108,20 @@ object Packing {
       idCol: String = "doc_id", nTokCol: String = "n_tokens"): DataFrame = {
     val s = col("seq")
     val start = greatest(col("tok_offset"), s * seqLen)
+    // seqLen is an INVISIBLE contract with the tokenOffsets call that
+    // produced `offsets` — a mismatch would emit mis-tiled rows with
+    // no error. seq_id is recomputable per row from tok_offset, so the
+    // guard rides the id column: the first row whose stored seq_id
+    // disagrees with THIS seqLen's arithmetic fails loudly.
+    val idChecked = coalesce(
+      when(col("seq_id") === expr(s"tok_offset DIV $seqLen"), col(idCol)),
+      raise_error(lit(s"Packing.sequenceManifest: seqLen=$seqLen does not " +
+        "match the seqLen the offsets were built with")))
     offsets.filter(col(nTokCol) > 0)
       .withColumn("seq",
         explode(sequence(col("seq_id"), col("seq_id") + col("n_seqs") - 1)))
       .select(
-        s.as("seq_id"), col(idCol),
+        s.as("seq_id"), idChecked.as(idCol),
         (start - s * seqLen).as("seq_start"),
         (least(col("tok_offset") + col(nTokCol), (s + 1) * seqLen) - start)
           .as("n_tok"))

@@ -391,6 +391,32 @@ class ExtSpec extends SparkSpec {
       if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("Packing.tokenOffsets")),
       s"expected a loud null failure, got: ${messages(err).mkString(" | ")}")
+    // NEGATIVE counts are poison too (they'd silently shift every
+    // later offset) — same loud failure
+    val neg = Seq((1L, 10L), (2L, -5L)).toDF("doc_id", "n_tokens")
+    val err2 = intercept[Exception] {
+      graft.ext.Packing.tokenOffsets(neg, seqLen = 100, bucketSize = 4).collect()
+    }
+    assert(messages(err2).exists(_.contains("negative")),
+      s"expected a loud negative failure, got: ${messages(err2).mkString(" | ")}")
+    // a ZERO-token doc spans zero sequences regardless of where it
+    // sits (the boundary case used to report 0, mid-sequence 1)
+    val zero = Seq((1L, 100L), (2L, 0L), (3L, 7L), (4L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val z = graft.ext.Packing.tokenOffsets(zero, seqLen = 100, bucketSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(z(2L) == 0L && z(4L) == 0L,
+      s"zero-token docs must span zero sequences: $z")
+    // sequenceManifest's seqLen must MATCH the offsets' — a mismatch
+    // fails loudly instead of emitting mis-tiled rows
+    val offs = graft.ext.Packing.tokenOffsets(
+      Seq((1L, 150L), (2L, 80L)).toDF("doc_id", "n_tokens"),
+      seqLen = 100, bucketSize = 4)
+    val err3 = intercept[Exception] {
+      graft.ext.Packing.sequenceManifest(offs, seqLen = 64).collect()
+    }
+    assert(messages(err3).exists(_.contains("does not")),
+      s"expected a loud seqLen mismatch, got: ${messages(err3).mkString(" | ")}")
   }
 
   test("sequenceManifest tiles every sequence exactly with no gaps or overlaps") {
