@@ -20,6 +20,18 @@ object ExtPipelines {
   private def deleteTempTree(root: java.nio.file.Path): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
 
+  /** Collision-resistant key for per-input-dir memoized artifact paths
+    * (x24b labels, x26b index, x29 CC, s17 index). String.hashCode is
+    * 32 bits: two distinct input dirs colliding onto one fixed /tmp
+    * path would make the second dir's BuildOnce memo silently reuse or
+    * overwrite the first dir's artifact — wrong served results, not a
+    * failure. An MD5 prefix (64 hex bits here) makes an accidental
+    * collision astronomically unlikely, and path-shape stays short. */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -156,7 +168,7 @@ object ExtPipelines {
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val path = x24bLabels(dir) {
       val p = sys.props("java.io.tmpdir") +
-        s"/graft_x24b_labels_${math.abs(dir.hashCode.toLong)}"
+        s"/graft_x24b_labels_${dirKey(dir)}"
       dedupClusters(spark, dir).write.mode("overwrite").parquet(p)
       p
     }
@@ -195,7 +207,7 @@ object ExtPipelines {
   def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
     val root = x29Store(dir) {
       val p = sys.props("java.io.tmpdir") +
-        s"/graft_x29_cc_${math.abs(dir.hashCode.toLong)}"
+        s"/graft_x29_cc_${dirKey(dir)}"
       import org.apache.spark.storage.StorageLevel
       val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir), n = 3,
         threshold = 0.5, maxShingleDf = Some(100))
@@ -377,7 +389,7 @@ object ExtPipelines {
     val batch = parts.filter(col("split") === "test")
     val path = x26bIndex(dir) {
       val p = sys.props("java.io.tmpdir") +
-        s"/graft_x26b_idx_${math.abs(dir.hashCode.toLong)}"
+        s"/graft_x26b_idx_${dirKey(dir)}"
       Dedup.saveMinhashIndex(standing, p)
       p
     }
@@ -389,7 +401,13 @@ object ExtPipelines {
         .foreach(f => f.persist(StorageLevel.MEMORY_AND_DISK).count())
       fs
     }
-    val admitted = Dedup.nearDupIngest(ib, ish, isz, batch)
+    // path-based serves must honor standing tombstones
+    // (deleteFromMinhashIndex): the streaming ingest loads them on
+    // every micro-batch, and a batch serve that skipped them would
+    // let deleted docs keep rejecting new batches — the one-line load
+    // is a no-op (None) until the first delete exists
+    val admitted = Dedup.nearDupIngest(ib, ish, isz, batch,
+      tombstones = Dedup.loadMinhashTombstones(spark, path))
     admitted
       .join(batch.filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), col("text")), "doc_id")
@@ -574,7 +592,7 @@ object ExtPipelines {
     val batch = parts.filter(col("split") === "test")
     val path = x26bIndex(dir) {
       val p = sys.props("java.io.tmpdir") +
-        s"/graft_x26b_idx_${math.abs(dir.hashCode.toLong)}"
+        s"/graft_x26b_idx_${dirKey(dir)}"
       Dedup.saveMinhashIndex(standing, p)
       p
     }
@@ -1436,7 +1454,7 @@ object ExtPipelines {
     val emb = Tables.embeddings(spark, dir)
     val path = s17Index(dir) {
       val p = sys.props("java.io.tmpdir") +
-        s"/graft_s17_idx_${math.abs(dir.hashCode.toLong)}"
+        s"/graft_s17_idx_${dirKey(dir)}"
       Similarity.saveIvfIndex(emb, p, nList = 8, nIters = 1)
       p
     }

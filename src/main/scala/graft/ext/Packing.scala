@@ -110,11 +110,21 @@ object Packing {
     val start = greatest(col("tok_offset"), s * seqLen)
     // seqLen is an INVISIBLE contract with the tokenOffsets call that
     // produced `offsets` — a mismatch would emit mis-tiled rows with
-    // no error. seq_id is recomputable per row from tok_offset, so the
-    // guard rides the id column: the first row whose stored seq_id
-    // disagrees with THIS seqLen's arithmetic fails loudly.
+    // no error. Both ends of the doc's span are recomputable per row,
+    // so the guard rides the id column and checks BOTH tiles: the
+    // first-tile check (seq_id = tok_offset DIV seqLen) alone is
+    // necessary but not sufficient — offsets built with seqLen=1024
+    // and served with seqLen=2048 pass it on every row whose offset
+    // sits below the first cut, yet a doc that crossed the original
+    // 1024 boundary (stored n_seqs=2) would emit a phantom second tile
+    // with negative n_tok. The last-tile check (the doc's final token
+    // must land in seq_id + n_seqs - 1 under THIS seqLen) catches
+    // exactly that shape; rows here all have n_tokens > 0, so the
+    // last-token arithmetic is total.
     val idChecked = coalesce(
-      when(col("seq_id") === expr(s"tok_offset DIV $seqLen"), col(idCol)),
+      when(col("seq_id") === expr(s"tok_offset DIV $seqLen") &&
+          expr(s"(tok_offset + `$nTokCol` - 1) DIV $seqLen") ===
+            col("seq_id") + col("n_seqs") - 1, col(idCol)),
       raise_error(lit(s"Packing.sequenceManifest: seqLen=$seqLen does not " +
         "match the seqLen the offsets were built with")))
     offsets.filter(col(nTokCol) > 0)

@@ -266,40 +266,51 @@ object Streaming {
         // batch and the delta write re-shingle the admitted subset
         val (bban, bsh, bsizes) = Dedup.minhashIndexFrames(
           batchDocs, n, numHashes, bands, rows)
-        // pin the delta-sized admitted id set once: the id write and
-        // the three delta-frame writes below must agree even though
-        // each triggers its own job (ckptLocal = 2-replica blocks, the
-        // non-recomputable-checkpoint discipline)
-        val admitted = Checkpoints.ckptLocal(
-          Dedup.nearDupIngestFromFrames(
-            withDeltas(sb, "bands"), withDeltas(ssh, "shingles"),
-            withDeltas(ssz, "sizes"), batchDocs.select(col("doc_id")),
-            bban, bsh, bsizes, threshold,
-            // standing tombstones (deleteFromMinhashIndex) strike
-            // deleted docs — standing AND previously-admitted delta
-            // docs — from the candidate set, so a streaming corpus
-            // honors deletions exactly like the batch path
-            tombstones = Dedup.loadMinhashTombstones(spark, indexPath)))
-        admitted
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        def admittedOnly(frame: DataFrame): DataFrame =
-          frame.join(admitted, Seq("doc_id"), "left_semi")
-        admittedOnly(bban).repartition(col("band"))
-          .write.mode("overwrite")
-          .partitionBy("band").parquet(s"$deltaPath/bands/batch=$batchId")
-        admittedOnly(bsh).withColumn("bucket", Dedup.idBucket(col("doc_id")))
-          .repartition(col("bucket")).write.mode("overwrite")
-          .partitionBy("bucket").parquet(s"$deltaPath/shingles/batch=$batchId")
-        admittedOnly(bsizes).withColumn("bucket", Dedup.idBucket(col("doc_id")))
-          .repartition(col("bucket")).write.mode("overwrite")
-          .partitionBy("bucket").parquet(s"$deltaPath/sizes/batch=$batchId")
-        bsh.unpersist()
-        // the per-batch checkpoint blocks are superseded the moment the
-        // four writes above commit — free them NOW instead of waiting
-        // for driver GC + ContextCleaner, which on a long-running
-        // stream would pool 2x-replicated blocks from dozens of batches
-        // in executor storage against the hot standing index
-        Checkpoints.free(admitted)
+        // the frees below must run on the FAILURE path too: a
+        // micro-batch that dies mid-write gets replayed, and each
+        // replay persists a fresh shingle frame plus 2x-replicated
+        // checkpoint blocks — without the finally, repeated transient
+        // failures pool exactly the executor-storage leak this sink
+        // otherwise avoids
+        var admitted: DataFrame = null
+        try {
+          // pin the delta-sized admitted id set once: the id write and
+          // the three delta-frame writes below must agree even though
+          // each triggers its own job (ckptLocal = 2-replica blocks, the
+          // non-recomputable-checkpoint discipline)
+          admitted = Checkpoints.ckptLocal(
+            Dedup.nearDupIngestFromFrames(
+              withDeltas(sb, "bands"), withDeltas(ssh, "shingles"),
+              withDeltas(ssz, "sizes"), batchDocs.select(col("doc_id")),
+              bban, bsh, bsizes, threshold,
+              // standing tombstones (deleteFromMinhashIndex) strike
+              // deleted docs — standing AND previously-admitted delta
+              // docs — from the candidate set, so a streaming corpus
+              // honors deletions exactly like the batch path
+              tombstones = Dedup.loadMinhashTombstones(spark, indexPath)))
+          admitted
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          def admittedOnly(frame: DataFrame): DataFrame =
+            frame.join(admitted, Seq("doc_id"), "left_semi")
+          admittedOnly(bban).repartition(col("band"))
+            .write.mode("overwrite")
+            .partitionBy("band").parquet(s"$deltaPath/bands/batch=$batchId")
+          admittedOnly(bsh).withColumn("bucket", Dedup.idBucket(col("doc_id")))
+            .repartition(col("bucket")).write.mode("overwrite")
+            .partitionBy("bucket").parquet(s"$deltaPath/shingles/batch=$batchId")
+          admittedOnly(bsizes).withColumn("bucket", Dedup.idBucket(col("doc_id")))
+            .repartition(col("bucket")).write.mode("overwrite")
+            .partitionBy("bucket").parquet(s"$deltaPath/sizes/batch=$batchId")
+        } finally {
+          bsh.unpersist()
+          // the per-batch checkpoint blocks are superseded the moment
+          // the four writes above commit (or the batch dies and will
+          // replay from source) — free them NOW instead of waiting for
+          // driver GC + ContextCleaner, which on a long-running stream
+          // would pool 2x-replicated blocks from dozens of batches in
+          // executor storage against the hot standing index
+          if (admitted != null) Checkpoints.free(admitted)
+        }
     }
   }
 

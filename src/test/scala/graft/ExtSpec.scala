@@ -417,6 +417,19 @@ class ExtSpec extends SparkSpec {
     }
     assert(messages(err3).exists(_.contains("does not")),
       s"expected a loud seqLen mismatch, got: ${messages(err3).mkString(" | ")}")
+    // the sneaky mismatch shape: every offset sits below the LARGER
+    // serve-time seqLen, so the first-tile check (seq_id = tok_offset
+    // DIV seqLen) passes on every row — only the last-tile check can
+    // see that doc 2 (offset 900, 300 tokens, stored n_seqs = 2 under
+    // seqLen = 1024) cannot span two sequences under seqLen = 2048
+    val offsSneaky = graft.ext.Packing.tokenOffsets(
+      Seq((1L, 900L), (2L, 300L)).toDF("doc_id", "n_tokens"),
+      seqLen = 1024, bucketSize = 4)
+    val err4 = intercept[Exception] {
+      graft.ext.Packing.sequenceManifest(offsSneaky, seqLen = 2048).collect()
+    }
+    assert(messages(err4).exists(_.contains("does not")),
+      s"expected a loud seqLen mismatch, got: ${messages(err4).mkString(" | ")}")
   }
 
   test("sequenceManifest tiles every sequence exactly with no gaps or overlaps") {
