@@ -388,30 +388,50 @@ object ScaleBench {
         if (factor == 1) -1.0
         else try {
           val idxBase = s"target/scale/mh_idx_$label"
-          if (!new java.io.File(s"$idxBase/_BUILT").exists()) {
+          val idxPath = s"$idxBase/idx"
+          // the manifest is the cache validity check too: a _BUILT
+          // marker over a pre-manifest (or older-constant) layout must
+          // not be measured as if it were current
+          val cached = new java.io.File(s"$idxBase/_BUILT").exists() &&
+            graft.ext.IndexLayout.readManifest(spark, idxPath).isDefined
+          if (!cached) {
+            org.apache.commons.io.FileUtils
+              .deleteQuietly(new java.io.File(idxBase))
+            // CORPUS-SIZED bucket count (the manifest sizing rule): a
+            // fixed count degrades the pruned fraction as the corpus
+            // grows past it — buckets ≈ nDocs / 2000 keeps a roughly
+            // constant docs-per-bucket slice, so the fraction a fixed
+            // candidate rate reads stays ≈ flat across tiers
+            val corpus = Tables.documents(spark, dir).select("doc_id", "text")
+            val nb = math.max(graft.ext.Dedup.MinhashIndexBuckets,
+              (corpus.count() / 2000L).toInt)
             val t = timeOnce(graft.ext.Dedup.saveMinhashIndex(
-              Tables.documents(spark, dir).select("doc_id", "text"),
-              s"$idxBase/idx"))
-            System.err.println(f"[scale] $label x26 index built in $t%.1fs")
+              corpus, idxPath, idBuckets = nb))
+            System.err.println(
+              f"[scale] $label x26 index built in $t%.1fs ($nb buckets)")
             new java.io.File(s"$idxBase/_BUILT").createNewFile()
           }
+          // bucket count FROM the manifest — the measurement reads the
+          // layout exactly the way a foreign maintenance binary must
+          val nb = graft.ext.Dedup
+            .minhashIndexParams(spark, idxPath)("buckets").toInt
           val candIds = Tables.documents(spark, dir)
             .select(col("doc_id").as("b_id"))
             .filter(col("b_id") % 9973 === 0).distinct()
           val buckets = candIds
-            .select(pmod(xxhash64(col("b_id")),
-              lit(graft.ext.Dedup.MinhashIndexBuckets)).cast("int").as("bk"))
+            .select(pmod(xxhash64(col("b_id")), lit(nb)).cast("int").as("bk"))
             .distinct().collect().map(_.getInt(0)).toSeq
           def dirBytes(f: java.io.File): Long =
             if (f.isFile) f.length
             else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
-          val shRoot = new java.io.File(s"$idxBase/idx/shingles")
+          // fresh build ⇒ the whole frame sits in generation 0
+          val shRoot = new java.io.File(s"$idxPath/shingles/g0")
           val all = dirBytes(shRoot)
           val sel = buckets
             .map(b => dirBytes(new java.io.File(shRoot, s"bucket=$b"))).sum
           val frac = if (all > 0) sel.toDouble / all else -1.0
           System.err.println(
-            f"[scale] $label x26 pruned read: ${buckets.length} of ${graft.ext.Dedup.MinhashIndexBuckets} buckets, $sel of $all bytes ($frac%.3f)")
+            f"[scale] $label x26 pruned read: ${buckets.length} of $nb buckets, $sel of $all bytes ($frac%.3f)")
           frac
         } catch { case e: Exception =>
           System.err.println(s"[scale] x26 read evidence failed at $label: $e")

@@ -199,6 +199,7 @@ object SparkEntry {
     "s15_stream_neardup_ingest" -> (ExtPipelines.streamNearDupIngest _),
     "s16_stream_ivf_ingest" -> (ExtPipelines.streamIvfIngest _),
     "s17_stream_ivf_serve" -> (ExtPipelines.streamIvfServe _),
+    "s18_stream_index_delete" -> (ExtPipelines.streamIndexDelete _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -849,6 +850,25 @@ object SparkEntry {
         |      FROM h)
         |SELECT CAST(count(*) AS BIGINT) AS n_batch,
         |       CAST(0 AS BIGINT) AS n_exact_admitted
+        |FROM b WHERE bucket >= 52428""".stripMargin,
+
+    // s18: streaming index takedown — the doomed ids arrive as three
+    // micro-batches of tombstones instead of one batch delete; the
+    // driver-checkable facts are x26d's verbatim (batch size by the
+    // md5-bucket rule; tombstoned serve ≡ rebuild over the survivors,
+    // exact because deletion strikes candidate b_ids, which is all the
+    // probe ever reads of a standing doc — regardless of how the
+    // deletes micro-batched)
+    "s18_stream_index_delete" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       TRUE AS identical
         |FROM b WHERE bucket >= 52428""".stripMargin,
 
     // x26b: the serving-only twin (load stored index + one batch

@@ -313,9 +313,12 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_idx")
     val path = tmpRoot.toString + "/idx"
     try {
-      Dedup.saveMinhashIndex(standing, path)
-      val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, path)
-      val fromIdx = Dedup.nearDupIngest(ib, ish, isz, batch)
+      // NON-default bucket count on purpose: the whole x26 family runs
+      // its correctness gate against an index whose bucket count exists
+      // only in the manifest — a verb that fell back to the compile-time
+      // default would mis-prune and fail the identity pins
+      Dedup.saveMinhashIndex(standing, path, idBuckets = 48)
+      val fromIdx = Dedup.nearDupIngestFromPath(spark, path, batch)
       val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
       val mem = Dedup.nearDupIngest(mb, msh, msz, batch)
       val identical =
@@ -390,7 +393,8 @@ object ExtPipelines {
     val path = x26bIndex(dir) {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_x26b_idx_${dirKey(dir)}"
-      Dedup.saveMinhashIndex(standing, p)
+      // non-default bucket count: see minhashIndexIngest
+      Dedup.saveMinhashIndex(standing, p, idBuckets = 48)
       p
     }
     x26bFrames.evict(_._1.sparkContext.isStopped)
@@ -407,7 +411,10 @@ object ExtPipelines {
     // let deleted docs keep rejecting new batches — the one-line load
     // is a no-op (None) until the first delete exists
     val admitted = Dedup.nearDupIngest(ib, ish, isz, batch,
-      tombstones = Dedup.loadMinhashTombstones(spark, path))
+      tombstones = Dedup.loadMinhashTombstones(spark, path),
+      // the memoized-frame serve must prune with the INDEX'S stored
+      // bucket count, not the compile-time default
+      idBuckets = Dedup.minhashIndexParams(spark, path)("buckets").toInt)
     admitted
       .join(batch.filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), col("text")), "doc_id")
@@ -442,22 +449,21 @@ object ExtPipelines {
       // incremental path: build on standing, ingest day 1, append its
       // admitted docs, ingest day 2 against the appended index
       val incPath = tmpRoot.toString + "/inc"
-      Dedup.saveMinhashIndex(standing, incPath)
-      val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, incPath)
-      val admitted1 = Dedup.nearDupIngest(b1, s1, z1, batch1)
+      // non-default bucket count: see minhashIndexIngest
+      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 48)
+      val admitted1 = Dedup.nearDupIngestFromPath(spark, incPath, batch1)
       // the append re-derives shingles/signatures from the text; a
       // delta-sized ckptLocal pins the admitted doc set so the three
       // appended frames agree even if the plan re-executes
       val admittedDocs1 = graft.ext.Checkpoints.ckptLocal(
         batch1.join(admitted1, Seq("doc_id"), "left_semi"))
       Dedup.appendToMinhashIndex(admittedDocs1, incPath)
-      val (b2, s2, z2) = Dedup.loadMinhashIndex(spark, incPath)
-      val incAdmitted2 = Dedup.nearDupIngest(b2, s2, z2, batch2)
+      val incAdmitted2 = Dedup.nearDupIngestFromPath(spark, incPath, batch2)
       // rebuild path: one full index over standing ∪ day-1-admitted
       val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(standing.unionByName(admittedDocs1), rbPath)
-      val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
-      val rbAdmitted2 = Dedup.nearDupIngest(rb, rs, rz, batch2)
+      Dedup.saveMinhashIndex(standing.unionByName(admittedDocs1), rbPath,
+        idBuckets = 48)
+      val rbAdmitted2 = Dedup.nearDupIngestFromPath(spark, rbPath, batch2)
       val identical = incAdmitted2.exceptAll(rbAdmitted2).isEmpty &&
         rbAdmitted2.exceptAll(incAdmitted2).isEmpty
       // driver-side local relation (the probes above are eager), so
@@ -493,20 +499,18 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_delete")
     try {
       val incPath = tmpRoot.toString + "/inc"
-      Dedup.saveMinhashIndex(standing, incPath)
+      // non-default bucket count: see minhashIndexIngest
+      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 48)
       Dedup.deleteFromMinhashIndex(doomed.select("doc_id"), incPath)
-      val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, incPath)
-      val tombAdmitted = Dedup.nearDupIngest(b1, s1, z1, batch,
-        tombstones = Dedup.loadMinhashTombstones(spark, incPath))
+      // the path serve honors standing tombstones automatically
+      val tombAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch)
       Dedup.compactMinhashTombstones(spark, incPath)
-      val (b2, s2, z2) = Dedup.loadMinhashIndex(spark, incPath)
-      // post-compaction the tombstone dir is gone — served bare
-      val compAdmitted = Dedup.nearDupIngest(b2, s2, z2, batch,
-        tombstones = Dedup.loadMinhashTombstones(spark, incPath))
+      // post-compaction the tombstones left the composition — served bare
+      val compAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch)
       val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath)
-      val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
-      val rbAdmitted = Dedup.nearDupIngest(rb, rs, rz, batch)
+      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath,
+        idBuckets = 48)
+      val rbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch)
       def eq(a: DataFrame, b: DataFrame): Boolean =
         a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
       val identical =
@@ -554,11 +558,13 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_refresh")
     try {
       val incPath = tmpRoot.toString + "/inc"
-      Dedup.saveMinhashIndex(oldSnap, incPath)
+      // non-default bucket count: see minhashIndexIngest
+      Dedup.saveMinhashIndex(oldSnap, incPath, idBuckets = 48)
       Dedup.refreshMinhashIndex(spark, incPath,
         removedIds.unionByName(updatedIds), admittedDocs)
       val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(nextSnapshot(spark, dir), rbPath)
+      Dedup.saveMinhashIndex(nextSnapshot(spark, dir), rbPath,
+        idBuckets = 48)
       val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, incPath)
       val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
       def eq(a: DataFrame, b: DataFrame): Boolean =
@@ -593,7 +599,10 @@ object ExtPipelines {
     val path = x26bIndex(dir) {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_x26b_idx_${dirKey(dir)}"
-      Dedup.saveMinhashIndex(standing, p)
+      // non-default bucket count: see minhashIndexIngest (shared memo
+      // with the x26b serve — the stream reads every layout parameter
+      // back from the manifest)
+      Dedup.saveMinhashIndex(standing, p, idBuckets = 48)
       p
     }
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s15")
@@ -613,6 +622,53 @@ object ExtPipelines {
       // driver-side local relation: the sink dirs are deleted below, so
       // nothing lazy may still read them
       Seq((batch.count(), nExact)).toDF("n_batch", "n_exact_admitted")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** s18: STREAMING index TAKEDOWN — x26d's removal discipline with
+    * the deletes arriving as a real stream
+    * ([[graft.streaming.Streaming.minhashDeleteStream]]): the doomed
+    * md5-bucket range [39321, 52428) streams in as three files → three
+    * micro-batches of tombstones (each landing exactly once in its own
+    * `batch_id=N` dir), and the test split then ingests against the
+    * takedown-streamed index. The identity pin is x26d's verbatim:
+    * the tombstoned serve must equal a FULL REBUILD over
+    * standing∖doomed — streaming the deletes changes nothing about
+    * what deletion means. Completes the streaming CRUD symmetry
+    * (ingest s15/s16, serve s17, delete here); kill/resume
+    * exactly-once is pinned by StreamingSpec. Emits `n_batch` (oracle
+    * recomputes the md5-bucket rule) and `identical` (TRUE). */
+  def streamIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bk = graft.ext.DataSplit.bucket(col("doc_id"))
+    val standing = docs.filter(bk < 52428)
+    val doomed = docs.filter(bk >= 39321 && bk < 52428)
+    val batch = docs.filter(bk >= 52428)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s18")
+    try {
+      val incPath = tmpRoot.toString + "/idx"
+      // non-default bucket count: see minhashIndexIngest
+      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 48)
+      val in = tmpRoot.toString + "/in"
+      doomed.select("doc_id").repartition(3).write.parquet(in)
+      val src = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.Streaming.minhashDeleteStream(
+        src, incPath, tmpRoot.toString + "/ck")
+      q.awaitTermination()
+      // the path serve honors the streamed tombstones automatically
+      val tombAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath,
+        idBuckets = 48)
+      val rbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch)
+      val identical = tombAdmitted.exceptAll(rbAdmitted).isEmpty &&
+        rbAdmitted.exceptAll(tombAdmitted).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((batch.count(), identical)).toDF("n_batch", "identical")
     } finally deleteTempTree(tmpRoot)
   }
 
@@ -1295,10 +1351,8 @@ object ExtPipelines {
       // rebuild twin: SAME stored quantizer, lists re-assigned over the
       // full union in one pass — the form the append must be equal to
       val rbPath = tmpRoot.toString + "/rebuild"
-      val cent = spark.read.parquet(s"$incPath/centroids")
-      cent.write.parquet(s"$rbPath/centroids")
-      Similarity.ivfAssign(standing.unionByName(batch), cent)
-        .write.partitionBy("list_id").parquet(s"$rbPath/lists")
+      Similarity.saveIvfIndexWithCentroids(standing.unionByName(batch),
+        Similarity.loadIvfCentroids(spark, incPath), rbPath)
       val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
       val identical = fromAppended.exceptAll(fromRebuild).isEmpty &&
@@ -1347,10 +1401,8 @@ object ExtPipelines {
       // rebuild twin: SAME stored quantizer, lists re-assigned over the
       // surviving vectors in one pass
       val rbPath = tmpRoot.toString + "/rebuild"
-      val cent = spark.read.parquet(s"$incPath/centroids")
-      cent.write.parquet(s"$rbPath/centroids")
-      Similarity.ivfAssign(standing.filter(b < 39321), cent)
-        .write.partitionBy("list_id").parquet(s"$rbPath/lists")
+      Similarity.saveIvfIndexWithCentroids(standing.filter(b < 39321),
+        Similarity.loadIvfCentroids(spark, incPath), rbPath)
       val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
       val identical =

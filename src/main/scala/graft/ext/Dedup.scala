@@ -426,6 +426,10 @@ object Dedup {
     (banded, sh, sizes)
   }
 
+  /** The manifest format tag of a persisted MinHash-LSH index
+    * ([[graft.ext.IndexLayout]]). */
+  val MinhashIndexFormat = "graft-minhash-index"
+
   /** x26 — persist a MinHash-LSH index: `<path>/bands` PARTITIONED BY
     * band (a probe's equi-join key prefix, so a band-sliced read plan
     * prunes), `<path>/shingles`, `<path>/sizes`. This is the dedup
@@ -433,27 +437,59 @@ object Dedup {
     * signed ONCE, and every later ingest batch probes the stored
     * frames without re-shingling 100 TB — the daily-regime shape where
     * the corpus-scale work amortizes to storage and each batch costs
-    * O(batch) plus index-join reads. */
+    * O(batch) plus index-join reads.
+    *
+    * Every LAYOUT-DEFINING parameter — `idBuckets` (sized per corpus:
+    * see [[MinhashIndexBuckets]] for the sizing rule), the MinHash
+    * family sizes (`numHashes`, `bands`, `rows`), the shingle width
+    * `n` — is stored in the index's `_manifest.json`
+    * ([[graft.ext.IndexLayout]]): every later append/delete/compact/
+    * serve verb reads the parameters BACK from the manifest instead of
+    * trusting its caller, so an index built by one binary and
+    * maintained by another cannot silently mis-bucket appends or sign
+    * probes with a different family. REPLACES any existing index at
+    * `path` entirely (a rebuild that kept stale generations — or stale
+    * tombstones, which would shadow rebuilt docs — would be wrong). */
   def saveMinhashIndex(corpus: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+      textCol: String = "text", idCol: String = "doc_id",
+      idBuckets: Int = MinhashIndexBuckets): Unit = {
+    val spark = corpus.sparkSession
+    IndexFs.delete(spark, path)
     val (banded, sh, sizes) =
       minhashIndexFrames(corpus, n, numHashes, bands, rows, textCol, idCol)
-    banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    banded.write.partitionBy("band")
+      .parquet(IndexLayout.genRoot(path, "bands", 0))
     // repartition ON the partition column before the partitioned write:
     // without it every write task emits a file into every bucket
-    // directory (tasks × 64 small files — slow commits now, slow
+    // directory (tasks × idBuckets small files — slow commits now, slow
     // listings forever); with it each bucket is a handful of files and
     // the one extra shuffle is a one-time build cost the read path
     // repays on every batch
-    sh.withColumn("bucket", idBucket(col(idCol)))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/shingles")
-    sizes.withColumn("bucket", idBucket(col(idCol)))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/sizes")
+    val shB = sh.withColumn("bucket", idBucket(col(idCol), idBuckets))
+    shB.repartition(col("bucket")).write.partitionBy("bucket")
+      .parquet(IndexLayout.genRoot(path, "shingles", 0))
+    val szB = sizes.withColumn("bucket", idBucket(col(idCol), idBuckets))
+    szB.repartition(col("bucket")).write.partitionBy("bucket")
+      .parquet(IndexLayout.genRoot(path, "sizes", 0))
     sh.unpersist()
+    IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
+      MinhashIndexFormat,
+      Map("buckets" -> idBuckets.toString, "n" -> n.toString,
+        "numHashes" -> numHashes.toString, "bands" -> bands.toString,
+        "rows" -> rows.toString),
+      Map("bands" -> banded.schema, "shingles" -> shB.schema,
+        "sizes" -> szB.schema,
+        "tombstones" -> org.apache.spark.sql.types.StructType(
+          Seq(banded.schema(idCol))))))
   }
+
+  /** The stored layout parameters of a [[saveMinhashIndex]] index —
+    * what a serve over pre-loaded frames must agree with
+    * ([[nearDupIngestFromPath]] threads them automatically). */
+  def minhashIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] =
+    IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
 
   /** Append an ADMITTED batch into an existing [[saveMinhashIndex]]
     * layout — the maintenance half of the persisted index's daily
@@ -481,6 +517,13 @@ object Dedup {
     * tasks × 8): a daily append must not shed hundreds of small files
     * into directories that are listed on every later probe.
     *
+    * Every layout parameter — shingle width, hash family, bucket count
+    * — comes FROM the index's manifest, never from the caller: a
+    * binary built with different constants cannot mis-sign or
+    * mis-bucket the appended rows. Appends are ADDITIVE into each
+    * frame's open generation root, so concurrent readers are never
+    * torn (they just don't see the new files until they re-plan).
+    *
     * Durability note: `mode("append")`'s job commit is not atomic — a
     * KILLED append can leave a partial batch in place, and re-running
     * it would duplicate the committed part. A scheduled batch pipeline
@@ -489,19 +532,21 @@ object Dedup {
     * ([[graft.streaming.Streaming]]'s near-dup ingest) instead writes
     * per-batch DELTA directories with overwrite, which makes replays
     * idempotent. */
-  def appendToMinhashIndex(admitted: DataFrame, path: String, n: Int = 3,
-      numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+  def appendToMinhashIndex(admitted: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    val (banded, sh, sizes) =
-      minhashIndexFrames(admitted, n, numHashes, bands, rows, textCol, idCol)
-    banded.repartition(col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-    sh.withColumn("bucket", idBucket(col(idCol)))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/shingles")
-    sizes.withColumn("bucket", idBucket(col(idCol)))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/sizes")
+    val spark = admitted.sparkSession
+    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+    val buckets = IndexLayout.intParam(m, path, "buckets")
+    val (banded, sh, sizes) = minhashIndexFrames(admitted,
+      IndexLayout.intParam(m, path, "n"),
+      IndexLayout.intParam(m, path, "numHashes"),
+      IndexLayout.intParam(m, path, "bands"),
+      IndexLayout.intParam(m, path, "rows"), textCol, idCol)
+    IndexLayout.appendToFrame(spark, path, m, "bands", banded, Some("band"))
+    IndexLayout.appendToFrame(spark, path, m, "shingles",
+      sh.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
+    IndexLayout.appendToFrame(spark, path, m, "sizes",
+      sizes.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
     sh.unpersist()
   }
 
@@ -528,18 +573,19 @@ object Dedup {
     * against a restored index. */
   def compactMinhashDeltas(spark: org.apache.spark.sql.SparkSession,
       deltaPath: String, path: String): Unit = {
+    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
     def delta(name: String): Option[DataFrame] = {
       val d = s"$deltaPath/$name"
       if (IndexFs.hasParquetData(spark, d))
         Some(spark.read.parquet(d).drop("batch"))
       else None
     }
-    delta("bands").foreach(_.repartition(col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands"))
-    delta("shingles").foreach(_.repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/shingles"))
-    delta("sizes").foreach(_.repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/sizes"))
+    delta("bands").foreach(
+      IndexLayout.appendToFrame(spark, path, m, "bands", _, Some("band")))
+    delta("shingles").foreach(
+      IndexLayout.appendToFrame(spark, path, m, "shingles", _, Some("bucket")))
+    delta("sizes").foreach(
+      IndexLayout.appendToFrame(spark, path, m, "sizes", _, Some("bucket")))
     Seq("bands", "shingles", "sizes").foreach(name =>
       IndexFs.delete(spark, s"$deltaPath/$name"))
   }
@@ -565,24 +611,23 @@ object Dedup {
     * systems). Repeated deletes of one id just accumulate harmless
     * duplicate tombstone rows until compaction clears them. */
   def deleteFromMinhashIndex(ids: DataFrame, path: String,
-      idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol)).distinct()
-      .withColumn("bucket", idBucket(col(idCol)))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/tombstones")
+      idCol: String = "doc_id"): Unit = {
+    val spark = ids.sparkSession
+    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+    IndexLayout.appendTombstones(spark, path, m, ids, idCol)
+  }
 
   /** The standing tombstone ids of a [[saveMinhashIndex]] index, if
     * any ([[deleteFromMinhashIndex]] wrote some since the last
-    * [[compactMinhashTombstones]]). None when the dir is absent or
-    * holds no parquet footers (the [[IndexFs.hasParquetData]] rule: an
-    * all-distinct delete of zero ids leaves a footer-less dir).
+    * [[compactMinhashTombstones]]). None when no tombstone directory
+    * of the manifest composition holds committed parquet footers.
     * Resolved through the path's own FileSystem ([[IndexFs]]), so an
     * hdfs:/s3a: index honors its tombstones exactly like a local
     * one. */
   def loadMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "doc_id"): Option[DataFrame] =
-    IndexFs.loadTombstones(spark, path, idCol)
+    IndexLayout.loadTombstones(spark, path,
+      IndexLayout.requireManifest(spark, path, MinhashIndexFormat), idCol)
 
   /** Physically remove tombstoned docs from a [[saveMinhashIndex]]
     * layout and clear the tombstones — the scheduled compaction that
@@ -590,65 +635,53 @@ object Dedup {
     * Cost is PRUNED where the layout allows it:
     *  - `shingles`/`sizes` are bucket-partitioned by [[idBucket]], and
     *    tombstoned ids name their buckets — only AFFECTED buckets
-    *    (≤ [[MinhashIndexBuckets]], a literal partition filter) are
-    *    read, anti-joined, and swapped; untouched buckets are never
-    *    read or listed.
+    *    (≤ the manifest's `buckets`, a literal partition filter) are
+    *    read, anti-joined, and rewritten into the next generation;
+    *    untouched buckets are never read, listed, or moved.
     *  - `bands` has no id-derived partitioning (a doc's rows land in
     *    every `band=` dir), so it is rewritten whole — the one
     *    O(corpus) term, on the SMALLEST frame (a fixed `bands`
     *    rows/doc of (id, band, sig) vs the shingle frame's ~|tokens|
     *    string rows), amortized across every delete since the last
     *    compaction.
-    * Survivors are written to a temp dir first, then swapped in
-    * driver-side — Spark refuses to overwrite a path it is reading,
-    * and a same-path dynamic partition overwrite would anyway leave
-    * stale files in any bucket whose rows were ALL deleted. The swap
-    * is not atomic (same contract as [[appendToMinhashIndex]]): run
-    * from the single-writer maintenance window, and re-run against a
-    * restored index if killed mid-swap. The window excludes concurrent
-    * READERS of the affected partitions too — a serve (or streaming
-    * serve) that listed files before a swap can hit files that vanish
-    * mid-execution; this layout trades online compaction for
-    * simplicity (merge-on-read tombstones ARE the online path —
-    * deletion is already served before any compaction runs), so stop
-    * serving, compact, resume. */
+    * Readers stay LIVE throughout ([[graft.ext.IndexLayout]]'s
+    * generation discipline): survivors are staged into generation
+    * dirs nothing references yet, then ONE atomic manifest flip
+    * replaces the composition of all three frames and clears the
+    * tombstones together — a concurrent serve (batch or streaming
+    * micro-batch) reads exactly the pre- or post-compaction index,
+    * never a torn mix, and merge-on-read tombstones mean the deletion
+    * itself was already served before the compaction ran. The
+    * directories a flip retires are physically deleted only at the
+    * START of the next compaction, so a serve holding the old
+    * manifest keeps its files for one full compaction interval (the
+    * grace contract). Kill-safety: a compaction killed before its
+    * flip leaves the manifest unchanged and only orphaned staging
+    * dirs, which the re-run overwrites — single MAINTENANCE writer at
+    * a time, any number of readers. */
   def compactMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "doc_id"): Unit = {
-    loadMinhashTombstones(spark, path, idCol).foreach { tombRaw =>
-      // the tombstone set feeds two anti-joins and a bucket-list
-      // aggregate; delta-sized, so one ckptLocal pins it for all three
+    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+    IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
+      IndexLayout.dropRetired(spark, path, m)
+      // the tombstone set feeds three anti-joins and a bucket-list
+      // aggregate; delta-sized, so one ckptLocal pins it for all four
       val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
-      val affected = tomb.select(idBucket(col(idCol)).as("bk")).distinct()
-        .collect().map(_.getInt(0)).toSeq // ≤ 64 rows: bounded driver action
-      // staging lives UNDER the index path (hidden, so Spark's reader
-      // and hasParquetData both skip it): survivors must land on the
-      // SAME FileSystem as the index for the swap renames to work at
-      // all — a driver-local temp dir would strand executor writes on
-      // a real cluster. All file ops go through [[IndexFs]] (the
-      // path's own FileSystem), so hdfs:/s3a: indexes compact exactly
-      // like local ones. A leftover from a killed compaction is
-      // cleared up front (single-writer contract).
-      val tmp = s"$path/.compact_tmp"
-      IndexFs.delete(spark, tmp)
-      // rewrite + swap + wipe-out anchor discipline shared with the
-      // IVF compaction — one [[IndexFs.compactPartitions]] per
-      // bucket-partitioned frame (a fully-deleted bucket's dir ends
-      // GONE; a frame that lost EVERY row keeps one empty
-      // schema-anchor file so the layout stays readable)
-      try {
-        IndexFs.compactPartitions(spark, s"$path/shingles",
-          s"$tmp/shingles", "bucket", affected, tomb, idCol)
-        IndexFs.compactPartitions(spark, s"$path/sizes",
-          s"$tmp/sizes", "bucket", affected, tomb, idCol)
-        val bandsShape = spark.read.parquet(s"$path/bands")
-        bandsShape
-          .join(tomb, Seq(idCol), "left_anti")
-          .repartition(col("band"))
-          .write.partitionBy("band").parquet(s"$tmp/bands")
-        IndexFs.move(spark, s"$tmp/bands", s"$path/bands")
-        IndexFs.anchorIfEmpty(spark, s"$path/bands", "band", bandsShape)
-        IndexFs.delete(spark, s"$path/tombstones")
-      } finally IndexFs.delete(spark, tmp)
+      val buckets = IndexLayout.intParam(m, path, "buckets")
+      val affected = tomb.select(idBucket(col(idCol), buckets).as("bk"))
+        .distinct()
+        .collect().map(_.getInt(0)).toSeq // ≤ buckets rows: bounded action
+      val newGen = IndexLayout.intParam(m, path, "gen") + 1
+      val staged = Map(
+        "shingles" -> IndexLayout.stageCompactFrame(spark, path, m,
+          "shingles", "bucket", affected, tomb, idCol, newGen),
+        "sizes" -> IndexLayout.stageCompactFrame(spark, path, m,
+          "sizes", "bucket", affected, tomb, idCol, newGen),
+        "bands" -> IndexLayout.stageRewriteFrame(spark, path, m,
+          "bands", "band", tomb, idCol, newGen),
+        "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
+      IndexLayout.flip(spark, path, m, newGen, staged)
+      Checkpoints.free(tomb)
     }
   }
 
@@ -678,33 +711,41 @@ object Dedup {
     * alone and let serving honor the tombstones merge-on-read. */
   def refreshMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deletedIds: DataFrame, admittedDocs: DataFrame,
-      n: Int = 3, numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     deleteFromMinhashIndex(deletedIds, path, idCol)
     compactMinhashTombstones(spark, path, idCol)
-    appendToMinhashIndex(admittedDocs, path, n, numHashes, bands, rows,
-      textCol, idCol)
+    appendToMinhashIndex(admittedDocs, path, textCol, idCol)
   }
 
-  /** Doc-id bucket count for the stored shingle/size frames of a
-    * [[saveMinhashIndex]] index. The directory layout is the point: a
-    * probe's candidate-id set maps to candidate BUCKETS, whose ≤64-int
-    * list becomes a literal partition filter on the scan — each ingest
-    * batch READS only the buckets its candidates live in
-    * (≤ |candidates| of the 64, typically a handful), never the whole
-    * corpus-scale frame. This is the v12 IVF-index pattern applied to
-    * the dedup index, and at 100 TB it is the difference between an
-    * O(candidates) read and an O(corpus) scan per daily batch. 64
-    * buckets ≈ 1.6 TB/bucket at 100 TB of shingles — small enough
-    * that pruning bites, large enough that a bucket is still a
-    * multi-file parallel read. */
+  /** DEFAULT doc-id bucket count for the stored shingle/size frames of
+    * a [[saveMinhashIndex]] index — a per-index BUILD PARAMETER stored
+    * in the manifest, not a constant every binary must share. The
+    * directory layout is the point: a probe's candidate-id set maps to
+    * candidate BUCKETS, whose bounded int list becomes a literal
+    * partition filter on the scan — each ingest batch READS only the
+    * buckets its candidates live in, never the whole corpus-scale
+    * frame.
+    *
+    * SIZING RULE — buckets grow with the corpus: the pruned-read
+    * fraction of a probe is ≈ |candidate buckets| / buckets, and with
+    * a FIXED count a fixed-size batch's candidates eventually touch
+    * most buckets (measured in BENCH_SCALE.md: 0.094 → 0.53 at 100×
+    * under a constant 64). Size so a bucket holds a bounded slice of
+    * the shingle frame (≈ 0.5–2 GB of shingles per bucket at build
+    * time; equivalently buckets ≈ nDocs / docsPerBucket with
+    * docsPerBucket a few thousand) — pruning then stays at a roughly
+    * constant fraction as the corpus grows, and a bucket remains a
+    * multi-file parallel read. The count is written to the manifest at
+    * build time and every later verb reads it back, so resizing is a
+    * rebuild decision, never a silent mismatch. */
   val MinhashIndexBuckets = 64
 
-  /** The bucket of a doc id — computed identically at index-write time
-    * and at probe time (both sides derive it from the id value, so no
-    * metadata handshake is needed between the two). */
-  private[graft] def idBucket(id: Column): Column =
-    pmod(xxhash64(id), lit(MinhashIndexBuckets)).cast("int")
+  /** The bucket of a doc id under a given bucket count — computed
+    * identically at index-write time and at probe time. Both sides
+    * must use the INDEX'S stored count ([[minhashIndexParams]]): the
+    * path-based verbs thread it from the manifest automatically. */
+  private[graft] def idBucket(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id), lit(buckets)).cast("int")
 
   /** Candidate-id sets at or below this many distinct ids take the
     * broadcast semi-join (and, against bucket-partitioned stored
@@ -716,12 +757,41 @@ object Dedup {
     * under an unconditional hint. 2M ids ≈ tens of MB broadcast. */
   val MaxBroadcastCandidateIds = 2000000L
 
-  /** Load a [[saveMinhashIndex]] index's three frames. */
+  /** Load a [[saveMinhashIndex]] index's three frames — each the
+    * manifest-composed union of its generation directories
+    * ([[graft.ext.IndexLayout.readFrame]]), so a load taken before a
+    * concurrent compaction's flip keeps serving the pre-compaction
+    * index consistently. A serve over these frames must use the SAME
+    * stored parameters ([[minhashIndexParams]]) — or use
+    * [[nearDupIngestFromPath]], which threads them automatically. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/shingles"),
-      spark.read.parquet(s"$path/sizes"))
+      path: String): (DataFrame, DataFrame, DataFrame) = {
+    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+    (IndexLayout.readFrame(spark, path, m, "bands"),
+      IndexLayout.readFrame(spark, path, m, "shingles"),
+      IndexLayout.readFrame(spark, path, m, "sizes"))
+  }
+
+  /** Near-dup ingest against a PERSISTED [[saveMinhashIndex]] index by
+    * path — the safe serve entry point: shingle width, hash family,
+    * bucket count all come from the index's manifest (a caller cannot
+    * sign probes with a different family than the stored rows), and
+    * standing tombstones are honored automatically. `threshold` stays
+    * a serve-time choice (it gates the exact-Jaccard verify, not the
+    * stored layout). */
+  def nearDupIngestFromPath(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+    val (sb, ssh, ssz) = loadMinhashIndex(spark, path)
+    nearDupIngest(sb, ssh, ssz, batch,
+      IndexLayout.intParam(m, path, "n"), threshold,
+      IndexLayout.intParam(m, path, "numHashes"),
+      IndexLayout.intParam(m, path, "bands"),
+      IndexLayout.intParam(m, path, "rows"), textCol, idCol,
+      tombstones = IndexLayout.loadTombstones(spark, path, m, idCol),
+      idBuckets = IndexLayout.intParam(m, path, "buckets"))
+  }
 
   /** Near-dup ingest against a standing corpus's MinHash index frames
     * (in-memory from [[minhashIndexFrames]] or loaded from a
@@ -780,12 +850,13 @@ object Dedup {
       threshold: Double = 0.5, numHashes: Int = 16, bands: Int = 8,
       rows: Int = 2, textCol: String = "text",
       idCol: String = "doc_id",
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      idBuckets: Int = MinhashIndexBuckets): DataFrame = {
     val (bban, bsh, bsizes) =
       minhashIndexFrames(batch, n, numHashes, bands, rows, textCol, idCol)
     val admitted = nearDupIngestFromFrames(standingBands, standingShingles,
       standingSizes, batch.select(col(idCol)), bban, bsh, bsizes,
-      threshold, idCol, tombstones)
+      threshold, idCol, tombstones, idBuckets)
     bsh.unpersist()
     admitted
   }
@@ -803,7 +874,8 @@ object Dedup {
       batchIds: DataFrame, bban: DataFrame, bsh: DataFrame,
       bsizes: DataFrame, threshold: Double = 0.5,
       idCol: String = "doc_id",
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      idBuckets: Int = MinhashIndexBuckets): DataFrame = {
     def jacc(inter: DataFrame, aSz: DataFrame, bSz: DataFrame) = inter
       .join(aSz, "a_id").join(bSz, "b_id")
       .filter(col("i").cast("double") /
@@ -860,7 +932,7 @@ object Dedup {
     val (nCand, candBuckets) =
       if (hasBuckets) {
         val perBucket = candIds
-          .groupBy(idBucket(col("b_id")).as("bk"))
+          .groupBy(idBucket(col("b_id"), idBuckets).as("bk"))
           .agg(count(lit(1)).as("n")).collect()
         (perBucket.map(_.getLong(1)).sum, perBucket.map(_.getInt(0)).toSeq)
       } else (candIds.count(), Seq.empty[Int])

@@ -1,0 +1,389 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** The MANIFEST + GENERATION layout shared by both persisted-index
+  * families (MinHash `ext/Dedup.scala`, IVF `ext/Similarity.scala`).
+  *
+  * Why a manifest at all: an index layout written by one binary and
+  * maintained by another used to share its build parameters (bucket
+  * count, hash-family sizes) as COMPILE-TIME constants — a mismatch
+  * would mis-bucket appends or sign probes differently with no error,
+  * and the bucket count could not be sized per corpus because it was
+  * not a stored build parameter. `_manifest.json` under the index path
+  * now carries every layout-defining parameter plus each frame's
+  * schema; every maintenance verb reads it back (and fails LOUDLY on a
+  * missing/foreign manifest), so the parameters travel with the data.
+  *
+  * Why generations: the old in-place compaction swapped partition
+  * directories underneath any concurrent reader — correct only inside
+  * an exclusive maintenance window. Here data directories are
+  * IMMUTABLE-OR-GROW (never shrunk in place): a frame is the union of
+  * the directories its manifest entry lists, appends add files to the
+  * frame's single OPEN generation root (additive — a reader that
+  * listed files earlier simply doesn't see the new ones), and a
+  * compaction stages rewritten partitions into the NEXT generation,
+  * then replaces the whole composition in ONE atomic manifest flip.
+  * A reader therefore sees exactly the pre-compaction or the
+  * post-compaction index, never a torn mix — serves stay lock-free
+  * during compaction. Directories retired by a flip are physically
+  * deleted only at the START of the NEXT compaction (one full
+  * compaction interval of grace), so a serve that resolved the old
+  * manifest keeps its files; the documented liveness contract is that
+  * no serve outlives a compaction interval.
+  *
+  * Emptiness is a MANIFEST state, not a path shape: each frame's
+  * schema is stored as DDL, so a frame whose directories hold no
+  * committed parquet footers (never written, or fully compacted away)
+  * reads back as an empty frame with the right schema — no magic
+  * schema-anchor files, no `partCol=0` lore.
+  *
+  * Concurrency contract: ONE maintenance writer at a time (append /
+  * delete / compact / refresh), any number of concurrent readers.
+  * The manifest flip is a FileContext OVERWRITE rename — atomic on
+  * HDFS and local filesystems; on S3A it degrades to copy+delete with
+  * a sub-second window, the standard caveat of every rename-based
+  * commit on object stores. */
+private[graft] object IndexLayout {
+
+  val ManifestFile = "_manifest.json"
+
+  /** Bumped when the layout shape itself changes incompatibly; a
+    * manifest written by NEWER code fails loudly instead of being
+    * misread. */
+  val SchemaVersion = 1
+
+  // ---------------------------------------------------------------
+  // manifest io
+  // ---------------------------------------------------------------
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Write the manifest ATOMICALLY: serialize to a hidden temp file,
+    * then OVERWRITE-rename onto `_manifest.json`. Readers see the old
+    * manifest or the new one, never a partial file and never a window
+    * with no manifest at all. */
+  def writeManifest(spark: SparkSession, path: String,
+      kv: Map[String, String]): Unit = {
+    val f = IndexFs.fs(spark, path)
+    f.mkdirs(new Path(path))
+    val tmp = new Path(s"$path/.${ManifestFile}.tmp")
+    val dst = new Path(s"$path/$ManifestFile")
+    val sorted = new java.util.TreeMap[String, String]()
+    kv.foreach { case (k, v) => sorted.put(k, v) }
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(sorted)
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(new Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  def readManifest(spark: SparkSession, path: String)
+      : Option[Map[String, String]] = {
+    val f = IndexFs.fs(spark, path)
+    val p = new Path(s"$path/$ManifestFile")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toByteArray
+      } finally in.close()
+      val m = mapper.readValue(bytes, classOf[java.util.Map[String, String]])
+      val b = Map.newBuilder[String, String]
+      m.forEach((k, v) => b += (k -> v))
+      Some(b.result())
+    }
+  }
+
+  /** The manifest of an index that MUST exist and be of `format` — the
+    * gate every maintenance verb and path-based serve passes through.
+    * Loud failures, each naming the path: no manifest (not an index
+    * built by this layer, or a pre-manifest layout needing a rebuild),
+    * foreign format (an IVF verb pointed at a MinHash index), or a
+    * schemaVersion from newer code. */
+  def requireManifest(spark: SparkSession, path: String,
+      format: String): Map[String, String] = {
+    val m = readManifest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no $ManifestFile: not a persisted index of this layout " +
+        "(or a pre-manifest layout — rebuild it with the save verb)"))
+    val got = m.getOrElse("format", "<missing>")
+    if (got != format) throw new IllegalStateException(
+      s"$path is a '$got' index, not '$format': refusing to maintain/serve it")
+    val v = m.getOrElse("schemaVersion", "<missing>")
+    if (v.toInt > SchemaVersion) throw new IllegalStateException(
+      s"$path was written by newer code (layout schemaVersion $v > " +
+        s"$SchemaVersion): refusing to misread it")
+    m
+  }
+
+  /** Typed accessor for a layout parameter every verb must agree on —
+    * absence is loud (a hand-edited or truncated manifest must not
+    * default silently). */
+  def param(m: Map[String, String], path: String, key: String): String =
+    m.getOrElse(key, throw new IllegalStateException(
+      s"$path/$ManifestFile is missing layout parameter '$key'"))
+
+  def intParam(m: Map[String, String], path: String, key: String): Int =
+    param(m, path, key).toInt
+
+  // ---------------------------------------------------------------
+  // frame composition
+  // ---------------------------------------------------------------
+
+  private def joinEntries(es: Seq[String]): String = es.mkString(",")
+  def frameEntries(m: Map[String, String], name: String): Seq[String] =
+    m.getOrElse(s"frames.$name", "").split(",").filter(_.nonEmpty).toSeq
+
+  /** The single OPEN generation root of a frame — the LAST composition
+    * entry by convention, always a whole `name/gN` directory. Appends
+    * land here, in place (additive, reader-safe). */
+  def openRoot(m: Map[String, String], name: String): String = {
+    val es = frameEntries(m, name)
+    require(es.nonEmpty && es.last.split("/").length == 2,
+      s"frame '$name' has no open generation root in ${es.mkString(",")}")
+    es.last
+  }
+
+  def frameSchema(m: Map[String, String], name: String): StructType =
+    StructType.fromDDL(m(s"schema.$name"))
+
+  /** The manifest for a FRESH index: generation 0, one open root per
+    * frame, no retired dirs. The caller has already written the g0
+    * data dirs (or not — a frame may start empty, e.g. tombstones). */
+  def newManifest(format: String, params: Map[String, String],
+      schemas: Map[String, StructType]): Map[String, String] =
+    params ++ Map(
+      "format" -> format,
+      "schemaVersion" -> SchemaVersion.toString,
+      "gen" -> "0",
+      "retired" -> "") ++
+      schemas.flatMap { case (name, st) => Seq(
+        s"frames.$name" -> s"$name/g0",
+        s"schema.$name" -> st.toDDL)
+      }
+
+  /** Where a fresh build writes frame `name`'s data. */
+  def genRoot(path: String, name: String, gen: Int): String =
+    s"$path/$name/g$gen"
+
+  /** Read one frame of the composition as (0..n) per-GENERATION-GROUP
+    * scans, each normalized to the manifest schema (column order and
+    * the partition column's original type — directory inference types
+    * partition values itself, e.g. int where the written column was
+    * long). Callers that need join-per-scan plan shapes (dynamic
+    * partition pruning does not reach scans through a Union) take the
+    * groups; [[readFrame]] unions them. Directories with no committed
+    * parquet footers are skipped — including the open root of a frame
+    * nothing was written to yet. */
+  def readFrameGroups(spark: SparkSession, path: String,
+      m: Map[String, String], name: String): Seq[DataFrame] = {
+    val schema = frameSchema(m, name)
+    val normalize = (df: DataFrame) =>
+      df.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+    frameEntries(m, name)
+      .groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      .flatMap { case (root, es) =>
+        val rootAbs = s"$path/$root"
+        if (es.contains(root)) {
+          if (IndexFs.hasParquetData(spark, rootAbs))
+            Some(spark.read.parquet(rootAbs))
+          else None
+        } else {
+          val present = es.filter(e => IndexFs.hasParquetData(spark, s"$path/$e"))
+          if (present.isEmpty) None
+          else Some(spark.read.option("basePath", rootAbs)
+            .parquet(present.map(e => s"$path/$e"): _*))
+        }
+      }
+      .map(normalize)
+  }
+
+  /** One frame as a single DataFrame — the union of its groups, or an
+    * EMPTY frame with the manifest schema when no directory holds
+    * committed data (the manifest-state form of emptiness: no anchor
+    * files, no path-shape lore). */
+  def readFrame(spark: SparkSession, path: String,
+      m: Map[String, String], name: String): DataFrame =
+    readFrameGroups(spark, path, m, name).reduceOption(_.union(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], frameSchema(m, name)))
+
+  /** Append rows into the frame's open generation root — additive and
+    * in place, so concurrent readers are undisturbed (they just don't
+    * see the new files). `partCol` keeps the layout's pruning
+    * directories; the batch-sized repartition writes ≤1 file per
+    * partition value instead of tasks × values. */
+  def appendToFrame(spark: SparkSession, path: String,
+      m: Map[String, String], name: String, df: DataFrame,
+      partCol: Option[String]): Unit = {
+    val target = s"$path/${openRoot(m, name)}"
+    partCol match {
+      case Some(p) =>
+        df.repartition(col(p)).write.mode("append").partitionBy(p).parquet(target)
+      case None =>
+        df.write.mode("append").parquet(target)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // compaction staging (no manifest writes here — the orchestrating
+  // family verb stages every frame, then flips ONCE)
+  // ---------------------------------------------------------------
+
+  /** On-disk `partCol=v` directory names directly under `absDir`. */
+  private def listPartDirNames(spark: SparkSession, absDir: String,
+      partCol: String): Seq[String] = {
+    val f = IndexFs.fs(spark, absDir)
+    val p = new Path(absDir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol=")).toSeq
+  }
+
+  /** Stage a PRUNED compaction of frame `name`: read the current
+    * composition, keep only the `affected` partitions, anti-join the
+    * tombstoned ids out, and write the survivors into generation
+    * `newGen` — unaffected partitions are never read, listed, or
+    * moved. Returns the frame's new composition entries and the
+    * directories the flip retires.
+    *
+    * Formatting safety of the keep-or-retire split: survivors staged
+    * under the new root get their directory names from Spark's own
+    * partition formatting, and the old entries' names were written by
+    * the same formatter — so names compare name-to-name for every
+    * partition that staged data. Only a partition whose every row died
+    * (nothing staged) falls back to formatting `affected` values into
+    * names, where a mismatch RETAINS the entry (rows deleted late at
+    * the next compaction), never duplicates data. */
+  def stageCompactFrame(spark: SparkSession, path: String,
+      m: Map[String, String], name: String, partCol: String,
+      affected: Seq[Any], tomb: DataFrame, idCol: String, newGen: Int)
+      : (Seq[String], Seq[String]) = {
+    val newRoot = s"$name/g$newGen"
+    val groups = readFrameGroups(spark, path, m, name)
+    if (groups.nonEmpty && affected.nonEmpty)
+      groups.reduce(_.union(_))
+        .filter(col(partCol).isin(affected: _*))
+        .join(tomb.select(col(idCol)), Seq(idCol), "left_anti")
+        .repartition(col(partCol))
+        .write.mode("overwrite") // staging replay after a kill is idempotent
+        .partitionBy(partCol).parquet(s"$path/$newRoot")
+    val staged = listPartDirNames(spark, s"$path/$newRoot", partCol).toSet
+    val affectedNames = staged ++ affected.map(v => s"$partCol=$v")
+    // expand whole-root entries into their on-disk partition dirs so
+    // the affected ones can be retired individually; the open root of
+    // the OLD generation becomes a set of sealed partition entries
+    val expanded = frameEntries(m, name).flatMap { e =>
+      if (e.split("/").length == 2)
+        listPartDirNames(spark, s"$path/$e", partCol).map(n => s"$e/$n")
+      else Seq(e)
+    }
+    val (retired, kept) =
+      expanded.partition(e => affectedNames.contains(e.split("/").last))
+    (kept :+ newRoot, retired)
+  }
+
+  /** Stage a WHOLE-frame rewrite into `newGen` (frames with no
+    * id-derived partitioning, e.g. the MinHash bands): every current
+    * entry retires, the new root is the entire surviving frame. */
+  def stageRewriteFrame(spark: SparkSession, path: String,
+      m: Map[String, String], name: String, partCol: String,
+      tomb: DataFrame, idCol: String, newGen: Int)
+      : (Seq[String], Seq[String]) = {
+    val newRoot = s"$name/g$newGen"
+    val groups = readFrameGroups(spark, path, m, name)
+    if (groups.nonEmpty)
+      groups.reduce(_.union(_))
+        .join(tomb.select(col(idCol)), Seq(idCol), "left_anti")
+        .repartition(col(partCol))
+        .write.mode("overwrite")
+        .partitionBy(partCol).parquet(s"$path/$newRoot")
+    (Seq(newRoot), frameEntries(m, name))
+  }
+
+  /** Stage a frame DROP: all current entries retire and a fresh empty
+    * open root takes over (how a compaction clears the tombstones it
+    * just resolved). */
+  def stageDropFrame(m: Map[String, String], name: String, newGen: Int)
+      : (Seq[String], Seq[String]) =
+    (Seq(s"$name/g$newGen"), frameEntries(m, name))
+
+  /** Carry a frame UNCHANGED through a flip (e.g. IVF centroids). */
+  def stageKeepFrame(m: Map[String, String], name: String)
+      : (Seq[String], Seq[String]) = (frameEntries(m, name), Seq.empty)
+
+  /** Physically delete the directories RETIRED BY THE PREVIOUS flip —
+    * called at the START of a compaction, so retired data survives one
+    * full compaction interval for in-flight readers of the old
+    * manifest (the grace contract). Cleans up generation roots the
+    * deletions emptied. */
+  def dropRetired(spark: SparkSession, path: String,
+      m: Map[String, String]): Unit = {
+    val retired = m.getOrElse("retired", "").split(",").filter(_.nonEmpty)
+    retired.foreach(d => IndexFs.delete(spark, s"$path/$d"))
+    retired.map(_.split("/").take(2).mkString("/")).distinct.foreach { root =>
+      val f = IndexFs.fs(spark, path)
+      val p = new Path(s"$path/$root")
+      if (f.exists(p) && f.listStatus(p).isEmpty) f.delete(p, true)
+    }
+  }
+
+  /** The ONE atomic flip closing a compaction: bump the generation,
+    * replace every staged frame's composition, record the newly
+    * retired directories for the next compaction's [[dropRetired]]. */
+  def flip(spark: SparkSession, path: String, m: Map[String, String],
+      newGen: Int, staged: Map[String, (Seq[String], Seq[String])]): Unit = {
+    val updated = m ++
+      staged.map { case (name, (es, _)) => s"frames.$name" -> joinEntries(es) } ++
+      Map(
+        "gen" -> newGen.toString,
+        "retired" -> joinEntries(staged.values.flatMap(_._2).toSeq))
+    writeManifest(spark, path, updated)
+  }
+
+  // ---------------------------------------------------------------
+  // tombstones (shared by both families)
+  // ---------------------------------------------------------------
+
+  /** Append delete ids into the tombstone frame's open root —
+    * O(delete-batch), standing data never touched. An EMPTY id frame
+    * writes nothing: an unpartitioned empty write would emit one
+    * schema-anchor footer, which would read back as
+    * tombstones-present and tax every later serve with a pointless
+    * anti-join. The emptiness probe is one job over the delta-sized
+    * delete set, persisted so the probe and the write agree even if
+    * the source moves between the two jobs.
+    *
+    * Ad-hoc deletes land under the FIXED `batch_id=-1` slot so the
+    * root's directory shape stays uniform with the streaming takedown
+    * sink (which overwrite-writes `batch_id=N` per micro-batch):
+    * parquet partition discovery refuses a root mixing bare data
+    * files with partition directories, so ONE shape serves both write
+    * paths. The inferred `batch_id` column is dropped by the frame's
+    * stored schema on every read. */
+  def appendTombstones(spark: SparkSession, path: String,
+      m: Map[String, String], ids: DataFrame, idCol: String): Unit = {
+    val d = ids.select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (d.take(1).nonEmpty)
+        d.write.mode("append")
+          .parquet(s"$path/${openRoot(m, "tombstones")}/batch_id=-1")
+    } finally d.unpersist(blocking = false)
+  }
+
+  /** The standing tombstone ids, if any — None when no tombstone
+    * directory holds committed data, so serves skip the anti-join
+    * entirely until the first delete exists. */
+  def loadTombstones(spark: SparkSession, path: String,
+      m: Map[String, String], idCol: String): Option[DataFrame] =
+    readFrameGroups(spark, path, m, "tombstones").reduceOption(_.union(_))
+      .map(_.select(col(idCol)))
+}

@@ -309,15 +309,23 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
     val assigned = ivfAssign(corpus, cent, vecCol, idCol)
-    ivfProbeAndRank(cent, assigned, queries, k, nProbe, vecCol, idCol)
+    ivfProbeAndRank(cent, Seq(assigned), queries, k, nProbe, vecCol, idCol)
   }
 
   /** The probe-and-rank stage shared by the in-memory index (v3) and
     * the persisted index ([[ivfTopKFromIndex]]): score queries against
     * the broadcast centroids, keep each query's nProbe best lists
     * (k-bounded aggregator), then exact-cosine re-rank against only the
-    * probed lists' vectors. */
-  private def ivfProbeAndRank(cent: DataFrame, lists: DataFrame,
+    * probed lists' vectors.
+    *
+    * `listGroups` is the composed list frame as one scan PER
+    * generation group: the broadcast probe join is planted directly
+    * above each scan so dynamic partition pruning fires on every
+    * group (it would not reach scans through a Union). With more than
+    * one group the query-batch-sized probe frame is pinned once
+    * (ckptLocal) so the groups share it instead of re-scoring the
+    * centroids per branch. */
+  private def ivfProbeAndRank(cent: DataFrame, listGroups: Seq[DataFrame],
       queries: DataFrame, k: Int, nProbe: Int,
       vecCol: String, idCol: String,
       tombstones: Option[DataFrame] = None): DataFrame = {
@@ -330,14 +338,18 @@ object Similarity {
         col("list_id"),
         VectorFunctions.cosine(col("qv"), col("cvec")).as("cos"))
     val topLists = udaf(new graft.functions.TopKAggregator(nProbe))
-    val probes = qScored
+    val probesPlan = qScored
       .groupBy("query_id")
       .agg(topLists(col("cos"), col("list_id")).as("lists"))
       .select(col("query_id"), explode(col("lists")).as("list_id"))
       .join(q, "query_id") // re-attach the query vector (tiny side)
-    val candRaw = lists
-      .join(broadcast(probes), Seq("list_id"))
-      .filter(col("query_id") =!= col(idCol))
+    val probes =
+      if (listGroups.length > 1) Checkpoints.ckptLocal(probesPlan)
+      else probesPlan
+    val candRaw = listGroups.map { lists =>
+        lists.join(broadcast(probes), Seq("list_id"))
+          .filter(col("query_id") =!= col(idCol))
+      }.reduce(_.unionByName(_))
     // tombstones ([[deleteFromIvfIndex]]) strike candidates HERE —
     // after the probe join (so the scan's dynamic partition pruning is
     // undisturbed: an anti-join between the partitioned scan and the
@@ -366,14 +378,69 @@ object Similarity {
     * reads only its probed lists (~nProbe/nList of the index), never
     * the whole thing; at 100 TB that is the difference between a
     * bucket-pruned scan and a full-index scan per batch. */
+  /** The manifest format tag of a persisted IVF index
+    * ([[graft.ext.IndexLayout]]). */
+  val IvfIndexFormat = "graft-ivf-index"
+
+  /** Loud per-row dimension guard against the index manifest's `dim`:
+    * a wrong-dimension vector would otherwise score a silently-wrong
+    * truncated cosine (the kernels min() the lengths). Codegen'd
+    * comparison, folded away entirely only when rows violate it. */
+  private def dimChecked(df: DataFrame, vecCol: String, dim: Int,
+      verb: String): DataFrame =
+    df.withColumn(vecCol, coalesce(
+      when(size(col(vecCol)) === dim, col(vecCol)),
+      raise_error(lit(s"Similarity.$verb: vector dimension does not " +
+        s"match the index manifest's dim=$dim"))))
+
   def saveIvfIndex(corpus: DataFrame, path: String, nList: Int = 16,
       nIters: Int = 1, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit =
+    saveIvfIndexWithCentroids(corpus,
+      ivfCentroids(corpus, nList, nIters, vecCol, idCol), path,
+      vecCol, idCol)
+
+  /** [[saveIvfIndex]] from a GIVEN quantizer (`cent`: list_id, cvec) —
+    * the rebuild form maintenance identity checks need (append/delete
+    * must equal a same-centroid rebuild, so the rebuild twin must
+    * reuse the stored centroids, not retrain). */
+  def saveIvfIndexWithCentroids(corpus: DataFrame, cent: DataFrame,
+      path: String, vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
-    val cent = ivfCentroids(corpus, nList, nIters, vecCol, idCol)
-    cent.write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssign(corpus, cent, vecCol, idCol)
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    val spark = corpus.sparkSession
+    // full replace, including any stale tombstones or generations —
+    // a rebuild shadowed by the previous index's tombstones would be
+    // wrong (same contract as Dedup.saveMinhashIndex)
+    IndexFs.delete(spark, path)
+    cent.write.parquet(IndexLayout.genRoot(path, "centroids", 0))
+    val assigned = ivfAssign(corpus, cent, vecCol, idCol)
+    assigned.write.partitionBy("list_id")
+      .parquet(IndexLayout.genRoot(path, "lists", 0))
+    // layout parameters travel WITH the index: metric and dim pin what
+    // probes may be scored against it (the centroids frame itself stays
+    // the stored quantizer); nList documents the build. dim and nList
+    // read from the nList-row centroid frame — bounded driver actions.
+    val dim = cent.select(size(col("cvec"))).first().getInt(0)
+    IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
+      IvfIndexFormat,
+      Map("metric" -> "cosine", "dim" -> dim.toString,
+        "nList" -> cent.count().toString),
+      Map("centroids" -> cent.schema, "lists" -> assigned.schema,
+        "tombstones" -> org.apache.spark.sql.types.StructType(
+          Seq(assigned.schema(idCol))))))
   }
+
+  /** The stored quantizer of a [[saveIvfIndex]] index (list_id, cvec)
+    * — immutable across every maintenance flip. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    IndexLayout.readFrame(spark, path,
+      IndexLayout.requireManifest(spark, path, IvfIndexFormat), "centroids")
+
+  /** The stored layout parameters of a [[saveIvfIndex]] index. */
+  def ivfIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] =
+    IndexLayout.requireManifest(spark, path, IvfIndexFormat)
 
   /** Append a batch of vectors into a [[saveIvfIndex]] layout WITHOUT
     * retraining — the maintenance half of the persisted IVF index's
@@ -400,12 +467,18 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
-    val cent = spark.read.parquet(s"$path/centroids")
-    ivfAssign(batch, cent, vecCol, idCol)
-      // batch-sized repartition on the partition column: a daily append
-      // adds ≤1 file per list, not tasks × nList small files
-      .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+    val cent = IndexLayout.readFrame(spark, path, m, "centroids")
+    // manifest dim guard: a batch embedded by the wrong model (or a
+    // schema drift upstream) fails loudly instead of landing
+    // truncated-cosine assignments in the lists. The append itself is
+    // additive into the lists' open generation root (batch-sized
+    // repartition on the partition column: ≤1 file per list).
+    IndexLayout.appendToFrame(spark, path, m, "lists",
+      ivfAssign(dimChecked(batch, vecCol,
+        IndexLayout.intParam(m, path, "dim"), "appendToIvfIndex"),
+        cent, vecCol, idCol),
+      Some("list_id"))
   }
 
   /** ANN top-k against a [[saveIvfIndex]]-persisted index: identical
@@ -415,14 +488,30 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int = 5, nProbe: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cent = spark.read.parquet(s"$path/centroids")
-    val lists = spark.read.parquet(s"$path/lists")
-      .withColumn("list_id", col("list_id").cast("long"))
+    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+    val metric = IndexLayout.param(m, path, "metric")
+    if (metric != "cosine") throw new IllegalStateException(
+      s"$path was built for metric '$metric'; this serve scores cosine")
+    val cent = IndexLayout.readFrame(spark, path, m, "centroids")
+    // the list composition is served GROUP-WISE (one probe join per
+    // generation group) rather than as one union: dynamic partition
+    // pruning reaches a partitioned scan only when the probe join sits
+    // directly above it, so each group keeps its pruned-scan plan even
+    // after compactions split the composition across generations. An
+    // index whose every list was deleted has zero groups and serves
+    // the empty frame.
+    val groups = IndexLayout.readFrameGroups(spark, path, m, "lists")
+    val listGroups =
+      if (groups.nonEmpty) groups
+      else Seq(IndexLayout.readFrame(spark, path, m, "lists"))
     // standing tombstones (if any) are honored by default: a deleted
     // vector can never be served, whether or not its rows have been
     // physically compacted away yet
-    ivfProbeAndRank(cent, lists, queries, k, nProbe, vecCol, idCol,
-      loadIvfTombstones(spark, path, idCol))
+    ivfProbeAndRank(cent, listGroups,
+      dimChecked(queries, vecCol, IndexLayout.intParam(m, path, "dim"),
+        "ivfTopKFromIndex"),
+      k, nProbe, vecCol, idCol,
+      IndexLayout.loadTombstones(spark, path, m, idCol))
   }
 
   /** DELETE vectors from a [[saveIvfIndex]] layout — the x26d
@@ -445,27 +534,20 @@ object Similarity {
     * the delta-sized delete set. */
   def deleteFromIvfIndex(ids: DataFrame, path: String,
       idCol: String = "vec_id"): Unit = {
-    // persisted across the two actions (emptiness probe + write): the
-    // delete set may be an expensive upstream plan, and running it
-    // twice would double every delete's cost — or diverge if the
-    // source moved between the jobs
-    val d = ids.select(col(idCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (d.take(1).nonEmpty)
-        d.write.mode("append").parquet(s"$path/tombstones")
-    } finally d.unpersist(blocking = false)
+    val spark = ids.sparkSession
+    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+    IndexLayout.appendTombstones(spark, path, m, ids, idCol)
   }
 
   /** The standing tombstone ids of a [[saveIvfIndex]] index, if any
-    * (None once [[compactIvfTombstones]] has cleared them; the
-    * parquet-footer presence rule of
-    * [[graft.ext.IndexFs.hasParquetData]]). Resolved through the
-    * path's own FileSystem, so an hdfs:/s3a: index honors its
-    * tombstones exactly like a local one. */
+    * (None once [[compactIvfTombstones]] has cleared them — the
+    * manifest composition holds no committed tombstone data).
+    * Resolved through the path's own FileSystem, so an hdfs:/s3a:
+    * index honors its tombstones exactly like a local one. */
   def loadIvfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): Option[DataFrame] =
-    IndexFs.loadTombstones(spark, path, idCol)
+    IndexLayout.loadTombstones(spark, path,
+      IndexLayout.requireManifest(spark, path, IvfIndexFormat), idCol)
 
   /** Physically remove tombstoned vectors from a [[saveIvfIndex]]
     * layout and clear the tombstones. The lists are partitioned by
@@ -473,35 +555,37 @@ object Similarity {
     * a column-pruned scan of (id, list_id) — ids are one slim column
     * and list_id is free partition metadata, so the discovery reads no
     * embedding bytes — and only those ≤ nList partitions are then
-    * read, anti-joined, and swapped; untouched lists are never read.
-    * Survivors go through a hidden staging dir UNDER the index path
-    * (Spark refuses same-path read+overwrite; same-FS staging is what
-    * makes the swap renames work on a cluster), then
-    * [[IndexFs.swapPartitions]] — a list whose EVERY vector was
-    * deleted ends with its directory gone, and a total wipe-out keeps
-    * one [[IndexFs.anchorIfEmpty]] schema-anchor file so the layout
-    * stays readable. Same non-atomic-swap contract as
-    * [[graft.ext.Dedup.compactMinhashTombstones]]: single-writer
-    * maintenance window with NO concurrent readers of the affected
-    * lists (merge-on-read tombstones are the online path; deletion is
-    * already served before any compaction runs), re-run against a
-    * restored index if killed. */
+    * read, anti-joined, and rewritten into the next generation;
+    * untouched lists are never read, listed, or moved. Readers stay
+    * LIVE throughout: one atomic manifest flip replaces the list
+    * composition and clears the tombstones together, directories the
+    * flip retired are deleted only at the start of the NEXT compaction
+    * (the [[graft.ext.IndexLayout]] grace contract), and the stored
+    * centroids — the quantizer — carry through every flip unchanged.
+    * Same kill-safety as [[graft.ext.Dedup.compactMinhashTombstones]]:
+    * a kill before the flip leaves the manifest unchanged and only
+    * overwrite-idempotent staging dirs. Single MAINTENANCE writer at a
+    * time; merge-on-read tombstones mean the deletion itself was
+    * already served before any compaction ran. */
   def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): Unit = {
-    loadIvfTombstones(spark, path, idCol).foreach { tombRaw =>
+    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+    IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
+      IndexLayout.dropRetired(spark, path, m)
       val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
-      val lists = spark.read.parquet(s"$path/lists")
-      val affected = lists.select(col(idCol), col("list_id"))
+      val affected = IndexLayout.readFrame(spark, path, m, "lists")
+        .select(col(idCol), col("list_id"))
         .join(tomb, Seq(idCol), "left_semi")
         .select("list_id").distinct()
-        .collect().map(_.get(0).toString.toLong) // ≤ nList rows: bounded
-      val tmp = s"$path/.compact_tmp"
-      IndexFs.delete(spark, tmp)
-      try {
-        IndexFs.compactPartitions(spark, s"$path/lists", s"$tmp/lists",
-          "list_id", affected, tomb, idCol)
-        IndexFs.delete(spark, s"$path/tombstones")
-      } finally IndexFs.delete(spark, tmp)
+        .collect().map(_.get(0)).toSeq // ≤ nList rows: bounded
+      val newGen = IndexLayout.intParam(m, path, "gen") + 1
+      val staged = Map(
+        "lists" -> IndexLayout.stageCompactFrame(spark, path, m,
+          "lists", "list_id", affected, tomb, idCol, newGen),
+        "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
+        "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
+      IndexLayout.flip(spark, path, m, newGen, staged)
+      Checkpoints.free(tomb)
     }
   }
 

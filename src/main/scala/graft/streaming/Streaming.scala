@@ -227,11 +227,27 @@ object Streaming {
     * delta compaction. Restart from scratch = clear all three. */
   def nearDupIngestStream(docs: DataFrame, indexPath: String,
       outPath: String, deltaPath: String, checkpoint: String,
-      n: Int = 3, threshold: Double = 0.5, numHashes: Int = 16,
-      bands: Int = 8, rows: Int = 2,
+      threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.ext.{Checkpoints, Dedup}
+    import graft.ext.{Checkpoints, Dedup, IndexLayout}
+    // shingle width, hash family, bucket count come FROM the standing
+    // index's manifest, read once at stream start: a stream started by
+    // a binary with different compile-time constants would otherwise
+    // sign batches with one family and probe rows stored under another
+    // — silently, with near-zero candidate recall. `threshold` stays a
+    // caller choice (it gates the exact-Jaccard verify, not the
+    // layout). The per-micro-batch manifest is re-read inside the loop
+    // for frame composition (so a compaction between batches is picked
+    // up atomically), but the FAMILY parameters are fixed for the
+    // index's lifetime by the save verb.
+    val m0 = IndexLayout.requireManifest(docs.sparkSession, indexPath,
+      Dedup.MinhashIndexFormat)
+    val n = IndexLayout.intParam(m0, indexPath, "n")
+    val numHashes = IndexLayout.intParam(m0, indexPath, "numHashes")
+    val bands = IndexLayout.intParam(m0, indexPath, "bands")
+    val rows = IndexLayout.intParam(m0, indexPath, "rows")
+    val idBuckets = IndexLayout.intParam(m0, indexPath, "buckets")
     // once a delta sub-tree holds committed data it never empties
     // within this stream's lifetime (compaction requires a stopped,
     // drained stream), so a per-query memo spares the recursive
@@ -287,7 +303,8 @@ object Streaming {
               // deleted docs — standing AND previously-admitted delta
               // docs — from the candidate set, so a streaming corpus
               // honors deletions exactly like the batch path
-              tombstones = Dedup.loadMinhashTombstones(spark, indexPath)))
+              tombstones = Dedup.loadMinhashTombstones(spark, indexPath),
+              idBuckets = idBuckets))
           admitted
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
           def admittedOnly(frame: DataFrame): DataFrame =
@@ -295,10 +312,12 @@ object Streaming {
           admittedOnly(bban).repartition(col("band"))
             .write.mode("overwrite")
             .partitionBy("band").parquet(s"$deltaPath/bands/batch=$batchId")
-          admittedOnly(bsh).withColumn("bucket", Dedup.idBucket(col("doc_id")))
+          admittedOnly(bsh)
+            .withColumn("bucket", Dedup.idBucket(col("doc_id"), idBuckets))
             .repartition(col("bucket")).write.mode("overwrite")
             .partitionBy("bucket").parquet(s"$deltaPath/shingles/batch=$batchId")
-          admittedOnly(bsizes).withColumn("bucket", Dedup.idBucket(col("doc_id")))
+          admittedOnly(bsizes)
+            .withColumn("bucket", Dedup.idBucket(col("doc_id"), idBuckets))
             .repartition(col("bucket")).write.mode("overwrite")
             .partitionBy("bucket").parquet(s"$deltaPath/sizes/batch=$batchId")
         } finally {
@@ -311,6 +330,80 @@ object Streaming {
           // executor storage against the hot standing index
           if (admitted != null) Checkpoints.free(admitted)
         }
+    }
+  }
+
+  /** s18 — STREAMING index TAKEDOWN: delete requests (doc ids) arrive
+    * as a stream and each micro-batch lands as tombstones of the
+    * persisted MinHash index, completing the streaming CRUD symmetry
+    * (ingest s15/s16, serve s17, delete here). Semantically immediate:
+    * tombstones are honored merge-on-read by every LATER serve — batch
+    * serves, in-flight serving streams' next micro-batches (they load
+    * tombstones per batch), everything — while the standing data is
+    * never read or rewritten (O(delete-batch) per micro-batch).
+    *
+    * Exactly-once discipline: the batch verb
+    * ([[graft.ext.Dedup.deleteFromMinhashIndex]]) appends with a
+    * non-kill-atomic job commit, which under streaming replays would
+    * double tombstone rows — harmless by the id-shadowing contract but
+    * unbounded under repeated failures. This sink instead writes each
+    * micro-batch's distinct ids to its OWN `batch_id=N` directory
+    * inside the tombstone frame's open generation root with overwrite
+    * (the s15/s16/s17 idempotence discipline): a replay rewrites its
+    * own directory byte-for-byte, so no tombstone is lost or doubled.
+    * Readers see the dirs through the same manifest composition (the
+    * inferred `batch_id` partition column is dropped by the frame's
+    * stored schema), so nothing downstream changes.
+    *
+    * WRITER CONTRACT: this stream IS the index's single maintenance
+    * writer while it runs — stop it before compacting (compaction
+    * retires the whole tombstone frame; a delete landing mid-window
+    * would be silently resolved-away), exactly the s15 delta-
+    * compaction discipline. `checkpoint` couples to the index's
+    * tombstone state: re-pointing a fresh checkpoint at a served index
+    * is safe (replays rewrite their own dirs), but clearing tombstones
+    * without the checkpoint resurrects nothing — batch ids restart
+    * only with a fresh checkpoint ([[perBatchSink]]'s contract). */
+  def minhashDeleteStream(ids: DataFrame, indexPath: String,
+      checkpoint: String, idCol: String = "doc_id",
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexDeleteStream(ids, indexPath,
+      graft.ext.Dedup.MinhashIndexFormat, checkpoint, idCol, trigger)
+
+  /** s18's vector-index twin: streaming takedown of a persisted IVF
+    * index — same per-batch idempotent tombstone sink, same writer
+    * contract ([[minhashDeleteStream]]); serving streams (s17) honor
+    * the tombstones from their next micro-batch on. */
+  def ivfDeleteStream(ids: DataFrame, indexPath: String,
+      checkpoint: String, idCol: String = "vec_id",
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexDeleteStream(ids, indexPath,
+      graft.ext.Similarity.IvfIndexFormat, checkpoint, idCol, trigger)
+
+  private def indexDeleteStream(ids: DataFrame, indexPath: String,
+      format: String, checkpoint: String, idCol: String, trigger: Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.IndexLayout
+    perBatchSink(ids, checkpoint, trigger) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      // manifest re-read per micro-batch: cheap (one small file), and
+      // it pins the open tombstone root even if an OFFLINE compaction
+      // bumped the generation between stream runs
+      val m = IndexLayout.requireManifest(spark, indexPath, format)
+      val root = IndexLayout.openRoot(m, "tombstones")
+      val d = batch.select(col(idCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // an EMPTY micro-batch writes nothing: an unpartitioned empty
+      // write would emit one schema-anchor footer that reads back as
+      // tombstones-present, taxing every later serve with a pointless
+      // anti-join (the appendTombstones discipline)
+      try {
+        if (d.take(1).nonEmpty)
+          d.coalesce(1).write.mode("overwrite")
+            .parquet(s"$indexPath/$root/batch_id=$batchId")
+      } finally d.unpersist(blocking = false)
     }
   }
 

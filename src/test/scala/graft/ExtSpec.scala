@@ -1795,11 +1795,13 @@ class ExtSpec extends SparkSpec {
     Similarity.appendToIvfIndex(spark, path, batch)
     // the appended lists equal a one-pass assignment of the union under
     // the SAME stored centroids (assignment is per-row independent)
-    val cent = spark.read.parquet(s"$path/centroids")
+    val cent = Similarity.loadIvfCentroids(spark, path)
     def listRows(df: org.apache.spark.sql.DataFrame) = df
       .select(col("vec_id"), col("list_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = listRows(spark.read.parquet(s"$path/lists"))
+    val m18 = graft.ext.IndexLayout.requireManifest(spark, path,
+      Similarity.IvfIndexFormat)
+    val got = listRows(graft.ext.IndexLayout.readFrame(spark, path, m18, "lists"))
     val want = listRows(Similarity.ivfAssign(standing.unionByName(batch), cent))
     assert(got == want && want.nonEmpty)
     // the appended index is SERVED through the same pruned probe: DPP
@@ -1860,19 +1862,22 @@ class ExtSpec extends SparkSpec {
     assert(key(servedTomb) == wantAfter,
       "tombstoned serve must equal brute force over the survivors")
     // compaction: physical removal, pruned to the doomed vector's list
-    val doomedList = spark.read.parquet(s"$path/lists")
+    def lists(p: String) = graft.ext.IndexLayout.readFrame(spark, p,
+      graft.ext.IndexLayout.requireManifest(spark, p, Similarity.IvfIndexFormat),
+      "lists")
+    val doomedList = lists(path)
       .filter(col("vec_id") === doomedId)
       .select(col("list_id").cast("long")).collect()(0).getLong(0)
-    val spared = new java.io.File(s"$path/lists").listFiles()
+    val spared = new java.io.File(s"$path/lists/g0").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("list_id=") &&
         f.getName != s"list_id=$doomedList").head
     val sparedBefore = spared.listFiles().map(_.getName).toSet
     Similarity.compactIvfTombstones(spark, path)
     assert(spared.listFiles().map(_.getName).toSet == sparedBefore,
       "compaction must not rewrite lists holding no tombstoned ids")
-    assert(!new java.io.File(s"$path/tombstones").exists())
-    assert(spark.read.parquet(s"$path/lists")
-      .filter(col("vec_id") === doomedId).count() == 0)
+    // tombstone DATA leaves the composition at the flip; the retired
+    // dir survives one grace interval (IndexLayout contract)
+    assert(lists(path).filter(col("vec_id") === doomedId).count() == 0)
     assert(Similarity.loadIvfTombstones(spark, path).isEmpty)
     assert(key(Similarity.ivfTopKFromIndex(spark, path, queries,
       k = 5, nProbe = 8)) == wantAfter)
@@ -1881,7 +1886,7 @@ class ExtSpec extends SparkSpec {
     // partition overwrite would silently leave the stale files)
     val p2 = s"$root/idx2"
     Similarity.saveIvfIndex(standing, p2, nList = 8, nIters = 1)
-    val lists2 = spark.read.parquet(s"$p2/lists")
+    val lists2 = lists(p2)
     val (lid2, n2) = lists2.groupBy(col("list_id").cast("long").as("l"))
       .agg(count(lit(1)).as("n")).orderBy(col("n")).collect()(0) match {
         case r => (r.getLong(0), r.getLong(1))
@@ -1891,13 +1896,18 @@ class ExtSpec extends SparkSpec {
     assert(victims.count() == n2)
     Similarity.deleteFromIvfIndex(victims, p2)
     Similarity.compactIvfTombstones(spark, p2)
-    assert(!new java.io.File(s"$p2/lists/list_id=$lid2").exists(),
-      "a fully-deleted list's dir must be removed")
+    // the fully-deleted list leaves the COMPOSITION at the flip; its
+    // directory survives the grace interval and the next compaction
+    // physically drops it
+    assert(lists(p2).filter(col("list_id").cast("long") === lid2).count() == 0,
+      "a fully-deleted list must leave the composition")
     // TOTAL wipe-out: deleting EVERY vector must leave the lists
-    // layout readable (empty schema anchor) and serving empty
+    // layout readable (emptiness is a manifest state) and serving empty
     Similarity.deleteFromIvfIndex(standing.select("vec_id"), p2)
     Similarity.compactIvfTombstones(spark, p2)
-    assert(spark.read.parquet(s"$p2/lists").count() == 0,
+    assert(!new java.io.File(s"$p2/lists/g0/list_id=$lid2").exists(),
+      "the second compaction must drop the dirs the first retired")
+    assert(lists(p2).count() == 0,
       "an emptied lists layout must read as zero rows, not throw")
     assert(Similarity.ivfTopKFromIndex(spark, p2, queries,
       k = 5, nProbe = 8).count() == 0)
@@ -1928,13 +1938,16 @@ class ExtSpec extends SparkSpec {
       "refresh must leave no standing tombstones")
     // identity: refreshed lists ≡ stored-quantizer assignment over
     // survivors ∪ admitted (per-row independent, so exact)
-    val cent = spark.read.parquet(s"$path/centroids")
+    val m20 = graft.ext.IndexLayout.requireManifest(spark, path,
+      Similarity.IvfIndexFormat)
+    val cent = graft.ext.IndexLayout.readFrame(spark, path, m20, "centroids")
     val nextCorpus = standing.filter(!col("vec_id").isin(5L, 7L))
       .select("vec_id", "embedding").unionByName(admitted)
     val cols = Seq(col("vec_id").cast("long"), col("list_id").cast("long"),
       col("embedding").cast("array<float>"))
     val want = Similarity.ivfAssign(nextCorpus, cent).select(cols: _*)
-    val got = spark.read.parquet(s"$path/lists").select(cols: _*)
+    val got = graft.ext.IndexLayout.readFrame(spark, path, m20, "lists")
+      .select(cols: _*)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "refreshed lists must equal a same-quantizer assignment of the next corpus")
     // serve: the exhaustive probe over the refreshed index ≡ brute
@@ -2051,10 +2064,11 @@ class ExtSpec extends SparkSpec {
     val path =
       java.nio.file.Files.createTempDirectory("graft-mh-dpp").toString + "/idx"
     Dedup.saveMinhashIndex(standing, path)
-    // layout: shingles and sizes land in bucket=N directories — the
-    // precondition for partition pruning
+    // layout: shingles and sizes land in bucket=N directories under
+    // the fresh build's generation root — the precondition for
+    // partition pruning
     for (sub <- Seq("shingles", "sizes")) {
-      val d = new java.io.File(s"$path/$sub")
+      val d = new java.io.File(s"$path/$sub/g0")
       assert(d.listFiles().exists(f =>
         f.isDirectory && f.getName.startsWith("bucket=")), sub)
     }
@@ -2173,15 +2187,18 @@ class ExtSpec extends SparkSpec {
     // pin an UNTOUCHED bucket's physical files across the compaction:
     // pruned compaction must not rewrite (or even list) spared buckets
     val donorBucket = bucketOf(donorId)
-    val spared = new java.io.File(s"$path/shingles").listFiles()
+    val spared = new java.io.File(s"$path/shingles/g0").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket=") &&
         f.getName != s"bucket=$donorBucket").head
     val sparedBefore = spared.listFiles().map(_.getName).toSet
     Dedup.compactMinhashTombstones(spark, path)
     assert(spared.listFiles().map(_.getName).toSet == sparedBefore,
       "compaction must not rewrite buckets with no tombstoned ids")
-    assert(!new java.io.File(s"$path/tombstones").exists(),
-      "compaction must clear the tombstones")
+    // the tombstone DATA is cleared in the manifest flip; the retired
+    // directory itself survives one compaction interval for in-flight
+    // readers of the old manifest (the IndexLayout grace contract)
+    assert(Dedup.loadMinhashTombstones(spark, path).isEmpty,
+      "compaction must clear the tombstones from the composition")
     // physical removal: no trace of the donor in any frame; bare serve
     // (no tombstones) now admits the dup
     val (b1, s1, z1) = Dedup.loadMinhashIndex(spark, path)
@@ -2199,17 +2216,21 @@ class ExtSpec extends SparkSpec {
     Dedup.saveMinhashIndex(two, p2)
     Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"), p2)
     Dedup.compactMinhashTombstones(spark, p2)
-    if (bucketOf(1L) != bucketOf(2L))
-      assert(!new java.io.File(s"$p2/shingles/bucket=${bucketOf(1L)}").exists(),
-        "a fully-deleted bucket's dir must be removed")
+    // after ONE compaction the fully-deleted bucket leaves the manifest
+    // composition (reads exclude it) but its directory survives the
+    // grace interval; the NEXT compaction physically drops it
     val (_, xs, _) = Dedup.loadMinhashIndex(spark, p2)
     assert(xs.filter(col("doc_id") === 1L).count() == 0 &&
       xs.filter(col("doc_id") === 2L).count() > 0)
     // TOTAL wipe-out: deleting EVERY remaining doc must leave the
-    // layout readable (the empty schema-anchor file) — an empty index
-    // that admits everything, not one that throws at schema inference
+    // layout readable — emptiness is a MANIFEST state (stored frame
+    // schemas), not a magic anchor file: an empty index that admits
+    // everything, not one that throws at schema inference
     Dedup.deleteFromMinhashIndex(Seq(2L).toDF("doc_id"), p2)
     Dedup.compactMinhashTombstones(spark, p2)
+    if (bucketOf(1L) != bucketOf(2L))
+      assert(!new java.io.File(s"$p2/shingles/g0/bucket=${bucketOf(1L)}").exists(),
+        "the second compaction must drop the dirs the first retired")
     val (eb, es, ez) = Dedup.loadMinhashIndex(spark, p2)
     assert(eb.count() == 0 && es.count() == 0 && ez.count() == 0)
     assert(Dedup.nearDupIngest(eb, es, ez,
@@ -2267,6 +2288,129 @@ class ExtSpec extends SparkSpec {
     val row = graft.analytics.ExtPipelines.minhashIndexRefresh(spark, sf())
       .collect()
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
+  test("index manifest: layout parameters are stored per index; verbs fail loudly on foreign or missing manifests") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val mh = s"$root/mh"
+    val standing = docs.select("doc_id", "text").filter(col("doc_id") < 80)
+    val batch = docs.select("doc_id", "text")
+      .filter(col("doc_id") >= 80 && col("doc_id") < 120)
+    // a NON-default bucket count is a stored build parameter
+    Dedup.saveMinhashIndex(standing, mh, idBuckets = 7)
+    val m = Dedup.minhashIndexParams(spark, mh)
+    assert(m("buckets") == "7" && m("n") == "3" && m("numHashes") == "16" &&
+      m("bands") == "8" && m("rows") == "2")
+    // the layout really is 7-bucketed…
+    val bucketDirs = new java.io.File(s"$mh/shingles/g0").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
+    assert(bucketDirs.nonEmpty &&
+      bucketDirs.forall(_.stripPrefix("bucket=").toInt < 7))
+    // …and bucketing is LAYOUT, not semantics: the path serve (which
+    // reads the count back from the manifest) admits exactly what an
+    // identically-parameterized default-count index admits
+    val mhDef = s"$root/mh_def"
+    Dedup.saveMinhashIndex(standing, mhDef)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val a7 = ids(Dedup.nearDupIngestFromPath(spark, mh, batch))
+    assert(a7 == ids(Dedup.nearDupIngestFromPath(spark, mhDef, batch)) &&
+      a7.nonEmpty)
+    // maintenance against a path with NO manifest fails loudly (the
+    // pre-manifest failure mode was a silent mis-bucketed append)
+    val raw = s"$root/raw"
+    standing.write.parquet(raw)
+    val e1 = intercept[IllegalStateException] {
+      Dedup.appendToMinhashIndex(batch, raw)
+    }
+    assert(e1.getMessage.contains("no _manifest.json"), e1.getMessage)
+    // cross-family: a MinHash verb pointed at an IVF index (and the
+    // reverse) refuses instead of misreading the layout
+    val ivf = s"$root/ivf"
+    Similarity.saveIvfIndex(emb.filter(col("vec_id") < 100), ivf,
+      nList = 4, nIters = 1)
+    val e2 = intercept[IllegalStateException] {
+      Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"), ivf)
+    }
+    assert(e2.getMessage.contains(Similarity.IvfIndexFormat), e2.getMessage)
+    val e3 = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(spark, mh,
+        emb.filter(col("vec_id") < 1))
+    }
+    assert(e3.getMessage.contains(Dedup.MinhashIndexFormat), e3.getMessage)
+    // IVF params are stored too, and the dim guard is loud: a probe
+    // embedded at the wrong dimension would otherwise score a
+    // silently-wrong truncated cosine
+    val mi = Similarity.ivfIndexParams(spark, ivf)
+    assert(mi("metric") == "cosine" && mi("nList") == "4" &&
+      mi("dim").toInt == 64)
+    val wrongDim = Seq((9000L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e5 = intercept[Exception] {
+      Similarity.ivfTopKFromIndex(spark, ivf, wrongDim).collect()
+    }
+    assert(msgs(e5).exists(_.contains("dimension")), msgs(e5).mkString(" | "))
+    // a manifest written by NEWER code is refused, not misread
+    val newer = graft.ext.IndexLayout.readManifest(spark, mh).get +
+      ("schemaVersion" -> "99")
+    graft.ext.IndexLayout.writeManifest(spark, mh, newer)
+    val e4 = intercept[IllegalStateException] {
+      Dedup.loadMinhashIndex(spark, mh)
+    }
+    assert(e4.getMessage.contains("newer"), e4.getMessage)
+  }
+
+  test("compaction is lock-free for readers: a plan resolved before the flip serves the pre-flip answer after it") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-online").toString
+    // --- IVF: the in-flight reader is a serve whose parquet file
+    // listings were pinned (at read()/plan time) BEFORE the compaction
+    // flipped the manifest — exactly the state of a query (or a
+    // foreachBatch micro-batch, which runs this same serve code) that
+    // started just before the flip. The generation discipline keeps
+    // its files alive for one grace interval, so executing it AFTER
+    // the flip returns the exact pre-flip answer — no torn mix, no
+    // vanished-file crash. Pre ≡ post here BY the merge-on-read
+    // identity; the property under test is consistency, not the value.
+    val ipath = s"$root/ivf"
+    val standing = emb.filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.saveIvfIndex(standing, ipath, nList = 8, nIters = 1)
+    Similarity.deleteFromIvfIndex(
+      standing.filter(col("vec_id") >= 250).select("vec_id"), ipath)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = key(Similarity.bruteForceTopK(
+      standing.filter(col("vec_id") < 250), queries, k = 5))
+    val inFlight = Similarity.ivfTopKFromIndex(spark, ipath, queries,
+      k = 5, nProbe = 8) // plan + file listings resolved HERE
+    Similarity.compactIvfTombstones(spark, ipath) // …the flip happens…
+    assert(key(inFlight) == want,
+      "in-flight serve must return the exact pre-flip answer")
+    assert(key(Similarity.ivfTopKFromIndex(spark, ipath, queries,
+      k = 5, nProbe = 8)) == want,
+      "a fresh post-flip serve must return the post-compaction answer")
+    // --- MinHash: same shape — frames loaded (file listings pinned)
+    // before the flip, the ingest call runs after it
+    val mpath = s"$root/mh"
+    val donorText = "zzq zzw zze zzr zzt zzy"
+    val corpus = docs.select("doc_id", "text").filter(col("doc_id") < 120)
+      .unionByName(Seq((9000L, donorText)).toDF("doc_id", "text"))
+    Dedup.saveMinhashIndex(corpus, mpath)
+    Dedup.deleteFromMinhashIndex(Seq(9000L).toDF("doc_id"), mpath)
+    val (fb, fsh, fsz) = Dedup.loadMinhashIndex(spark, mpath) // pinned
+    val tomb = Dedup.loadMinhashTombstones(spark, mpath)      // pinned
+    Dedup.compactMinhashTombstones(spark, mpath)              // the flip
+    val dup = Seq((9001L, donorText)).toDF("doc_id", "text")
+    assert(Dedup.nearDupIngest(fb, fsh, fsz, dup, tombstones = tomb)
+      .collect().map(_.getLong(0)).toSeq == Seq(9001L),
+      "in-flight ingest must serve the pre-flip frames + tombstones")
+    assert(Dedup.nearDupIngestFromPath(spark, mpath, dup)
+      .collect().map(_.getLong(0)).toSeq == Seq(9001L),
+      "post-flip ingest must serve the compacted index")
   }
 
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {

@@ -464,8 +464,102 @@ class StreamingSpec extends SparkSpec {
       "a tombstoned vector must never be served by a later stream run")
     assert(got2 == key(Similarity.ivfTopKFromIndex(spark, idx, queries)),
       "stream ≡ batch must hold on the tombstoned index")
+    // a COMPACTION between micro-batches is invisible to serving: the
+    // flip is one atomic manifest rename, every micro-batch resolves
+    // the manifest fresh (so it reads exactly the pre- or post-flip
+    // composition, never a torn mix), and the answer is unchanged
+    // because merge-on-read already served the deletion
+    Similarity.compactIvfTombstones(spark, idx)
+    val q4 = Streaming.ivfServeStream(src(), idx, s"$tmp/out3", s"$tmp/ck3")
+    q4.awaitTermination()
+    assert(key(spark.read.parquet(s"$tmp/out3")) == got2,
+      "stream serve must be unchanged across a compaction flip")
     // the registered pipeline's identity row holds end-to-end
     val row = graft.analytics.ExtPipelines.streamIvfServe(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
+  test("s18: streaming takedown — no tombstone lost or doubled across kill/resume; serves honor them; compaction resolves them") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.ext.{Dedup, Similarity}
+    val tmp = Files.createTempDirectory("graft-s18-restart").toString
+    // --- MinHash leg: planted donors so the serve flip is observable
+    val donors = Seq(
+      (1L, "qqa qqb qqc qqd qqe qqf"),
+      (2L, "rra rrb rrc rrd rre rrf"),
+      (3L, "ssa ssb ssc ssd sse ssf"),
+      (4L, "tta ttb ttc ttd tte ttf"))
+    val standing = donors.toDF("doc_id", "text")
+    val idx = s"$tmp/idx"
+    Dedup.saveMinhashIndex(standing, idx)
+    // deletes for ids 1..3 arrive as 3 files → 3 micro-batches; id 4
+    // is never deleted
+    val in = s"$tmp/in"
+    for (id <- Seq(1L, 2L, 3L))
+      Seq(id).toDF("doc_id").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // run 1: continuous trigger, KILLED once ≥1 batch committed
+    val ck = s"$tmp/ck"
+    val q1 = Streaming.minhashDeleteStream(src(), idx, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(q1.recentProgress.nonEmpty, "run 1 never processed a batch")
+    // run 2: resume from the SAME checkpoint, drain the rest
+    val q2 = Streaming.minhashDeleteStream(src(), idx, ck)
+    q2.awaitTermination()
+    // EXACTLY the streamed ids stand as tombstones — raw ROW count
+    // equals the distinct count equals 3: a replayed batch overwrote
+    // its own batch_id dir, so nothing was lost or doubled
+    val tombRows = Dedup.loadMinhashTombstones(spark, idx).get
+      .collect().map(_.getLong(0))
+    assert(tombRows.length == 3 && tombRows.toSet == Set(1L, 2L, 3L),
+      s"tombstones must be exactly the streamed ids, got ${tombRows.toSeq}")
+    // serves honor the streamed tombstones: dups of the deleted donors
+    // admit, a dup of the survivor still rejects
+    val probes = Seq((101L, donors(0)._2), (104L, donors(3)._2))
+      .toDF("doc_id", "text")
+    def admitted() = Dedup.nearDupIngestFromPath(spark, idx, probes)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted() == Set(101L), "deleted donor must admit; survivor must reject")
+    // compaction resolves the streamed tombstones physically
+    Dedup.compactMinhashTombstones(spark, idx)
+    assert(Dedup.loadMinhashTombstones(spark, idx).isEmpty)
+    assert(admitted() == Set(101L),
+      "the compacted index must serve identically")
+    // --- IVF leg: one drained takedown stream, honored immediately
+    val emb = Tables.embeddings(spark, sf())
+    val vstanding = emb.filter(col("vec_id") < 300)
+    val vidx = s"$tmp/vidx"
+    Similarity.saveIvfIndex(vstanding, vidx, nList = 8, nIters = 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    def vkey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val doomedId = Similarity.bruteForceTopK(vstanding, queries, k = 1)
+      .filter(col("query_id") === 0).collect()(0).getLong(1)
+    val vin = s"$tmp/vin"
+    Seq(doomedId).toDF("vec_id").coalesce(1).write.parquet(vin)
+    val q3 = Streaming.ivfDeleteStream(
+      spark.readStream.schema(spark.read.parquet(vin).schema).parquet(vin),
+      vidx, s"$tmp/vck")
+    q3.awaitTermination()
+    val want = vkey(Similarity.bruteForceTopK(
+      vstanding.filter(col("vec_id") =!= doomedId), queries, k = 5))
+    assert(vkey(Similarity.ivfTopKFromIndex(spark, vidx, queries,
+      k = 5, nProbe = 8)) == want,
+      "IVF serve must honor the streamed tombstone (freed slot refilled)")
+    Similarity.compactIvfTombstones(spark, vidx)
+    assert(Similarity.loadIvfTombstones(spark, vidx).isEmpty)
+    assert(vkey(Similarity.ivfTopKFromIndex(spark, vidx, queries,
+      k = 5, nProbe = 8)) == want)
+    // the registered pipeline's identity row holds end-to-end
+    val row = graft.analytics.ExtPipelines.streamIndexDelete(spark, sf())
+      .collect()
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
   }
 
