@@ -190,7 +190,14 @@ object Bench {
     // the refresh-composite audit row (decisions + refresh + fresh
     // rebuild + three frame-multiset compares; production cost is the
     // delete/compact/append inside it)
-    "x26e_minhash_index_refresh")
+    "x26e_minhash_index_refresh",
+    // round-16: streaming takedown (x26d's identity form with the
+    // deletes micro-batched — prices a real stream drain plus the
+    // dual-serve audit) and the real-ImageIO decode row (one synthetic
+    // PNG encoded AND decoded per document — distributed codec
+    // throughput, images never shuffle)
+    "s18_stream_index_delete",
+    "m7_image_decode")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

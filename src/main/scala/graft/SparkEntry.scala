@@ -206,6 +206,7 @@ object SparkEntry {
     "m4_media_neardup" -> (ExtPipelines.mediaNearDups _),
     "m5_consensus_neardup" -> (ExtPipelines.consensusNearDups _),
     "m6_media_sig_dedup" -> (ExtPipelines.mediaSigDedup _),
+    "m7_image_decode" -> (ExtPipelines.mediaImageDecode _),
     "sql12_recursive_spine" -> (Pipelines.sqlRecursiveSpine _),
     "sql13_multi_exists" -> (Pipelines.sqlMultiExists _),
     "sql14_not_in" -> (Pipelines.sqlNotIn _)
@@ -2804,6 +2805,18 @@ object SparkEntry {
          |s AS (SELECT doc_id, concat_ws(':', $sig) AS sig FROM h)
          |SELECT sig, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM s GROUP BY sig""".stripMargin
-    }
+    },
+
+    // m7: real javax.imageio decode over synthetic per-doc PNGs — the
+    // pixel math is engine-internal (no SQL codec), so the oracle
+    // checks the driver-checkable facts: one image per document, every
+    // one decodes (PNG round-trip is lossless and every payload is a
+    // well-formed PNG by construction), every geometry survives.
+    // Golden-pixel exactness is spec-pinned (StreamingSpec m7).
+    "m7_image_decode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |       CAST(count(*) AS BIGINT) AS n_decoded,
+        |       TRUE AS dims_ok
+        |FROM documents""".stripMargin
   )
 }

@@ -672,6 +672,32 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** m7: REAL image decode over the corpus — every document gets a
+    * deterministic synthetic PNG payload
+    * ([[graft.ext.Multimodal.syntheticPng]]; this corpus ships no
+    * image column, and the PNG writer/reader are the REAL
+    * `javax.imageio` codecs), decoded back through
+    * [[graft.ext.Multimodal.extractImageFeatures]]'s mapPartitions
+    * batch path — encode and decode both run distributed, image bytes
+    * never shuffle, one corrupt blob cannot fail the scan (it comes
+    * back `decodable = false`). Driver-checkable facts: `n_images`
+    * (corpus count), `n_decoded` (= n_images: every payload is a
+    * well-formed PNG and PNG decode is lossless), `dims_ok` (every
+    * decode returned the encoded 32×32 geometry). Golden-pixel
+    * exactness of the decode/resize kernels is spec-pinned. */
+  def mediaImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id"))
+      .as[Long].map(id =>
+        graft.ext.Multimodal.MediaRow(id, graft.ext.Multimodal.syntheticPng(id)))
+    graft.ext.Multimodal.extractImageFeatures(media).toDF().agg(
+      count(lit(1)).as("n_images"),
+      sum(when(col("decodable"), 1L).otherwise(0L)).as("n_decoded"),
+      (count(lit(1)) === sum(when(col("decodable") &&
+        col("width") === 32 && col("height") === 32, 1L).otherwise(0L)))
+        .as("dims_ok"))
+  }
+
   /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
     * row of facts an SQL oracle can recompute or assert:
     * `n_dups_admitted` (bloom admitted a true corpus duplicate — must

@@ -172,4 +172,119 @@ object Multimodal {
       (sum / (until - from)).toByte
     }
   }
+
+  // ---- REAL image decode (pure-JDK javax.imageio) ----
+
+  /** Decoded-image features: pixel dimensions plus a 16-bin LUMINANCE
+    * histogram — the decoded-pixel analog of [[decodeStub]]'s byte
+    * histogram, so every downstream consumer (m4's perceptual pairs,
+    * m6's signature dedup) composes over real images unchanged. */
+  final case class ImageFeatures(doc_id: Long, decodable: Boolean,
+      width: Int, height: Int, luma_hist: Array[Double])
+
+  /** REAL decode: `javax.imageio` (pure JDK — PNG/JPEG/BMP/GIF ship
+    * with the runtime, no new dependency). None when the payload is
+    * not a decodable image — the honest answer for a corpus where
+    * media columns can hold anything; callers keep the row with
+    * `decodable = false` instead of poisoning the partition. */
+  def decodeImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Integer luminance in [0, 255] of one pixel — the ITU-R BT.601
+    * weights in EXACT integer arithmetic ((299 R + 587 G + 114 B) /
+    * 1000), so the value is deterministic across JVMs/platforms
+    * (float rounding could flip a histogram bin on the boundary). */
+  private def luma(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Normalized 16-bin luminance histogram of a decoded image. */
+  def lumaHistogram(img: java.awt.image.BufferedImage): Array[Double] = {
+    val hist = new Array[Double](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        hist(luma(img.getRGB(x, y)) / 16) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth.toLong * img.getHeight, 1L)
+    hist.map(_ / n)
+  }
+
+  /** REAL resize: decode, then AREA-AVERAGE the luminance grid down to
+    * `outW`×`outH` (row-major bytes). Own arithmetic rather than a
+    * Graphics2D scale because rendering-hint output is
+    * platform-dependent — integer block averaging is bit-deterministic
+    * everywhere, which the golden-pixel spec pins. None when the
+    * payload doesn't decode. */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int)
+      : Option[Array[Byte]] =
+    decodeImage(payload).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      Array.tabulate(outW * outH) { k =>
+        val (ox, oy) = (k % outW, k / outW)
+        val (x0, x1) = (ox * w / outW, math.max((ox + 1) * w / outW, ox * w / outW + 1))
+        val (y0, y1) = (oy * h / outH, math.max((oy + 1) * h / outH, oy * h / outH + 1))
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) { sum += luma(img.getRGB(x, y)); n += 1; x += 1 }
+          y += 1
+        }
+        (sum / math.max(n, 1)).toByte
+      }
+    }
+
+  /** Batched REAL feature extraction — the same mapPartitions batch
+    * interface as [[extractFeatures]], with the stub swapped for
+    * `javax.imageio` decode: codec lookup state is JVM-wide, rows
+    * stream through the partition, undecodable payloads come back as
+    * `decodable = false` rows (never exceptions — one corrupt blob
+    * must not fail a 100 TB scan). The image bytes never shuffle. */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImage(r.payload) match {
+          case Some(img) => ImageFeatures(r.doc_id, decodable = true,
+            img.getWidth, img.getHeight, lumaHistogram(img))
+          case None => ImageFeatures(r.doc_id, decodable = false,
+            0, 0, new Array[Double](16))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG per document — the fixture generator
+    * for the real-decode path (this corpus carries no image column):
+    * a `side`×`side` grayscale gradient seeded by the doc id, encoded
+    * through the REAL `javax.imageio` PNG writer, so the decode bench
+    * and specs exercise the actual codec round-trip. PNG is lossless:
+    * decode(encode(p)) == p exactly, which makes golden-pixel
+    * assertions possible. */
+  def syntheticPng(docId: Long, side: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val v = (((docId * 31 + x * 7 + y * 13) % 256) + 256) % 256
+        img.setRGB(x, y, (v.toInt << 16) | (v.toInt << 8) | v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 }

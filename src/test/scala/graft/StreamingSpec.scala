@@ -644,6 +644,46 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.decodeStub(bytes).toSeq == Multimodal.decodeStub(bytes).toSeq)
     assert(Multimodal.decodeStub(Array.emptyByteArray).sum == 0.0)
   }
+
+  test("m7: real ImageIO decode — golden pixels round-trip exactly; resize is exact block average; corrupt payloads flag, not throw") {
+    // a 4×4 grayscale PNG with KNOWN pixel values v = 16·(4y + x):
+    // PNG is lossless, so decode must return these bytes exactly
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = 16 * (4 * y + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val dec = Multimodal.decodeImage(png).get
+    assert(dec.getWidth == 4 && dec.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xFF) == 16 * (4 * y + x),
+        s"golden pixel ($x,$y) corrupted by the decode")
+    // grayscale ⇒ integer BT.601 luma is the gray value itself
+    // (1000v/1000 = v), so the 2×2 resize is an EXACT block average:
+    // block (0,0) holds {0,16,64,80} → 40, and so on
+    assert(Multimodal.resizeImage(png, 2, 2).get.toSeq ==
+      Seq(40, 72, 168, 200).map(_.toByte),
+      "resize must be the exact integer block average of the luma grid")
+    // 16 distinct lumas 0,16,…,240 land one per histogram bin
+    assert(Multimodal.lumaHistogram(dec).forall(_ == 1.0 / 16))
+    // a corrupt payload is a flagged row, never an exception — one bad
+    // blob must not fail a corpus-scale scan
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+    // the synthetic-PNG generator is deterministic (the fixture the
+    // bench row and the m7 pipeline decode)
+    assert(Multimodal.syntheticPng(7L).toSeq == Multimodal.syntheticPng(7L).toSeq)
+    // distributed end-to-end: every per-doc PNG decodes at its encoded
+    // geometry through the mapPartitions batch path
+    val row = graft.analytics.ExtPipelines.mediaImageDecode(spark, sf())
+      .collect()(0)
+    assert(row.getLong(0) == row.getLong(1) && row.getBoolean(2),
+      s"every synthetic PNG must decode at 32×32: $row")
+  }
 }
 
 private object ExtRef {
