@@ -399,12 +399,13 @@ object ScaleBench {
               .deleteQuietly(new java.io.File(idxBase))
             // CORPUS-SIZED bucket count (the manifest sizing rule): a
             // fixed count degrades the pruned fraction as the corpus
-            // grows past it — buckets ≈ nDocs / 2000 keeps a roughly
+            // grows past it — buckets ≈ nDocs / 1000 keeps a roughly
             // constant docs-per-bucket slice, so the fraction a fixed
-            // candidate rate reads stays ≈ flat across tiers
+            // candidate rate (~nDocs/9973 ids here) reads stays ≈ flat
+            // across tiers instead of saturating the bucket set
             val corpus = Tables.documents(spark, dir).select("doc_id", "text")
             val nb = math.max(graft.ext.Dedup.MinhashIndexBuckets,
-              (corpus.count() / 2000L).toInt)
+              (corpus.count() / 1000L).toInt)
             val t = timeOnce(graft.ext.Dedup.saveMinhashIndex(
               corpus, idxPath, idBuckets = nb))
             System.err.println(
@@ -419,7 +420,7 @@ object ScaleBench {
             .select(col("doc_id").as("b_id"))
             .filter(col("b_id") % 9973 === 0).distinct()
           val buckets = candIds
-            .select(pmod(xxhash64(col("b_id")), lit(nb)).cast("int").as("bk"))
+            .select(graft.ext.Dedup.idBucket(col("b_id"), nb).as("bk"))
             .distinct().collect().map(_.getInt(0)).toSeq
           def dirBytes(f: java.io.File): Long =
             if (f.isFile) f.length

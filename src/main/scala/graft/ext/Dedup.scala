@@ -449,7 +449,12 @@ object Dedup {
     * maintained by another cannot silently mis-bucket appends or sign
     * probes with a different family. REPLACES any existing index at
     * `path` entirely (a rebuild that kept stale generations — or stale
-    * tombstones, which would shadow rebuilt docs — would be wrong). */
+    * tombstones, which would shadow rebuilt docs — would be wrong).
+    * CALLER CONTRACT: `corpus` must not be a lazy plan reading `path`
+    * itself — the wipe happens before the corpus-scale write executes,
+    * and a corpus that large cannot be pinned defensively here (the
+    * IVF side pins its nList-row quantizer for exactly this reason;
+    * a corpus has no such bound). */
   def saveMinhashIndex(corpus: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
       textCol: String = "text", idCol: String = "doc_id",
@@ -824,8 +829,8 @@ object Dedup {
     *    a LITERAL `bucket IN (…)` filter from the collected candidate
     *    bucket list (`buckets`) lands in the scan's PartitionFilters →
     *    STATIC partition pruning reads only candidate buckets. Static,
-    *    not dynamic: the bucket list is ≤ [[MinhashIndexBuckets]]
-    *    values (metadata-scale, known before planning), and a literal
+    *    not dynamic: the bucket list is at most the index's stored
+    *    bucket count (metadata-scale, known before planning), and a literal
     *    filter prunes unconditionally where DPP depends on the
     *    optimizer spotting a selective node on the probe side — which
     *    it cannot through the persisted candidate frame;
@@ -911,8 +916,9 @@ object Dedup {
     // candidate docs — a delta-sized id set. Three tiers of prune, best
     // available first:
     //  1. Stored frames carry the `bucket` partition column
-    //     ([[saveMinhashIndex]]): the candidates' bucket list (≤ 64
-    //     ints, collected driver-side — metadata-scale, the documented
+    //     ([[saveMinhashIndex]]): the candidates' bucket list (at most
+    //     the manifest's stored bucket count of ints, collected
+    //     driver-side — metadata-scale, the documented
     //     discipline) becomes a literal partition filter, so the scan
     //     READS only the candidates' buckets — O(candidates) I/O, not
     //     an O(corpus) scan per batch.

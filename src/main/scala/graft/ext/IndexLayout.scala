@@ -116,8 +116,12 @@ private[graft] object IndexLayout {
     val got = m.getOrElse("format", "<missing>")
     if (got != format) throw new IllegalStateException(
       s"$path is a '$got' index, not '$format': refusing to maintain/serve it")
-    val v = m.getOrElse("schemaVersion", "<missing>")
-    if (v.toInt > SchemaVersion) throw new IllegalStateException(
+    val v = param(m, path, "schemaVersion")
+    val vNum = try v.toInt catch {
+      case _: NumberFormatException => throw new IllegalStateException(
+        s"$path/$ManifestFile has a non-numeric schemaVersion '$v'")
+    }
+    if (vNum > SchemaVersion) throw new IllegalStateException(
       s"$path was written by newer code (layout schemaVersion $v > " +
         s"$SchemaVersion): refusing to misread it")
     m
@@ -152,7 +156,10 @@ private[graft] object IndexLayout {
   }
 
   def frameSchema(m: Map[String, String], name: String): StructType =
-    StructType.fromDDL(m(s"schema.$name"))
+    StructType.fromDDL(m.getOrElse(s"schema.$name",
+      throw new IllegalStateException(
+        s"manifest is missing the stored schema of frame '$name' — " +
+          "hand-edited or truncated?")))
 
   /** The manifest for a FRESH index: generation 0, one open root per
     * frame, no retired dirs. The caller has already written the g0
@@ -331,7 +338,14 @@ private[graft] object IndexLayout {
     retired.map(_.split("/").take(2).mkString("/")).distinct.foreach { root =>
       val f = IndexFs.fs(spark, path)
       val p = new Path(s"$path/$root")
-      if (f.exists(p) && f.listStatus(p).isEmpty) f.delete(p, true)
+      // emptiness must ignore commit markers: a partitioned write's
+      // _SUCCESS survives the partition-dir deletions, and counting it
+      // would keep every drained generation root alive forever
+      def emptied = !f.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !(n.startsWith("_") || n.startsWith("."))
+      }
+      if (f.exists(p) && emptied) f.delete(p, true)
     }
   }
 

@@ -186,12 +186,32 @@ object Multimodal {
     * with the runtime, no new dependency). None when the payload is
     * not a decodable image — the honest answer for a corpus where
     * media columns can hold anything; callers keep the row with
-    * `decodable = false` instead of poisoning the partition. */
+    * `decodable = false` instead of poisoning the partition.
+    *
+    * Two hardening details a 100 TB scan depends on:
+    *  - catch NonFatal, not just IOException: the JDK codecs throw
+    *    RuntimeExceptions on crafted/truncated payloads (CMMException
+    *    on a bad ICC profile, ArrayIndexOutOfBounds on a truncated
+    *    GIF, NPE on a null payload) and any one escaping here would
+    *    fail the task, exhaust retries, and kill the scan;
+    *  - decode through a MemoryCacheImageInputStream: ImageIO's
+    *    default InputStream path spills to a java.io.tmpdir cache
+    *    FILE per image (create+write+delete of disk I/O per row, and
+    *    an outright failure on a full/unwritable tmpdir) — the
+    *    payload is already fully in memory. */
   def decodeImage(payload: Array[Byte])
       : Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    try
+      // no explicit close: ImageIO.read(ImageInputStream) closes the
+      // stream itself in its own finally, and a second close() on an
+      // ImageInputStreamImpl THROWS ("closed") — a caller-side
+      // try/finally close would turn every successful decode into the
+      // catch arm below (and the stream holds only the heap buffer
+      // anyway, no native or file resource)
+      Option(javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Integer luminance in [0, 255] of one pixel — the ITU-R BT.601
     * weights in EXACT integer arithmetic ((299 R + 587 G + 114 B) /

@@ -321,10 +321,15 @@ object Similarity {
     * `listGroups` is the composed list frame as one scan PER
     * generation group: the broadcast probe join is planted directly
     * above each scan so dynamic partition pruning fires on every
-    * group (it would not reach scans through a Union). With more than
-    * one group the query-batch-sized probe frame is pinned once
-    * (ckptLocal) so the groups share it instead of re-scoring the
-    * centroids per branch. */
+    * group (it would not reach scans through a Union). The probe
+    * frame is deliberately RECOMPUTED per group rather than pinned
+    * with a checkpoint: it costs one queries × nList aggregation per
+    * branch (metadata-scale — centroids are broadcast, nList is
+    * small), whereas a ckptLocal here would leave unfreeable
+    * 2x-replicated blocks behind every serve — on a long-running
+    * serve stream that pools executor storage against the hot index
+    * (the returned plan is lazy, so there is no safe point to free
+    * them inside this function). */
   private def ivfProbeAndRank(cent: DataFrame, listGroups: Seq[DataFrame],
       queries: DataFrame, k: Int, nProbe: Int,
       vecCol: String, idCol: String,
@@ -338,14 +343,11 @@ object Similarity {
         col("list_id"),
         VectorFunctions.cosine(col("qv"), col("cvec")).as("cos"))
     val topLists = udaf(new graft.functions.TopKAggregator(nProbe))
-    val probesPlan = qScored
+    val probes = qScored
       .groupBy("query_id")
       .agg(topLists(col("cos"), col("list_id")).as("lists"))
       .select(col("query_id"), explode(col("lists")).as("list_id"))
       .join(q, "query_id") // re-attach the query vector (tiny side)
-    val probes =
-      if (listGroups.length > 1) Checkpoints.ckptLocal(probesPlan)
-      else probesPlan
     val candRaw = listGroups.map { lists =>
         lists.join(broadcast(probes), Seq("list_id"))
           .filter(col("query_id") =!= col(idCol))
@@ -404,10 +406,19 @@ object Similarity {
     * the rebuild form maintenance identity checks need (append/delete
     * must equal a same-centroid rebuild, so the rebuild twin must
     * reuse the stored centroids, not retrain). */
-  def saveIvfIndexWithCentroids(corpus: DataFrame, cent: DataFrame,
+  def saveIvfIndexWithCentroids(corpus: DataFrame, centGiven: DataFrame,
       path: String, vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
     val spark = corpus.sparkSession
+    // the quantizer is pinned EAGERLY (nList rows) BEFORE the target is
+    // wiped: the natural same-path rebuild —
+    // saveIvfIndexWithCentroids(corpus, loadIvfCentroids(spark, p), p)
+    // — hands in a LAZY plan reading the very files the delete below
+    // removes; without the pin that call destroys the index it was
+    // rebuilding. (`corpus` gets no such protection — it is
+    // corpus-scale — so a corpus derived from the target path remains
+    // the caller's error, stated in the scaladoc contract.)
+    val cent = Checkpoints.ckptLocal(centGiven)
     // full replace, including any stale tombstones or generations —
     // a rebuild shadowed by the previous index's tombstones would be
     // wrong (same contract as Dedup.saveMinhashIndex)

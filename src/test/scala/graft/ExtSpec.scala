@@ -2411,6 +2411,21 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.nearDupIngestFromPath(spark, mpath, dup)
       .collect().map(_.getLong(0)).toSeq == Seq(9001L),
       "post-flip ingest must serve the compacted index")
+    // SAME-PATH rebuild under the stored quantizer — the natural
+    // scheduled-retrain call shape: the lazily-loaded centroids read
+    // the very files the save wipes, so the save must pin them
+    // eagerly first (or this call destroys the index it rebuilds)
+    val cent0 = Similarity.loadIvfCentroids(spark, ipath)
+      .collect().map(r => r.getLong(0)).toSet
+    Similarity.saveIvfIndexWithCentroids(
+      standing.filter(col("vec_id") < 250),
+      Similarity.loadIvfCentroids(spark, ipath), ipath)
+    assert(Similarity.loadIvfCentroids(spark, ipath)
+      .collect().map(r => r.getLong(0)).toSet == cent0,
+      "same-path rebuild must preserve the stored quantizer")
+    assert(key(Similarity.ivfTopKFromIndex(spark, ipath, queries,
+      k = 5, nProbe = 8)) == want,
+      "same-path rebuild must serve the survivors")
   }
 
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
