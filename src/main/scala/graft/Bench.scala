@@ -197,6 +197,7 @@ object Bench {
     // PNG encoded AND decoded per document — distributed codec
     // throughput, images never shuffle)
     "s18_stream_index_delete",
+    "s19_stream_ivf_delete",
     "m7_image_decode")
 
   private def runNoop(df: DataFrame): Unit =

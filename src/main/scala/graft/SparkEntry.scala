@@ -200,6 +200,7 @@ object SparkEntry {
     "s16_stream_ivf_ingest" -> (ExtPipelines.streamIvfIngest _),
     "s17_stream_ivf_serve" -> (ExtPipelines.streamIvfServe _),
     "s18_stream_index_delete" -> (ExtPipelines.streamIndexDelete _),
+    "s19_stream_ivf_delete" -> (ExtPipelines.streamIvfDelete _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -2296,6 +2297,14 @@ object SparkEntry {
     // v12's oracle form covers the streaming run (facts: query-set
     // size + the identity flag)
     "s17_stream_ivf_serve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // s19: streaming IVF takedown — the doomed ids arrive as three
+    // micro-batches of tombstones instead of one batch delete; the
+    // identity pin is v19's (streamed-tombstone serve ≡ same-quantizer
+    // rebuild over survivors), in v12's oracle form
+    "s19_stream_ivf_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

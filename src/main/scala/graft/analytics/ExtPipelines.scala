@@ -1329,6 +1329,51 @@ object ExtPipelines {
     sel.join(docs, "doc_id").select("cluster", "doc_id", "n_chars", "rk")
   }
 
+  /** s19: STREAMING vector-index TAKEDOWN — v19's removal discipline
+    * with the deletes arriving as a real stream
+    * ([[graft.streaming.Streaming.ivfDeleteStream]]), the IVF twin of
+    * s18 and the last edge of the streaming CRUD symmetry (ingest
+    * s15/s16, serve s17, delete s18/s19). The doomed md5-bucket range
+    * streams in as three micro-batches of tombstones (each landing
+    * exactly once in its own batch_id dir); the query batch is then
+    * served against the takedown-streamed index and must equal a
+    * SAME-QUANTIZER rebuild over the survivors — streaming the
+    * deletes changes nothing about what deletion means. Emits
+    * `n_queries` and `identical` (v12's oracle form). */
+  def streamIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    val standing = emb.filter(b < 52428)
+    val doomed = standing.filter(b >= 39321)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s19")
+    try {
+      val incPath = tmpRoot.toString + "/idx"
+      Similarity.saveIvfIndex(standing, incPath, nList = 8, nIters = 1)
+      val in = tmpRoot.toString + "/in"
+      doomed.select("vec_id").repartition(3).write.parquet(in)
+      val src = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.Streaming.ivfDeleteStream(
+        src, incPath, tmpRoot.toString + "/ck")
+      q.awaitTermination()
+      val queries = emb.filter(col("vec_id") < 10)
+      val fromTomb = Similarity.ivfTopKFromIndex(spark, incPath, queries,
+        k = 5, nProbe = 4)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Similarity.saveIvfIndexWithCentroids(standing.filter(b < 39321),
+        Similarity.loadIvfCentroids(spark, incPath), rbPath)
+      val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
+        k = 5, nProbe = 4)
+      val identical = fromTomb.exceptAll(fromRebuild).isEmpty &&
+        fromRebuild.exceptAll(fromTomb).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((queries.count(), identical)).toDF("n_queries", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
   def ivfIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

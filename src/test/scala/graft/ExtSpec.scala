@@ -2411,6 +2411,32 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.nearDupIngestFromPath(spark, mpath, dup)
       .collect().map(_.getLong(0)).toSeq == Seq(9001L),
       "post-flip ingest must serve the compacted index")
+    // the post-compaction composition spans TWO generation groups
+    // (sealed unaffected buckets in g0 + the open g1 — guaranteed
+    // non-empty by appending a fresh doc, the day-after-compaction
+    // shape), and the candidate-bucket literal filter must land in the
+    // PartitionFilters of EVERY group's scan — Catalyst pushes literal
+    // predicates through the Union, so compaction cannot cost the
+    // serve its pruned reads
+    Dedup.appendToMinhashIndex(
+      Seq((9100L, "vvb vvc vvd vve vvf vvg")).toDF("doc_id", "text"), mpath)
+    val (_, csh, _) = Dedup.loadMinhashIndex(spark, mpath)
+    val candIds2 = Seq(3L, 7L).toDF("b_id")
+    val candBuckets2 = candIds2
+      .select(Dedup.idBucket(col("b_id"),
+        Dedup.minhashIndexParams(spark, mpath)("buckets").toInt).as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val prunedPlan = Dedup.pruneStandingToCandidates(csh, candIds2,
+      useBroadcast = true, "doc_id", candBuckets2)
+      .queryExecution.executedPlan.toString
+    val shingleScans = prunedPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("shingles"))
+      .toSeq
+    assert(shingleScans.size >= 2,
+      s"expected one scan per generation group:\n$prunedPlan")
+    shingleScans.foreach(l =>
+      assert(l.matches(""".*PartitionFilters: \[[^\]]*bucket#\d+ (IN|=).*"""),
+        s"bucket filter must prune EVERY group's scan:\n$l"))
     // SAME-PATH rebuild under the stored quantizer — the natural
     // scheduled-retrain call shape: the lazily-loaded centroids read
     // the very files the save wipes, so the save must pin them
