@@ -41,6 +41,17 @@ import org.apache.spark.sql.types.StructType
   * reads back as an empty frame with the right schema — no magic
   * schema-anchor files, no `partCol=0` lore.
   *
+  * Composition growth is BOUNDED, not merely amortized: a frame's
+  * entry list holds each partition at most once (sealed entries are
+  * per-partition; a compaction folds every affected partition into
+  * the single new open root and retires its old entries), so no
+  * matter how many delete/compact cycles a long-lived index runs,
+  * the composition stays ≤ partitions + 1 entries and the read path
+  * unions at most min(generations, partitions) + 1 scans — there is
+  * no unbounded manifest or plan growth to schedule around (a full
+  * rebuild via the save verb resets everything to one generation).
+  * Spec-pinned across repeated cycles.
+  *
   * Concurrency contract: ONE maintenance writer at a time (append /
   * delete / compact / refresh), any number of concurrent readers.
   * The manifest flip is a FileContext OVERWRITE rename — atomic on

@@ -2454,6 +2454,49 @@ class ExtSpec extends SparkSpec {
       "same-path rebuild must serve the survivors")
   }
 
+  test("index lifecycle: repeated delete/compact cycles keep the composition bounded, drop retired dirs, and serve correctly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cycles").toString
+    val path = s"$root/idx"
+    // 8 planted shingle-disjoint docs; one leaves per cycle
+    val texts = (0 until 8).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    Dedup.saveMinhashIndex(texts.toDF("doc_id", "text"), path, idBuckets = 5)
+    val buckets = 5
+    var prevRetired = Seq.empty[String]
+    for (cycle <- 0 until 5) {
+      Dedup.deleteFromMinhashIndex(Seq(cycle.toLong).toDF("doc_id"), path)
+      Dedup.compactMinhashTombstones(spark, path)
+      val m = graft.ext.IndexLayout.readManifest(spark, path).get
+      // generation advances once per cycle; composition stays bounded
+      // by partitions + 1 for every frame regardless of cycle count
+      assert(m("gen").toInt == cycle + 1)
+      for (f <- Seq("shingles", "sizes"))
+        assert(graft.ext.IndexLayout.frameEntries(m, f).size <= buckets + 1,
+          s"cycle $cycle frame $f composition must stay bounded")
+      for (f <- Seq("bands", "tombstones"))
+        assert(graft.ext.IndexLayout.frameEntries(m, f).size == 1,
+          s"cycle $cycle frame $f is whole-rewrite/drop — one entry")
+      // the PREVIOUS cycle's retired dirs are physically gone (grace
+      // expired at this cycle's start); this cycle's still exist
+      prevRetired.foreach(d =>
+        assert(!new java.io.File(s"$path/$d").exists(),
+          s"cycle $cycle: retired dir $d must be dropped after one cycle"))
+      prevRetired = m("retired").split(",").filter(_.nonEmpty).toSeq
+      prevRetired.foreach(d =>
+        assert(new java.io.File(s"$path/$d").exists(),
+          s"cycle $cycle: freshly retired dir $d keeps its grace interval"))
+      // serving stays exactly right: dups of every deleted doc admit,
+      // a dup of a survivor rejects
+      val probes = ((0 to cycle).map(i => (100L + i, texts(i)._2)) :+
+        (200L, texts(7)._2)).toDF("doc_id", "text")
+      val admitted = Dedup.nearDupIngestFromPath(spark, path, probes)
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted == (0 to cycle).map(100L + _).toSet,
+        s"cycle $cycle: deleted docs must admit, survivors must reject")
+    }
+  }
+
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
     val got = graft.analytics.ExtPipelines.clusterBalancedSelect(spark, sf())
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
