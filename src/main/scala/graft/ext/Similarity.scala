@@ -439,6 +439,10 @@ object Similarity {
       Map("centroids" -> cent.schema, "lists" -> assigned.schema,
         "tombstones" -> org.apache.spark.sql.types.StructType(
           Seq(assigned.schema(idCol))))))
+    // every consumer of the pinned quantizer (the centroids write, the
+    // assignment's driver collect, dim/nList) has executed — free the
+    // checkpoint blocks now instead of waiting for driver GC
+    Checkpoints.free(cent)
   }
 
   /** The stored quantizer of a [[saveIvfIndex]] index (list_id, cvec)

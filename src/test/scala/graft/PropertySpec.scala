@@ -188,6 +188,46 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: delete+compact ≡ rebuild for random corpora, delete sets and bucket counts") {
+    import spark.implicits._
+    // random shingle-disjoint corpora (per-doc token alphabet), random
+    // delete subsets, random NON-default bucket counts: after a
+    // tombstone delete and a compaction, the index frames must equal a
+    // fresh build over the survivors as MULTISETS — the x26d identity
+    // exercised across layouts the deterministic specs never pick.
+    // Few cases (each runs save+delete+compact+save) but each is a
+    // full end-to-end maintenance cycle.
+    val caseGen = for {
+      nDocs <- Gen.chooseNum(2, 10)
+      buckets <- Gen.chooseNum(1, 9)
+      doomed <- Gen.someOf(0 until nDocs)
+    } yield (nDocs, buckets, doomed.toSet)
+    check(Prop.forAll(caseGen) { case (nDocs, buckets, doomed) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-prop-mh")
+      try {
+        val docs = (0 until nDocs).map(i =>
+          (i.toLong, s"p${i}a p${i}b p${i}c p${i}d p${i}e"))
+        val path = s"$root/idx"
+        graft.ext.Dedup.saveMinhashIndex(
+          docs.toDF("doc_id", "text"), path, idBuckets = buckets)
+        graft.ext.Dedup.deleteFromMinhashIndex(
+          doomed.toSeq.map(_.toLong).toDF("doc_id"), path)
+        graft.ext.Dedup.compactMinhashTombstones(spark, path)
+        graft.ext.Dedup.saveMinhashIndex(
+          docs.filterNot(d => doomed.contains(d._1.toInt))
+            .toDF("doc_id", "text"),
+          s"$root/rb", idBuckets = buckets)
+        val (gb, gs, gz) = graft.ext.Dedup.loadMinhashIndex(spark, path)
+        val (rb, rs, rz) = graft.ext.Dedup.loadMinhashIndex(spark, s"$root/rb")
+        def eq(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame): Boolean =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        eq(gb, rb) && eq(gs, rs) && eq(gz, rz) &&
+          graft.ext.Dedup.loadMinhashTombstones(spark, path).isEmpty
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }, n = 6)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
