@@ -201,6 +201,7 @@ object SparkEntry {
     "s17_stream_ivf_serve" -> (ExtPipelines.streamIvfServe _),
     "s18_stream_index_delete" -> (ExtPipelines.streamIndexDelete _),
     "s19_stream_ivf_delete" -> (ExtPipelines.streamIvfDelete _),
+    "v21_ivf_int8_index" -> (ExtPipelines.ivfIndexQuantized _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -2305,6 +2306,13 @@ object SparkEntry {
     // identity pin is v19's (streamed-tombstone serve ≡ same-quantizer
     // rebuild over survivors), in v12's oracle form
     "s19_stream_ivf_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v21: the int8-stored IVF index must serve rank-identically to a
+    // same-quantizer full-precision index (over-fetched exact re-rank
+    // recovers full-precision ranks) — v12's oracle form
+    "v21_ivf_int8_index" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

@@ -1374,6 +1374,43 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** v21: int8-STORED persisted IVF index — the storage variant the
+    * manifest exists for: `storage = "int8"` is a stored build
+    * parameter, the probe frame holds per-vector scalar-quantized
+    * int8 rows (every probed scan reads ~1/4 the bytes — at 100 TB of
+    * embeddings the difference between a probe that fits the page
+    * cache and one that doesn't), and a parallel list-partitioned
+    * full-precision frame is read ONLY for the bounded exact re-rank
+    * of probed candidates. Identity pin: the int8 index must serve
+    * RANK-IDENTICALLY to a full-precision index under the SAME stored
+    * quantizer and probes (the 4× over-fetch recovers full-precision
+    * ranks — [[graft.ext.Similarity.quantizedTopK]]'s argument inside
+    * the probed lists). Emits `n_queries` and `identical` (v12's
+    * oracle form). */
+  def ivfIndexQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v21")
+    try {
+      val fpPath = tmpRoot.toString + "/fp"
+      Similarity.saveIvfIndex(emb, fpPath, nList = 8, nIters = 1)
+      val qPath = tmpRoot.toString + "/int8"
+      Similarity.saveIvfIndexWithCentroids(emb,
+        Similarity.loadIvfCentroids(spark, fpPath), qPath,
+        storage = "int8")
+      val queries = emb.filter(col("vec_id") < 10)
+      val fromFp = Similarity.ivfTopKFromIndex(spark, fpPath, queries,
+        k = 5, nProbe = 4)
+      val fromQ = Similarity.ivfTopKFromIndex(spark, qPath, queries,
+        k = 5, nProbe = 4)
+      val identical = fromQ.exceptAll(fromFp).isEmpty &&
+        fromFp.exceptAll(fromQ).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((queries.count(), identical)).toDF("n_queries", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
   def ivfIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

@@ -330,12 +330,11 @@ object Similarity {
     * serve stream that pools executor storage against the hot index
     * (the returned plan is lazy, so there is no safe point to free
     * them inside this function). */
-  private def ivfProbeAndRank(cent: DataFrame, listGroups: Seq[DataFrame],
-      queries: DataFrame, k: Int, nProbe: Int,
-      vecCol: String, idCol: String,
-      tombstones: Option[DataFrame] = None): DataFrame = {
-    VectorFunctions.register(queries.sparkSession)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+  /** Each query's nProbe best lists, with the query vector re-attached:
+    * (query_id, list_id, qv) — the tiny broadcast side every probe
+    * join in this family plants directly above a partitioned scan. */
+  private def ivfProbes(cent: DataFrame, q: DataFrame, nProbe: Int)
+      : DataFrame = {
     val centF = cent.select(col("list_id"),
       col("cvec").cast("array<float>").as("cvec"))
     val qScored = q.crossJoin(broadcast(centF))
@@ -343,15 +342,30 @@ object Similarity {
         col("list_id"),
         VectorFunctions.cosine(col("qv"), col("cvec")).as("cos"))
     val topLists = udaf(new graft.functions.TopKAggregator(nProbe))
-    val probes = qScored
+    qScored
       .groupBy("query_id")
       .agg(topLists(col("cos"), col("list_id")).as("lists"))
       .select(col("query_id"), explode(col("lists")).as("list_id"))
       .join(q, "query_id") // re-attach the query vector (tiny side)
-    val candRaw = listGroups.map { lists =>
-        lists.join(broadcast(probes), Seq("list_id"))
-          .filter(col("query_id") =!= col(idCol))
-      }.reduce(_.unionByName(_))
+  }
+
+  /** One broadcast probe join per generation group, unioned — the
+    * plan shape that keeps dynamic partition pruning on every scan. */
+  private def probeJoin(listGroups: Seq[DataFrame], probes: DataFrame,
+      idCol: String): DataFrame =
+    listGroups.map { lists =>
+      lists.join(broadcast(probes), Seq("list_id"))
+        .filter(col("query_id") =!= col(idCol))
+    }.reduce(_.unionByName(_))
+
+  private def ivfProbeAndRank(cent: DataFrame, listGroups: Seq[DataFrame],
+      queries: DataFrame, k: Int, nProbe: Int,
+      vecCol: String, idCol: String,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = ivfProbes(cent, q, nProbe)
+    val candRaw = probeJoin(listGroups, probes, idCol)
     // tombstones ([[deleteFromIvfIndex]]) strike candidates HERE —
     // after the probe join (so the scan's dynamic partition pruning is
     // undisturbed: an anti-join between the partitioned scan and the
@@ -397,18 +411,33 @@ object Similarity {
 
   def saveIvfIndex(corpus: DataFrame, path: String, nList: Int = 16,
       nIters: Int = 1, vecCol: String = "embedding",
-      idCol: String = "vec_id"): Unit =
+      idCol: String = "vec_id", storage: String = "fp"): Unit =
     saveIvfIndexWithCentroids(corpus,
       ivfCentroids(corpus, nList, nIters, vecCol, idCol), path,
-      vecCol, idCol)
+      vecCol, idCol, storage)
 
   /** [[saveIvfIndex]] from a GIVEN quantizer (`cent`: list_id, cvec) —
     * the rebuild form maintenance identity checks need (append/delete
     * must equal a same-centroid rebuild, so the rebuild twin must
     * reuse the stored centroids, not retrain). */
+  /** The int8 lists frame of a `storage = "int8"` layout: per-vector
+    * symmetric scalar quantization ([[quantize]]'s family), keyed and
+    * list-partitioned like the full-precision frame. */
+  private def quantizedLists(assigned: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    VectorFunctions.register(assigned.sparkSession)
+    assigned
+      .select(col(idCol), VectorFunctions.quantizeVec(col(vecCol)).as("_q"),
+        col("list_id"))
+      .select(col(idCol), col("_q.qscale").as("qscale"),
+        col("_q.qvec").as("qvec"), col("list_id"))
+  }
+
   def saveIvfIndexWithCentroids(corpus: DataFrame, centGiven: DataFrame,
       path: String, vecCol: String = "embedding",
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id", storage: String = "fp"): Unit = {
+    require(storage == "fp" || storage == "int8",
+      s"storage must be 'fp' or 'int8', got '$storage'")
     val spark = corpus.sparkSession
     // the quantizer is pinned EAGERLY (nList rows) BEFORE the target is
     // wiped: the natural same-path rebuild —
@@ -425,20 +454,41 @@ object Similarity {
     IndexFs.delete(spark, path)
     cent.write.parquet(IndexLayout.genRoot(path, "centroids", 0))
     val assigned = ivfAssign(corpus, cent, vecCol, idCol)
-    assigned.write.partitionBy("list_id")
-      .parquet(IndexLayout.genRoot(path, "lists", 0))
+    // storage = "int8": the PROBE frame ("lists") holds int8-quantized
+    // vectors — every probed scan reads ~1/4 the bytes — and the
+    // full-precision rows land in a parallel list-partitioned "fp"
+    // frame read only for the bounded exact re-rank of probed
+    // candidates. The quantized frame is derived from a READ-BACK of
+    // the just-written fp rows, not a second corpus-scale assignment.
+    val probeFrame =
+      if (storage == "int8") {
+        assigned.write.partitionBy("list_id")
+          .parquet(IndexLayout.genRoot(path, "fp", 0))
+        val fpBack = spark.read.parquet(IndexLayout.genRoot(path, "fp", 0))
+        val ql = quantizedLists(fpBack, vecCol, idCol)
+        ql.write.partitionBy("list_id")
+          .parquet(IndexLayout.genRoot(path, "lists", 0))
+        ql
+      } else {
+        assigned.write.partitionBy("list_id")
+          .parquet(IndexLayout.genRoot(path, "lists", 0))
+        assigned
+      }
     // layout parameters travel WITH the index: metric and dim pin what
     // probes may be scored against it (the centroids frame itself stays
-    // the stored quantizer); nList documents the build. dim and nList
-    // read from the nList-row centroid frame — bounded driver actions.
+    // the stored quantizer); nList and storage document the build. dim
+    // and nList read from the nList-row centroid frame — bounded
+    // driver actions.
     val dim = cent.select(size(col("cvec"))).first().getInt(0)
     IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
       IvfIndexFormat,
       Map("metric" -> "cosine", "dim" -> dim.toString,
-        "nList" -> cent.count().toString),
-      Map("centroids" -> cent.schema, "lists" -> assigned.schema,
+        "nList" -> cent.count().toString, "storage" -> storage),
+      Map("centroids" -> cent.schema, "lists" -> probeFrame.schema,
         "tombstones" -> org.apache.spark.sql.types.StructType(
-          Seq(assigned.schema(idCol))))))
+          Seq(assigned.schema(idCol)))) ++
+        (if (storage == "int8") Map("fp" -> assigned.schema)
+         else Map.empty)))
     // every consumer of the pinned quantizer (the centroids write, the
     // assignment's driver collect, dim/nList) has executed — free the
     // checkpoint blocks now instead of waiting for driver GC
@@ -487,13 +537,25 @@ object Similarity {
     // manifest dim guard: a batch embedded by the wrong model (or a
     // schema drift upstream) fails loudly instead of landing
     // truncated-cosine assignments in the lists. The append itself is
-    // additive into the lists' open generation root (batch-sized
+    // additive into each frame's open generation root (batch-sized
     // repartition on the partition column: ≤1 file per list).
-    IndexLayout.appendToFrame(spark, path, m, "lists",
-      ivfAssign(dimChecked(batch, vecCol,
-        IndexLayout.intParam(m, path, "dim"), "appendToIvfIndex"),
-        cent, vecCol, idCol),
-      Some("list_id"))
+    val assigned = ivfAssign(dimChecked(batch, vecCol,
+      IndexLayout.intParam(m, path, "dim"), "appendToIvfIndex"),
+      cent, vecCol, idCol)
+    if (m.getOrElse("storage", "fp") == "int8") {
+      // fp FIRST: a concurrent reader that saw a quantized candidate
+      // without its fp row would silently drop it at the re-rank
+      // semi-join; in this order the worst a reader sees is the
+      // pre-append state. `assigned` re-executes for the second write
+      // — batch-sized and deterministic (fixed quantizer, per-row
+      // argmax), so the two writes hold identical rows.
+      IndexLayout.appendToFrame(spark, path, m, "fp", assigned,
+        Some("list_id"))
+      IndexLayout.appendToFrame(spark, path, m, "lists",
+        quantizedLists(assigned, vecCol, idCol), Some("list_id"))
+    } else
+      IndexLayout.appendToFrame(spark, path, m, "lists", assigned,
+        Some("list_id"))
   }
 
   /** ANN top-k against a [[saveIvfIndex]]-persisted index: identical
@@ -515,18 +577,61 @@ object Similarity {
     // after compactions split the composition across generations. An
     // index whose every list was deleted has zero groups and serves
     // the empty frame.
-    val groups = IndexLayout.readFrameGroups(spark, path, m, "lists")
-    val listGroups =
-      if (groups.nonEmpty) groups
-      else Seq(IndexLayout.readFrame(spark, path, m, "lists"))
+    def frameGroups(name: String): Seq[DataFrame] = {
+      val gs = IndexLayout.readFrameGroups(spark, path, m, name)
+      if (gs.nonEmpty) gs else Seq(IndexLayout.readFrame(spark, path, m, name))
+    }
+    val checkedQueries = dimChecked(queries, vecCol,
+      IndexLayout.intParam(m, path, "dim"), "ivfTopKFromIndex")
     // standing tombstones (if any) are honored by default: a deleted
     // vector can never be served, whether or not its rows have been
     // physically compacted away yet
-    ivfProbeAndRank(cent, listGroups,
-      dimChecked(queries, vecCol, IndexLayout.intParam(m, path, "dim"),
-        "ivfTopKFromIndex"),
-      k, nProbe, vecCol, idCol,
-      IndexLayout.loadTombstones(spark, path, m, idCol))
+    val tomb = IndexLayout.loadTombstones(spark, path, m, idCol)
+    if (m.getOrElse("storage", "fp") == "int8")
+      ivfProbeAndRankQuantized(cent, frameGroups("lists"),
+        frameGroups("fp"), checkedQueries, k, nProbe, vecCol, idCol, tomb)
+    else
+      ivfProbeAndRank(cent, frameGroups("lists"), checkedQueries,
+        k, nProbe, vecCol, idCol, tomb)
+  }
+
+  /** The `storage = "int8"` serve: identical probes, but the hot
+    * probed scan reads the QUANTIZED lists (~1/4 the bytes), scores
+    * the dequantized cosine, keeps an over-fetched approximate top
+    * k·4 per query, and exact-re-ranks ONLY those candidates against
+    * the fp frame — itself probe-join-pruned to the same lists, then
+    * semi-joined down to the bounded candidate set. Rank-identical to
+    * the fp serve at the same probes by [[quantizedTopK]]'s argument
+    * (per-element quantization error ≤ maxAbs/254, so the true top-k
+    * within the probed lists sit inside the 4× over-fetch) — pinned
+    * by the v21 identity oracle and spec. Tombstones strike at the
+    * approximate stage, so freed slots refill before the cut. */
+  private def ivfProbeAndRankQuantized(cent: DataFrame,
+      qListGroups: Seq[DataFrame], fpGroups: Seq[DataFrame],
+      queries: DataFrame, k: Int, nProbe: Int,
+      vecCol: String, idCol: String,
+      tombstones: Option[DataFrame]): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = ivfProbes(cent, q, nProbe)
+    // dequantize once per PROBED LIST ROW (a Project above the scan —
+    // DPP still sees the scan), not per (query, row) pair
+    val dq = qListGroups.map(_.withColumn("dqv",
+      VectorFunctions.dequantizeVec(col("qvec"), col("qscale"))))
+    val approxRaw = probeJoin(dq, probes, idCol)
+    val approx = tombstones.fold(approxRaw)(t =>
+        approxRaw.join(t.select(col(idCol)), Seq(idCol), "left_anti"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("dqv")).as("cos"))
+    val cand = topKPerQuery(approx, k * 4)
+      .select("query_id", "neighbor_id")
+    val exact = probeJoin(fpGroups, probes, idCol)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("qv"), col(vecCol))
+      .join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
+    topKPerQuery(exact, k)
   }
 
   /** DELETE vectors from a [[saveIvfIndex]] layout — the x26d
@@ -598,7 +703,13 @@ object Similarity {
         "lists" -> IndexLayout.stageCompactFrame(spark, path, m,
           "lists", "list_id", affected, tomb, idCol, newGen),
         "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
-        "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
+        "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
+        // an int8 layout carries the parallel full-precision frame —
+        // compacted with the same affected lists and the same flip
+        (if (m.contains("frames.fp"))
+          Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
+            "fp", "list_id", affected, tomb, idCol, newGen))
+         else Map.empty)
       IndexLayout.flip(spark, path, m, newGen, staged)
       Checkpoints.free(tomb)
     }

@@ -2454,6 +2454,72 @@ class ExtSpec extends SparkSpec {
       "same-path rebuild must serve the survivors")
   }
 
+  test("v21: int8-stored IVF index serves rank-identically; maintenance verbs carry the fp frame through append/delete/compact") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-int8").toString
+    val standing = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // build both storages under the SAME quantizer
+    val fpPath = s"$root/fp"
+    Similarity.saveIvfIndex(standing, fpPath, nList = 8, nIters = 1)
+    val qPath = s"$root/int8"
+    Similarity.saveIvfIndexWithCentroids(standing,
+      Similarity.loadIvfCentroids(spark, fpPath), qPath, storage = "int8")
+    assert(Similarity.ivfIndexParams(spark, qPath)("storage") == "int8")
+    assert(Similarity.ivfIndexParams(spark, fpPath)("storage") == "fp")
+    // rank-identity at partial AND exhaustive probes
+    for (np <- Seq(4, 8))
+      assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+          k = 5, nProbe = np)) ==
+        key(Similarity.ivfTopKFromIndex(spark, fpPath, queries,
+          k = 5, nProbe = np)),
+        s"int8 serve must be rank-identical to fp at nProbe=$np")
+    // the probe frame really is int8 (tinyint payload, no fp vectors)
+    val m21 = graft.ext.IndexLayout.requireManifest(spark, qPath,
+      Similarity.IvfIndexFormat)
+    val qSchema = graft.ext.IndexLayout.frameSchema(m21, "lists")
+    assert(qSchema.fieldNames.toSet == Set("vec_id", "qscale", "qvec", "list_id")
+      && qSchema("qvec").dataType.simpleString == "array<tinyint>",
+      s"quantized lists schema: $qSchema")
+    // append goes through both frames and stays serve-identical
+    Similarity.appendToIvfIndex(spark, qPath, batch)
+    Similarity.appendToIvfIndex(spark, fpPath, batch)
+    assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+        k = 5, nProbe = 8)) ==
+      key(Similarity.ivfTopKFromIndex(spark, fpPath, queries,
+        k = 5, nProbe = 8)),
+      "appended int8 index must stay rank-identical")
+    // delete + compact remove the doomed vector from BOTH frames
+    val doomedId = Similarity.bruteForceTopK(
+        standing.unionByName(batch), queries, k = 1)
+      .filter(col("query_id") === 0).collect()(0).getLong(1)
+    Similarity.deleteFromIvfIndex(Seq(doomedId).toDF("vec_id"), qPath)
+    val wantAfter = key(Similarity.bruteForceTopK(
+      standing.unionByName(batch).filter(col("vec_id") =!= doomedId),
+      queries, k = 5))
+    assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+      k = 5, nProbe = 8)) == wantAfter,
+      "tombstoned int8 serve must refill the freed slot")
+    Similarity.compactIvfTombstones(spark, qPath)
+    val m21b = graft.ext.IndexLayout.requireManifest(spark, qPath,
+      Similarity.IvfIndexFormat)
+    for (f <- Seq("lists", "fp"))
+      assert(graft.ext.IndexLayout.readFrame(spark, qPath, m21b, f)
+        .filter(col("vec_id") === doomedId).count() == 0,
+        s"compaction must remove the doomed row from the $f frame")
+    assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+      k = 5, nProbe = 8)) == wantAfter,
+      "compacted int8 serve must be unchanged")
+    // the registered pipeline's identity row holds end-to-end
+    val row = graft.analytics.ExtPipelines.ivfIndexQuantized(spark, sf())
+      .collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+  }
+
   test("index lifecycle: repeated delete/compact cycles keep the composition bounded, drop retired dirs, and serve correctly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cycles").toString
