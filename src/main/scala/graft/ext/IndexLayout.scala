@@ -62,10 +62,16 @@ private[graft] object IndexLayout {
 
   val ManifestFile = "_manifest.json"
 
-  /** Bumped when the layout shape itself changes incompatibly; a
-    * manifest written by NEWER code fails loudly instead of being
-    * misread. */
-  val SchemaVersion = 1
+  /** The newest layout schema this code understands; bumped when the
+    * layout shape changes incompatibly so a manifest written by NEWER
+    * code fails loudly instead of being misread. Versions are
+    * PER-INDEX ([[newManifest]]'s `schemaVersion`): a plain layout is
+    * written at 1, the int8 IVF storage variant (quantized lists
+    * schema + a parallel fp frame) at 2 — so a version-1 binary keeps
+    * accepting every layout it can actually read and REFUSES an int8
+    * index instead of appending full-precision rows into a quantized
+    * frame. */
+  val SchemaVersion = 2
 
   // ---------------------------------------------------------------
   // manifest io
@@ -176,10 +182,11 @@ private[graft] object IndexLayout {
     * frame, no retired dirs. The caller has already written the g0
     * data dirs (or not — a frame may start empty, e.g. tombstones). */
   def newManifest(format: String, params: Map[String, String],
-      schemas: Map[String, StructType]): Map[String, String] =
+      schemas: Map[String, StructType],
+      schemaVersion: Int = 1): Map[String, String] =
     params ++ Map(
       "format" -> format,
-      "schemaVersion" -> SchemaVersion.toString,
+      "schemaVersion" -> schemaVersion.toString,
       "gen" -> "0",
       "retired" -> "") ++
       schemas.flatMap { case (name, st) => Seq(

@@ -312,24 +312,6 @@ object Similarity {
     ivfProbeAndRank(cent, Seq(assigned), queries, k, nProbe, vecCol, idCol)
   }
 
-  /** The probe-and-rank stage shared by the in-memory index (v3) and
-    * the persisted index ([[ivfTopKFromIndex]]): score queries against
-    * the broadcast centroids, keep each query's nProbe best lists
-    * (k-bounded aggregator), then exact-cosine re-rank against only the
-    * probed lists' vectors.
-    *
-    * `listGroups` is the composed list frame as one scan PER
-    * generation group: the broadcast probe join is planted directly
-    * above each scan so dynamic partition pruning fires on every
-    * group (it would not reach scans through a Union). The probe
-    * frame is deliberately RECOMPUTED per group rather than pinned
-    * with a checkpoint: it costs one queries × nList aggregation per
-    * branch (metadata-scale — centroids are broadcast, nList is
-    * small), whereas a ckptLocal here would leave unfreeable
-    * 2x-replicated blocks behind every serve — on a long-running
-    * serve stream that pools executor storage against the hot index
-    * (the returned plan is lazy, so there is no safe point to free
-    * them inside this function). */
   /** Each query's nProbe best lists, with the query vector re-attached:
     * (query_id, list_id, qv) — the tiny broadcast side every probe
     * join in this family plants directly above a partitioned scan. */
@@ -358,6 +340,24 @@ object Similarity {
         .filter(col("query_id") =!= col(idCol))
     }.reduce(_.unionByName(_))
 
+  /** The probe-and-rank stage shared by the in-memory index (v3) and
+    * the persisted index ([[ivfTopKFromIndex]]): score queries against
+    * the broadcast centroids, keep each query's nProbe best lists
+    * (k-bounded aggregator), then exact-cosine re-rank against only the
+    * probed lists' vectors.
+    *
+    * `listGroups` is the composed list frame as one scan PER
+    * generation group: the broadcast probe join is planted directly
+    * above each scan so dynamic partition pruning fires on every
+    * group (it would not reach scans through a Union). The probe
+    * frame is deliberately RECOMPUTED per group rather than pinned
+    * with a checkpoint: it costs one queries × nList aggregation per
+    * branch (metadata-scale — centroids are broadcast, nList is
+    * small), whereas a ckptLocal here would leave unfreeable
+    * 2x-replicated blocks behind every serve — on a long-running
+    * serve stream that pools executor storage against the hot index
+    * (the returned plan is lazy, so there is no safe point to free
+    * them inside this function). */
   private def ivfProbeAndRank(cent: DataFrame, listGroups: Seq[DataFrame],
       queries: DataFrame, k: Int, nProbe: Int,
       vecCol: String, idCol: String,
@@ -416,10 +416,6 @@ object Similarity {
       ivfCentroids(corpus, nList, nIters, vecCol, idCol), path,
       vecCol, idCol, storage)
 
-  /** [[saveIvfIndex]] from a GIVEN quantizer (`cent`: list_id, cvec) —
-    * the rebuild form maintenance identity checks need (append/delete
-    * must equal a same-centroid rebuild, so the rebuild twin must
-    * reuse the stored centroids, not retrain). */
   /** The int8 lists frame of a `storage = "int8"` layout: per-vector
     * symmetric scalar quantization ([[quantize]]'s family), keyed and
     * list-partitioned like the full-precision frame. */
@@ -433,6 +429,10 @@ object Similarity {
         col("_q.qvec").as("qvec"), col("list_id"))
   }
 
+  /** [[saveIvfIndex]] from a GIVEN quantizer (`cent`: list_id, cvec) —
+    * the rebuild form maintenance identity checks need (append/delete
+    * must equal a same-centroid rebuild, so the rebuild twin must
+    * reuse the stored centroids, not retrain). */
   def saveIvfIndexWithCentroids(corpus: DataFrame, centGiven: DataFrame,
       path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", storage: String = "fp"): Unit = {
@@ -488,7 +488,12 @@ object Similarity {
         "tombstones" -> org.apache.spark.sql.types.StructType(
           Seq(assigned.schema(idCol)))) ++
         (if (storage == "int8") Map("fp" -> assigned.schema)
-         else Map.empty)))
+         else Map.empty),
+      // int8 layouts carry layout schemaVersion 2: a pre-int8 binary
+      // (version 1) must REFUSE them loudly — appending fp rows into a
+      // quantized lists frame would serve silent nulls — while plain
+      // layouts stay version 1 and remain readable everywhere
+      schemaVersion = if (storage == "int8") 2 else 1))
     // every consumer of the pinned quantizer (the centroids write, the
     // assignment's driver collect, dim/nList) has executed — free the
     // checkpoint blocks now instead of waiting for driver GC
@@ -543,16 +548,21 @@ object Similarity {
       IndexLayout.intParam(m, path, "dim"), "appendToIvfIndex"),
       cent, vecCol, idCol)
     if (m.getOrElse("storage", "fp") == "int8") {
+      // the two frames MUST hold identical rows, and `batch` may not be
+      // re-execution-stable (a directory a producer appends to between
+      // the writes, a sampled upstream) — one batch-sized ckptLocal
+      // pins the assignment for both writes, freed once they commit.
       // fp FIRST: a concurrent reader that saw a quantized candidate
       // without its fp row would silently drop it at the re-rank
       // semi-join; in this order the worst a reader sees is the
-      // pre-append state. `assigned` re-executes for the second write
-      // — batch-sized and deterministic (fixed quantizer, per-row
-      // argmax), so the two writes hold identical rows.
-      IndexLayout.appendToFrame(spark, path, m, "fp", assigned,
-        Some("list_id"))
-      IndexLayout.appendToFrame(spark, path, m, "lists",
-        quantizedLists(assigned, vecCol, idCol), Some("list_id"))
+      // pre-append state.
+      val pinned = Checkpoints.ckptLocal(assigned)
+      try {
+        IndexLayout.appendToFrame(spark, path, m, "fp", pinned,
+          Some("list_id"))
+        IndexLayout.appendToFrame(spark, path, m, "lists",
+          quantizedLists(pinned, vecCol, idCol), Some("list_id"))
+      } finally Checkpoints.free(pinned)
     } else
       IndexLayout.appendToFrame(spark, path, m, "lists", assigned,
         Some("list_id"))
@@ -564,7 +574,8 @@ object Similarity {
     * partition-pruned to the probed lists. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int = 5, nProbe: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      overFetch: Int = 4): DataFrame = {
     val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
     val metric = IndexLayout.param(m, path, "metric")
     if (metric != "cosine") throw new IllegalStateException(
@@ -589,29 +600,53 @@ object Similarity {
     val tomb = IndexLayout.loadTombstones(spark, path, m, idCol)
     if (m.getOrElse("storage", "fp") == "int8")
       ivfProbeAndRankQuantized(cent, frameGroups("lists"),
-        frameGroups("fp"), checkedQueries, k, nProbe, vecCol, idCol, tomb)
+        frameGroups("fp"), checkedQueries, k, nProbe, vecCol, idCol, tomb,
+        overFetch)
     else
       ivfProbeAndRank(cent, frameGroups("lists"), checkedQueries,
         k, nProbe, vecCol, idCol, tomb)
   }
 
+  /** Candidate sets at or below this many (query, neighbor) rows are
+    * COLLECTED and inlined as a literal id filter on the exact-re-rank
+    * scan; larger sets degrade to the lazy semi-join (plan-size and
+    * driver-memory guard, the [[graft.ext.Dedup.MaxBroadcastCandidateIds]]
+    * philosophy). */
+  val MaxInlineRerankCandidates = 10000L
+
   /** The `storage = "int8"` serve: identical probes, but the hot
     * probed scan reads the QUANTIZED lists (~1/4 the bytes), scores
     * the dequantized cosine, keeps an over-fetched approximate top
-    * k·4 per query, and exact-re-ranks ONLY those candidates against
-    * the fp frame — itself probe-join-pruned to the same lists, then
-    * semi-joined down to the bounded candidate set. Rank-identical to
-    * the fp serve at the same probes by [[quantizedTopK]]'s argument
-    * (per-element quantization error ≤ maxAbs/254, so the true top-k
-    * within the probed lists sit inside the 4× over-fetch) — pinned
-    * by the v21 identity oracle and spec. Tombstones strike at the
-    * approximate stage, so freed slots refill before the cut. */
+    * k·overFetch per query, and exact-re-ranks ONLY those candidates
+    * against the fp frame. The candidate set is bounded
+    * (≤ |queries|·k·overFetch) and already materialized by the
+    * k-bounded aggregate, so one bounded driver collect (the x26
+    * exception class) turns it into a LITERAL id filter the fp scan
+    * pushes into parquet row-group stats — without it the exact stage
+    * would re-read every probed fp row and the int8 variant would
+    * cost ~1.25× a plain fp serve instead of saving bytes. A
+    * candidate set past [[MaxInlineRerankCandidates]] degrades to the
+    * lazy semi-join over the probed scan instead of bloating the plan.
+    *
+    * Equal to the fp serve at the same probes WHEN the true top-k of
+    * every probed list sit inside the approximate top k·overFetch —
+    * [[quantizedTopK]]'s argument (per-element quantization error
+    * ≤ maxAbs/254). That is a CORPUS-DEPENDENT sufficiency condition,
+    * not a theorem: a probed list packed with thousands of
+    * near-duplicate vectors inside the error band can push a true
+    * neighbor below the cut, which is the standard quantized-index
+    * recall trade — raise `overFetch` (or store fp) where the corpus
+    * is that degenerate. The v21 oracle pins exact identity on this
+    * corpus at the default. Tombstones strike at the approximate
+    * stage, so freed slots refill before the cut. */
   private def ivfProbeAndRankQuantized(cent: DataFrame,
       qListGroups: Seq[DataFrame], fpGroups: Seq[DataFrame],
       queries: DataFrame, k: Int, nProbe: Int,
       vecCol: String, idCol: String,
-      tombstones: Option[DataFrame]): DataFrame = {
-    VectorFunctions.register(queries.sparkSession)
+      tombstones: Option[DataFrame], overFetch: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = ivfProbes(cent, q, nProbe)
     // dequantize once per PROBED LIST ROW (a Project above the scan —
@@ -623,15 +658,28 @@ object Similarity {
         approxRaw.join(t.select(col(idCol)), Seq(idCol), "left_anti"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("dqv")).as("cos"))
-    val cand = topKPerQuery(approx, k * 4)
+    val cand = topKPerQuery(approx, k * overFetch)
       .select("query_id", "neighbor_id")
-    val exact = probeJoin(fpGroups, probes, idCol)
+    val exactBase = probeJoin(fpGroups, probes, idCol)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("qv"), col(vecCol))
-      .join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+    // the query side is tiny by design (it is broadcast everywhere in
+    // this family), so its count is a bounded action gating the inline
+    val nQueries = q.count()
+    val exactIn =
+      if (nQueries * k * overFetch <= MaxInlineRerankCandidates) {
+        val rows = cand.collect() // bounded: ≤ nQueries·k·overFetch
+        val ids = rows.map(_.getLong(1)).distinct.toSeq
+        val local = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .toDF("query_id", "neighbor_id")
+        exactBase.filter(col("neighbor_id").isin(ids: _*))
+          .join(broadcast(local), Seq("query_id", "neighbor_id"),
+            "left_semi")
+      } else
+        exactBase.join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+    topKPerQuery(exactIn
       .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
-    topKPerQuery(exact, k)
+        VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos")), k)
   }
 
   /** DELETE vectors from a [[saveIvfIndex]] layout — the x26d
@@ -705,8 +753,11 @@ object Similarity {
         "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
         "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
         // an int8 layout carries the parallel full-precision frame —
-        // compacted with the same affected lists and the same flip
-        (if (m.contains("frames.fp"))
+        // compacted with the same affected lists and the same flip.
+        // Gated on the SAME storage parameter serve and append read
+        // (one source of truth); a manifest claiming int8 without a
+        // stored fp schema fails loudly inside the staging read.
+        (if (m.getOrElse("storage", "fp") == "int8")
           Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
             "fp", "list_id", affected, tomb, idCol, newGen))
          else Map.empty)

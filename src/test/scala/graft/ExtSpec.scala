@@ -2471,6 +2471,12 @@ class ExtSpec extends SparkSpec {
       Similarity.loadIvfCentroids(spark, fpPath), qPath, storage = "int8")
     assert(Similarity.ivfIndexParams(spark, qPath)("storage") == "int8")
     assert(Similarity.ivfIndexParams(spark, fpPath)("storage") == "fp")
+    // per-index layout versioning: int8 layouts are written at
+    // schemaVersion 2, so a pre-int8 (version-1) binary REFUSES them
+    // instead of appending fp rows into a quantized frame, while plain
+    // layouts stay version 1 and readable everywhere
+    assert(Similarity.ivfIndexParams(spark, qPath)("schemaVersion") == "2")
+    assert(Similarity.ivfIndexParams(spark, fpPath)("schemaVersion") == "1")
     // rank-identity at partial AND exhaustive probes
     for (np <- Seq(4, 8))
       assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
