@@ -670,23 +670,27 @@ object Dedup {
     IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
       IndexLayout.dropRetired(spark, path, m)
       // the tombstone set feeds three anti-joins and a bucket-list
-      // aggregate; delta-sized, so one ckptLocal pins it for all four
+      // aggregate; delta-sized, so one ckptLocal pins it for all four.
+      // try/finally: a compaction that fails mid-stage must not leak
+      // the pinned 2x-replicated blocks (the streaming-ingest leak
+      // class, closed the same way)
       val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
-      val buckets = IndexLayout.intParam(m, path, "buckets")
-      val affected = tomb.select(idBucket(col(idCol), buckets).as("bk"))
-        .distinct()
-        .collect().map(_.getInt(0)).toSeq // ≤ buckets rows: bounded action
-      val newGen = IndexLayout.intParam(m, path, "gen") + 1
-      val staged = Map(
-        "shingles" -> IndexLayout.stageCompactFrame(spark, path, m,
-          "shingles", "bucket", affected, tomb, idCol, newGen),
-        "sizes" -> IndexLayout.stageCompactFrame(spark, path, m,
-          "sizes", "bucket", affected, tomb, idCol, newGen),
-        "bands" -> IndexLayout.stageRewriteFrame(spark, path, m,
-          "bands", "band", tomb, idCol, newGen),
-        "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
-      IndexLayout.flip(spark, path, m, newGen, staged)
-      Checkpoints.free(tomb)
+      try {
+        val buckets = IndexLayout.intParam(m, path, "buckets")
+        val affected = tomb.select(idBucket(col(idCol), buckets).as("bk"))
+          .distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ buckets rows: bounded action
+        val newGen = IndexLayout.intParam(m, path, "gen") + 1
+        val staged = Map(
+          "shingles" -> IndexLayout.stageCompactFrame(spark, path, m,
+            "shingles", "bucket", affected, tomb, idCol, newGen),
+          "sizes" -> IndexLayout.stageCompactFrame(spark, path, m,
+            "sizes", "bucket", affected, tomb, idCol, newGen),
+          "bands" -> IndexLayout.stageRewriteFrame(spark, path, m,
+            "bands", "band", tomb, idCol, newGen),
+          "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
+        IndexLayout.flip(spark, path, m, newGen, staged)
+      } finally Checkpoints.free(tomb)
     }
   }
 

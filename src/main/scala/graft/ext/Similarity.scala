@@ -448,6 +448,9 @@ object Similarity {
     // corpus-scale — so a corpus derived from the target path remains
     // the caller's error, stated in the scaladoc contract.)
     val cent = Checkpoints.ckptLocal(centGiven)
+    // try/finally (the nearDupIngestStream pattern): a build that fails
+    // mid-write must not leak the pinned 2x-replicated quantizer blocks
+    try {
     // full replace, including any stale tombstones or generations —
     // a rebuild shadowed by the previous index's tombstones would be
     // wrong (same contract as Dedup.saveMinhashIndex)
@@ -497,7 +500,7 @@ object Similarity {
     // every consumer of the pinned quantizer (the centroids write, the
     // assignment's driver collect, dim/nList) has executed — free the
     // checkpoint blocks now instead of waiting for driver GC
-    Checkpoints.free(cent)
+    } finally Checkpoints.free(cent)
   }
 
   /** The stored quantizer of a [[saveIvfIndex]] index (list_id, cvec)
@@ -669,17 +672,29 @@ object Similarity {
     val exactIn =
       if (nQueries * k * overFetch <= MaxInlineRerankCandidates) {
         val rows = cand.collect() // bounded: ≤ nQueries·k·overFetch
-        val ids = rows.map(_.getLong(1)).distinct.toSeq
-        val local = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
-          .toDF("query_id", "neighbor_id")
+        // generic extraction (r.get, createDataFrame over cand's own
+        // schema), NOT getLong: neighbor ids are Long family-wide, but
+        // query_id is only a grouping column — the fp serve accepts
+        // int/string query ids and the inline path must too
+        val ids = rows.map(_.get(1)).distinct.toSeq
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), cand.schema)
         exactBase.filter(col("neighbor_id").isin(ids: _*))
           .join(broadcast(local), Seq("query_id", "neighbor_id"),
             "left_semi")
       } else
         exactBase.join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+    // collapse duplicate (query, neighbor) rows BEFORE the final top-k:
+    // a kill between the fp and lists appends followed by the
+    // documented re-run can leave replayed fp rows, and TopKAggregator
+    // would let one neighbor occupy two top-k slots, silently
+    // displacing a true neighbor. cos is a pure function of the pair,
+    // so max() is exact; the aggregate runs on the bounded candidate
+    // set (≤ |queries|·k·overFetch rows), not the probed scan.
     topKPerQuery(exactIn
       .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos")), k)
+        VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos")), k)
   }
 
   /** DELETE vectors from a [[saveIvfIndex]] layout — the x26d
@@ -741,28 +756,32 @@ object Similarity {
     IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
       IndexLayout.dropRetired(spark, path, m)
       val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
-      val affected = IndexLayout.readFrame(spark, path, m, "lists")
-        .select(col(idCol), col("list_id"))
-        .join(tomb, Seq(idCol), "left_semi")
-        .select("list_id").distinct()
-        .collect().map(_.get(0)).toSeq // ≤ nList rows: bounded
-      val newGen = IndexLayout.intParam(m, path, "gen") + 1
-      val staged = Map(
-        "lists" -> IndexLayout.stageCompactFrame(spark, path, m,
-          "lists", "list_id", affected, tomb, idCol, newGen),
-        "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
-        "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
-        // an int8 layout carries the parallel full-precision frame —
-        // compacted with the same affected lists and the same flip.
-        // Gated on the SAME storage parameter serve and append read
-        // (one source of truth); a manifest claiming int8 without a
-        // stored fp schema fails loudly inside the staging read.
-        (if (m.getOrElse("storage", "fp") == "int8")
-          Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
-            "fp", "list_id", affected, tomb, idCol, newGen))
-         else Map.empty)
-      IndexLayout.flip(spark, path, m, newGen, staged)
-      Checkpoints.free(tomb)
+      // try/finally: a compaction that fails mid-stage must not leak
+      // the pinned 2x-replicated tombstone blocks (the streaming-ingest
+      // leak class, closed the same way)
+      try {
+        val affected = IndexLayout.readFrame(spark, path, m, "lists")
+          .select(col(idCol), col("list_id"))
+          .join(tomb, Seq(idCol), "left_semi")
+          .select("list_id").distinct()
+          .collect().map(_.get(0)).toSeq // ≤ nList rows: bounded
+        val newGen = IndexLayout.intParam(m, path, "gen") + 1
+        val staged = Map(
+          "lists" -> IndexLayout.stageCompactFrame(spark, path, m,
+            "lists", "list_id", affected, tomb, idCol, newGen),
+          "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
+          "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
+          // an int8 layout carries the parallel full-precision frame —
+          // compacted with the same affected lists and the same flip.
+          // Gated on the SAME storage parameter serve and append read
+          // (one source of truth); a manifest claiming int8 without a
+          // stored fp schema fails loudly inside the staging read.
+          (if (m.getOrElse("storage", "fp") == "int8")
+            Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
+              "fp", "list_id", affected, tomb, idCol, newGen))
+           else Map.empty)
+        IndexLayout.flip(spark, path, m, newGen, staged)
+      } finally Checkpoints.free(tomb)
     }
   }
 

@@ -2526,6 +2526,32 @@ class ExtSpec extends SparkSpec {
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
   }
 
+  test("int8 serve accepts non-Long query ids like the fp serve (inline re-rank path)") {
+    VectorFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-int8-qid").toString
+    val standing = emb.filter(col("vec_id") < 300)
+    // int query ids: query_id is only a grouping column, so the serve
+    // contract is id-type-agnostic on the query side (up to the
+    // self-match compare coercing against the corpus id type) — the
+    // inline literal-pruned re-rank (the common, ≤10k-candidate case)
+    // used to getLong() both columns and threw ClassCastException here
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    val fpPath = s"$root/fp"
+    Similarity.saveIvfIndex(standing, fpPath, nList = 8, nIters = 1)
+    val qPath = s"$root/int8"
+    Similarity.saveIvfIndexWithCentroids(standing,
+      Similarity.loadIvfCentroids(spark, fpPath), qPath, storage = "int8")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val got = key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+      k = 5, nProbe = 8))
+    assert(got == key(Similarity.ivfTopKFromIndex(spark, fpPath, queries,
+      k = 5, nProbe = 8)),
+      "int8 serve with int query ids must match the fp serve")
+    assert(got.size == 50)
+  }
+
   test("index lifecycle: repeated delete/compact cycles keep the composition bounded, drop retired dirs, and serve correctly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cycles").toString
