@@ -41,16 +41,20 @@ import org.apache.spark.sql.types.StructType
   * reads back as an empty frame with the right schema — no magic
   * schema-anchor files, no `partCol=0` lore.
   *
-  * Composition growth is BOUNDED, not merely amortized: a frame's
-  * entry list holds each partition at most once (sealed entries are
-  * per-partition; a compaction folds every affected partition into
-  * the single new open root and retires its old entries), so no
-  * matter how many delete/compact cycles a long-lived index runs,
-  * the composition stays ≤ partitions + 1 entries and the read path
+  * Composition growth is BOUNDED, not merely amortized: after every
+  * compaction a frame's entry list holds each partition at most once —
+  * a compaction folds into the single new open root every affected
+  * partition AND every partition whose rows are split across more
+  * than one entry (appends interleaved between compactions leave one
+  * sealed entry per generation a partition received appends in;
+  * [[stageCompactFrame]]'s fold consolidates them) — so no matter how
+  * many append/delete/compact cycles a long-lived index runs, the
+  * composition stays ≤ partitions + 1 entries and the read path
   * unions at most min(generations, partitions) + 1 scans — there is
   * no unbounded manifest or plan growth to schedule around (a full
   * rebuild via the save verb resets everything to one generation).
-  * Spec-pinned across repeated cycles.
+  * Spec-pinned across repeated cycles, with and without interleaved
+  * appends.
   *
   * Concurrency contract: ONE maintenance writer at a time (append /
   * delete / compact / refresh), any number of concurrent readers.
@@ -273,11 +277,26 @@ private[graft] object IndexLayout {
   }
 
   /** Stage a PRUNED compaction of frame `name`: read the current
-    * composition, keep only the `affected` partitions, anti-join the
-    * tombstoned ids out, and write the survivors into generation
-    * `newGen` — unaffected partitions are never read, listed, or
-    * moved. Returns the frame's new composition entries and the
-    * directories the flip retires.
+    * composition, keep only the `affected` partitions — PLUS every
+    * partition whose rows are split across more than one composition
+    * entry (see below) — anti-join the tombstoned ids out, and write
+    * the survivors into generation `newGen`; all other partitions are
+    * never read, listed, or moved. Returns the frame's new composition
+    * entries and the directories the flip retires.
+    *
+    * The split-partition FOLD is what makes the layout's bounded-
+    * composition claim hold for REAL workloads, not just pure
+    * delete/compact cycles: an append between two compactions lands in
+    * the then-open generation root, so a partition untouched by any
+    * tombstone can end up with one sealed entry per generation it
+    * received appends in — without the fold, manifest entries and
+    * read-path scan fan-out would grow with generations. Folding every
+    * >1-entry partition into the new root consolidates them to one
+    * entry each, restoring ≤ partitions + 1 at every compaction. The
+    * folded partitions' values are recovered from Spark's own
+    * partition-column inference over the duplicated directories
+    * (bounded: ≤ one distinct value per duplicated dir) — never by
+    * parsing directory names back into values.
     *
     * Formatting safety of the keep-or-retire split: survivors staged
     * under the new root get their directory names from Spark's own
@@ -292,16 +311,6 @@ private[graft] object IndexLayout {
       affected: Seq[Any], tomb: DataFrame, idCol: String, newGen: Int)
       : (Seq[String], Seq[String]) = {
     val newRoot = s"$name/g$newGen"
-    val groups = readFrameGroups(spark, path, m, name)
-    if (groups.nonEmpty && affected.nonEmpty)
-      groups.reduce(_.union(_))
-        .filter(col(partCol).isin(affected: _*))
-        .join(tomb.select(col(idCol)), Seq(idCol), "left_anti")
-        .repartition(col(partCol))
-        .write.mode("overwrite") // staging replay after a kill is idempotent
-        .partitionBy(partCol).parquet(s"$path/$newRoot")
-    val staged = listPartDirNames(spark, s"$path/$newRoot", partCol).toSet
-    val affectedNames = staged ++ affected.map(v => s"$partCol=$v")
     // expand whole-root entries into their on-disk partition dirs so
     // the affected ones can be retired individually; the open root of
     // the OLD generation becomes a set of sealed partition entries
@@ -310,6 +319,35 @@ private[graft] object IndexLayout {
         listPartDirNames(spark, s"$path/$e", partCol).map(n => s"$e/$n")
       else Seq(e)
     }
+    // partitions present in >1 entry get folded into the new root too
+    val dupNames = expanded.groupBy(_.split("/").last)
+      .collect { case (n, es) if es.size > 1 => n }.toSet
+    val foldVals: Seq[Any] =
+      if (dupNames.isEmpty) Seq.empty
+      else expanded.filter(e => dupNames.contains(e.split("/").last))
+        .groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+        .flatMap { case (root, es) =>
+          val present =
+            es.filter(e => IndexFs.hasParquetData(spark, s"$path/$e"))
+          if (present.isEmpty) None
+          else Some(spark.read.option("basePath", s"$path/$root")
+            .parquet(present.map(e => s"$path/$e"): _*)
+            .select(col(partCol)).distinct())
+        }
+        .reduceOption(_.union(_))
+        .map(_.distinct().collect().map(_.get(0)).toSeq)
+        .getOrElse(Seq.empty)
+    val allAffected = (affected ++ foldVals).distinct
+    val groups = readFrameGroups(spark, path, m, name)
+    if (groups.nonEmpty && allAffected.nonEmpty)
+      groups.reduce(_.union(_))
+        .filter(col(partCol).isin(allAffected: _*))
+        .join(tomb.select(col(idCol)), Seq(idCol), "left_anti")
+        .repartition(col(partCol))
+        .write.mode("overwrite") // staging replay after a kill is idempotent
+        .partitionBy(partCol).parquet(s"$path/$newRoot")
+    val staged = listPartDirNames(spark, s"$path/$newRoot", partCol).toSet
+    val affectedNames = staged ++ allAffected.map(v => s"$partCol=$v")
     val (retired, kept) =
       expanded.partition(e => affectedNames.contains(e.split("/").last))
     (kept :+ newRoot, retired)

@@ -2595,6 +2595,49 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("index lifecycle with INTERLEAVED appends: compaction folds generation-split partitions, composition stays bounded") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fold").toString
+    val path = s"$root/idx"
+    val buckets = 5
+    def doc(i: Long) = (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    Dedup.saveMinhashIndex((0L until 4L).map(doc).toDF("doc_id", "text"),
+      path, idBuckets = buckets)
+    // each cycle APPENDS two docs (they land in the then-open
+    // generation root), deletes one old doc, then compacts — the
+    // append+localized-delete workload under which, without the
+    // split-partition fold, an unaffected partition keeps one sealed
+    // entry per generation it received appends in and the composition
+    // grows without bound
+    for (cycle <- 0 until 4) {
+      Dedup.appendToMinhashIndex(
+        Seq(doc(10 + 2L * cycle), doc(11 + 2L * cycle)).toDF("doc_id", "text"),
+        path)
+      Dedup.deleteFromMinhashIndex(Seq(cycle.toLong).toDF("doc_id"), path)
+      Dedup.compactMinhashTombstones(spark, path)
+      val m = graft.ext.IndexLayout.readManifest(spark, path).get
+      for (f <- Seq("shingles", "sizes")) {
+        val es = graft.ext.IndexLayout.frameEntries(m, f)
+        assert(es.size <= buckets + 1,
+          s"cycle $cycle frame $f composition ${es.mkString(",")} must stay bounded")
+        // each partition appears at most once among the sealed entries
+        val sealedParts = es.filter(_.split("/").length == 3)
+          .map(_.split("/").last)
+        assert(sealedParts.distinct.size == sealedParts.size,
+          s"cycle $cycle frame $f has a generation-split partition: ${es.mkString(",")}")
+      }
+    }
+    // serving is exactly right after 4 fold cycles: dups of appended
+    // and surviving docs reject, dups of deleted docs admit
+    val probes = (Seq((200L, doc(3)._2), (201L, doc(10)._2),
+      (202L, doc(17)._2)) ++ (0 until 4).map(i => (100L + i, doc(i)._2)))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.nearDupIngestFromPath(spark, path, probes)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == (0 until 4).map(100L + _).toSet,
+      s"after fold cycles: got $admitted")
+  }
+
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
     val got = graft.analytics.ExtPipelines.clusterBalancedSelect(spark, sf())
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
