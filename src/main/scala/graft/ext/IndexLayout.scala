@@ -58,10 +58,11 @@ import org.apache.spark.sql.types.StructType
   *
   * Concurrency contract: ONE maintenance writer at a time (append /
   * delete / compact / refresh), any number of concurrent readers.
-  * The manifest flip is a FileContext OVERWRITE rename — atomic on
-  * HDFS and local filesystems; on S3A it degrades to copy+delete with
-  * a sub-second window, the standard caveat of every rename-based
-  * commit on object stores. */
+  * The manifest commit is a MONOTONIC new-file-per-generation write
+  * (`_manifest-N.json`, highest-N-wins read — [[writeManifest]]):
+  * safe on object stores too, because it relies only on "a new file
+  * is absent or complete", never on rename atomicity over a live
+  * destination. */
 private[graft] object IndexLayout {
 
   val ManifestFile = "_manifest.json"
@@ -83,31 +84,86 @@ private[graft] object IndexLayout {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Write the manifest ATOMICALLY: serialize to a hidden temp file,
-    * then OVERWRITE-rename onto `_manifest.json`. Readers see the old
-    * manifest or the new one, never a partial file and never a window
-    * with no manifest at all. */
+  private val ManifestGenRe = "_manifest-(\\d+)\\.json".r
+
+  /** The per-generation manifest file a commit creates. */
+  private[graft] def manifestGenFile(gen: Int): String = s"_manifest-$gen.json"
+
+  /** Committed manifest generations present under `path`. */
+  private def listManifestGens(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Int] = {
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestGenRe(n) => Some(n.toInt)
+      case _ => None
+    })
+  }
+
+  /** Commit the manifest OBJECT-STORE-SAFELY: the commit object is
+    * `_manifest-N.json` with N = the manifest's generation — a NEW
+    * file per flip, never an overwrite-rename of a live one. Readers
+    * resolve highest-N ([[readManifest]]), so the commit needs only
+    * "a new file is either absent or complete", which every store
+    * provides: on HDFS/local the temp→dst rename is atomic; on S3A
+    * rename degrades to copy+delete, but the server-side copy
+    * materializes the destination object whole — a kill mid-commit
+    * leaves at worst a stale hidden temp and the PREVIOUS generation
+    * still winning, never a torn manifest and never a window with no
+    * manifest at all. (The old OVERWRITE-rename onto one fixed name
+    * was atomic on HDFS/local but had a sub-second no-manifest window
+    * on S3A — the standard rename-commit caveat this layout no longer
+    * carries.)
+    *
+    * `_manifest.json` is still written (second, by the same
+    * temp+OVERWRITE-rename as before) as a COMPATIBILITY POINTER so
+    * pre-monotonic binaries keep reading the index; new readers never
+    * consult it when any `_manifest-N.json` exists.
+    *
+    * Cleanup is bounded and grace-respecting: generations ≤ N−2 are
+    * deleted at commit time — one full flip interval of grace, the
+    * [[dropRetired]] contract applied to manifest files (a reader that
+    * listed just before this commit holds at most N−1, which
+    * survives). */
   def writeManifest(spark: SparkSession, path: String,
       kv: Map[String, String]): Unit = {
     val f = IndexFs.fs(spark, path)
     f.mkdirs(new Path(path))
-    val tmp = new Path(s"$path/.${ManifestFile}.tmp")
-    val dst = new Path(s"$path/$ManifestFile")
+    val gen = kv.getOrElse("gen", throw new IllegalArgumentException(
+      s"manifest for $path has no 'gen' — not a layout manifest")).toInt
     val sorted = new java.util.TreeMap[String, String]()
     kv.foreach { case (k, v) => sorted.put(k, v) }
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(sorted)
-    val out = f.create(tmp, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val fc = FileContext.getFileContext(new Path(path).toUri,
       spark.sessionState.newHadoopConf())
-    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    def commit(tmpName: String, dstName: String): Unit = {
+      val tmp = new Path(s"$path/$tmpName")
+      val out = f.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      // OVERWRITE for replay idempotency (a re-run commit of the same
+      // generation rewrites identical content)
+      fc.rename(tmp, new Path(s"$path/$dstName"), Options.Rename.OVERWRITE)
+    }
+    commit(s"._manifest-$gen.json.tmp", manifestGenFile(gen))
+    commit(s".${ManifestFile}.tmp", ManifestFile)
+    listManifestGens(f, path).filter(_ <= gen - 2)
+      .foreach(g => f.delete(new Path(s"$path/${manifestGenFile(g)}"), false))
   }
 
+  /** Resolve the current manifest: the HIGHEST-N `_manifest-N.json`
+    * wins (a torn commit that left both N and N−1 behind — or a crash
+    * before cleanup — resolves deterministically to N); an index with
+    * no per-generation files falls back to the legacy `_manifest.json`
+    * (pre-monotonic layouts stay readable without a rebuild). */
   def readManifest(spark: SparkSession, path: String)
       : Option[Map[String, String]] = {
     val f = IndexFs.fs(spark, path)
-    val p = new Path(s"$path/$ManifestFile")
+    val gens = listManifestGens(f, path)
+    val p =
+      if (gens.nonEmpty) new Path(s"$path/${manifestGenFile(gens.max)}")
+      else new Path(s"$path/$ManifestFile")
     if (!f.exists(p)) None
     else {
       val in = f.open(p)

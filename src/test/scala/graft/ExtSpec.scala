@@ -2638,6 +2638,60 @@ class ExtSpec extends SparkSpec {
       s"after fold cycles: got $admitted")
   }
 
+  test("manifest commit is monotonic: highest-N wins, torn/partial states resolve, legacy single-file manifests stay readable") {
+    import spark.implicits._
+    import graft.ext.IndexLayout
+    val root = java.nio.file.Files.createTempDirectory("graft-mono").toString
+    val path = s"$root/idx"
+    def doc(i: Long) = (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    Dedup.saveMinhashIndex((0L until 6L).map(doc).toDF("doc_id", "text"),
+      path, idBuckets = 5)
+    def file(n: String) = new java.io.File(s"$path/$n")
+    // a fresh build commits _manifest-0.json plus the legacy pointer
+    assert(file(IndexLayout.manifestGenFile(0)).exists())
+    assert(file(IndexLayout.ManifestFile).exists())
+    // flip to gen 1: BOTH generations present (one-interval grace on
+    // manifest files, like retired dirs) and the reader resolves 1
+    Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
+    Dedup.compactMinhashTombstones(spark, path)
+    assert(file(IndexLayout.manifestGenFile(0)).exists() &&
+      file(IndexLayout.manifestGenFile(1)).exists())
+    assert(IndexLayout.readManifest(spark, path).get("gen") == "1")
+    // flip to gen 2: cleanup drops generations ≤ 0, keeps 1 (grace)
+    Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"), path)
+    Dedup.compactMinhashTombstones(spark, path)
+    assert(!file(IndexLayout.manifestGenFile(0)).exists() &&
+      file(IndexLayout.manifestGenFile(1)).exists() &&
+      file(IndexLayout.manifestGenFile(2)).exists())
+    assert(IndexLayout.readManifest(spark, path).get("gen") == "2")
+    // SIMULATED TORN COMMIT: a crashed writer resurrects a stale older
+    // generation file (copy gen-1 content back as _manifest-0.json) —
+    // the reader must still resolve the highest N, never the relic
+    java.nio.file.Files.copy(
+      file(IndexLayout.manifestGenFile(1)).toPath,
+      file(IndexLayout.manifestGenFile(0)).toPath)
+    assert(IndexLayout.readManifest(spark, path).get("gen") == "2")
+    // a leftover hidden temp (kill mid-commit before rename) is ignored
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/._manifest-9.json.tmp").toPath,
+      "{not json".getBytes)
+    assert(IndexLayout.readManifest(spark, path).get("gen") == "2")
+    // serving still works through all of the above
+    val admitted = Dedup.nearDupIngestFromPath(spark, path,
+      Seq((100L, doc(0)._2), (101L, doc(5)._2)).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(100L), s"got $admitted")
+    // LEGACY layout: only _manifest.json present (pre-monotonic index)
+    // — the fallback keeps it readable without a rebuild
+    (0 to 9).foreach(g => file(IndexLayout.manifestGenFile(g)).delete())
+    assert(IndexLayout.readManifest(spark, path).get("gen") == "2")
+    // and conversely the pointer file is not required once -N files exist
+    Dedup.deleteFromMinhashIndex(Seq(2L).toDF("doc_id"), path)
+    Dedup.compactMinhashTombstones(spark, path)
+    assert(file(IndexLayout.ManifestFile).delete())
+    assert(IndexLayout.readManifest(spark, path).get("gen") == "3")
+  }
+
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
     val got = graft.analytics.ExtPipelines.clusterBalancedSelect(spark, sf())
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
