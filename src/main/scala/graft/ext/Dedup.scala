@@ -540,19 +540,24 @@ object Dedup {
   def appendToMinhashIndex(admitted: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = admitted.sparkSession
-    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
-    val buckets = IndexLayout.intParam(m, path, "buckets")
-    val (banded, sh, sizes) = minhashIndexFrames(admitted,
-      IndexLayout.intParam(m, path, "n"),
-      IndexLayout.intParam(m, path, "numHashes"),
-      IndexLayout.intParam(m, path, "bands"),
-      IndexLayout.intParam(m, path, "rows"), textCol, idCol)
-    IndexLayout.appendToFrame(spark, path, m, "bands", banded, Some("band"))
-    IndexLayout.appendToFrame(spark, path, m, "shingles",
-      sh.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
-    IndexLayout.appendToFrame(spark, path, m, "sizes",
-      sizes.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
-    sh.unpersist()
+    // leased: an append racing a compaction's staging would land rows
+    // in the old open root that the flip retires without folding —
+    // silent loss; under the lease the second writer fails loudly
+    IndexLayout.withMaintenanceLease(spark, path) { _ =>
+      val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+      val buckets = IndexLayout.intParam(m, path, "buckets")
+      val (banded, sh, sizes) = minhashIndexFrames(admitted,
+        IndexLayout.intParam(m, path, "n"),
+        IndexLayout.intParam(m, path, "numHashes"),
+        IndexLayout.intParam(m, path, "bands"),
+        IndexLayout.intParam(m, path, "rows"), textCol, idCol)
+      IndexLayout.appendToFrame(spark, path, m, "bands", banded, Some("band"))
+      IndexLayout.appendToFrame(spark, path, m, "shingles",
+        sh.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
+      IndexLayout.appendToFrame(spark, path, m, "sizes",
+        sizes.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
+      sh.unpersist()
+    }
   }
 
   /** Fold a [[graft.streaming.Streaming.nearDupIngestStream]] DELTA
@@ -578,21 +583,25 @@ object Dedup {
     * against a restored index. */
   def compactMinhashDeltas(spark: org.apache.spark.sql.SparkSession,
       deltaPath: String, path: String): Unit = {
-    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
-    def delta(name: String): Option[DataFrame] = {
-      val d = s"$deltaPath/$name"
-      if (IndexFs.hasParquetData(spark, d))
-        Some(spark.read.parquet(d).drop("batch"))
-      else None
+    // leased: this verb appends into the standing layout's open roots
+    // — the same flip-retirement hazard as appendToMinhashIndex
+    IndexLayout.withMaintenanceLease(spark, path) { _ =>
+      val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+      def delta(name: String): Option[DataFrame] = {
+        val d = s"$deltaPath/$name"
+        if (IndexFs.hasParquetData(spark, d))
+          Some(spark.read.parquet(d).drop("batch"))
+        else None
+      }
+      delta("bands").foreach(
+        IndexLayout.appendToFrame(spark, path, m, "bands", _, Some("band")))
+      delta("shingles").foreach(
+        IndexLayout.appendToFrame(spark, path, m, "shingles", _, Some("bucket")))
+      delta("sizes").foreach(
+        IndexLayout.appendToFrame(spark, path, m, "sizes", _, Some("bucket")))
+      Seq("bands", "shingles", "sizes").foreach(name =>
+        IndexFs.delete(spark, s"$deltaPath/$name"))
     }
-    delta("bands").foreach(
-      IndexLayout.appendToFrame(spark, path, m, "bands", _, Some("band")))
-    delta("shingles").foreach(
-      IndexLayout.appendToFrame(spark, path, m, "shingles", _, Some("bucket")))
-    delta("sizes").foreach(
-      IndexLayout.appendToFrame(spark, path, m, "sizes", _, Some("bucket")))
-    Seq("bands", "shingles", "sizes").foreach(name =>
-      IndexFs.delete(spark, s"$deltaPath/$name"))
   }
 
   /** DELETE docs from a persisted [[saveMinhashIndex]] index — the
@@ -618,8 +627,13 @@ object Dedup {
   def deleteFromMinhashIndex(ids: DataFrame, path: String,
       idCol: String = "doc_id"): Unit = {
     val spark = ids.sparkSession
-    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
-    IndexLayout.appendTombstones(spark, path, m, ids, idCol)
+    // leased: a tombstone appended while a compaction is staging would
+    // be dropped by the flip WITHOUT being resolved — a silently
+    // undone delete, the worst failure a takedown pipeline can have
+    IndexLayout.withMaintenanceLease(spark, path) { _ =>
+      val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+      IndexLayout.appendTombstones(spark, path, m, ids, idCol)
+    }
   }
 
   /** The standing tombstone ids of a [[saveMinhashIndex]] index, if
@@ -666,31 +680,37 @@ object Dedup {
     * a time, any number of readers. */
   def compactMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "doc_id"): Unit = {
-    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
-    IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
-      IndexLayout.dropRetired(spark, path, m)
-      // the tombstone set feeds three anti-joins and a bucket-list
-      // aggregate; delta-sized, so one ckptLocal pins it for all four.
-      // try/finally: a compaction that fails mid-stage must not leak
-      // the pinned 2x-replicated blocks (the streaming-ingest leak
-      // class, closed the same way)
-      val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
-      try {
-        val buckets = IndexLayout.intParam(m, path, "buckets")
-        val affected = tomb.select(idBucket(col(idCol), buckets).as("bk"))
-          .distinct()
-          .collect().map(_.getInt(0)).toSeq // ≤ buckets rows: bounded action
-        val newGen = IndexLayout.intParam(m, path, "gen") + 1
-        val staged = Map(
-          "shingles" -> IndexLayout.stageCompactFrame(spark, path, m,
-            "shingles", "bucket", affected, tomb, idCol, newGen),
-          "sizes" -> IndexLayout.stageCompactFrame(spark, path, m,
-            "sizes", "bucket", affected, tomb, idCol, newGen),
-          "bands" -> IndexLayout.stageRewriteFrame(spark, path, m,
-            "bands", "band", tomb, idCol, newGen),
-          "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
-        IndexLayout.flip(spark, path, m, newGen, staged)
-      } finally Checkpoints.free(tomb)
+    // leased across staging AND flip — the whole window in which a
+    // concurrent append/delete would be silently retired or dropped
+    IndexLayout.withMaintenanceLease(spark, path) { lease =>
+      val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+      IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
+        val carried = IndexLayout.dropRetired(spark, path, m)
+        // the tombstone set feeds three anti-joins and a bucket-list
+        // aggregate; delta-sized, so one ckptLocal pins it for all four.
+        // try/finally: a compaction that fails mid-stage must not leak
+        // the pinned 2x-replicated blocks (the streaming-ingest leak
+        // class, closed the same way)
+        val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
+        try {
+          val buckets = IndexLayout.intParam(m, path, "buckets")
+          val affected = tomb.select(idBucket(col(idCol), buckets).as("bk"))
+            .distinct()
+            .collect().map(_.getInt(0)).toSeq // ≤ buckets rows: bounded action
+          val newGen = IndexLayout.intParam(m, path, "gen") + 1
+          val staged = Map(
+            "shingles" -> IndexLayout.stageCompactFrame(spark, path, m,
+              "shingles", "bucket", affected, tomb, idCol, newGen),
+            "sizes" -> IndexLayout.stageCompactFrame(spark, path, m,
+              "sizes", "bucket", affected, tomb, idCol, newGen),
+            "bands" -> IndexLayout.stageRewriteFrame(spark, path, m,
+              "bands", "band", tomb, idCol, newGen),
+            "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
+          // heartbeat + still-the-owner assertion right before the commit
+          IndexLayout.renewLease(spark, path, lease)
+          IndexLayout.flip(spark, path, m, newGen, staged, carried)
+        } finally Checkpoints.free(tomb)
+      }
     }
   }
 

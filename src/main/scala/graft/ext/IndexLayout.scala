@@ -30,10 +30,13 @@ import org.apache.spark.sql.types.StructType
   * A reader therefore sees exactly the pre-compaction or the
   * post-compaction index, never a torn mix — serves stay lock-free
   * during compaction. Directories retired by a flip are physically
-  * deleted only at the START of the NEXT compaction (one full
-  * compaction interval of grace), so a serve that resolved the old
-  * manifest keeps its files; the documented liveness contract is that
-  * no serve outlives a compaction interval.
+  * deleted only at the START of a LATER compaction, and only once
+  * they are older than the configurable time grace
+  * ([[RetiredGraceConfKey]]; timestamps recorded at every flip) — so
+  * a serve that resolved the old manifest keeps its files for at
+  * least one compaction interval AND at least the configured grace,
+  * making the liveness contract ("no serve outlives the grace") a
+  * deployment knob rather than a race against compaction cadence.
   *
   * Emptiness is a MANIFEST state, not a path shape: each frame's
   * schema is stored as DDL, so a frame whose directories hold no
@@ -210,6 +213,175 @@ private[graft] object IndexLayout {
   def param(m: Map[String, String], path: String, key: String): String =
     m.getOrElse(key, throw new IllegalStateException(
       s"$path/$ManifestFile is missing layout parameter '$key'"))
+
+  // ---------------------------------------------------------------
+  // single-maintenance-writer lease
+  // ---------------------------------------------------------------
+
+  val LeaseFile = "_maintenance.lease"
+
+  /** Session conf key overriding the lease TTL (milliseconds). */
+  val LeaseTtlConfKey = "graft.index.leaseTtlMs"
+
+  /** Default lease TTL: generous versus any sane single maintenance
+    * verb, small versus an operator paging in to reclaim after a
+    * crashed writer. */
+  val DefaultLeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Proof of lease ownership, threaded to [[renewLease]] (the
+    * heartbeat a long compaction sends between staging and flip) and
+    * [[releaseLease]]. */
+  final case class LeaseHandle(writerId: String, ttlMs: Long)
+
+  private def leasePath(path: String) = new Path(s"$path/$LeaseFile")
+
+  /** (holder, acquiredAtMs, ttlMs) of the standing lease, if any. A
+    * lease file that exists but does not parse (a writer crashed mid-
+    * create) is NOT allowed to block maintenance forever: it reports
+    * its FileSystem modification time as its acquisition time under
+    * `fallbackTtlMs`, so it expires like any other lease. */
+  private def readLease(f: org.apache.hadoop.fs.FileSystem, path: String,
+      fallbackTtlMs: Long): Option[(String, Long, Long)] = {
+    val p = leasePath(path)
+    if (!f.exists(p)) None
+    else {
+      val parsed = try {
+        val in = f.open(p)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          buf.toByteArray
+        } finally in.close()
+        val m = mapper.readValue(bytes, classOf[java.util.Map[String, String]])
+        Some((m.get("writerId"), m.get("acquiredAtMs").toLong,
+          m.get("ttlMs").toLong))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      parsed.orElse {
+        try Some(("<unreadable>", f.getFileStatus(p).getModificationTime,
+          fallbackTtlMs))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+    }
+  }
+
+  private def writeLease(f: org.apache.hadoop.fs.FileSystem, path: String,
+      writerId: String, ttlMs: Long, overwrite: Boolean): Unit = {
+    val json = mapper.writeValueAsString(new java.util.TreeMap[String, String](
+      java.util.Map.of("writerId", writerId,
+        "acquiredAtMs", System.currentTimeMillis().toString,
+        "ttlMs", ttlMs.toString)))
+    val out = f.create(leasePath(path), overwrite) // exclusive when !overwrite
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** ENFORCE the one-maintenance-writer contract: acquire the index's
+    * lease file, run `body`, release. Every maintenance verb of both
+    * families (append / delete / compact — and refresh, which composes
+    * them) runs under this, so the layout's one silent-data-loss mode
+    * — an append landing in the old open generation root while a
+    * compaction is staging gets retired by the flip without being
+    * folded in (and symmetrically: a tombstone appended during staging
+    * gets dropped by the flip without being resolved) — becomes a LOUD
+    * failure at the second writer's acquire instead.
+    *
+    * Mechanics: acquisition is an EXCLUSIVE create (`overwrite =
+    * false`) of `_maintenance.lease` — atomic on HDFS and local
+    * filesystems; on S3A, create-exclusive is a HEAD-then-PUT with a
+    * small race window, the standard caveat (S3 conditional writes
+    * close it on stores that support If-None-Match). A standing
+    * unexpired lease throws, naming the holder and its expiry. A lease
+    * whose TTL has passed is a CRASHED writer's: it is reclaimed
+    * (delete + fresh exclusive create), so no operator intervention is
+    * needed beyond waiting out the TTL. Release deletes the file only
+    * if this handle still holds it — a reclaimed-after-expiry lease is
+    * never deleted out from under its new owner.
+    *
+    * NOT leased: serves (readers are lock-free by design — the whole
+    * point of the generation layout) and the full-rebuild save verbs
+    * (they delete and recreate the entire index path, lease file
+    * included; scheduling a rebuild against live maintenance is a
+    * deployment-level decision this file-level lease cannot arbitrate).
+    *
+    * TTL defaults to [[DefaultLeaseTtlMs]]; override per session via
+    * `graft.index.leaseTtlMs`. A verb expected to outlive the TTL
+    * calls [[renewLease]] at its internal checkpoints (the compactions
+    * renew between staging and flip, which doubles as a cheap
+    * still-the-owner assertion right before the commit). */
+  def withMaintenanceLease[T](spark: SparkSession, path: String)
+      (body: LeaseHandle => T): T = {
+    val ttl = spark.conf.getOption(LeaseTtlConfKey).map(_.toLong)
+      .getOrElse(DefaultLeaseTtlMs)
+    val h = acquireLease(spark, path, ttl)
+    try body(h)
+    finally releaseLease(spark, path, h)
+  }
+
+  def acquireLease(spark: SparkSession, path: String, ttlMs: Long)
+      : LeaseHandle = {
+    val f = IndexFs.fs(spark, path)
+    f.mkdirs(new Path(path))
+    val id = java.util.UUID.randomUUID().toString
+    def attempt(): Boolean =
+      try { writeLease(f, path, id, ttlMs, overwrite = false); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // LocalFileSystem signals an existing file with a plain
+        // IOException; only swallow it when the file really exists
+        case e: java.io.IOException =>
+          if (f.exists(leasePath(path))) false else throw e
+      }
+    var acquired = attempt()
+    var reclaims = 0
+    while (!acquired && reclaims < 3) {
+      readLease(f, path, ttlMs) match {
+        case Some((holder, at, ttl))
+            if System.currentTimeMillis() < at + ttl =>
+          throw new IllegalStateException(
+            s"$path is under maintenance by writer $holder (lease " +
+              s"expires ${new java.util.Date(at + ttl)}): concurrent " +
+              "maintenance would lose appends/deletes silently — " +
+              "serialize the verbs, or wait out the TTL if the holder " +
+              "crashed")
+        case Some(_) => // expired: a crashed writer's lease — reclaim
+          f.delete(leasePath(path), false)
+          acquired = attempt()
+        case None => // holder released between attempt and read — retry
+          acquired = attempt()
+      }
+      reclaims += 1
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"could not acquire the maintenance lease on $path after " +
+        s"$reclaims reclaim attempts (another writer keeps winning)")
+    LeaseHandle(id, ttlMs)
+  }
+
+  /** Heartbeat: re-stamp the lease's acquisition time — and FAIL LOUDLY
+    * if this handle no longer holds it (TTL elapsed and another writer
+    * reclaimed): continuing to a manifest flip without the lease could
+    * lose the new writer's work, so the verb must abort instead. */
+  def renewLease(spark: SparkSession, path: String, h: LeaseHandle): Unit = {
+    val f = IndexFs.fs(spark, path)
+    readLease(f, path, h.ttlMs) match {
+      case Some((holder, _, _)) if holder == h.writerId =>
+        writeLease(f, path, h.writerId, h.ttlMs, overwrite = true)
+      case other => throw new IllegalStateException(
+        s"maintenance lease on $path lost mid-verb (now held by " +
+          s"${other.map(_._1).getOrElse("<nobody>")}): aborting before " +
+          "the manifest flip")
+    }
+  }
+
+  def releaseLease(spark: SparkSession, path: String, h: LeaseHandle): Unit = {
+    val f = IndexFs.fs(spark, path)
+    readLease(f, path, h.ttlMs) match {
+      case Some((holder, _, _)) if holder == h.writerId =>
+        f.delete(leasePath(path), false)
+        ()
+      case _ => () // expired and reclaimed — not ours to delete anymore
+    }
+  }
 
   def intParam(m: Map[String, String], path: String, key: String): Int =
     param(m, path, key).toInt
@@ -438,39 +610,83 @@ private[graft] object IndexLayout {
   def stageKeepFrame(m: Map[String, String], name: String)
       : (Seq[String], Seq[String]) = (frameEntries(m, name), Seq.empty)
 
-  /** Physically delete the directories RETIRED BY THE PREVIOUS flip —
-    * called at the START of a compaction, so retired data survives one
-    * full compaction interval for in-flight readers of the old
-    * manifest (the grace contract). Cleans up generation roots the
-    * deletions emptied. */
+  /** Session conf key for the MINIMUM AGE (milliseconds) a retired
+    * directory must reach before [[dropRetired]] physically deletes
+    * it. Default 0: the structural one-compaction-interval grace alone
+    * — retirement timestamps are always recorded, so the knob can be
+    * raised at any time without a layout change. */
+  val RetiredGraceConfKey = "graft.index.retiredGraceMs"
+
+  /** The retired entries of `m` with their retirement timestamps.
+    * `retiredAt` is a PARALLEL CSV of epoch millis (same order as
+    * `retired`) — a purely additive manifest key, so manifests written
+    * before it existed parse with timestamp 0 (immediately eligible,
+    * the legacy behavior) and old binaries simply ignore it. */
+  private def retiredWithTimestamps(m: Map[String, String])
+      : Seq[(String, Long)] = {
+    val dirs = m.getOrElse("retired", "").split(",").filter(_.nonEmpty).toSeq
+    val ats = m.getOrElse("retiredAt", "").split(",").filter(_.nonEmpty)
+      .map(_.toLong).toSeq
+    dirs.zipAll(ats.take(dirs.length), "", 0L).filter(_._1.nonEmpty)
+  }
+
+  /** Physically delete the directories retired by PREVIOUS flips —
+    * called at the START of a compaction, so retired data survives at
+    * least one full compaction interval for in-flight readers of the
+    * old manifest (the structural grace contract). On top of that,
+    * [[RetiredGraceConfKey]] sets a TIME-BASED minimum: a dir younger
+    * than the configured grace is RETAINED (returned to the caller,
+    * which threads it through [[flip]] so it stays tracked for a later
+    * compaction) — without this, two back-to-back compactions could
+    * delete dirs a slow in-flight serve still holds, turning the
+    * liveness contract ("no serve outlives a compaction interval")
+    * from a deployment schedule into a hard race. Cleans up generation
+    * roots the deletions emptied.
+    *
+    * @return the retired entries still inside the grace window, for
+    *         the closing flip to carry forward. */
   def dropRetired(spark: SparkSession, path: String,
-      m: Map[String, String]): Unit = {
-    val retired = m.getOrElse("retired", "").split(",").filter(_.nonEmpty)
-    retired.foreach(d => IndexFs.delete(spark, s"$path/$d"))
-    retired.map(_.split("/").take(2).mkString("/")).distinct.foreach { root =>
+      m: Map[String, String]): Seq[(String, Long)] = {
+    val minAge = spark.conf.getOption(RetiredGraceConfKey).map(_.toLong)
+      .getOrElse(0L)
+    val now = System.currentTimeMillis()
+    val (kept, dropped) = retiredWithTimestamps(m)
+      .partition { case (_, at) => now - at < minAge }
+    dropped.foreach { case (d, _) => IndexFs.delete(spark, s"$path/$d") }
+    dropped.map(_._1.split("/").take(2).mkString("/")).distinct.foreach { root =>
       val f = IndexFs.fs(spark, path)
       val p = new Path(s"$path/$root")
       // emptiness must ignore commit markers: a partitioned write's
       // _SUCCESS survives the partition-dir deletions, and counting it
-      // would keep every drained generation root alive forever
+      // would keep every drained generation root alive forever. (A
+      // root shared with a grace-retained dir is not emptied — the
+      // retained dir keeps it alive.)
       def emptied = !f.listStatus(p).exists { st =>
         val n = st.getPath.getName
         !(n.startsWith("_") || n.startsWith("."))
       }
       if (f.exists(p) && emptied) f.delete(p, true)
     }
+    kept
   }
 
   /** The ONE atomic flip closing a compaction: bump the generation,
     * replace every staged frame's composition, record the newly
-    * retired directories for the next compaction's [[dropRetired]]. */
+    * retired directories — stamped with the flip time — plus any
+    * grace-retained entries [[dropRetired]] carried forward, for a
+    * later compaction's [[dropRetired]]. */
   def flip(spark: SparkSession, path: String, m: Map[String, String],
-      newGen: Int, staged: Map[String, (Seq[String], Seq[String])]): Unit = {
+      newGen: Int, staged: Map[String, (Seq[String], Seq[String])],
+      carriedRetired: Seq[(String, Long)] = Seq.empty): Unit = {
+    val now = System.currentTimeMillis()
+    val allRetired = carriedRetired ++
+      staged.values.flatMap(_._2).toSeq.map(d => (d, now))
     val updated = m ++
       staged.map { case (name, (es, _)) => s"frames.$name" -> joinEntries(es) } ++
       Map(
         "gen" -> newGen.toString,
-        "retired" -> joinEntries(staged.values.flatMap(_._2).toSeq))
+        "retired" -> joinEntries(allRetired.map(_._1)),
+        "retiredAt" -> joinEntries(allRetired.map(_._2.toString)))
     writeManifest(spark, path, updated)
   }
 

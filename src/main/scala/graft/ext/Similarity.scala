@@ -539,7 +539,11 @@ object Similarity {
     * per-batch delta directories in the streaming form. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id"): Unit =
+    // leased: an append racing a compaction's staging would land rows
+    // in the old open root that the flip retires without folding —
+    // silent loss; under the lease the second writer fails loudly
+    IndexLayout.withMaintenanceLease(spark, path) { _ =>
     val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
     val cent = IndexLayout.readFrame(spark, path, m, "centroids")
     // manifest dim guard: a batch embedded by the wrong model (or a
@@ -718,8 +722,13 @@ object Similarity {
   def deleteFromIvfIndex(ids: DataFrame, path: String,
       idCol: String = "vec_id"): Unit = {
     val spark = ids.sparkSession
-    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
-    IndexLayout.appendTombstones(spark, path, m, ids, idCol)
+    // leased: a tombstone appended while a compaction is staging would
+    // be dropped by the flip WITHOUT being resolved — a silently
+    // undone delete (see deleteFromMinhashIndex)
+    IndexLayout.withMaintenanceLease(spark, path) { _ =>
+      val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+      IndexLayout.appendTombstones(spark, path, m, ids, idCol)
+    }
   }
 
   /** The standing tombstone ids of a [[saveIvfIndex]] index, if any
@@ -752,36 +761,42 @@ object Similarity {
     * already served before any compaction ran. */
   def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): Unit = {
-    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
-    IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
-      IndexLayout.dropRetired(spark, path, m)
-      val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
-      // try/finally: a compaction that fails mid-stage must not leak
-      // the pinned 2x-replicated tombstone blocks (the streaming-ingest
-      // leak class, closed the same way)
-      try {
-        val affected = IndexLayout.readFrame(spark, path, m, "lists")
-          .select(col(idCol), col("list_id"))
-          .join(tomb, Seq(idCol), "left_semi")
-          .select("list_id").distinct()
-          .collect().map(_.get(0)).toSeq // ≤ nList rows: bounded
-        val newGen = IndexLayout.intParam(m, path, "gen") + 1
-        val staged = Map(
-          "lists" -> IndexLayout.stageCompactFrame(spark, path, m,
-            "lists", "list_id", affected, tomb, idCol, newGen),
-          "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
-          "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
-          // an int8 layout carries the parallel full-precision frame —
-          // compacted with the same affected lists and the same flip.
-          // Gated on the SAME storage parameter serve and append read
-          // (one source of truth); a manifest claiming int8 without a
-          // stored fp schema fails loudly inside the staging read.
-          (if (m.getOrElse("storage", "fp") == "int8")
-            Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
-              "fp", "list_id", affected, tomb, idCol, newGen))
-           else Map.empty)
-        IndexLayout.flip(spark, path, m, newGen, staged)
-      } finally Checkpoints.free(tomb)
+    // leased across staging AND flip — the whole window in which a
+    // concurrent append/delete would be silently retired or dropped
+    IndexLayout.withMaintenanceLease(spark, path) { lease =>
+      val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+      IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
+        val carried = IndexLayout.dropRetired(spark, path, m)
+        val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
+        // try/finally: a compaction that fails mid-stage must not leak
+        // the pinned 2x-replicated tombstone blocks (the streaming-ingest
+        // leak class, closed the same way)
+        try {
+          val affected = IndexLayout.readFrame(spark, path, m, "lists")
+            .select(col(idCol), col("list_id"))
+            .join(tomb, Seq(idCol), "left_semi")
+            .select("list_id").distinct()
+            .collect().map(_.get(0)).toSeq // ≤ nList rows: bounded
+          val newGen = IndexLayout.intParam(m, path, "gen") + 1
+          val staged = Map(
+            "lists" -> IndexLayout.stageCompactFrame(spark, path, m,
+              "lists", "list_id", affected, tomb, idCol, newGen),
+            "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
+            "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
+            // an int8 layout carries the parallel full-precision frame —
+            // compacted with the same affected lists and the same flip.
+            // Gated on the SAME storage parameter serve and append read
+            // (one source of truth); a manifest claiming int8 without a
+            // stored fp schema fails loudly inside the staging read.
+            (if (m.getOrElse("storage", "fp") == "int8")
+              Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
+                "fp", "list_id", affected, tomb, idCol, newGen))
+             else Map.empty)
+          // heartbeat + still-the-owner assertion right before the commit
+          IndexLayout.renewLease(spark, path, lease)
+          IndexLayout.flip(spark, path, m, newGen, staged, carried)
+        } finally Checkpoints.free(tomb)
+      }
     }
   }
 

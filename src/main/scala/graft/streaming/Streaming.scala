@@ -388,22 +388,30 @@ object Streaming {
     import graft.ext.IndexLayout
     perBatchSink(ids, checkpoint, trigger) { (batch, batchId) =>
       val spark = batch.sparkSession
-      // manifest re-read per micro-batch: cheap (one small file), and
-      // it pins the open tombstone root even if an OFFLINE compaction
-      // bumped the generation between stream runs
-      val m = IndexLayout.requireManifest(spark, indexPath, format)
-      val root = IndexLayout.openRoot(m, "tombstones")
-      val d = batch.select(col(idCol)).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // an EMPTY micro-batch writes nothing: an unpartitioned empty
-      // write would emit one schema-anchor footer that reads back as
-      // tombstones-present, taxing every later serve with a pointless
-      // anti-join (the appendTombstones discipline)
-      try {
-        if (d.take(1).nonEmpty)
-          d.coalesce(1).write.mode("overwrite")
-            .parquet(s"$indexPath/$root/batch_id=$batchId")
-      } finally d.unpersist(blocking = false)
+      // per-micro-batch LEASE: each batch is one maintenance write into
+      // the index's tombstone root, so it takes the same lease as the
+      // batch verbs — a compaction that starts between micro-batches
+      // holds the lease and the next batch FAILS LOUDLY (and replays
+      // after the compaction releases) instead of writing a tombstone
+      // the flip would silently resolve away
+      IndexLayout.withMaintenanceLease(spark, indexPath) { _ =>
+        // manifest re-read per micro-batch: cheap (one small file), and
+        // it pins the open tombstone root even if an OFFLINE compaction
+        // bumped the generation between stream runs
+        val m = IndexLayout.requireManifest(spark, indexPath, format)
+        val root = IndexLayout.openRoot(m, "tombstones")
+        val d = batch.select(col(idCol)).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // an EMPTY micro-batch writes nothing: an unpartitioned empty
+        // write would emit one schema-anchor footer that reads back as
+        // tombstones-present, taxing every later serve with a pointless
+        // anti-join (the appendTombstones discipline)
+        try {
+          if (d.take(1).nonEmpty)
+            d.coalesce(1).write.mode("overwrite")
+              .parquet(s"$indexPath/$root/batch_id=$batchId")
+        } finally d.unpersist(blocking = false)
+      }
     }
   }
 

@@ -2692,6 +2692,124 @@ class ExtSpec extends SparkSpec {
     assert(IndexLayout.readManifest(spark, path).get("gen") == "3")
   }
 
+  test("maintenance lease: a second concurrent writer fails loudly, serves stay lock-free, a crashed writer's expired lease is reclaimed") {
+    import spark.implicits._
+    import graft.ext.IndexLayout
+    val root = java.nio.file.Files.createTempDirectory("graft-lease").toString
+    val path = s"$root/idx"
+    def doc(i: Long) = (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    Dedup.saveMinhashIndex((0L until 4L).map(doc).toDF("doc_id", "text"),
+      path, idBuckets = 5)
+    // writer A holds the lease (e.g. a compaction mid-staging)
+    val held = IndexLayout.acquireLease(spark, path, ttlMs = 60000)
+    // every maintenance verb of a second writer FAILS LOUDLY — the
+    // append that used to be silently retired by the flip, and the
+    // tombstone append that used to be silently resolved away
+    val e1 = intercept[IllegalStateException] {
+      Dedup.appendToMinhashIndex(Seq(doc(10)).toDF("doc_id", "text"), path)
+    }
+    assert(e1.getMessage.contains("under maintenance"), e1.getMessage)
+    intercept[IllegalStateException] {
+      Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
+    }
+    intercept[IllegalStateException] {
+      Dedup.compactMinhashTombstones(spark, path)
+    }
+    // readers stay LOCK-FREE while the lease is held
+    val admitted = Dedup.nearDupIngestFromPath(spark, path,
+      Seq((100L, doc(0)._2), (101L, "zz yy xx ww vv uu")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(101L))
+    IndexLayout.releaseLease(spark, path, held)
+    // release really releases: the next writer proceeds
+    Dedup.appendToMinhashIndex(Seq(doc(10)).toDF("doc_id", "text"), path)
+    // CRASHED writer: lease acquired, never released, TTL elapses —
+    // the next verb reclaims it instead of requiring operator surgery
+    IndexLayout.acquireLease(spark, path, ttlMs = 1)
+    Thread.sleep(20)
+    Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
+    Dedup.compactMinhashTombstones(spark, path) // exercises renewLease too
+    assert(!new java.io.File(s"$path/${IndexLayout.LeaseFile}").exists(),
+      "verbs must release the lease on completion")
+    // a TORN lease file (writer crashed mid-create) expires by mtime
+    // under the caller's TTL instead of blocking maintenance forever
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/${IndexLayout.LeaseFile}").toPath,
+      "{torn".getBytes)
+    Thread.sleep(20)
+    val h2 = IndexLayout.acquireLease(spark, path, ttlMs = 1)
+    IndexLayout.releaseLease(spark, path, h2)
+    // the IVF family shares the enforcement (same layer)
+    val emb2 = emb.filter(col("vec_id") < 100)
+    val ipath = s"$root/ivf"
+    Similarity.saveIvfIndex(emb2, ipath, nList = 4, nIters = 0)
+    val heldIvf = IndexLayout.acquireLease(spark, ipath, ttlMs = 60000)
+    intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(spark, ipath,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+    }
+    intercept[IllegalStateException] {
+      Similarity.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), ipath)
+    }
+    // lock-free IVF serve under the held lease
+    assert(Similarity.ivfTopKFromIndex(spark, ipath,
+      emb2.filter(col("vec_id") < 3), k = 2, nProbe = 4).count() == 6)
+    IndexLayout.releaseLease(spark, ipath, heldIvf)
+    Similarity.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), ipath)
+    Similarity.compactIvfTombstones(spark, ipath)
+    assert(!new java.io.File(s"$ipath/${IndexLayout.LeaseFile}").exists())
+  }
+
+  test("time-based retired grace: back-to-back compactions keep a slow reader's files alive inside the grace window") {
+    import spark.implicits._
+    import graft.ext.IndexLayout
+    val root = java.nio.file.Files.createTempDirectory("graft-grace").toString
+    val path = s"$root/idx"
+    def doc(i: Long) = (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    Dedup.saveMinhashIndex((0L until 6L).map(doc).toDF("doc_id", "text"),
+      path, idBuckets = 5)
+    try {
+      spark.conf.set(IndexLayout.RetiredGraceConfKey, (60 * 60 * 1000L).toString)
+      // compaction 1 retires the first generation's affected dirs
+      Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
+      Dedup.compactMinhashTombstones(spark, path)
+      val m1 = IndexLayout.readManifest(spark, path).get
+      val r1 = m1("retired").split(",").filter(_.nonEmpty).toSeq
+      assert(r1.nonEmpty)
+      // a SLOW reader resolved the pre-compaction-2 manifest and holds
+      // plans over generation-1 files
+      val slowReader = Dedup.loadMinhashIndex(spark, path)
+      // compaction 2, immediately after: WITHOUT the time grace this
+      // deleted r1's dirs (they are one flip old) and stranded the
+      // slow reader; inside the grace window they must survive
+      Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"), path)
+      Dedup.compactMinhashTombstones(spark, path)
+      r1.foreach(d => assert(new java.io.File(s"$path/$d").exists(),
+        s"dir $d retired one flip ago must survive inside the grace window"))
+      // the carried entries stay TRACKED (not orphaned): the new
+      // manifest's retired list holds compaction 1's dirs AND 2's
+      val m2 = IndexLayout.readManifest(spark, path).get
+      val r2 = m2("retired").split(",").filter(_.nonEmpty).toSeq
+      assert(r1.forall(r2.contains), s"carried $r1 must remain tracked in $r2")
+      assert(m2("retiredAt").split(",").filter(_.nonEmpty).length == r2.length)
+      // the slow reader's plans still execute correctly
+      assert(slowReader._2.select("doc_id").distinct().count() > 0)
+      // grace dropped to zero: the NEXT compaction physically deletes
+      // everything tracked (no orphans left behind)
+      spark.conf.set(IndexLayout.RetiredGraceConfKey, "0")
+      Dedup.deleteFromMinhashIndex(Seq(2L).toDF("doc_id"), path)
+      Dedup.compactMinhashTombstones(spark, path)
+      r2.foreach(d => assert(!new java.io.File(s"$path/$d").exists(),
+        s"dir $d must be dropped once the grace window is over"))
+      // serving is exactly right through all of it
+      val admitted = Dedup.nearDupIngestFromPath(spark, path,
+        Seq((100L, doc(0)._2), (101L, doc(2)._2), (102L, doc(5)._2))
+          .toDF("doc_id", "text"))
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(100L, 101L), s"got $admitted")
+    } finally spark.conf.unset(IndexLayout.RetiredGraceConfKey)
+  }
+
   test("v15: cluster-balanced selection is the exact per-cluster quota of v13's clusters") {
     val got = graft.analytics.ExtPipelines.clusterBalancedSelect(spark, sf())
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
