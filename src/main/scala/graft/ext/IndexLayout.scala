@@ -530,10 +530,14 @@ private[graft] object IndexLayout {
     * under the new root get their directory names from Spark's own
     * partition formatting, and the old entries' names were written by
     * the same formatter — so names compare name-to-name for every
-    * partition that staged data. Only a partition whose every row died
+    * partition that staged data. A partition whose every row died
     * (nothing staged) falls back to formatting `affected` values into
-    * names, where a mismatch RETAINS the entry (rows deleted late at
-    * the next compaction), never duplicates data. */
+    * names THROUGH SPARK'S OWN PATH ESCAPER
+    * (`ExternalCatalogUtils.escapePathName` — the exact function the
+    * writer used), so escapable string values retire correctly too;
+    * property-pinned over escaped strings and negative longs. Should a
+    * residual mismatch ever arise, the split RETAINS the entry rather
+    * than duplicating data. */
   def stageCompactFrame(spark: SparkSession, path: String,
       m: Map[String, String], name: String, partCol: String,
       affected: Seq[Any], tomb: DataFrame, idCol: String, newGen: Int)
@@ -575,7 +579,16 @@ private[graft] object IndexLayout {
         .write.mode("overwrite") // staging replay after a kill is idempotent
         .partitionBy(partCol).parquet(s"$path/$newRoot")
     val staged = listPartDirNames(spark, s"$path/$newRoot", partCol).toSet
-    val affectedNames = staged ++ allAffected.map(v => s"$partCol=$v")
+    // fully-dead partitions (nothing staged) are matched by formatting
+    // the affected values through Spark's OWN partition-path escaper —
+    // the same code the writer used to name the directory — so an
+    // escapable string value ("a:b" → dir "pv=a%3Ab") still retires.
+    // Raw toString formatting here would mismatch, RETAIN the entry,
+    // and (the same flip dropping the tombstones) silently RESURRECT
+    // the dead rows — pinned by the PropertySpec formatter property.
+    val affectedNames = staged ++ allAffected.map(v => s"$partCol=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v)))
     val (retired, kept) =
       expanded.partition(e => affectedNames.contains(e.split("/").last))
     (kept :+ newRoot, retired)

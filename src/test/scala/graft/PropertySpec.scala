@@ -228,6 +228,100 @@ class PropertySpec extends SparkSpec {
     }, n = 6)
   }
 
+  test("property: stageCompactFrame with non-trivial partition values — escaped strings and negative longs survive delete→compact→append cycles exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ext.IndexLayout
+    // partition values whose DIRECTORY formatting is non-trivial: every
+    // one of these strings is escaped by Spark's partition-path writer
+    // ("a:b" → "a%3Ab"), and negative longs pin the numeric formatting.
+    // The hazard under test: a FULLY-DEAD partition stages nothing, so
+    // retire-matching falls back to formatting the affected values into
+    // names — a formatter mismatch would fail to retire the entry while
+    // the same flip drops the tombstones, silently RESURRECTING every
+    // deleted row of that partition.
+    // ASCII-only: this container's JVM runs a non-UTF-8
+    // sun.jnu.encoding, so LocalFileSystem cannot even CREATE non-ASCII
+    // paths (an environment limit, not a layout one)
+    val escapable = Seq("a:b", "c=d", "e f", "g#h", "i%j", "k*l", "\"m\"n",
+      "plain", "alpha", "beta")
+    val caseGen = for {
+      useLong <- Gen.oneOf(true, false)
+      nParts <- Gen.chooseNum(2, 5)
+      perPart <- Gen.chooseNum(1, 3)
+      longVals <- Gen.pick(nParts, (-20L to 20L).toSeq)
+      strVals <- Gen.pick(nParts, escapable)
+      doomedA <- Gen.someOf(0L until (nParts * perPart).toLong)
+      doomedB <- Gen.someOf(0L until (nParts * perPart + nParts).toLong)
+    } yield (useLong, nParts, perPart,
+      (if (useLong) longVals else strVals).toSeq, doomedA.toSet, doomedB.toSet)
+    check(Prop.forAll(caseGen) {
+      case (useLong, nParts, perPart, pvs, doomedA, doomedB) =>
+        val root = java.nio.file.Files.createTempDirectory("graft-prop-fmt")
+        try {
+          val path = s"$root/idx"
+          val pvType = if (useLong) LongType else StringType
+          val schema = StructType(Seq(
+            StructField("id", LongType), StructField("pv", pvType)))
+          IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
+            "graft-proptest", Map.empty,
+            Map("data" -> schema,
+              "tombstones" -> StructType(Seq(StructField("id", LongType))))))
+          def toDf(rows: Seq[(Long, Any)]) =
+            if (useLong) rows.map { case (i, v) => (i, v.asInstanceOf[Long]) }
+              .toDF("id", "pv")
+            else rows.map { case (i, v) => (i, v.asInstanceOf[String]) }
+              .toDF("id", "pv")
+          var live: Map[Long, Any] = (0 until nParts * perPart)
+            .map(i => i.toLong -> pvs(i % nParts)).toMap
+          toDf(live.toSeq).repartition(col("pv")).write.partitionBy("pv")
+            .parquet(IndexLayout.genRoot(path, "data", 0))
+          def compactCycle(doomed: Set[Long]): Unit = {
+            val del = doomed.intersect(live.keySet)
+            if (del.nonEmpty) {
+              val m = IndexLayout.readManifest(spark, path).get
+              IndexLayout.appendTombstones(spark, path, m,
+                del.toSeq.toDF("id"), "id")
+              val m1 = IndexLayout.readManifest(spark, path).get
+              val tomb = IndexLayout.loadTombstones(spark, path, m1, "id").get
+              val carried = IndexLayout.dropRetired(spark, path, m1)
+              val affected = del.map(live).toSeq.distinct
+              val newGen = IndexLayout.intParam(m1, path, "gen") + 1
+              IndexLayout.flip(spark, path, m1, newGen, Map(
+                "data" -> IndexLayout.stageCompactFrame(spark, path, m1,
+                  "data", "pv", affected, tomb, "id", newGen),
+                "tombstones" -> IndexLayout.stageDropFrame(m1, "tombstones",
+                  newGen)), carried)
+              live = live -- del
+            }
+          }
+          def stateOk: Boolean = {
+            val m = IndexLayout.readManifest(spark, path).get
+            val got = IndexLayout.readFrame(spark, path, m, "data").collect()
+              .map(r => (r.getLong(0), r.get(1))).toSeq
+            // exact MULTISET equality: no resurrection (a dead row
+            // surviving the flip), no duplication (a row staged AND
+            // retained), no lost survivor
+            got.sortBy(_._1) == live.toSeq.sortBy(_._1) &&
+              got.size == got.distinct.size
+          }
+          compactCycle(doomedA)
+          val okA = stateOk
+          // interleaved APPEND into existing partitions (fresh ids),
+          // then a second delete→compact — crosses generations so the
+          // fold, the fallback and the grace interact in one lifecycle
+          val appended = (0 until nParts)
+            .map(i => (nParts * perPart + i).toLong -> pvs(i)).toMap
+          IndexLayout.appendToFrame(spark, path,
+            IndexLayout.readManifest(spark, path).get, "data",
+            toDf(appended.toSeq), Some("pv"))
+          live = live ++ appended
+          compactCycle(doomedB)
+          okA && stateOk
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }, n = 8)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
