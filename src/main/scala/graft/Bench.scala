@@ -200,7 +200,10 @@ object Bench {
     "s19_stream_ivf_delete",
     // int8-stored IVF index audit row (dual build + dual serve)
     "v21_ivf_int8_index",
-    "m7_image_decode")
+    "m7_image_decode",
+    // round-17: perceptual near-dup over REAL-decoded PNGs (m4's
+    // operation on the m7 codec path; bounded 100-image fixture)
+    "m8_perceptual_neardup")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -209,6 +209,7 @@ object SparkEntry {
     "m5_consensus_neardup" -> (ExtPipelines.consensusNearDups _),
     "m6_media_sig_dedup" -> (ExtPipelines.mediaSigDedup _),
     "m7_image_decode" -> (ExtPipelines.mediaImageDecode _),
+    "m8_perceptual_neardup" -> (ExtPipelines.mediaPerceptualNearDup _),
     "sql12_recursive_spine" -> (Pipelines.sqlRecursiveSpine _),
     "sql13_multi_exists" -> (Pipelines.sqlMultiExists _),
     "sql14_not_in" -> (Pipelines.sqlNotIn _)
@@ -2834,6 +2835,17 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_images,
         |       CAST(count(*) AS BIGINT) AS n_decoded,
         |       TRUE AS dims_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // m8: perceptual near-dup over REAL-decoded synthetic PNGs. The
+    // fixture's constant-weight-code geometry makes the pair set
+    // provable (twin L1 ≤ 0.0156, cross-doc ≥ 0.65, threshold 0.1), so
+    // the oracle enumerates the exact expected pairs: each doc's
+    // pristine image (id·2) with its 8-pixel-perturbed twin (id·2+1)
+    // and nothing else.
+    "m8_perceptual_neardup" ->
+      """SELECT CAST(doc_id * 2 AS BIGINT) AS a_id,
+        |       CAST(doc_id * 2 + 1 AS BIGINT) AS b_id
+        |FROM documents WHERE doc_id < 50""".stripMargin
   )
 }

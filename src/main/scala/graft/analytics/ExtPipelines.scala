@@ -698,6 +698,35 @@ object ExtPipelines {
         .as("dims_ok"))
   }
 
+  /** m8: perceptual near-dup over the REAL codec — the m4 operation
+    * routed through `javax.imageio` decode instead of the byte-
+    * histogram stub, closing the loop m7 opened: every document
+    * `doc_id < 50` contributes a pristine synthetic PNG (id·2) and a
+    * NEAR-IDENTICAL twin (id·2+1: same image, 8 perturbed pixels);
+    * both are decoded by [[graft.ext.Multimodal.extractImageFeatures]]
+    * (distributed, bytes never shuffle) and paired on luminance-
+    * histogram L1. The fixture's constant-weight-code geometry
+    * ([[graft.ext.Multimodal.syntheticPngBanded]]) makes the answer
+    * PROVABLE: twins sit at L1 ≤ 0.0156, any cross-doc pair at
+    * ≥ 0.65, so threshold 0.1 finds exactly the 50 twin pairs and the
+    * oracle enumerates them in SQL. Bounded slice by design — the
+    * all-pairs verify is m4's fixture-scale oracle discipline; the
+    * production path for media dedup remains m6's signature grouping
+    * (now equally runnable over real-decoded features). */
+  def mediaPerceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 50).as[Long].flatMap(id => Seq(
+        graft.ext.Multimodal.MediaRow(id * 2,
+          graft.ext.Multimodal.syntheticPngBanded(id)),
+        graft.ext.Multimodal.MediaRow(id * 2 + 1,
+          graft.ext.Multimodal.syntheticPngBanded(id, nFlips = 8))))
+    val feats = graft.ext.Multimodal.extractImageFeatures(media).toDF()
+      .filter(col("decodable"))
+    graft.ext.Multimodal.perceptualNearDups(feats, maxL1 = 0.1,
+      histCol = "luma_hist")
+  }
+
   /** x17b: the driver-checkable contract of x17, v3b-style. Emits ONE
     * row of facts an SQL oracle can recompute or assert:
     * `n_dups_admitted` (bloom admitted a true corpus duplicate — must

@@ -83,16 +83,25 @@ object Multimodal {
     * chain), and the per-bin values are bit-identical (m2's oracle
     * proves the histogram), so the threshold compare is deterministic
     * cross-engine even with no gap in the distance distribution. */
-  def mediaNearDups(docs: DataFrame, maxL1: Double = 0.001): DataFrame = {
+  def mediaNearDups(docs: DataFrame, maxL1: Double = 0.001): DataFrame =
+    perceptualNearDups(featurize(docs), maxL1, histCol = "histogram")
+
+  /** The all-pairs L1 near-dup core shared by m4 (byte-histogram stub
+    * features) and m8 (REAL-decode luminance histograms): pairs of
+    * feature rows within `maxL1` total variation. Exact all-pairs twin
+    * BY SPECIFICATION (the oracle baseline); the production scale path
+    * is [[mediaSigDedup]]'s signature grouping. */
+  def perceptualNearDups(feats: DataFrame, maxL1: Double,
+      idCol: String = "doc_id", histCol: String = "histogram"): DataFrame = {
     // histogram flattened to 16 scalar columns so the L1 chain below is
     // a single codegen'd expression — the interpreted zip_with/aggregate
     // HOF form deserialized the arrays per PAIR and ran ~50x slower on
     // the all-pairs join (measured 42.7s -> 0.86s at sf0.1)
-    val f = featurize(docs).select(
-      col("doc_id") +: (0 until 16).map(i => col("histogram")(i).as(f"h$i%02d")): _*)
-    val a = f.select(col("doc_id").as("a_id") +:
+    val f = feats.select(
+      col(idCol) +: (0 until 16).map(i => col(histCol)(i).as(f"h$i%02d")): _*)
+    val a = f.select(col(idCol).as("a_id") +:
       (0 until 16).map(i => col(f"h$i%02d").as(f"a$i%02d")): _*)
-    val b = f.select(col("doc_id").as("b_id") +:
+    val b = f.select(col(idCol).as("b_id") +:
       (0 until 16).map(i => col(f"h$i%02d").as(f"b$i%02d")): _*)
     // bin-order left-associated sum — the fold order the oracle mirrors
     val l1 = (0 until 16)
@@ -281,6 +290,52 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Doc id → a distinct 3-of-16 luma-bin subset (lexicographic
+    * combination index): the CONSTANT-WEIGHT CODE behind
+    * [[syntheticPngBanded]]'s provable pair separation. */
+  private lazy val binCombos: IndexedSeq[Seq[Int]] =
+    (0 until 16).combinations(3).toIndexedSeq
+
+  /** Deterministic synthetic PNG with PROVABLE perceptual geometry —
+    * the m8 fixture: doc `docId`'s image spreads its pixels evenly
+    * over a doc-distinct 3-of-16 luminance-bin subset (a constant-
+    * weight code over the histogram space), then `nFlips` pixels are
+    * perturbed to a +128-luma value (`nFlips = 0` is the pristine
+    * base). Separation is BY CONSTRUCTION, not by measurement: two
+    * distinct 3-subsets differ in ≥1 bin each way, so inter-doc
+    * histogram L1 ≥ 2·⌊1024/3⌋/1024 ≈ 0.666, while a perturbed twin
+    * moves ≤ 2·nFlips/1024 of mass (= 0.0156 at the default 8) — any
+    * threshold in between classifies every pair correctly, which is
+    * what lets m8's oracle enumerate the expected pairs exactly. (The
+    * plainer per-doc gradient of [[syntheticPng]] cannot serve here:
+    * measured over 50 docs its histograms collide outright — docs 14
+    * and 47 are bin-identical — the tight-concentration property the
+    * [[mediaNearDups]] scaladoc documents.) Encoded through the REAL
+    * `javax.imageio` PNG writer; PNG is lossless, so the decode side
+    * recovers the histogram exactly. */
+  def syntheticPngBanded(docId: Long, nFlips: Int = 0,
+      side: Int = 32): Array[Byte] = {
+    val combo = binCombos((docId % binCombos.size).toInt)
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var k = 0
+    while (k < side * side) {
+      val v = combo(k % 3) * 16 + 8 // bin center: luma(v,v,v) = v
+      img.setRGB(k % side, k / side, (v << 16) | (v << 8) | v)
+      k += 1
+    }
+    var j = 0
+    while (j < nFlips) {
+      val p = (j * 37) % (side * side)
+      val v = (combo(p % 3) * 16 + 8 + 128) % 256
+      img.setRGB(p % side, p / side, (v << 16) | (v << 8) | v)
+      j += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Deterministic synthetic PNG per document — the fixture generator

@@ -684,6 +684,34 @@ class StreamingSpec extends SparkSpec {
     assert(row.getLong(0) == row.getLong(1) && row.getBoolean(2),
       s"every synthetic PNG must decode at 32×32: $row")
   }
+
+  test("m8: perceptual near-dup over the real codec finds exactly the perturbed twins, with the constructed margin") {
+    // the banded fixture's SEPARATION claims, verified through the real
+    // decode: a twin sits within 2·nFlips/1024 of its base, any
+    // cross-doc pair at ≥ 2·⌊1024/3⌋/1024 − twin drift
+    def hist(id: Long, flips: Int) = Multimodal.lumaHistogram(
+      Multimodal.decodeImage(Multimodal.syntheticPngBanded(id, flips)).get)
+    def l1(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    val hs = (0L until 50L).map(id => (hist(id, 0), hist(id, 8)))
+    val twinMax = hs.map { case (b, t) => l1(b, t) }.max
+    assert(twinMax <= 2.0 * 8 / 1024 + 1e-12, s"twin L1 $twinMax")
+    val crossMin = (for {
+      i <- 0 until 50; j <- (i + 1) until 50
+      (a, b) <- Seq((hs(i)._1, hs(j)._1), (hs(i)._1, hs(j)._2),
+        (hs(i)._2, hs(j)._2))
+    } yield l1(a, b)).min
+    assert(crossMin > 0.6, s"cross-doc L1 floor violated: $crossMin")
+    // end-to-end: the registered pipeline returns exactly the 50 twin
+    // pairs the oracle enumerates (the m4 operation on the m7 codec)
+    val got = graft.analytics.ExtPipelines
+      .mediaPerceptualNearDup(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = math.min(graft.sources.Tables.documents(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50).count(), 50L)
+    assert(got == (0L until nDocs).map(id => (id * 2, id * 2 + 1)).toSet,
+      s"got ${got.size} pairs")
+  }
 }
 
 private object ExtRef {
