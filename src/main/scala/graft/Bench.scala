@@ -202,8 +202,11 @@ object Bench {
     "v21_ivf_int8_index",
     "m7_image_decode",
     // round-17: perceptual near-dup over REAL-decoded PNGs (m4's
-    // operation on the m7 codec path; bounded 100-image fixture)
-    "m8_perceptual_neardup")
+    // operation on the m7 codec path; bounded 100-image fixture), and
+    // the pq-stored IVF index audit row (dual build + dual serve, the
+    // v21 shape at ~32× stored-byte reduction)
+    "m8_perceptual_neardup",
+    "v22_ivf_pq_index")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -202,6 +202,8 @@ object SparkEntry {
     "s18_stream_index_delete" -> (ExtPipelines.streamIndexDelete _),
     "s19_stream_ivf_delete" -> (ExtPipelines.streamIvfDelete _),
     "v21_ivf_int8_index" -> (ExtPipelines.ivfIndexQuantized _),
+    "v22_ivf_pq_index" -> (ExtPipelines.ivfIndexPq _),
+    "v22b_pq_index_recall" -> (ExtPipelines.ivfIndexPqRecallBounded _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -2315,6 +2317,16 @@ object SparkEntry {
     // recovers full-precision ranks) — v12's oracle form
     "v21_ivf_int8_index" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v22: the pq-stored IVF index (packed residual codes) must serve
+    // rank-identically to a same-quantizer fp index at the registered
+    // overFetch — v12's oracle form; v22b floors recall at defaults
+    "v22_ivf_pq_index" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "v22b_pq_index_recall" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =

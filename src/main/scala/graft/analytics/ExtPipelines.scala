@@ -1440,6 +1440,73 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** v22: the `storage = "pq"` persisted IVF index (packed one-long
+    * RESIDUAL PQ codes in the probe frame — ~32× below fp bytes, the
+    * shape a 100 TB embedding corpus actually serves from) must serve
+    * RANK-IDENTICALLY to a full-precision index under the SAME stored
+    * quantizer and probes. Identity here is CORPUS-AND-OVERFETCH-
+    * dependent, not a theorem (PQ error is larger than int8's): the
+    * registered overFetch = 32 re-ranks ~6% of the probed candidates
+    * at sf0.1 and recovers fp ranks exactly on this corpus at all
+    * three SFs (measured; the honest scale statement is v22b's recall
+    * floor at the default overFetch). Emits v12's oracle form. */
+  def ivfIndexPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v22")
+    try {
+      val fpPath = tmpRoot.toString + "/fp"
+      Similarity.saveIvfIndex(emb, fpPath, nList = 8, nIters = 1)
+      val qPath = tmpRoot.toString + "/pq"
+      Similarity.saveIvfIndexWithCentroids(emb,
+        Similarity.loadIvfCentroids(spark, fpPath), qPath,
+        storage = "pq")
+      val queries = emb.filter(col("vec_id") < 10)
+      val fromFp = Similarity.ivfTopKFromIndex(spark, fpPath, queries,
+        k = 5, nProbe = 4)
+      val fromQ = Similarity.ivfTopKFromIndex(spark, qPath, queries,
+        k = 5, nProbe = 4, overFetch = 32)
+      val identical = fromQ.exceptAll(fromFp).isEmpty &&
+        fromFp.exceptAll(fromQ).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((queries.count(), identical)).toDF("n_queries", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** v22b: recall@5 floor for the pq-stored index at the DEFAULT
+    * overFetch — the honest at-scale statement (v14b's form): even
+    * with the coarse prune × residual PQ stack on RANDOM vectors (both
+    * approximations' worst case) the served top-5 must contain ≥ 2 of
+    * the true brute-force top-5 per query. */
+  def ivfIndexPqRecallBounded(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVecs(spark, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v22b")
+    try {
+      val qPath = tmpRoot.toString + "/pq"
+      Similarity.saveIvfIndex(emb, qPath, nList = 8, nIters = 1,
+        storage = "pq")
+      val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val served = Similarity.ivfTopKFromIndex(spark, qPath, q,
+          k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = served.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      val out = exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("recall_ok"))
+        .collect().toSeq
+      // materialized before cleanup deletes the index files
+      import spark.implicits._
+      out.map(r => (r.getLong(0), r.getBoolean(1)))
+        .toDF("query_id", "recall_ok")
+    } finally deleteTempTree(tmpRoot)
+  }
+
   def ivfIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

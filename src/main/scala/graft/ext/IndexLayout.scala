@@ -75,11 +75,12 @@ private[graft] object IndexLayout {
     * code fails loudly instead of being misread. Versions are
     * PER-INDEX ([[newManifest]]'s `schemaVersion`): a plain layout is
     * written at 1, the int8 IVF storage variant (quantized lists
-    * schema + a parallel fp frame) at 2 — so a version-1 binary keeps
-    * accepting every layout it can actually read and REFUSES an int8
-    * index instead of appending full-precision rows into a quantized
-    * frame. */
-  val SchemaVersion = 2
+    * schema + a parallel fp frame) at 2, the pq variant (packed
+    * residual-code lists + a stored codebook frame) at 3 — so an older
+    * binary keeps accepting every layout it can actually read and
+    * REFUSES the quantized shapes it predates instead of appending
+    * full-precision rows into a quantized frame. */
+  val SchemaVersion = 3
 
   // ---------------------------------------------------------------
   // manifest io

@@ -429,6 +429,57 @@ object Similarity {
         col("_q.qvec").as("qvec"), col("list_id"))
   }
 
+  /** PQ build parameters of a `storage = "pq"` layout — stored in the
+    * manifest so every later verb (append's encode, the serve's LUT)
+    * reads them back instead of trusting compile-time agreement. 8
+    * subspaces × 256 centroids packs a code into ONE long (24
+    * bytes/vector with id+norm); training is sample-bounded
+    * ([[pqTrain]]), so build cost is one corpus scan + a driver-side
+    * metadata-scale k-means. */
+  val PqNumSub = 8
+  val PqNumCents = 256
+  private val PqTrainSample = 2048
+  private val PqIters = 5
+
+  /** (id, list_id, vec, residual, true norm) under the index's pinned
+    * quantizer — the encode input of the pq storage (FAISS residual
+    * discipline: residuals concentrate near the origin, so the 8-bit
+    * budget spends on a tighter distribution than raw vectors; the
+    * same math as [[ivfPqTopK]]). */
+  private def residualized(assigned: DataFrame, cent: DataFrame,
+      vecCol: String, idCol: String): DataFrame =
+    assigned
+      .join(broadcast(cent.select(col("list_id"), col("cvec"))), Seq("list_id"))
+      .select(col(idCol), col("list_id"), col(vecCol),
+        expr(s"zip_with(cast($vecCol as array<double>), cvec, (x, y) -> x - y)")
+          .cast("array<float>").as("_res"),
+        sqrt(expr(s"aggregate($vecCol, 0D, (a, x) -> a + cast(x as double) * x)"))
+          .as("vnorm"))
+
+  /** The pq lists frame: (id, packed one-long code, true norm,
+    * list_id) — the 24-byte/vector probe scan. */
+  private def pqLists(resid: DataFrame, cb: Array[Double],
+      idCol: String, numSub: Int = PqNumSub,
+      numCents: Int = PqNumCents): DataFrame = {
+    graft.functions.PqExpressions.register(resid.sparkSession)
+    val cbLit = typedLit(cb.toSeq)
+    resid.select(col(idCol),
+        graft.functions.PqExpressions.pqEncode(
+          col("_res"), cbLit, numSub, numCents).as("_e"),
+        col("vnorm"), col("list_id"))
+      .select(col(idCol), col("_e.code").as("code"), col("vnorm"),
+        col("list_id"))
+  }
+
+  /** The stored residual codebook of a `storage = "pq"` index — one
+    * row holding the flattened `[sub][centroid][dim]` doubles (≈128 KB
+    * at the defaults): metadata-scale, collected to the driver and
+    * re-inlined as the foldable literal the codegen'd kernels want. */
+  private def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Map[String, String]): Array[Double] =
+    IndexLayout.readFrame(spark, path, m, "codebook")
+      .collect()(0).getSeq[Double](0).toArray
+
   /** [[saveIvfIndex]] from a GIVEN quantizer (`cent`: list_id, cvec) —
     * the rebuild form maintenance identity checks need (append/delete
     * must equal a same-centroid rebuild, so the rebuild twin must
@@ -436,8 +487,8 @@ object Similarity {
   def saveIvfIndexWithCentroids(corpus: DataFrame, centGiven: DataFrame,
       path: String, vecCol: String = "embedding",
       idCol: String = "vec_id", storage: String = "fp"): Unit = {
-    require(storage == "fp" || storage == "int8",
-      s"storage must be 'fp' or 'int8', got '$storage'")
+    require(storage == "fp" || storage == "int8" || storage == "pq",
+      s"storage must be 'fp', 'int8' or 'pq', got '$storage'")
     val spark = corpus.sparkSession
     // the quantizer is pinned EAGERLY (nList rows) BEFORE the target is
     // wiped: the natural same-path rebuild —
@@ -463,12 +514,27 @@ object Similarity {
     // frame read only for the bounded exact re-rank of probed
     // candidates. The quantized frame is derived from a READ-BACK of
     // the just-written fp rows, not a second corpus-scale assignment.
+    // storage = "pq": like int8, but the probe frame holds packed
+    // one-long RESIDUAL PQ codes (~16× below int8's byte vectors) and
+    // the trained codebook is stored as its own kept-through-flips
+    // frame, so append/serve read it back instead of retraining
     val probeFrame =
-      if (storage == "int8") {
+      if (storage == "int8" || storage == "pq") {
         assigned.write.partitionBy("list_id")
           .parquet(IndexLayout.genRoot(path, "fp", 0))
         val fpBack = spark.read.parquet(IndexLayout.genRoot(path, "fp", 0))
-        val ql = quantizedLists(fpBack, vecCol, idCol)
+        val ql =
+          if (storage == "int8") quantizedLists(fpBack, vecCol, idCol)
+          else {
+            val resid = residualized(fpBack, cent, vecCol, idCol)
+            val cb = pqTrain(resid.select(col(idCol), col("_res")),
+              PqTrainSample, PqNumSub, PqNumCents, PqIters,
+              vecCol = "_res", idCol = idCol)
+            import spark.implicits._
+            Seq(cb.toSeq).toDF("cb")
+              .write.parquet(IndexLayout.genRoot(path, "codebook", 0))
+            pqLists(resid, cb, idCol)
+          }
         ql.write.partitionBy("list_id")
           .parquet(IndexLayout.genRoot(path, "lists", 0))
         ql
@@ -486,17 +552,30 @@ object Similarity {
     IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
       IvfIndexFormat,
       Map("metric" -> "cosine", "dim" -> dim.toString,
-        "nList" -> cent.count().toString, "storage" -> storage),
+        "nList" -> cent.count().toString, "storage" -> storage) ++
+        (if (storage == "pq") Map("numSub" -> PqNumSub.toString,
+          "numCents" -> PqNumCents.toString) else Map.empty),
       Map("centroids" -> cent.schema, "lists" -> probeFrame.schema,
         "tombstones" -> org.apache.spark.sql.types.StructType(
           Seq(assigned.schema(idCol)))) ++
-        (if (storage == "int8") Map("fp" -> assigned.schema)
+        (if (storage == "fp") Map.empty
+         else Map("fp" -> assigned.schema)) ++
+        (if (storage == "pq") Map("codebook" ->
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cb",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
          else Map.empty),
-      // int8 layouts carry layout schemaVersion 2: a pre-int8 binary
-      // (version 1) must REFUSE them loudly — appending fp rows into a
-      // quantized lists frame would serve silent nulls — while plain
-      // layouts stay version 1 and remain readable everywhere
-      schemaVersion = if (storage == "int8") 2 else 1))
+      // per-index layout versioning: plain layouts stay 1, int8 is 2,
+      // pq is 3 — each quantized shape must be REFUSED loudly by a
+      // binary that predates it (appending fp rows into a quantized
+      // lists frame would serve silent nulls), while every layout an
+      // older binary CAN read keeps its old version
+      schemaVersion = storage match {
+        case "pq" => 3
+        case "int8" => 2
+        case _ => 1
+      }))
     // every consumer of the pinned quantizer (the centroids write, the
     // assignment's driver collect, dim/nList) has executed — free the
     // checkpoint blocks now instead of waiting for driver GC
@@ -554,7 +633,8 @@ object Similarity {
     val assigned = ivfAssign(dimChecked(batch, vecCol,
       IndexLayout.intParam(m, path, "dim"), "appendToIvfIndex"),
       cent, vecCol, idCol)
-    if (m.getOrElse("storage", "fp") == "int8") {
+    val storage = m.getOrElse("storage", "fp")
+    if (storage == "int8" || storage == "pq") {
       // the two frames MUST hold identical rows, and `batch` may not be
       // re-execution-stable (a directory a producer appends to between
       // the writes, a sampled upstream) — one batch-sized ckptLocal
@@ -562,13 +642,24 @@ object Similarity {
       // fp FIRST: a concurrent reader that saw a quantized candidate
       // without its fp row would silently drop it at the re-rank
       // semi-join; in this order the worst a reader sees is the
-      // pre-append state.
+      // pre-append state. (A kill BETWEEN the writes + the documented
+      // re-run can still replay fp rows — harmless: the serve's exact
+      // stage collapses duplicate pairs before the top-k.)
       val pinned = Checkpoints.ckptLocal(assigned)
       try {
         IndexLayout.appendToFrame(spark, path, m, "fp", pinned,
           Some("list_id"))
-        IndexLayout.appendToFrame(spark, path, m, "lists",
-          quantizedLists(pinned, vecCol, idCol), Some("list_id"))
+        val encoded =
+          if (storage == "int8") quantizedLists(pinned, vecCol, idCol)
+          else pqLists(residualized(pinned, cent, vecCol, idCol),
+            // encode with the STORED codebook and STORED shape (the pq
+            // analog of the immutable coarse quantizer): retraining or
+            // re-shaping per batch would invalidate every stored code
+            loadPqCodebook(spark, path, m), idCol,
+            IndexLayout.intParam(m, path, "numSub"),
+            IndexLayout.intParam(m, path, "numCents"))
+        IndexLayout.appendToFrame(spark, path, m, "lists", encoded,
+          Some("list_id"))
       } finally Checkpoints.free(pinned)
     } else
       IndexLayout.appendToFrame(spark, path, m, "lists", assigned,
@@ -605,13 +696,21 @@ object Similarity {
     // vector can never be served, whether or not its rows have been
     // physically compacted away yet
     val tomb = IndexLayout.loadTombstones(spark, path, m, idCol)
-    if (m.getOrElse("storage", "fp") == "int8")
-      ivfProbeAndRankQuantized(cent, frameGroups("lists"),
-        frameGroups("fp"), checkedQueries, k, nProbe, vecCol, idCol, tomb,
-        overFetch)
-    else
-      ivfProbeAndRank(cent, frameGroups("lists"), checkedQueries,
-        k, nProbe, vecCol, idCol, tomb)
+    m.getOrElse("storage", "fp") match {
+      case "int8" =>
+        ivfProbeAndRankQuantized(cent, frameGroups("lists"),
+          frameGroups("fp"), checkedQueries, k, nProbe, vecCol, idCol,
+          tomb, overFetch)
+      case "pq" =>
+        ivfProbeAndRankPq(cent, frameGroups("lists"), frameGroups("fp"),
+          checkedQueries, k, nProbe, vecCol, idCol, tomb, overFetch,
+          loadPqCodebook(spark, path, m),
+          IndexLayout.intParam(m, path, "numSub"),
+          IndexLayout.intParam(m, path, "numCents"))
+      case _ =>
+        ivfProbeAndRank(cent, frameGroups("lists"), checkedQueries,
+          k, nProbe, vecCol, idCol, tomb)
+    }
   }
 
   /** Candidate sets at or below this many (query, neighbor) rows are
@@ -653,7 +752,6 @@ object Similarity {
       tombstones: Option[DataFrame], overFetch: Int): DataFrame = {
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
-    import spark.implicits._
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = ivfProbes(cent, q, nProbe)
     // dequantize once per PROBED LIST ROW (a Project above the scan —
@@ -665,6 +763,27 @@ object Similarity {
         approxRaw.join(t.select(col(idCol)), Seq(idCol), "left_anti"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("dqv")).as("cos"))
+    overFetchExactRerank(probes, fpGroups, approx, k, overFetch,
+      vecCol, idCol)
+  }
+
+  /** The exact-re-rank tail shared by the quantized storages (int8,
+    * pq): keep the approximate top k·overFetch per query, exact-cosine
+    * them against the (probed, partition-pruned) full-precision frame,
+    * return the exact top k. The candidate set is bounded
+    * (≤ |queries|·k·overFetch) and already materialized by the
+    * k-bounded aggregate, so one bounded driver collect (the x26
+    * exception class) turns it into a LITERAL id filter the fp scan
+    * pushes into parquet row-group stats — without it the exact stage
+    * would re-read every probed fp row and the quantized variant would
+    * cost MORE than a plain fp serve instead of saving bytes. A
+    * candidate set past [[MaxInlineRerankCandidates]] degrades to the
+    * lazy semi-join over the probed scan instead of bloating the
+    * plan. */
+  private def overFetchExactRerank(probes: DataFrame,
+      fpGroups: Seq[DataFrame], approx: DataFrame, k: Int, overFetch: Int,
+      vecCol: String, idCol: String): DataFrame = {
+    val spark = approx.sparkSession
     val cand = topKPerQuery(approx, k * overFetch)
       .select("query_id", "neighbor_id")
     val exactBase = probeJoin(fpGroups, probes, idCol)
@@ -672,7 +791,7 @@ object Similarity {
         col("qv"), col(vecCol))
     // the query side is tiny by design (it is broadcast everywhere in
     // this family), so its count is a bounded action gating the inline
-    val nQueries = q.count()
+    val nQueries = probes.select("query_id").distinct().count()
     val exactIn =
       if (nQueries * k * overFetch <= MaxInlineRerankCandidates) {
         val rows = cand.collect() // bounded: ≤ nQueries·k·overFetch
@@ -699,6 +818,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col(vecCol)).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos")), k)
+  }
+
+  /** The `storage = "pq"` serve — FAISS `IndexIVFPQ`'s shape over this
+    * layout: identical probes, but the hot probed scan reads packed
+    * one-long RESIDUAL PQ codes (24 bytes/vector — ~16× below the int8
+    * frame, ~32× below fp), scores the ADC approximation
+    * cos ≈ (q·c_L + q·r̂)/(|q|·|v|) with q·c_L exact per probed list
+    * and |v| the TRUE stored norm, and hands the over-fetched top
+    * k·overFetch to [[overFetchExactRerank]] — precision exact, recall
+    * governed by overFetch (the v22 oracle pins rank-identity to the
+    * fp serve on this corpus at the registered overFetch; v22b floors
+    * recall at defaults). Tombstones strike at the approximate stage,
+    * so freed slots refill before the cut. The probe-side math mirrors
+    * [[ivfPqTopK]] (v14), which remains the in-memory twin. */
+  private def ivfProbeAndRankPq(cent: DataFrame,
+      qListGroups: Seq[DataFrame], fpGroups: Seq[DataFrame],
+      queries: DataFrame, k: Int, nProbe: Int,
+      vecCol: String, idCol: String, tombstones: Option[DataFrame],
+      overFetch: Int, cb: Array[Double], numSub: Int, numCents: Int)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    graft.functions.PqExpressions.register(spark)
+    val cbLit = typedLit(cb.toSeq)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = ivfProbes(cent, q, nProbe)
+    // per (query, probed list): the exact q·c_L term plus the query's
+    // residual-codebook LUT — nProbe tiny rows per query, broadcast
+    val probesPq = probes
+      .join(broadcast(cent.select(col("list_id"), col("cvec"))), Seq("list_id"))
+      .select(col("query_id"), col("list_id"), col("qv"),
+        expr("aggregate(zip_with(cast(qv as array<double>), cvec, " +
+          "(x, y) -> x * y), 0D, (a, x) -> a + x)").as("qdotc"),
+        graft.functions.PqExpressions.pqLut(
+          col("qv"), cbLit, numSub, numCents).as("_l"))
+      .select(col("query_id"), col("list_id"), col("qv"), col("qdotc"),
+        col("_l.lut").as("lut"), col("_l.qnorm").as("qnorm"))
+    val approxRaw = probeJoin(qListGroups, probesPq, idCol)
+    val approx = tombstones.fold(approxRaw)(t =>
+        approxRaw.join(t.select(col(idCol)), Seq(idCol), "left_anti"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        when(col("qnorm") === 0.0 || col("vnorm") === 0.0, lit(0.0))
+          .otherwise((col("qdotc") + graft.functions.PqExpressions.adcDot(
+            col("code"), col("lut"), numSub, numCents)) /
+            (col("qnorm") * col("vnorm"))).as("cos"))
+    overFetchExactRerank(probes, fpGroups, approx, k, overFetch,
+      vecCol, idCol)
   }
 
   /** DELETE vectors from a [[saveIvfIndex]] layout — the x26d
@@ -783,12 +949,16 @@ object Similarity {
               "lists", "list_id", affected, tomb, idCol, newGen),
             "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
             "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
-            // an int8 layout carries the parallel full-precision frame —
-            // compacted with the same affected lists and the same flip.
-            // Gated on the SAME storage parameter serve and append read
-            // (one source of truth); a manifest claiming int8 without a
-            // stored fp schema fails loudly inside the staging read.
-            (if (m.getOrElse("storage", "fp") == "int8")
+            // a quantized layout (int8 / pq) carries the parallel
+            // full-precision frame — compacted with the same affected
+            // lists and the same flip. Gated on the SAME storage
+            // parameter serve and append read (one source of truth); a
+            // manifest claiming a quantized storage without a stored fp
+            // schema fails loudly inside the staging read. The pq
+            // codebook frame, like the centroids, carries through every
+            // flip untouched (both quantizers are immutable after
+            // build).
+            (if (m.getOrElse("storage", "fp") != "fp")
               Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
                 "fp", "list_id", affected, tomb, idCol, newGen))
              else Map.empty)

@@ -2526,6 +2526,78 @@ class ExtSpec extends SparkSpec {
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
   }
 
+  test("v22: pq-stored IVF index serves rank-identically at the registered overFetch; CRUD carries fp and codebook through append/delete/compact") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    val standing = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fpPath = s"$root/fp"
+    Similarity.saveIvfIndex(standing, fpPath, nList = 8, nIters = 1)
+    val qPath = s"$root/pq"
+    Similarity.saveIvfIndexWithCentroids(standing,
+      Similarity.loadIvfCentroids(spark, fpPath), qPath, storage = "pq")
+    val ps = Similarity.ivfIndexParams(spark, qPath)
+    assert(ps("storage") == "pq" && ps("schemaVersion") == "3" &&
+      ps("numSub") == "8" && ps("numCents") == "256", ps.toString)
+    // the probe frame really is packed codes: one long + norm, no
+    // vector floats at all
+    val mPq = graft.ext.IndexLayout.requireManifest(spark, qPath,
+      Similarity.IvfIndexFormat)
+    val ls = graft.ext.IndexLayout.frameSchema(mPq, "lists")
+    assert(ls.fieldNames.toSet == Set("vec_id", "code", "vnorm", "list_id")
+      && ls("code").dataType.simpleString == "bigint", s"pq lists schema: $ls")
+    // rank-identity to the fp serve at partial AND exhaustive probes
+    for (np <- Seq(4, 8))
+      assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+          k = 5, nProbe = np, overFetch = 32)) ==
+        key(Similarity.ivfTopKFromIndex(spark, fpPath, queries,
+          k = 5, nProbe = np)),
+        s"pq serve must be rank-identical to fp at nProbe=$np")
+    // append encodes with the STORED codebook and stays serve-identical
+    Similarity.appendToIvfIndex(spark, qPath, batch)
+    Similarity.appendToIvfIndex(spark, fpPath, batch)
+    assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+        k = 5, nProbe = 8, overFetch = 32)) ==
+      key(Similarity.ivfTopKFromIndex(spark, fpPath, queries,
+        k = 5, nProbe = 8)),
+      "appended pq index must stay rank-identical")
+    // delete + compact remove the doomed vector from BOTH data frames;
+    // the codebook (like the centroids) carries through the flip
+    val doomedId = Similarity.bruteForceTopK(
+        standing.unionByName(batch), queries, k = 1)
+      .filter(col("query_id") === 0).collect()(0).getLong(1)
+    Similarity.deleteFromIvfIndex(Seq(doomedId).toDF("vec_id"), qPath)
+    val wantAfter = key(Similarity.bruteForceTopK(
+      standing.unionByName(batch).filter(col("vec_id") =!= doomedId),
+      queries, k = 5))
+    assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+      k = 5, nProbe = 8, overFetch = 32)) == wantAfter,
+      "tombstoned pq serve must refill the freed slot")
+    Similarity.compactIvfTombstones(spark, qPath)
+    val mPq2 = graft.ext.IndexLayout.requireManifest(spark, qPath,
+      Similarity.IvfIndexFormat)
+    for (f <- Seq("lists", "fp"))
+      assert(graft.ext.IndexLayout.readFrame(spark, qPath, mPq2, f)
+        .filter(col("vec_id") === doomedId).count() == 0,
+        s"compaction must remove the doomed row from the $f frame")
+    assert(graft.ext.IndexLayout.readFrame(spark, qPath, mPq2, "codebook")
+      .count() == 1, "the stored codebook must survive the flip")
+    assert(key(Similarity.ivfTopKFromIndex(spark, qPath, queries,
+      k = 5, nProbe = 8, overFetch = 32)) == wantAfter,
+      "compacted pq serve must be unchanged")
+    // the registered rows hold end-to-end
+    val row = graft.analytics.ExtPipelines.ivfIndexPq(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
+    val recall = graft.analytics.ExtPipelines
+      .ivfIndexPqRecallBounded(spark, sf()).collect()
+    assert(recall.nonEmpty && recall.forall(_.getBoolean(1)),
+      s"v22b floor violated: ${recall.mkString(",")}")
+  }
+
   test("int8 serve accepts non-Long query ids like the fp serve (inline re-rank path)") {
     VectorFunctions.register(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-int8-qid").toString
