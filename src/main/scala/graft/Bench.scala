@@ -206,7 +206,21 @@ object Bench {
     // the pq-stored IVF index audit row (dual build + dual serve, the
     // v21 shape at ~32× stored-byte reduction)
     "m8_perceptual_neardup",
-    "v22_ivf_pq_index")
+    "v22_ivf_pq_index",
+    // v20: serve-only IVF row (index build memoized, warmup-absorbed)
+    // — the production per-batch serving cost; also runs in the sf1
+    // replica tier (see serveRows)
+    "v20_ivf_index_serve")
+
+  /** The two production SERVE rows that run even under
+    * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the
+    * index layer's maintenance work most affects had no trend line at
+    * the judging tier. Both memoize their index build (x26b/v20
+    * pattern), so the warmup rep absorbs it and the timed reps measure
+    * the batch-proportional serve. */
+  val serveRows: Seq[String] = Seq(
+    "x26b_minhash_index_serve",
+    "v20_ivf_index_serve")
 
   private def runNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -328,8 +342,11 @@ object Bench {
     // env, so the published artifact always carries the full set.
     val skipExtended = sys.env.get("SPARK_GRAFT_SKIP_EXTENDED")
       .exists(v => v.nonEmpty && v != "0" && !v.equalsIgnoreCase("false"))
+    // the replica-tier run (SKIP_EXTENDED) still times the two serve
+    // rows — the 14-query headline stays the cross-round comparator,
+    // and the serve rows land in extended_queries alongside it
     val extResults =
-      (if (skipExtended) Seq.empty[String] else extended).map { name =>
+      (if (skipExtended) serveRows else extended).map { name =>
         name -> timeStatsSafe(name, runNoop(SparkEntry.queries(name)(spark, sfDir)))
       }
 

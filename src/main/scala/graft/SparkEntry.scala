@@ -204,6 +204,7 @@ object SparkEntry {
     "v21_ivf_int8_index" -> (ExtPipelines.ivfIndexQuantized _),
     "v22_ivf_pq_index" -> (ExtPipelines.ivfIndexPq _),
     "v22b_pq_index_recall" -> (ExtPipelines.ivfIndexPqRecallBounded _),
+    "v20_ivf_index_serve" -> (ExtPipelines.ivfIndexServe _),
     "m1_media_meta" -> (ExtPipelines.mediaMeta _),
     "m2_media_features" -> (ExtPipelines.mediaFeatures _),
     "m3_frame_sample" -> (ExtPipelines.mediaFrameSample _),
@@ -2327,6 +2328,17 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "v22b_pq_index_recall" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v20: the production batch serve from a persisted IVF index. All
+    // three facts are recomputable: the v12 query-set rule sizes the
+    // batch, every query's probed lists hold ≥ 5 candidates at the
+    // registered settings (exactly k results each), and the probe
+    // join's self-match guard makes self-serving impossible.
+    "v20_ivf_index_serve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(count(*) * 5 AS BIGINT) AS n_results,
+        |       TRUE AS self_excluded
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // s9 = x16's exact stage with the test bucket streamed: admitted =

@@ -1736,6 +1736,42 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** Memoized per-JVM IVF index store for [[ivfIndexServe]] (v20) —
+    * shares [[s17Index]]'s rationale: one FIXED path per input dir,
+    * written once per JVM, warmup-absorbed. Its OWN store (not
+    * s17Index's path) so the two rows stay independently evictable. */
+  private val v20Index = new graft.ext.BuildOnce[String, String]
+
+  /** v20: the BATCH SERVING path of the persisted IVF index — x26b's
+    * discipline on the vector side, and the row the sf1 trend tier was
+    * missing: x26 prices the audit harness (dual build + identity
+    * probes) and v12 the persist round-trip; this row prices what a
+    * serving fleet actually pays per query batch — manifest read,
+    * probe join, DPP-pruned candidate scan (~nProbe/nList of the
+    * index), k-bounded re-rank. The index build is memoized per JVM
+    * ([[v20Index]]) so the bench's warmup rep absorbs it. Facts
+    * emitted ride ONE lazy plan and are all oracle-recomputable:
+    * `n_queries` (the v12 query-set rule), `n_results` (= 5k per
+    * query: every query's probed lists hold ≥ k candidates at these
+    * settings), `self_excluded` (a query vector never serves itself —
+    * the probe join's guard). */
+  def ivfIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = v20Index(dir) {
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft_v20_idx_${dirKey(dir)}"
+      Similarity.saveIvfIndex(emb, p, nList = 8, nIters = 1)
+      p
+    }
+    val served = Similarity.ivfTopKFromIndex(spark, path,
+      emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+    served.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_results"),
+      (sum(when(col("query_id") === col("neighbor_id"), 1L).otherwise(0L))
+        === 0L).as("self_excluded"))
+  }
+
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
