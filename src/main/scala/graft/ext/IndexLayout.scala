@@ -160,27 +160,47 @@ private[graft] object IndexLayout {
     * wins (a torn commit that left both N and N−1 behind — or a crash
     * before cleanup — resolves deterministically to N); an index with
     * no per-generation files falls back to the legacy `_manifest.json`
-    * (pre-monotonic layouts stay readable without a rebuild). */
+    * (pre-monotonic layouts stay readable without a rebuild).
+    *
+    * List-to-open race: the resolved file survives at least one full
+    * flip interval after a newer one lands (the ≤ N−2 cleanup rule),
+    * but TWO flips completing inside this method's list→open window
+    * could delete it — in that pathological case the read RETRIES with
+    * a fresh listing (the newest manifest always exists) instead of
+    * surfacing a spurious FileNotFound to a serve. */
   def readManifest(spark: SparkSession, path: String)
       : Option[Map[String, String]] = {
     val f = IndexFs.fs(spark, path)
-    val gens = listManifestGens(f, path)
-    val p =
-      if (gens.nonEmpty) new Path(s"$path/${manifestGenFile(gens.max)}")
-      else new Path(s"$path/$ManifestFile")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-        buf.toByteArray
-      } finally in.close()
-      val m = mapper.readValue(bytes, classOf[java.util.Map[String, String]])
-      val b = Map.newBuilder[String, String]
-      m.forEach((k, v) => b += (k -> v))
-      Some(b.result())
+    def attempt(retries: Int): Option[Map[String, String]] = {
+      val gens = listManifestGens(f, path)
+      val p =
+        if (gens.nonEmpty) new Path(s"$path/${manifestGenFile(gens.max)}")
+        else new Path(s"$path/$ManifestFile")
+      if (!f.exists(p)) None
+      else {
+        val read = try {
+          val in = f.open(p)
+          val bytes = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+            buf.toByteArray
+          } finally in.close()
+          Some(bytes)
+        } catch {
+          case _: java.io.FileNotFoundException if retries > 0 => None
+        }
+        read match {
+          case None => attempt(retries - 1)
+          case Some(bytes) =>
+            val m = mapper.readValue(bytes,
+              classOf[java.util.Map[String, String]])
+            val b = Map.newBuilder[String, String]
+            m.forEach((k, v) => b += (k -> v))
+            Some(b.result())
+        }
+      }
     }
+    attempt(retries = 2)
   }
 
   /** The manifest of an index that MUST exist and be of `format` — the
@@ -344,9 +364,23 @@ private[graft] object IndexLayout {
               "maintenance would lose appends/deletes silently — " +
               "serialize the verbs, or wait out the TTL if the holder " +
               "crashed")
-        case Some(_) => // expired: a crashed writer's lease — reclaim
-          f.delete(leasePath(path), false)
-          acquired = attempt()
+        case Some(_) =>
+          // expired: a crashed writer's lease — reclaim by RENAMING it
+          // to a marker first. Rename is the arbiter: of two
+          // concurrent reclaimers only ONE rename of the same source
+          // succeeds (a bare delete+create would let reclaimer B
+          // delete A's freshly-created lease between A's create and
+          // B's delete — both would then believe they own it). The
+          // loser loops, reads the winner's fresh lease, and throws
+          // the loud standing-lease error above.
+          val marker = new Path(s"$path/.$LeaseFile.reclaim.$id")
+          val won =
+            try f.rename(leasePath(path), marker)
+            catch { case _: java.io.IOException => false }
+          if (won) {
+            f.delete(marker, false)
+            acquired = attempt()
+          }
         case None => // holder released between attempt and read — retry
           acquired = attempt()
       }
