@@ -167,37 +167,47 @@ private[graft] object IndexLayout {
     * but TWO flips completing inside this method's list→open window
     * could delete it — in that pathological case the read RETRIES with
     * a fresh listing (the newest manifest always exists) instead of
-    * surfacing a spurious FileNotFound to a serve. */
+    * surfacing a spurious FileNotFound to a serve.
+    *
+    * Cost note: resolution is ONE directory LIST per manifest read —
+    * the same price every log-structured table format pays per
+    * snapshot resolution (Delta lists `_delta_log/`); serves resolve
+    * once per query batch / micro-batch, and all data reads below it
+    * are unchanged. */
   def readManifest(spark: SparkSession, path: String)
       : Option[Map[String, String]] = {
     val f = IndexFs.fs(spark, path)
+    def readBytes(p: Path): Option[Array[Byte]] =
+      try {
+        val in = f.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          Some(buf.toByteArray)
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    def parse(bytes: Array[Byte]): Map[String, String] = {
+      val m = mapper.readValue(bytes, classOf[java.util.Map[String, String]])
+      val b = Map.newBuilder[String, String]
+      m.forEach((k, v) => b += (k -> v))
+      b.result()
+    }
     def attempt(retries: Int): Option[Map[String, String]] = {
       val gens = listManifestGens(f, path)
-      val p =
-        if (gens.nonEmpty) new Path(s"$path/${manifestGenFile(gens.max)}")
-        else new Path(s"$path/$ManifestFile")
-      if (!f.exists(p)) None
-      else {
-        val read = try {
-          val in = f.open(p)
-          val bytes = try {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-            buf.toByteArray
-          } finally in.close()
-          Some(bytes)
-        } catch {
-          case _: java.io.FileNotFoundException if retries > 0 => None
-        }
-        read match {
-          case None => attempt(retries - 1)
-          case Some(bytes) =>
-            val m = mapper.readValue(bytes,
-              classOf[java.util.Map[String, String]])
-            val b = Map.newBuilder[String, String]
-            m.forEach((k, v) => b += (k -> v))
-            Some(b.result())
-        }
+      if (gens.isEmpty) {
+        // legacy / pre-monotonic layout (or no index at all)
+        readBytes(new Path(s"$path/$ManifestFile")).map(parse)
+      } else readBytes(new Path(s"$path/${manifestGenFile(gens.max)}")) match {
+        case Some(bytes) => Some(parse(bytes))
+        // the listed newest file vanished: only possible when two+
+        // flips completed inside the list→open window — RE-LIST (the
+        // newest manifest always exists); open-directly-then-catch, so
+        // the missing-file signal cannot leak out as a spurious
+        // "not an index" the way an exists() pre-check would
+        case None if retries > 0 => attempt(retries - 1)
+        // pathological flip storm: the co-written pointer is the
+        // terminal fallback — always present on any committed layout
+        case None => readBytes(new Path(s"$path/$ManifestFile")).map(parse)
       }
     }
     attempt(retries = 2)
@@ -262,8 +272,11 @@ private[graft] object IndexLayout {
     * its FileSystem modification time as its acquisition time under
     * `fallbackTtlMs`, so it expires like any other lease. */
   private def readLease(f: org.apache.hadoop.fs.FileSystem, path: String,
+      fallbackTtlMs: Long): Option[(String, Long, Long)] =
+    readLeaseFile(f, leasePath(path), fallbackTtlMs)
+
+  private def readLeaseFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
       fallbackTtlMs: Long): Option[(String, Long, Long)] = {
-    val p = leasePath(path)
     if (!f.exists(p)) None
     else {
       val parsed = try {
@@ -334,8 +347,23 @@ private[graft] object IndexLayout {
     val ttl = spark.conf.getOption(LeaseTtlConfKey).map(_.toLong)
       .getOrElse(DefaultLeaseTtlMs)
     val h = acquireLease(spark, path, ttl)
-    try body(h)
-    finally releaseLease(spark, path, h)
+    try {
+      val r = body(h)
+      // COMPLETION GATE: a verb that never renews (append/delete/delta
+      // folds) and overran its TTL may have raced a reclaiming writer —
+      // its writes could have landed in roots a concurrent flip already
+      // retired, so success would be a lie. Verbs expected to run long
+      // renew at their internal checkpoints; everything else pays one
+      // lease read here to turn the overrun into a LOUD failure.
+      if (!readLease(IndexFs.fs(spark, path), path, h.ttlMs)
+          .exists(_._1 == h.writerId))
+        throw new IllegalStateException(
+          s"maintenance lease on $path was lost before the verb " +
+            "finished (TTL overrun + reclaim): its writes may have " +
+            "raced a concurrent flip — treat this verb as FAILED and " +
+            "re-run it (raise graft.index.leaseTtlMs for long verbs)")
+      r
+    } finally releaseLease(spark, path, h)
   }
 
   def acquireLease(spark: SparkSession, path: String, ttlMs: Long)
@@ -410,11 +438,26 @@ private[graft] object IndexLayout {
 
   def releaseLease(spark: SparkSession, path: String, h: LeaseHandle): Unit = {
     val f = IndexFs.fs(spark, path)
-    readLease(f, path, h.ttlMs) match {
-      case Some((holder, _, _)) if holder == h.writerId =>
-        f.delete(leasePath(path), false)
+    // cheap filter first: expired-and-reclaimed → not ours to touch
+    if (readLease(f, path, h.ttlMs).exists(_._1 == h.writerId)) {
+      // rename-arbitrated delete: a bare read-then-delete could remove
+      // a NEW owner's lease when ours expired and was reclaimed between
+      // the read and the delete. Rename is the arbiter (exactly one
+      // mover of the same source wins); if the moved file turns out not
+      // to be ours after all, it is restored best-effort — and if even
+      // the restore loses (a third writer already created a fresh
+      // lease), the orphaned hidden marker is inert.
+      val marker = new Path(s"$path/.$LeaseFile.release.${h.writerId}")
+      val moved =
+        try f.rename(leasePath(path), marker)
+        catch { case _: java.io.IOException => false }
+      if (moved) {
+        if (readLeaseFile(f, marker, h.ttlMs).exists(_._1 == h.writerId))
+          f.delete(marker, false)
+        else if (!f.rename(marker, leasePath(path)))
+          f.delete(marker, false)
         ()
-      case _ => () // expired and reclaimed — not ours to delete anymore
+      }
     }
   }
 
@@ -529,14 +572,28 @@ private[graft] object IndexLayout {
   // family verb stages every frame, then flips ONCE)
   // ---------------------------------------------------------------
 
-  /** On-disk `partCol=v` directory names directly under `absDir`. */
+  /** On-disk `partCol=v` directory names directly under `absDir`.
+    * LOUD on a comma: ',' is the manifest composition's entry delimiter
+    * and Spark's path escaper leaves it unescaped, so a comma-bearing
+    * partition directory would round-trip through `frames.*` as two
+    * bogus entries and its rows would silently vanish from every read —
+    * refusing at first sight (the first compaction that expands the
+    * dir) beats representing it wrongly. */
   private def listPartDirNames(spark: SparkSession, absDir: String,
       partCol: String): Seq[String] = {
     val f = IndexFs.fs(spark, absDir)
     val p = new Path(absDir)
     if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith(s"$partCol=")).toSeq
+    else {
+      val names = f.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(s"$partCol=")).toSeq
+      names.find(_.contains(",")).foreach(n =>
+        throw new IllegalStateException(
+          s"$absDir/$n: partition values containing ',' are not " +
+            "representable in this layout's manifest composition — " +
+            "partition on a comma-free column (or encode the value)"))
+      names
+    }
   }
 
   /** Stage a PRUNED compaction of frame `name`: read the current

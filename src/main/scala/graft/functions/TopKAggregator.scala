@@ -27,7 +27,19 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Deterministic total order: score desc, then id asc on ties.
   * Usable typed (`.toColumn`) or untyped via `functions.udaf(...)`.
-  */
+  *
+  * DUPLICATE-ID SEMANTICS: the result is the top-k DISTINCT ids by
+  * their best score — a repeated id never occupies two slots. Normal
+  * pipelines feed each id at most once per group, so this costs one
+  * O(k) scan only on the rare insert path; what it buys is that a
+  * replayed index append (the kill-then-re-run contract of
+  * `mode("append")` job commits) degrades to harmless duplicate rows
+  * instead of silently displacing a true neighbor from every later
+  * top-k. Correctness of the partial form: within one partition the
+  * buffer holds at most one copy per id (reduce dedups), and the id's
+  * best copy is beaten only by elements that also beat it globally, so
+  * the distinct-top-k survives partial aggregation exactly like the
+  * plain top-k. */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Seq[Long]] {
   require(k >= 1, s"top-k needs k >= 1, got $k")
@@ -48,31 +60,53 @@ class TopKAggregator(k: Int)
   override def zero: (Array[Double], Array[Long]) =
     (Array.emptyDoubleArray, Array.emptyLongArray)
 
+  /** Insert (sorted position via binary search), capping at k. */
+  private def insertSorted(ss: Array[Double], ids: Array[Long],
+      in: (Double, Long)): (Array[Double], Array[Long]) = {
+    val n = ss.length
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (beats(in._1, in._2, ss(mid), ids(mid))) hi = mid else lo = mid + 1
+    }
+    val m = math.min(n + 1, k)
+    val ns = new Array[Double](m); val nids = new Array[Long](m)
+    System.arraycopy(ss, 0, ns, 0, lo)
+    System.arraycopy(ids, 0, nids, 0, lo)
+    ns(lo) = in._1; nids(lo) = in._2
+    val tail = m - lo - 1 // dropped element (if any) falls off the end
+    if (tail > 0) {
+      System.arraycopy(ss, lo, ns, lo + 1, tail)
+      System.arraycopy(ids, lo, nids, lo + 1, tail)
+    }
+    (ns, nids)
+  }
+
   override def reduce(
       buf: (Array[Double], Array[Long]),
       in: (Double, Long)): (Array[Double], Array[Long]) = {
     val (ss, ids) = buf
     val n = ss.length
     // steady-state early exit: full buffer and the element can't beat
-    // the current k-th — no allocation, no sort, one comparison
+    // the current k-th — no allocation, no sort, one comparison. (A
+    // duplicate id rejected here is always the worse copy: everything
+    // buffered, including its twin, ranks at or above the k-th.)
     if (n >= k && !beats(in._1, in._2, ss(n - 1), ids(n - 1))) buf
     else {
-      var lo = 0; var hi = n
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (beats(in._1, in._2, ss(mid), ids(mid))) hi = mid else lo = mid + 1
+      // duplicate-id guard on the (rare) insert path: keep the better
+      // copy, never two slots for one id
+      var d = 0
+      while (d < n && ids(d) != in._2) d += 1
+      if (d == n) insertSorted(ss, ids, in)
+      else if (!beats(in._1, in._2, ss(d), ids(d))) buf
+      else {
+        val rs = new Array[Double](n - 1); val rids = new Array[Long](n - 1)
+        System.arraycopy(ss, 0, rs, 0, d)
+        System.arraycopy(ids, 0, rids, 0, d)
+        System.arraycopy(ss, d + 1, rs, d, n - 1 - d)
+        System.arraycopy(ids, d + 1, rids, d, n - 1 - d)
+        insertSorted(rs, rids, in)
       }
-      val m = math.min(n + 1, k)
-      val ns = new Array[Double](m); val nids = new Array[Long](m)
-      System.arraycopy(ss, 0, ns, 0, lo)
-      System.arraycopy(ids, 0, nids, 0, lo)
-      ns(lo) = in._1; nids(lo) = in._2
-      val tail = m - lo - 1 // dropped element (if any) falls off the end
-      if (tail > 0) {
-        System.arraycopy(ss, lo, ns, lo + 1, tail)
-        System.arraycopy(ids, lo, nids, lo + 1, tail)
-      }
-      (ns, nids)
     }
   }
 
@@ -83,17 +117,23 @@ class TopKAggregator(k: Int)
     if (bs.isEmpty) a
     else if (as.isEmpty) b
     else { // linear merge of two sorted runs, capped at k
-      val m = math.min(as.length + bs.length, k)
-      val ns = new Array[Double](m); val nids = new Array[Long](m)
+      val cap = math.min(as.length + bs.length, k)
+      val ns = new Array[Double](cap); val nids = new Array[Long](cap)
       var i = 0; var j = 0; var o = 0
-      while (o < m) {
+      while (o < cap && (i < as.length || j < bs.length)) {
         val takeA = j >= bs.length ||
           (i < as.length && !beats(bs(j), bids(j), as(i), aids(i)))
-        if (takeA) { ns(o) = as(i); nids(o) = aids(i); i += 1 }
-        else { ns(o) = bs(j); nids(o) = bids(j); j += 1 }
-        o += 1
+        val s = if (takeA) as(i) else bs(j)
+        val id = if (takeA) aids(i) else bids(j)
+        if (takeA) i += 1 else j += 1
+        // duplicate-id guard: the better-ranked copy was emitted first
+        // (merge order IS rank order), so a later twin is skipped
+        var d = 0
+        while (d < o && nids(d) != id) d += 1
+        if (d == o) { ns(o) = s; nids(o) = id; o += 1 }
       }
-      (ns, nids)
+      if (o == cap) (ns, nids)
+      else (java.util.Arrays.copyOf(ns, o), java.util.Arrays.copyOf(nids, o))
     }
   }
 

@@ -322,6 +322,60 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("comma-bearing partition values are refused LOUDLY at compaction (unrepresentable in the manifest composition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ext.IndexLayout
+    val root = java.nio.file.Files.createTempDirectory("graft-comma")
+    try {
+      val path = s"$root/idx"
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("pv", StringType)))
+      IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
+        "graft-proptest", Map.empty,
+        Map("data" -> schema,
+          "tombstones" -> StructType(Seq(StructField("id", LongType))))))
+      Seq((1L, "a,b"), (2L, "plain")).toDF("id", "pv")
+        .repartition(col("pv")).write.partitionBy("pv")
+        .parquet(IndexLayout.genRoot(path, "data", 0))
+      val m = IndexLayout.readManifest(spark, path).get
+      IndexLayout.appendTombstones(spark, path, m, Seq(2L).toDF("id"), "id")
+      val m1 = IndexLayout.readManifest(spark, path).get
+      val tomb = IndexLayout.loadTombstones(spark, path, m1, "id").get
+      val e = intercept[IllegalStateException] {
+        IndexLayout.stageCompactFrame(spark, path, m1, "data", "pv",
+          Seq("plain"), tomb, "id", 1)
+      }
+      assert(e.getMessage.contains("','"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
+  test("property: TopKAggregator returns the top-k DISTINCT ids by best score (replayed duplicates never double-slot)") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(120, for {
+      g <- Gen.chooseNum(0L, 2L)
+      id <- Gen.chooseNum(0L, 15L)
+      s <- Gen.chooseNum(0, 1000)
+    } yield (g, id, s / 8.0))
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val topk = udaf(new graft.functions.TopKAggregator(4))
+        // feed DUPLICATED rows (the replayed-append shape) through both
+        // a narrow and a wide shuffle so reduce AND merge paths run
+        val df = (rows ++ rows.take(40)).toDF("g", "id", "s")
+          .repartition(7)
+        val got = df.groupBy("g").agg(topk(col("s"), col("id")).as("top"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.groupBy(_._2).toList
+            .map { case (id, xs) => (xs.map(_._3).max, id) }
+            .sortBy { case (s, id) => (-s, id) }.take(4).map(_._2)
+        }
+        got == want
+      }
+    }, n = 12)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
