@@ -207,6 +207,14 @@ object Bench {
     // v21 shape at ~32× stored-byte reduction)
     "m8_perceptual_neardup",
     "v22_ivf_pq_index",
+    // round-17: the two layout re-parameterization audit rows — x30
+    // rebuckets the stored MinHash frames to a corpus-sized count in
+    // place (rows moved, never re-derived; prices build+delete+
+    // rebucket+fresh-rebuild+frame compares), v23 retrains the IVF
+    // quantizer in place (prices dual deterministic trainings + dual
+    // serves; production cost is one survivor scan per frame)
+    "x30_minhash_index_rebucket",
+    "v23_ivf_index_retrain",
     // v20: serve-only IVF row (index build memoized, warmup-absorbed)
     // — the production per-batch serving cost; also runs in the sf1
     // replica tier (see serveRows)

@@ -457,7 +457,14 @@ object ScaleBench {
       // documented amortized O(corpus) term; shingles/sizes stay
       // bucket-pruned) — both numbers are printed so the contrast is
       // the evidence.
-      val (appendBuildSec, appendSec, deleteSec, compactSec) = {
+      // x30/v23 re-parameterization evidence rides the same index (and
+      // a tier-sized IVF one): rebucket MOVES every stored shingle/size
+      // row and retrain re-assigns every vector, so both are ALLOWED to
+      // grow with the tier (the documented O(corpus) of a scheduled
+      // re-parameterization) — the evidence is the ratio staying at or
+      // below the tier factor (no super-linear term from the
+      // generation-composed read path) alongside the flat append/delete.
+      val (appendBuildSec, appendSec, deleteSec, compactSec, rebucketSec) = {
         // temp index freed in finally — a failed tier run must not
         // leak a corpus-scale index copy into /tmp
         val idxTmp = java.nio.file.Files
@@ -480,23 +487,43 @@ object ScaleBench {
           val fixedIds = corpus.filter(col("doc_id") < 500).select("doc_id")
           val d = med3(graft.ext.Dedup.deleteFromMinhashIndex(fixedIds, idxPath))
           val c = timeOnce(graft.ext.Dedup.compactMinhashTombstones(spark, idxPath))
+          val rb = timeOnce(
+            graft.ext.Dedup.rebucketMinhashIndex(spark, idxPath, 96))
           fixedBatch.unpersist(blocking = false)
           System.err.println(
             f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs, " +
-              f"fixed-id delete $d%.3fs, compaction $c%.3fs")
-          (b, a, d, c)
+              f"fixed-id delete $d%.3fs, compaction $c%.3fs, rebucket $rb%.3fs")
+          (b, a, d, c, rb)
         } catch { case e: Exception =>
           System.err.println(s"[scale] append experiment failed at $label: $e")
-          (-1.0, -1.0, -1.0, -1.0)
+          (-1.0, -1.0, -1.0, -1.0, -1.0)
         } finally org.apache.commons.io.FileUtils.deleteQuietly(idxTmp.toFile)
+      }
+      val retrainSec = {
+        val ivfTmp = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_retrain_$label")
+        try {
+          val p = ivfTmp.toString + "/ivf"
+          graft.ext.Similarity.saveIvfIndex(
+            Tables.embeddings(spark, dir), p, nList = 16, nIters = 1)
+          val t = timeOnce(
+            graft.ext.Similarity.retrainIvfIndex(spark, p, nList = 24,
+              nIters = 1))
+          System.err.println(f"[scale] $label v23 ivf retrain $t%.3fs")
+          t
+        } catch { case e: Exception =>
+          System.err.println(s"[scale] retrain experiment failed at $label: $e")
+          -1.0
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(ivfTmp.toFile)
       }
       spark.catalog.clearCache()
       (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce, readFraction,
-        appendBuildSec, appendSec, deleteSec, compactSec)
+        appendBuildSec, appendSec, deleteSec, compactSec, rebucketSec,
+        retrainSec)
     }
 
-    val Seq((l0, t0, r0, k0, _, _, ab0, aa0, dd0, cc0),
-      (l1, t1, r1, k1, eo1, rfr1, ab1, aa1, dd1, cc1)) = results
+    val Seq((l0, t0, r0, k0, _, _, ab0, aa0, dd0, cc0, rb0, rt0),
+      (l1, t1, r1, k1, eo1, rfr1, ab1, aa1, dd1, cc1, rb1, rt1)) = results
     def fmt(ts: Seq[(String, Double)]): String =
       ts.map { case (q, s) => f""""$q":$s%.4f""" }.mkString("{", ",", "}")
     val ratios = t0.zip(t1).map { case ((q, a), (_, b)) =>
@@ -513,7 +540,11 @@ object ScaleBench {
       f""""x26c_append_ratio_10x":${if (aa0 > 0 && aa1 > 0) aa1 / aa0 else -1.0}%.2f,""" +
       f""""x26d_fixed_id_delete_sec":{"$l0":$dd0%.3f,"$l1":$dd1%.3f},""" +
       f""""x26d_delete_ratio_10x":${if (dd0 > 0 && dd1 > 0) dd1 / dd0 else -1.0}%.2f,""" +
-      f""""x26d_compact_sec":{"$l0":$cc0%.3f,"$l1":$cc1%.3f}}""")
+      f""""x26d_compact_sec":{"$l0":$cc0%.3f,"$l1":$cc1%.3f},""" +
+      f""""x30_rebucket_sec":{"$l0":$rb0%.3f,"$l1":$rb1%.3f},""" +
+      f""""x30_rebucket_ratio_10x":${if (rb0 > 0 && rb1 > 0) rb1 / rb0 else -1.0}%.2f,""" +
+      f""""v23_retrain_sec":{"$l0":$rt0%.3f,"$l1":$rt1%.3f},""" +
+      f""""v23_retrain_ratio_10x":${if (rt0 > 0 && rt1 > 0) rt1 / rt0 else -1.0}%.2f}""")
     spark.stop()
   }
 }

@@ -93,6 +93,7 @@ object SparkEntry {
     "x26c_minhash_index_append" -> (ExtPipelines.minhashIndexAppend _),
     "x26d_minhash_index_delete" -> (ExtPipelines.minhashIndexDelete _),
     "x26e_minhash_index_refresh" -> (ExtPipelines.minhashIndexRefresh _),
+    "x30_minhash_index_rebucket" -> (ExtPipelines.minhashIndexRebucket _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -154,6 +155,7 @@ object SparkEntry {
     "v12_ivf_index_persist" -> (ExtPipelines.ivfIndexPersist _),
     "v18_ivf_index_append" -> (ExtPipelines.ivfIndexAppend _),
     "v19_ivf_index_delete" -> (ExtPipelines.ivfIndexDelete _),
+    "v23_ivf_index_retrain" -> (ExtPipelines.ivfIndexRetrain _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
@@ -930,6 +932,26 @@ object SparkEntry {
         |       TRUE AS identical
         |FROM b WHERE bucket >= 52428""".stripMargin,
 
+    // x30: index REBUCKET maintenance — the rebucketed index's frames
+    // and admitted set are engine-internal; the driver-checkable facts
+    // are the batch size (md5-bucket rule), the flipped manifest's
+    // stored bucket count (read back by the serve path — 48 by the
+    // verb's argument), and the identity pin: frames ≡ a fresh build
+    // at 48 over the survivors (rows are per-doc functions of text;
+    // bucket is a pure function of (id, count))
+    "x30_minhash_index_rebucket" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       CAST(48 AS BIGINT) AS buckets_after,
+        |       TRUE AS identical
+        |FROM b WHERE bucket >= 52428""".stripMargin,
+
     // x26e: index REFRESH maintenance — x20's decision CTEs verbatim
     // (same salted #snap snapshots, digest dup gate, quality gate);
     // the driver-checkable facts are the admitted count and the
@@ -1553,6 +1575,17 @@ object SparkEntry {
     // Facts: query-batch size + the identity flag, v12's form.
     "v19_ivf_index_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v23: index RETRAIN maintenance — the retrained serve must equal
+    // a fresh deterministic build at the new nList over the survivors
+    // (identical survivor multiset, deterministic seed draw + Lloyd).
+    // Facts: query-batch size, the flipped manifest's stored nList
+    // (12 by the verb's argument), the identity flag.
+    "v23_ivf_index_retrain" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(12 AS BIGINT) AS n_list_after,
+        |       TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // v8 (PQ ANN) is rows-only: the packed codes depend on trained

@@ -576,6 +576,55 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** x30: persisted MinHash index REBUCKET — the scale-parameter
+    * maintenance verb ([[graft.ext.Dedup.rebucketMinhashIndex]]): an
+    * index whose stored id-bucket count the corpus has outgrown is
+    * re-keyed IN PLACE to a new count — stored rows MOVED (never
+    * re-derived from text), standing tombstones resolved by the same
+    * rewrite, one atomic manifest flip updating the stored `buckets`
+    * parameter. The regime: build at a deliberately-undersized count
+    * (16), delete the doomed md5-bucket range (so the verb's
+    * tombstone-resolution leg is exercised), rebucket to 48, and
+    * ingest the test split against the rebucketed index. Identity pins
+    * (the x26e discipline — frame multisets, the strongest form, plus
+    * serve equality a fortiori): the rebucketed index's three frames
+    * must EXACTLY equal a fresh [[graft.ext.Dedup.saveMinhashIndex]]
+    * build at 48 over the surviving corpus, and the admitted set must
+    * match the rebuild's. Emits `n_batch` (oracle recomputes the
+    * md5-bucket rule), `buckets_after` (the flipped manifest's stored
+    * count, read back by the serve path) and `identical` (TRUE). */
+  def minhashIndexRebucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bk = graft.ext.DataSplit.bucket(col("doc_id"))
+    val standing = docs.filter(bk < 52428)
+    val doomed = standing.filter(bk >= 39321)
+    val batch = docs.filter(bk >= 52428)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_rebucket")
+    try {
+      val incPath = tmpRoot.toString + "/inc"
+      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 16)
+      Dedup.deleteFromMinhashIndex(doomed.select("doc_id"), incPath)
+      Dedup.rebucketMinhashIndex(spark, incPath, newBuckets = 48)
+      val bucketsAfter = Dedup.minhashIndexParams(spark, incPath)("buckets")
+      val rbAdmitted0 = Dedup.nearDupIngestFromPath(spark, incPath, batch)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath,
+        idBuckets = 48)
+      val fbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch)
+      val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, incPath)
+      val (fb, fsh, fsz) = Dedup.loadMinhashIndex(spark, rbPath)
+      def eq(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val identical = eq(rbAdmitted0, fbAdmitted) &&
+        eq(ib, fb) && eq(ish, fsh) && eq(isz, fsz)
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((batch.count(), bucketsAfter.toLong, identical))
+        .toDF("n_batch", "buckets_after", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
   /** s15: STREAMING MinHash near-dup ingest — the x26b serving path
     * run as a real Structured Streaming query
     * ([[graft.streaming.Streaming.nearDupIngestStream]]): the test
@@ -1617,6 +1666,55 @@ object ExtPipelines {
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** v23: persisted IVF index RETRAIN — the quantizer-replacement verb
+    * ([[graft.ext.Similarity.retrainIvfIndex]]) that completes the
+    * index lifecycle the immutable-quantizer contract leaves open:
+    * after enough drift (v11's monitor) the operator schedules a
+    * retrain, and this verb runs it WITHOUT the wipe-and-rebuild
+    * no-index window — new centroids trained on the survivors, every
+    * frame re-assigned and staged, one atomic flip updating the stored
+    * `nList` and clearing the tombstones the rewrite resolved. The
+    * regime: build at nList=8, delete the doomed md5-bucket range (so
+    * the verb's tombstone-resolution leg is exercised), retrain to
+    * nList=12, serve a query batch. Identity pin: the retrained serve
+    * must EXACTLY equal the same serve against a fresh
+    * [[graft.ext.Similarity.saveIvfIndex]] build at nList=12 over the
+    * survivors — both trainings are deterministic over the identical
+    * survivor multiset. Emits `n_queries`, `n_list_after` (the flipped
+    * manifest's stored nList, read back by the serve path) and
+    * `identical` (TRUE). */
+  def ivfIndexRetrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    val standing = emb.filter(b < 52428)
+    val doomed = standing.filter(b >= 39321)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_retrain")
+    try {
+      val incPath = tmpRoot.toString + "/inc"
+      Similarity.saveIvfIndex(standing, incPath, nList = 8, nIters = 1)
+      Similarity.deleteFromIvfIndex(doomed.select("vec_id"), incPath)
+      Similarity.retrainIvfIndex(spark, incPath, nList = 12, nIters = 1)
+      val nListAfter = Similarity.ivfIndexParams(spark, incPath)("nList")
+      val queries = emb.filter(col("vec_id") < 10)
+      val fromRetrained = Similarity.ivfTopKFromIndex(spark, incPath, queries,
+        k = 5, nProbe = 4)
+      // fresh twin: the SAME deterministic training over the identical
+      // survivor multiset — the form the retrain must be equal to
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Similarity.saveIvfIndex(standing.filter(b < 39321), rbPath,
+        nList = 12, nIters = 1)
+      val fromFresh = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
+        k = 5, nProbe = 4)
+      val identical = fromRetrained.exceptAll(fromFresh).isEmpty &&
+        fromFresh.exceptAll(fromRetrained).isEmpty
+      // driver-side local relation (the probes above are eager), so
+      // nothing lazy still reads the index files after cleanup
+      Seq((queries.count(), nListAfter.toLong, identical))
+        .toDF("n_queries", "n_list_after", "identical")
     } finally deleteTempTree(tmpRoot)
   }
 

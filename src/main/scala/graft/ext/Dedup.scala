@@ -581,6 +581,42 @@ object Dedup {
     * compaction itself follows [[appendToMinhashIndex]]'s contract:
     * the append job is not atomic, so a failed compaction is re-run
     * against a restored index. */
+  /** The delta layout's bucket-count marker
+    * (`<deltaPath>/_delta_buckets`): the stored count the epoch's
+    * delta rows were bucketed under. [[graft.streaming.Streaming
+    * .nearDupIngestStream]] records it at stream start and REFUSES a
+    * later epoch whose index was rebucketed in between — old-count
+    * `bucket=` delta dirs under a new-count candidate filter would be
+    * silently mis-pruned (missed duplicates admitted), the exact
+    * hazard class the manifest closed for cross-binary constants.
+    * [[compactMinhashDeltas]] clears the marker with the dirs it
+    * folds. */
+  private[graft] def requireDeltaBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String, buckets: Int): Unit = {
+    val f = IndexFs.fs(spark, deltaPath)
+    val p = new org.apache.hadoop.fs.Path(s"$deltaPath/_delta_buckets")
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      if (recorded != buckets.toString) throw new IllegalStateException(
+        s"$deltaPath holds delta dirs bucketed under count $recorded, " +
+          s"but the index's stored count is now $buckets (rebucketed " +
+          "between stream epochs): fold the old deltas with " +
+          "compactMinhashDeltas BEFORE rebucketing, or clear " +
+          "checkpoint+deltas+out and restart the stream fresh — " +
+          "serving old-count deltas under a new-count candidate " +
+          "filter would silently mis-prune")
+    } else {
+      f.mkdirs(new org.apache.hadoop.fs.Path(deltaPath))
+      val out = f.create(p, true)
+      try out.write(buckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   def compactMinhashDeltas(spark: org.apache.spark.sql.SparkSession,
       deltaPath: String, path: String): Unit = {
     // leased: this verb appends into the standing layout's open roots
@@ -595,12 +631,28 @@ object Dedup {
       }
       delta("bands").foreach(
         IndexLayout.appendToFrame(spark, path, m, "bands", _, Some("band")))
-      delta("shingles").foreach(
+      // the delta rows' stored bucket values were computed under the
+      // count at INGEST time — recompute them under the index's
+      // CURRENT count, so folding stays correct even after a
+      // rebucketMinhashIndex ran in between (the remediation path the
+      // requireDeltaBuckets guard points at); when the counts match
+      // the recompute is value-identical. The id column is the frame's
+      // first stored field (the manifest schema, not a caller guess).
+      val buckets = IndexLayout.intParam(m, path, "buckets")
+      def rekeyed(df: DataFrame, name: String): DataFrame = {
+        val idc = IndexLayout.frameSchema(m, name).fieldNames.head
+        df.drop("bucket").withColumn("bucket", idBucket(col(idc), buckets))
+      }
+      delta("shingles").map(rekeyed(_, "shingles")).foreach(
         IndexLayout.appendToFrame(spark, path, m, "shingles", _, Some("bucket")))
-      delta("sizes").foreach(
+      delta("sizes").map(rekeyed(_, "sizes")).foreach(
         IndexLayout.appendToFrame(spark, path, m, "sizes", _, Some("bucket")))
       Seq("bands", "shingles", "sizes").foreach(name =>
         IndexFs.delete(spark, s"$deltaPath/$name"))
+      // the folded epoch's bucket-count marker goes with its dirs, so
+      // the next stream epoch records the index's CURRENT count (the
+      // rebucket-between-epochs guard — see requireDeltaBuckets)
+      IndexFs.delete(spark, s"$deltaPath/_delta_buckets")
     }
   }
 
@@ -744,6 +796,98 @@ object Dedup {
     deleteFromMinhashIndex(deletedIds, path, idCol)
     compactMinhashTombstones(spark, path, idCol)
     appendToMinhashIndex(admittedDocs, path, textCol, idCol)
+  }
+
+  /** REBUCKET a persisted [[saveMinhashIndex]] index to a new id-bucket
+    * count IN PLACE — the verb that keeps the layout's pruning property
+    * alive as the corpus grows. [[MinhashIndexBuckets]]'s sizing rule
+    * sizes `buckets` per corpus AT BUILD TIME, but a long-lived index
+    * only ever grows via O(batch) appends into the SAME bucket dirs:
+    * after the corpus outgrows the stored count by 10-100×, each bucket
+    * holds 10-100× its build-time slice and a fixed batch's candidate
+    * buckets cover most of the frame — the measured 0.094 → 0.53
+    * pruned-read degradation (BENCH_SCALE) reappears through growth
+    * even though the count was right on day one. The previous answer
+    * ("resizing is a rebuild decision") priced a full
+    * re-shingle-from-text rebuild plus an index-down window; this verb
+    * instead MOVES the stored rows, on the layout's own terms:
+    *
+    *  - `shingles` and `sizes` are read from the current composition,
+    *    tombstones anti-joined out (a whole-frame rewrite resolves
+    *    them for free), re-keyed with [[idBucket]] under `newBuckets`,
+    *    and staged into the next generation — rows move, nothing is
+    *    re-derived from text (no shingling, no hashing of content:
+    *    the one O(corpus) scan is I/O-bound column movement);
+    *  - `bands` is bucket-independent: with standing tombstones it is
+    *    rewritten to resolve them (the compaction's whole-frame term,
+    *    on the smallest frame); with none it carries through the flip
+    *    UNTOUCHED — a pure rebucket never rewrites the band rows;
+    *  - ONE atomic manifest flip replaces the compositions, updates
+    *    the stored `buckets` parameter, and clears the tombstones the
+    *    rewrite resolved. Readers stay lock-free: a pre-flip serve
+    *    prunes old-count buckets over the old composition, a post-flip
+    *    serve new-count buckets over the new one — never new-count
+    *    bucket ids against old-count directories (the mis-bucketing
+    *    the manifest exists to prevent, here made impossible by the
+    *    flip's atomicity instead of by operator care).
+    *
+    * Runs under the maintenance lease across staging AND flip.
+    * STREAMING PRECONDITION: a live [[graft.streaming.Streaming
+    * .nearDupIngestStream]] epoch caches the count and accumulates
+    * delta dirs bucketed under it — drain the stream and FOLD its
+    * deltas ([[compactMinhashDeltas]]) before rebucketing. Both
+    * violation orders fail LOUDLY, not silently: a mid-stream rebucket
+    * stops the stream at its next micro-batch (per-batch count guard)
+    * and a rebucket between epochs with unfolded deltas refuses the
+    * next epoch at start ([[requireDeltaBuckets]]'s marker).
+    * Identity contract (the x30 oracle): after this verb a serve
+    * equals the serve against a fresh [[saveMinhashIndex]] built at
+    * `newBuckets` over the surviving corpus — index rows are per-doc
+    * functions of text and the bucket column is a pure function of
+    * (id, count), so the frames agree as multisets. */
+  def rebucketMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newBuckets: Int, idCol: String = "doc_id"): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    IndexLayout.withMaintenanceLease(spark, path) { lease =>
+      val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+      val carried = IndexLayout.dropRetired(spark, path, m)
+      val tombOpt = IndexLayout.loadTombstones(spark, path, m, idCol)
+        .map(t => Checkpoints.ckptLocal(t.distinct()))
+      try {
+        val newGen = IndexLayout.intParam(m, path, "gen") + 1
+        def rebucketFrame(name: String): (Seq[String], Seq[String]) = {
+          val newRoot = s"$name/g$newGen"
+          val base = IndexLayout.readFrame(spark, path, m, name)
+          val survivors = tombOpt match {
+            case Some(tomb) => base.join(tomb, Seq(idCol), "left_anti")
+            case None => base
+          }
+          survivors
+            .drop("bucket")
+            .withColumn("bucket", idBucket(col(idCol), newBuckets))
+            .repartition(col("bucket"))
+            .write.mode("overwrite") // staging replay is idempotent
+            .partitionBy("bucket").parquet(s"$path/$newRoot")
+          (Seq(newRoot), IndexLayout.frameEntries(m, name))
+        }
+        val staged = Map(
+          "shingles" -> rebucketFrame("shingles"),
+          "sizes" -> rebucketFrame("sizes")) ++
+          (tombOpt match {
+            case Some(tomb) => Map(
+              "bands" -> IndexLayout.stageRewriteFrame(spark, path, m,
+                "bands", "band", tomb, idCol, newGen),
+              "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones",
+                newGen))
+            case None => Map(
+              "bands" -> IndexLayout.stageKeepFrame(m, "bands"),
+              "tombstones" -> IndexLayout.stageKeepFrame(m, "tombstones"))
+          })
+        IndexLayout.renewLease(spark, path, lease)
+        IndexLayout.flip(spark, path,
+          m + ("buckets" -> newBuckets.toString), newGen, staged, carried)
+      } finally tombOpt.foreach(Checkpoints.free)
+    }
   }
 
   /** DEFAULT doc-id bucket count for the stored shingle/size frames of

@@ -997,6 +997,144 @@ object Similarity {
     appendToIvfIndex(spark, path, admittedVecs, vecCol, idCol)
   }
 
+  /** RETRAIN a persisted [[saveIvfIndex]] index's coarse quantizer IN
+    * PLACE — the scheduled verb [[refreshIvfIndex]]'s scaladoc defers
+    * to. The append contract keeps the quantizer immutable (FAISS's
+    * `add()`), so months of appends/refreshes degrade list balance as
+    * the corpus drifts away from the centroids it was trained on
+    * ([[snapshotCentroidDrift]] is the monitor that detects exactly
+    * this); eventually the operator schedules a retrain. The naive
+    * spelling — `saveIvfIndex(survivors, path)` — WIPES the path
+    * before rewriting it, so every concurrent serve hits a no-index
+    * window (and reads the survivors through the very files the wipe
+    * deletes). This verb instead retrains WITHOUT downtime, on the
+    * layout's own terms:
+    *
+    *  - survivors (standing rows ∖ tombstones) are read from the
+    *    current composition — the full-precision frame for quantized
+    *    storages, the lists frame for fp;
+    *  - a NEW quantizer is trained on them ([[ivfCentroids]]:
+    *    deterministic seed draw + Lloyd refinement — `nList` may
+    *    differ from the stored value, the usual reason to retrain is
+    *    that the corpus outgrew it);
+    *  - every data frame is re-assigned and STAGED into the next
+    *    generation (for quantized storages the int8/pq probe frames —
+    *    and the pq codebook, retrained on the new residuals — are
+    *    re-derived from a read-back of the staged fp rows, exactly
+    *    like the build);
+    *  - ONE atomic manifest flip replaces the whole composition,
+    *    updates the stored `nList`, and clears the tombstones the
+    *    rewrite resolved. Readers stay lock-free throughout: pre-flip
+    *    plans serve the old quantizer's answer, post-flip plans the
+    *    new one's, never a torn mix of new centroids over old lists
+    *    (which would probe WRONG lists — the exact hazard staging
+    *    exists to prevent). Retired dirs follow the standard grace
+    *    contract.
+    *
+    * Cost: one survivor-scan per staged frame plus the metadata-scale
+    * training collect — O(corpus), the inherent price of retraining,
+    * amortized over however many months the previous quantizer
+    * served. Runs under the maintenance lease (held across staging
+    * AND flip, renewed before the commit), so concurrent
+    * appends/deletes fail loudly instead of being retired unseen.
+    *
+    * Identity contract (the v23 oracle): after this verb, a serve
+    * equals the same serve against a FRESH `saveIvfIndex(survivors,
+    * nList, nIters, storage)` build — both quantizer trainings see the
+    * identical survivor multiset and both are deterministic, so the
+    * layouts agree row-for-row. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nList: Int = 16, nIters: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    IndexLayout.withMaintenanceLease(spark, path) { lease =>
+      val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+      val storage = m.getOrElse("storage", "fp")
+      val carried = IndexLayout.dropRetired(spark, path, m)
+      // full-precision survivors: the frame that still holds real
+      // vectors (the quantized storages' lists frame holds codes)
+      val fullFrame = if (storage == "fp") "lists" else "fp"
+      val fullSchema = IndexLayout.frameSchema(m, fullFrame)
+      require(fullSchema.fieldNames.contains(idCol) &&
+        fullSchema.fieldNames.contains(vecCol),
+        s"retrainIvfIndex: stored '$fullFrame' frame has columns " +
+          s"${fullSchema.fieldNames.mkString(",")} — expected id '$idCol' " +
+          s"and vector '$vecCol' (pass the index's own column names)")
+      val standing = IndexLayout.readFrame(spark, path, m, fullFrame)
+        .select(col(idCol), col(vecCol))
+      val survivors = IndexLayout.loadTombstones(spark, path, m, idCol) match {
+        case Some(tomb) => standing.join(tomb, Seq(idCol), "left_anti")
+        case None => standing
+      }
+      val newGen = IndexLayout.intParam(m, path, "gen") + 1
+      // the new quantizer: metadata-scale, pinned so the centroid
+      // write, the assignment broadcast, and the dim read share one
+      // materialization (and none of them re-reads the index files
+      // the flip will retire)
+      val cent = Checkpoints.ckptLocal(
+        ivfCentroids(survivors, nList, nIters, vecCol, idCol))
+      try {
+        cent.write.mode("overwrite") // staging replay is idempotent
+          .parquet(IndexLayout.genRoot(path, "centroids", newGen))
+        val assigned = ivfAssign(survivors, cent, vecCol, idCol)
+        val staged: Map[String, (Seq[String], Seq[String])] =
+          if (storage == "fp") {
+            assigned.repartition(col("list_id"))
+              .write.mode("overwrite").partitionBy("list_id")
+              .parquet(IndexLayout.genRoot(path, "lists", newGen))
+            Map("lists" ->
+              ((Seq(s"lists/g$newGen"), IndexLayout.frameEntries(m, "lists"))))
+          } else {
+            // the build's discipline: stage fp first, derive the probe
+            // frame (and pq codebook) from a READ-BACK of the staged
+            // rows so quantization sees exactly what the re-rank will
+            assigned.repartition(col("list_id"))
+              .write.mode("overwrite").partitionBy("list_id")
+              .parquet(IndexLayout.genRoot(path, "fp", newGen))
+            val fpBack = spark.read.parquet(
+              IndexLayout.genRoot(path, "fp", newGen))
+            val (ql, cbStaged) =
+              if (storage == "int8")
+                (quantizedLists(fpBack, vecCol, idCol),
+                  Map.empty[String, (Seq[String], Seq[String])])
+              else {
+                val resid = residualized(fpBack, cent, vecCol, idCol)
+                val numSub = m.get("numSub").map(_.toInt).getOrElse(PqNumSub)
+                val numCents =
+                  m.get("numCents").map(_.toInt).getOrElse(PqNumCents)
+                val cb = pqTrain(resid.select(col(idCol), col("_res")),
+                  PqTrainSample, numSub, numCents, PqIters,
+                  vecCol = "_res", idCol = idCol)
+                import spark.implicits._
+                Seq(cb.toSeq).toDF("cb").write.mode("overwrite")
+                  .parquet(IndexLayout.genRoot(path, "codebook", newGen))
+                (pqLists(resid, cb, idCol, numSub, numCents),
+                  Map("codebook" -> ((Seq(s"codebook/g$newGen"),
+                    IndexLayout.frameEntries(m, "codebook")))))
+              }
+            ql.repartition(col("list_id"))
+              .write.mode("overwrite").partitionBy("list_id")
+              .parquet(IndexLayout.genRoot(path, "lists", newGen))
+            Map(
+              "lists" -> ((Seq(s"lists/g$newGen"),
+                IndexLayout.frameEntries(m, "lists"))),
+              "fp" -> ((Seq(s"fp/g$newGen"),
+                IndexLayout.frameEntries(m, "fp")))) ++ cbStaged
+          }
+        val all = staged ++ Map(
+          "centroids" -> ((Seq(s"centroids/g$newGen"),
+            IndexLayout.frameEntries(m, "centroids"))),
+          "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
+        // nList is re-read from the staged quantizer (ivfCentroids
+        // returns exactly the rows it trained — ≤ nList on a corpus
+        // smaller than nList), dim is unchanged by construction
+        val newNList = cent.count()
+        IndexLayout.renewLease(spark, path, lease)
+        IndexLayout.flip(spark, path,
+          m + ("nList" -> newNList.toString), newGen, all, carried)
+      } finally Checkpoints.free(cent)
+    }
+  }
+
   /** LSH-bucketed ANN: corpus and queries are hashed with the same
     * seeded hyperplanes into `nBits`-bit signatures over `nTables`
     * independent tables; candidates = corpus rows sharing a bucket with

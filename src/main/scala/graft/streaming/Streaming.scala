@@ -248,6 +248,16 @@ object Streaming {
     val bands = IndexLayout.intParam(m0, indexPath, "bands")
     val rows = IndexLayout.intParam(m0, indexPath, "rows")
     val idBuckets = IndexLayout.intParam(m0, indexPath, "buckets")
+    // REBUCKET GUARD, restart half: the delta dirs carry `bucket=`
+    // values computed under ONE count, and the candidate prune's
+    // literal filter runs over standing ∪ deltas — old-count delta
+    // rows under a new-count filter are silently mis-pruned (missed
+    // duplicates admitted). The count the epoch's first write used is
+    // recorded in a marker next to the delta dirs; a later epoch whose
+    // index was rebucketed in between fails HERE, loudly, instead:
+    // fold the deltas (compactMinhashDeltas clears the marker) before
+    // rebucketing, or clear checkpoint+deltas+out and restart fresh.
+    Dedup.requireDeltaBuckets(docs.sparkSession, deltaPath, idBuckets)
     // once a delta sub-tree holds committed data it never empties
     // within this stream's lifetime (compaction requires a stopped,
     // drained stream), so a per-query memo spares the recursive
@@ -256,6 +266,20 @@ object Streaming {
     val knownNonEmpty = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     perBatchSink(docs, checkpoint, trigger) { (batch, batchId) =>
         val spark = batch.sparkSession
+        // REBUCKET GUARD, mid-stream half: the ingest stream holds no
+        // lease (its deltas live outside the index path), so a
+        // rebucket CAN flip the stored count under a live stream —
+        // after which this epoch's cached count prunes the NEW
+        // composition's directories wrongly. One int compare per
+        // micro-batch turns that silent mis-prune into a loud stop.
+        val mB = IndexLayout.requireManifest(spark, indexPath,
+          Dedup.MinhashIndexFormat)
+        if (IndexLayout.intParam(mB, indexPath, "buckets") != idBuckets)
+          throw new IllegalStateException(
+            s"$indexPath was rebucketed under this live ingest stream " +
+              s"(stored buckets ${mB("buckets")} != stream-start " +
+              s"$idBuckets): stop the stream, fold the deltas " +
+              "(compactMinhashDeltas), and restart the epoch")
         val (sb, ssh, ssz) = Dedup.loadMinhashIndex(spark, indexPath)
         // delta presence is detected by COMMITTED parquet FILES, not
         // batch= dir names: a batch that admitted nothing leaves a

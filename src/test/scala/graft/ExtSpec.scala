@@ -3366,4 +3366,120 @@ class ExtSpec extends SparkSpec {
         (None, None, r.getDouble(0), r.getLong(1), 3L))
     assert(got == expected.toSet)
   }
+
+  test("v23: retrainIvfIndex replaces the quantizer in place — new nList stored, tombstones resolved, serve equals a fresh deterministic build") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-retrain").toString
+    val standing = emb.filter(col("vec_id") < 300)
+    val doomed = standing.filter(col("vec_id") >= 280).select("vec_id")
+    val survivors = standing.filter(col("vec_id") < 280)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (storage <- Seq("fp", "int8", "pq")) {
+      val path = s"$root/$storage"
+      Similarity.saveIvfIndex(standing, path, nList = 8, nIters = 1,
+        storage = storage)
+      Similarity.deleteFromIvfIndex(doomed, path)
+      Similarity.retrainIvfIndex(spark, path, nList = 12, nIters = 1)
+      val m = Similarity.ivfIndexParams(spark, path)
+      assert(m("nList") == "12", s"$storage: stored nList must flip to 12")
+      assert(m("storage") == storage, s"$storage: storage must carry through")
+      assert(Similarity.loadIvfTombstones(spark, path).isEmpty,
+        s"$storage: the retrain rewrite must resolve the tombstones")
+      // the retrained serve must equal a FRESH deterministic build at
+      // the new nList over the identical survivor multiset (pq pays
+      // the v22 overFetch to recover fp ranks on this corpus)
+      val of = if (storage == "pq") 32 else 4
+      val fresh = s"$root/$storage-fresh"
+      Similarity.saveIvfIndex(survivors, fresh, nList = 12, nIters = 1,
+        storage = storage)
+      val served = Similarity.ivfTopKFromIndex(spark, path, queries,
+        k = 5, nProbe = 4, overFetch = of)
+      assert(key(served) == key(Similarity.ivfTopKFromIndex(spark, fresh,
+        queries, k = 5, nProbe = 4, overFetch = of)),
+        s"$storage: retrained serve must equal the fresh-build serve")
+      // exhaustive probes over the retrained layout ≡ brute force over
+      // the survivors — retrain may not lose or resurrect a vector
+      assert(key(Similarity.ivfTopKFromIndex(spark, path, queries,
+          k = 5, nProbe = 12, overFetch = of)) ==
+        key(Similarity.bruteForceTopK(survivors, queries, k = 5)),
+        s"$storage: exhaustive retrained serve must equal brute force")
+    }
+    // the retrain runs under the maintenance lease: a standing writer
+    // blocks it loudly (the silent-loss window it exists to close)
+    val leased = s"$root/fp"
+    val h = graft.ext.IndexLayout.acquireLease(spark, leased, 60000L)
+    val e = intercept[IllegalStateException] {
+      Similarity.retrainIvfIndex(spark, leased, nList = 8)
+    }
+    assert(e.getMessage.contains("under maintenance"))
+    graft.ext.IndexLayout.releaseLease(spark, leased, h)
+    // end-to-end pipeline identity row
+    val row = graft.analytics.ExtPipelines.ivfIndexRetrain(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getLong(1) == 12L &&
+      row(0).getBoolean(2), row.mkString)
+  }
+
+  test("x30: rebucketMinhashIndex re-keys the stored frames in place — new count stored and pruning, frames equal a fresh build at the new count") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mh-rebucket").toString
+    val path = s"$root/idx"
+    val standing = docs.select("doc_id", "text").filter(col("doc_id") < 150)
+    val doomed = standing.filter(col("doc_id") >= 140).select("doc_id")
+    val survivors = standing.filter(col("doc_id") < 140)
+    Dedup.saveMinhashIndex(standing, path, idBuckets = 16)
+    Dedup.deleteFromMinhashIndex(doomed, path)
+    Dedup.rebucketMinhashIndex(spark, path, newBuckets = 48)
+    val m = Dedup.minhashIndexParams(spark, path)
+    assert(m("buckets") == "48", "stored bucket count must flip to 48")
+    assert(Dedup.loadMinhashTombstones(spark, path).isEmpty,
+      "the rebucket rewrite must resolve the tombstones")
+    // frame-multiset identity vs a fresh build at 48 over the
+    // survivors (x26e's discipline — serve equality follows a fortiori)
+    val fresh = s"$root/fresh"
+    Dedup.saveMinhashIndex(survivors, fresh, idBuckets = 48)
+    val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, path)
+    val (fb, fsh, fsz) = Dedup.loadMinhashIndex(spark, fresh)
+    for (((a, b), name) <- Seq((ib, fb), (ish, fsh), (isz, fsz))
+        .zip(Seq("bands", "shingles", "sizes")))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name must equal the fresh build at the new count")
+    // the rebucketed layout still partition-prunes — under the NEW
+    // count: the candidate buckets land in the scan's PartitionFilters
+    val candIds = Seq(3L, 7L, 11L).toDF("b_id").distinct()
+    val candBuckets = candIds
+      .select(pmod(xxhash64(col("b_id")), lit(48)).cast("int").as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = Dedup.pruneStandingToCandidates(ish, candIds,
+      useBroadcast = true, "doc_id", candBuckets)
+    val p = pruned.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("shingles"))
+      .getOrElse(fail(s"no shingle scan in plan:\n$p"))
+    assert(scanLine.matches(""".*PartitionFilters: \[[^\]]*bucket#\d+ IN.*"""),
+      s"bucket IN (…) must partition-filter the rebucketed scan:\n$scanLine")
+    // a pure rebucket (no standing tombstones) carries the bands frame
+    // through the flip UNTOUCHED — same composition entry, no rewrite
+    val mBefore = Dedup.minhashIndexParams(spark, path)
+    val bandsBefore = graft.ext.IndexLayout.frameEntries(mBefore, "bands")
+    Dedup.rebucketMinhashIndex(spark, path, newBuckets = 32)
+    val mAfter = Dedup.minhashIndexParams(spark, path)
+    assert(mAfter("buckets") == "32")
+    assert(graft.ext.IndexLayout.frameEntries(mAfter, "bands") == bandsBefore,
+      "a tombstone-free rebucket must not touch the bands frame")
+    // serve equality after the second rebucket: the moved rows still
+    // admit/reject exactly like a fresh build
+    val batch = docs.select("doc_id", "text")
+      .filter(col("doc_id") >= 150 && col("doc_id") < 180)
+    def admitted(px: String) = Dedup.nearDupIngestFromPath(spark, px, batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted(path) == admitted(fresh))
+    // end-to-end pipeline identity row
+    val row =
+      graft.analytics.ExtPipelines.minhashIndexRebucket(spark, sf()).collect()
+    assert(row.length == 1 && row(0).getLong(1) == 48L &&
+      row(0).getBoolean(2), row.mkString)
+  }
 }

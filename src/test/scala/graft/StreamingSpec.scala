@@ -712,6 +712,90 @@ class StreamingSpec extends SparkSpec {
     assert(got == (0L until nDocs).map(id => (id * 2, id * 2 + 1)).toSet,
       s"got ${got.size} pairs")
   }
+  test("x30 guards: rebucket under a live or unfolded ingest stream fails loudly; folding recomputes buckets and clears the marker") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.ext.Dedup
+    val tmp = Files.createTempDirectory("graft-x30-guard").toString
+    val standing = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val idxPath = s"$tmp/idx"
+    Dedup.saveMinhashIndex(standing, idxPath, idBuckets = 16)
+    val in = s"$tmp/in"
+    Seq((101L, "unique text number one about cats and dogs playing"),
+      (102L, "another fresh document with its own words entirely"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def src() = spark.readStream.schema(schema).parquet(in)
+    // epoch 1 drains and records the delta layout's bucket-count marker
+    val delta = s"$tmp/delta"
+    Streaming.nearDupIngestStream(src(), idxPath, s"$tmp/out", delta,
+      s"$tmp/ck").awaitTermination()
+    assert(new java.io.File(s"$delta/_delta_buckets").exists(),
+      "the ingest epoch must record its bucket count next to the deltas")
+    // rebucket BETWEEN epochs with the deltas unfolded: the next epoch
+    // must refuse at start — serving old-count delta dirs under the
+    // new-count candidate filter would silently mis-prune
+    Dedup.rebucketMinhashIndex(spark, idxPath, newBuckets = 48)
+    val e = intercept[IllegalStateException] {
+      Streaming.nearDupIngestStream(src(), idxPath, s"$tmp/out2", delta,
+        s"$tmp/ck2")
+    }
+    assert(e.getMessage.contains("rebucketed"), e.getMessage)
+    // remediation: the fold RECOMPUTES buckets under the index's
+    // current count, so it stays correct even run after the rebucket —
+    // and the folded index equals a fresh build at 48 over the union
+    val admittedDocs = spark.read.parquet(in)
+      .join(spark.read.parquet(s"$tmp/out").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    Dedup.compactMinhashDeltas(spark, delta, idxPath)
+    assert(!new java.io.File(s"$delta/_delta_buckets").exists(),
+      "folding must clear the marker with the dirs")
+    Dedup.saveMinhashIndex(standing.unionByName(admittedDocs),
+      s"$tmp/rebuild", idBuckets = 48)
+    val (cb, csh, csz) = Dedup.loadMinhashIndex(spark, idxPath)
+    val (rb, rsh, rsz) = Dedup.loadMinhashIndex(spark, s"$tmp/rebuild")
+    for (((a, b), name) <- Seq((cb, rb), (csh, rsh), (csz, rsz))
+        .zip(Seq("bands", "shingles", "sizes")))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name after fold-past-rebucket must equal the fresh 48 build")
+    // a fresh epoch under the new count proceeds (marker re-recorded)
+    Streaming.nearDupIngestStream(src(), idxPath, s"$tmp/out3", delta,
+      s"$tmp/ck3").awaitTermination()
+    assert(new java.io.File(s"$delta/_delta_buckets").exists())
+    // MID-STREAM half: a rebucket while an epoch is live stops the
+    // stream at its next micro-batch instead of mis-pruning silently.
+    // Two source files at maxFilesPerTrigger=1 → the rebucket lands
+    // between micro-batch 0 and 1 via a processing-time hook.
+    val in2 = s"$tmp/in2"
+    Seq((301L, "first mid stream document with plain words")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(in2)
+    Seq((302L, "second mid stream document with other words")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in2)
+    val src2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in2)
+    val q = Streaming.nearDupIngestStream(src2, idxPath, s"$tmp/out4",
+      s"$tmp/delta4", s"$tmp/ck4",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+    // wait for the first micro-batch to commit, then flip the count
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+    Dedup.rebucketMinhashIndex(spark, idxPath, newBuckets = 32)
+    // the guard runs per MICRO-BATCH — land one after the flip
+    Seq((303L, "third mid stream document arriving after the flip"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in2)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+      fail("the stream must stop loudly after a mid-stream rebucket")
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else rootMsg(t.getCause) + String.valueOf(t.getMessage)
+    assert(rootMsg(e2).contains("rebucketed under this live ingest stream"),
+      rootMsg(e2))
+  }
 }
 
 private object ExtRef {
