@@ -601,19 +601,42 @@ object Dedup {
       val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim finally in.close()
       if (recorded != buckets.toString) throw new IllegalStateException(
-        s"$deltaPath holds delta dirs bucketed under count $recorded, " +
-          s"but the index's stored count is now $buckets (rebucketed " +
-          "between stream epochs): fold the old deltas with " +
-          "compactMinhashDeltas BEFORE rebucketing, or clear " +
-          "checkpoint+deltas+out and restart the stream fresh — " +
-          "serving old-count deltas under a new-count candidate " +
-          "filter would silently mis-prune")
+        s"$deltaPath holds delta dirs bucketed under count " +
+          s"'$recorded', but the index's stored count is now $buckets " +
+          "(rebucketed between stream epochs, or a torn marker): fold " +
+          "the old deltas with compactMinhashDeltas BEFORE " +
+          "rebucketing, or clear checkpoint+deltas+out and restart " +
+          "the stream fresh — serving old-count deltas under a " +
+          "new-count candidate filter would silently mis-prune")
+    } else if (Seq("bands", "shingles", "sizes")
+        .exists(sub => IndexFs.hasParquetData(spark, s"$deltaPath/$sub"))) {
+      // committed delta data with NO marker: a pre-marker epoch's (or a
+      // lost marker's) dirs, whose bucket count is unknowable from the
+      // values alone — recording the current count here would BYPASS
+      // the guard (the exact silent mis-prune it exists for, through
+      // the upgrade path). Folding is safe: it recomputes buckets.
+      throw new IllegalStateException(
+        s"$deltaPath holds committed delta data but no _delta_buckets " +
+          "marker (written by an older binary, or the marker was " +
+          "lost): its bucket count cannot be trusted — fold the " +
+          "deltas with compactMinhashDeltas (which recomputes bucket " +
+          "values under the index's current count), then restart the " +
+          "epoch")
     } else {
+      // torn-write-safe commit (the writeManifest discipline): create a
+      // hidden temp, then rename over the destination — a crash
+      // mid-write leaves only the temp, never a truncated marker the
+      // next epoch would misread as a rebucket
       f.mkdirs(new org.apache.hadoop.fs.Path(deltaPath))
-      val out = f.create(p, true)
+      val tmp = new org.apache.hadoop.fs.Path(s"$deltaPath/._delta_buckets.tmp")
+      val out = f.create(tmp, true)
       try out.write(buckets.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(
+          new org.apache.hadoop.fs.Path(deltaPath).toUri,
+          spark.sessionState.newHadoopConf())
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 
@@ -956,7 +979,14 @@ object Dedup {
       path: String, batch: DataFrame, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
-    val (sb, ssh, ssz) = loadMinhashIndex(spark, path)
+    // frames, tombstones AND parameters all come from this ONE manifest
+    // resolution: a second read (the old loadMinhashIndex call) could
+    // land after a concurrent rebucket's flip, pruning the new count's
+    // directories with the old count's candidate-bucket literals —
+    // exactly the torn mix the flip's atomicity is supposed to exclude
+    val sb = IndexLayout.readFrame(spark, path, m, "bands")
+    val ssh = IndexLayout.readFrame(spark, path, m, "shingles")
+    val ssz = IndexLayout.readFrame(spark, path, m, "sizes")
     nearDupIngest(sb, ssh, ssz, batch,
       IndexLayout.intParam(m, path, "n"), threshold,
       IndexLayout.intParam(m, path, "numHashes"),

@@ -151,7 +151,18 @@ object Similarity {
       val assigned = ivfAssign(corpus, cent, vecCol, idCol)
       val refined = assigned
         .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("list_id", "pos").agg(avg(col("x")).as("m"))
+        // the per-list mean is summed in DECIMAL, not double: double
+        // partial-sum merge order follows shuffle-fetch arrival, so a
+        // double avg differs by an ulp across partitionings/runs — and
+        // an ulp at a list boundary flips an assignment, breaking the
+        // retrain-equals-fresh-build identity (v23) that two
+        // INDEPENDENT trainings over the same multiset rely on.
+        // Decimal addition is exact (each float term cast once, 18
+        // fractional digits, sums nowhere near 38 digits), so the mean
+        // is bit-deterministic regardless of physical layout.
+        .groupBy("list_id", "pos")
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("list_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("cvec"))
@@ -1046,6 +1057,7 @@ object Similarity {
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, nList: Int = 16, nIters: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    require(nList > 0, s"nList must be positive, got $nList")
     IndexLayout.withMaintenanceLease(spark, path) { lease =>
       val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
       val storage = m.getOrElse("storage", "fp")
@@ -1066,13 +1078,12 @@ object Similarity {
         case None => standing
       }
       val newGen = IndexLayout.intParam(m, path, "gen") + 1
-      // the new quantizer: metadata-scale, pinned so the centroid
-      // write, the assignment broadcast, and the dim read share one
-      // materialization (and none of them re-reads the index files
-      // the flip will retire)
-      val cent = Checkpoints.ckptLocal(
-        ivfCentroids(survivors, nList, nIters, vecCol, idCol))
-      try {
+      // the new quantizer: ivfCentroids returns a driver-LOCAL relation
+      // (seeds collected, Lloyd iterations collected) — already
+      // materialized, so nothing below can re-read the index files the
+      // flip will retire, and no defensive pin is needed
+      val cent = ivfCentroids(survivors, nList, nIters, vecCol, idCol)
+      locally {
         cent.write.mode("overwrite") // staging replay is idempotent
           .parquet(IndexLayout.genRoot(path, "centroids", newGen))
         val assigned = ivfAssign(survivors, cent, vecCol, idCol)
@@ -1098,9 +1109,12 @@ object Similarity {
                   Map.empty[String, (Seq[String], Seq[String])])
               else {
                 val resid = residualized(fpBack, cent, vecCol, idCol)
-                val numSub = m.get("numSub").map(_.toInt).getOrElse(PqNumSub)
-                val numCents =
-                  m.get("numCents").map(_.toInt).getOrElse(PqNumCents)
+                // stored parameters, LOUD on absence (the intParam
+                // discipline every other pq verb follows) — a truncated
+                // manifest must not silently re-encode at the
+                // compile-time defaults
+                val numSub = IndexLayout.intParam(m, path, "numSub")
+                val numCents = IndexLayout.intParam(m, path, "numCents")
                 val cb = pqTrain(resid.select(col(idCol), col("_res")),
                   PqTrainSample, numSub, numCents, PqIters,
                   vecCol = "_res", idCol = idCol)
@@ -1131,7 +1145,7 @@ object Similarity {
         IndexLayout.renewLease(spark, path, lease)
         IndexLayout.flip(spark, path,
           m + ("nList" -> newNList.toString), newGen, all, carried)
-      } finally Checkpoints.free(cent)
+      }
     }
   }
 

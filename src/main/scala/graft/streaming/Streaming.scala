@@ -272,6 +272,11 @@ object Streaming {
         // after which this epoch's cached count prunes the NEW
         // composition's directories wrongly. One int compare per
         // micro-batch turns that silent mis-prune into a loud stop.
+        // CRITICALLY, the frames and tombstones below are composed
+        // from THIS resolution (mB), not re-resolved — a second
+        // manifest read could land after a flip the guard's read
+        // preceded, serving exactly the new-count-dirs-under-old-
+        // count-filter mix the guard exists to prevent.
         val mB = IndexLayout.requireManifest(spark, indexPath,
           Dedup.MinhashIndexFormat)
         if (IndexLayout.intParam(mB, indexPath, "buckets") != idBuckets)
@@ -280,7 +285,9 @@ object Streaming {
               s"(stored buckets ${mB("buckets")} != stream-start " +
               s"$idBuckets): stop the stream, fold the deltas " +
               "(compactMinhashDeltas), and restart the epoch")
-        val (sb, ssh, ssz) = Dedup.loadMinhashIndex(spark, indexPath)
+        val sb = IndexLayout.readFrame(spark, indexPath, mB, "bands")
+        val ssh = IndexLayout.readFrame(spark, indexPath, mB, "shingles")
+        val ssz = IndexLayout.readFrame(spark, indexPath, mB, "sizes")
         // delta presence is detected by COMMITTED parquet FILES, not
         // batch= dir names: a batch that admitted nothing leaves a
         // footer-less batch=N directory, a hard-killed write leaves
@@ -326,8 +333,10 @@ object Streaming {
               // standing tombstones (deleteFromMinhashIndex) strike
               // deleted docs — standing AND previously-admitted delta
               // docs — from the candidate set, so a streaming corpus
-              // honors deletions exactly like the batch path
-              tombstones = Dedup.loadMinhashTombstones(spark, indexPath),
+              // honors deletions exactly like the batch path; composed
+              // from the SAME manifest resolution as the frames above
+              tombstones = IndexLayout.loadTombstones(spark, indexPath,
+                mB, "doc_id"),
               idBuckets = idBuckets))
           admitted
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
