@@ -228,6 +228,49 @@ class PropertySpec extends SparkSpec {
     }, n = 6)
   }
 
+  test("property: rebucket across random count pairs and delete subsets equals a fresh build at the target count") {
+    import spark.implicits._
+    // random (source count, target count) pairs — including shrinks,
+    // identity (b1 == b2), and count-1 edges — with random standing
+    // tombstones: after rebucketMinhashIndex the frames must equal a
+    // fresh build at the TARGET count over the survivors as MULTISETS,
+    // the tombstones must be resolved, and the manifest must read back
+    // the new count. The deterministic spec pins one 16→48→32 walk;
+    // this pins the identity across layouts it never picks.
+    val caseGen = for {
+      nDocs <- Gen.chooseNum(2, 10)
+      b1 <- Gen.chooseNum(1, 9)
+      b2 <- Gen.chooseNum(1, 97)
+      doomed <- Gen.someOf(0 until nDocs)
+    } yield (nDocs, b1, b2, doomed.toSet)
+    check(Prop.forAll(caseGen) { case (nDocs, b1, b2, doomed) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-prop-rbk")
+      try {
+        val docs = (0 until nDocs).map(i =>
+          (i.toLong, s"q${i}a q${i}b q${i}c q${i}d q${i}e"))
+        val path = s"$root/idx"
+        graft.ext.Dedup.saveMinhashIndex(
+          docs.toDF("doc_id", "text"), path, idBuckets = b1)
+        graft.ext.Dedup.deleteFromMinhashIndex(
+          doomed.toSeq.map(_.toLong).toDF("doc_id"), path)
+        graft.ext.Dedup.rebucketMinhashIndex(spark, path, b2)
+        graft.ext.Dedup.saveMinhashIndex(
+          docs.filterNot(d => doomed.contains(d._1.toInt))
+            .toDF("doc_id", "text"),
+          s"$root/rb", idBuckets = b2)
+        val (gb, gs, gz) = graft.ext.Dedup.loadMinhashIndex(spark, path)
+        val (rb, rs, rz) = graft.ext.Dedup.loadMinhashIndex(spark, s"$root/rb")
+        def eq(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame): Boolean =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        eq(gb, rb) && eq(gs, rs) && eq(gz, rz) &&
+          graft.ext.Dedup.loadMinhashTombstones(spark, path).isEmpty &&
+          graft.ext.Dedup.minhashIndexParams(spark, path)("buckets") ==
+            b2.toString
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }, n = 6)
+  }
+
   test("property: stageCompactFrame with non-trivial partition values — escaped strings and negative longs survive delete→compact→append cycles exactly") {
     import spark.implicits._
     import org.apache.spark.sql.types._
