@@ -218,7 +218,17 @@ object Bench {
     // v20: serve-only IVF row (index build memoized, warmup-absorbed)
     // — the production per-batch serving cost; also runs in the sf1
     // replica tier (see serveRows)
-    "v20_ivf_index_serve")
+    "v20_ivf_index_serve",
+    // round-17 additions: the q-digest quantile sketch (one corpus
+    // scan, k-bounded partials — the t33 cost class plus the exact
+    // CDF audit side), the drift-gated maintenance audit row (prices
+    // TWO index builds + one gate + one retrain — production cost is
+    // one batch assignment + two k-bounded collects), and the
+    // describe verb (prices two fresh builds + two takedowns; the
+    // describe itself is manifest + delta-sized tombstone scan)
+    "t35_quantile_sketch",
+    "v24_ivf_drift_gate",
+    "x31_index_describe")
 
   /** The two production SERVE rows that run even under
     * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the

@@ -179,7 +179,21 @@ object ScaleBench {
     // corpus-proportional) and the perceptual-signature dedup (x1's
     // one-hash-shuffle class on a short string key)
     "sql12_recursive_spine",
-    "m6_media_sig_dedup")
+    "m6_media_sig_dedup",
+    // round-17: the q-digest quantile sketch — the third mergeable-
+    // summary shape (t33/g32's class): digest partials are O(k) per
+    // task, the per-source quantile walk touches |sources| rows, and
+    // the exact-CDF audit side it carries is a (source, value)-bounded
+    // shuffle, linear in the scan. (The replica generator's salted
+    // tokens grow n_chars by ~60% — still inside the 2^10 universe the
+    // query clamps to, so the bound booleans stay meaningful at every
+    // tier.) v24/x31 are deliberately absent, x30/v23-style: both are
+    // audit rows that BUILD fresh indexes per run (priced via x26c's
+    // build rows); their production costs — one batch assignment plus
+    // two k-bounded collects (v24), one manifest read plus a
+    // delta-sized tombstone scan (x31) — have no corpus-scale term to
+    // measure.
+    "t35_quantile_sketch")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

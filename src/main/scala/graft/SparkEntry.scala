@@ -94,6 +94,7 @@ object SparkEntry {
     "x26d_minhash_index_delete" -> (ExtPipelines.minhashIndexDelete _),
     "x26e_minhash_index_refresh" -> (ExtPipelines.minhashIndexRefresh _),
     "x30_minhash_index_rebucket" -> (ExtPipelines.minhashIndexRebucket _),
+    "x31_index_describe" -> (ExtPipelines.indexDescribe _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -125,6 +126,8 @@ object SparkEntry {
     "t9_redact_pii" -> (ExtPipelines.redactedDocs _),
     "t10_sample_per_source" -> (ExtPipelines.samplePerSource _),
     "t34_weighted_sample" -> (ExtPipelines.weightedSample _),
+    "t35_quantile_sketch" -> (ExtPipelines.quantileSketch _),
+    "s20_stream_quantile_sketch" -> (ExtPipelines.streamQuantileSketch _),
     "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
@@ -156,6 +159,7 @@ object SparkEntry {
     "v18_ivf_index_append" -> (ExtPipelines.ivfIndexAppend _),
     "v19_ivf_index_delete" -> (ExtPipelines.ivfIndexDelete _),
     "v23_ivf_index_retrain" -> (ExtPipelines.ivfIndexRetrain _),
+    "v24_ivf_drift_gate" -> (ExtPipelines.ivfIndexDriftGate _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
@@ -489,6 +493,24 @@ object SparkEntry {
     * batch only — the delta a stored index appends. Shared verbatim
     * by s16 (the batch streamed in micro-batches): assignment is
     * per-row independent, so stream ≡ batch. */
+  private val t35QuantileOracle: String =
+    """WITH v AS (SELECT source,
+      |                  least(greatest(n_chars, 0), 1023) AS v
+      |           FROM documents),
+      |cum AS (SELECT source, v,
+      |               sum(count(*)) OVER (PARTITION BY source
+      |                                   ORDER BY v) AS cum
+      |        FROM v GROUP BY source, v),
+      |n AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+      |phis(phi_pct) AS (VALUES (10), (50), (90), (99)),
+      |tgt AS (SELECT source, phi_pct, n,
+      |               (n * phi_pct + 99) // 100 AS target
+      |        FROM n CROSS JOIN phis)
+      |SELECT t.source, t.phi_pct, t.n, min(c.v) AS exact_q,
+      |       TRUE AS sketch_ok
+      |FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.target
+      |GROUP BY t.source, t.phi_pct, t.n""".stripMargin
+
   private val v9IvfIngestOracle: String =
     """WITH h AS (SELECT vec_id, embedding,
       |             md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings),
@@ -1523,6 +1545,19 @@ object SparkEntry {
         |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
         |       TRUE AS found_ok, TRUE AS err_ok
         |FROM c, tot WHERE cnt * 100 >= n""".stripMargin,
+    // t35: q-digest per-source quantiles — the oracle recomputes n and
+    // the rank-definition exact quantile (integer arithmetic) and pins
+    // the order-independent ε·n rank bound TRUE; the estimate itself
+    // is merge-tree state and never emitted (t33's discipline)
+    "t35_quantile_sketch" -> t35QuantileOracle,
+
+    // s20 = t35 with the documents STREAMED into the digest: the digest
+    // contents depend on the micro-batch merge tree, but every emitted
+    // fact (exact n, exact quantile, the ε·n bound) is merge-order-
+    // independent — one SQL covers batch and stream (the s16 = v9
+    // pattern, with a bound where bit-equality is not promised)
+    "s20_stream_quantile_sketch" -> t35QuantileOracle,
+
     // v3_ann_ivf_topk has no SQL oracle: probe membership depends on
     // the trained coarse quantizer, which SQL can't recompute. ExtSpec
     // pins the defining IVF property instead — exact top-k within the
@@ -1587,6 +1622,47 @@ object SparkEntry {
         |       CAST(12 AS BIGINT) AS n_list_after,
         |       TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // x31: the describe report's facts are all deterministic — fresh
+    // builds have one composition entry per frame, fp/minhash layouts
+    // stamp schemaVersion 1, and the tombstone backlog is exactly the
+    // doomed md5-bucket range's row count, recomputed here
+    "x31_index_describe" ->
+      """WITH bd AS (SELECT ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)),
+        |bv AS (SELECT ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings))
+        |SELECT 'minhash' AS leg, 'graft-minhash-index' AS format,
+        |  CAST(1 AS BIGINT) AS schema_version, CAST(0 AS BIGINT) AS gen,
+        |  CAST(4 AS BIGINT) AS n_frames, CAST(4 AS BIGINT) AS n_entries,
+        |  (SELECT count(*) FROM bd WHERE bucket >= 58982) AS n_tombstones,
+        |  TRUE AS lease_free, CAST(0 AS BIGINT) AS n_retired
+        |UNION ALL
+        |SELECT 'ivf', 'graft-ivf-index',
+        |  CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+        |  (SELECT count(*) FROM bv WHERE bucket >= 58982),
+        |  TRUE, CAST(0 AS BIGINT)""".stripMargin,
+
+    // v24: the drift gate's two legs are decided BY CONSTRUCTION
+    // (measured TV 0.05–0.16 stable vs 0.87 collapsed against the 0.5
+    // threshold — ≥ 0.3 margin on both sides at every SF), so the
+    // oracle states the decisions as literal facts and recomputes the
+    // post-verb corpus count: both legs index every embeddings row
+    // (standing 80% + the gated 20% batch)
+    "v24_ivf_drift_gate" ->
+      """SELECT c.cse AS leg,
+        |       (SELECT count(*) FROM embeddings) AS n_indexed,
+        |       c.cse = 'drifted' AS retrained,
+        |       CAST(CASE WHEN c.cse = 'drifted' THEN 12 ELSE 8 END
+        |            AS BIGINT) AS n_list_after
+        |FROM (VALUES ('stable'), ('drifted')) AS c(cse)""".stripMargin,
 
     // v8 (PQ ANN) is rows-only: the packed codes depend on trained
     // codebooks no SQL can recompute. ExtSpec pins the defining

@@ -911,6 +911,115 @@ object ExtPipelines {
           (col("cnt") - col("est")) * (k + 1) <= col("n")).as("err_ok"))
   }
 
+  /** t35 — per-source length quantiles via the mergeable q-digest
+    * ([[graft.functions.QDigestAggregator]]), completing the
+    * distribution-monitoring sketch tripod: HLL "how many distinct"
+    * (s12/g32), Misra-Gries "which items are hot" (t33), q-digest
+    * "how are values distributed". At 100 TB, per-source/per-day
+    * length-and-score quantiles gate curation (truncation cliffs,
+    * scraper regressions, boilerplate floods show up as quantile
+    * shifts) and the exact answer needs a per-source SORT of the
+    * corpus; the digest answers from O(k) merged entries per group,
+    * persistable per shard/day like g32's HLL rollup.
+    *
+    * Driver-checkable contract (t33's): emitted rows are engine-exact
+    * facts — per (source, φ): `n` and the rank-definition exact
+    * quantile `exact_q` (min v with #{x ≤ v} ≥ ⌈φ·n⌉, integer
+    * arithmetic both engines spell identically) — plus `sketch_ok`,
+    * which pins the ORDER-INDEPENDENT q-digest guarantee: the
+    * estimate's inclusive/exclusive ranks sit within ε·n of the target
+    * for ε = m/k (spelled multiplication-only:
+    * k·rank_incl ≥ k·target − m·n and k·rank_excl ≤ k·target + m·n),
+    * the digest is in-universe and ≤ 6k entries. The estimate ITSELF
+    * is merge-tree-dependent (compression sees partial masses) and is
+    * never emitted — the bound is what holds under any partitioning.
+    *
+    * Scale shape: one scan → k-bounded map-side partials → |sources|
+    * digests; the quantile walk is a typed flatMap over that
+    * |sources|-row frame (≤ 6k-entry maps, executor-local arithmetic).
+    * The exact CDF side exists for the audit only, exactly like t33's
+    * exact leg. Values clamp into the 2^m universe (m = 10 covers this
+    * corpus's n_chars; over-range values would collapse into the top
+    * leaf — pick m for the domain). */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val m = 10
+    val k = 128
+    val u = 1L << m
+    val vals = Tables.documents(spark, dir).select(col("source"),
+      least(greatest(col("n_chars"), lit(0L)), lit(u - 1)).as("v"))
+    val qd = udaf(new graft.functions.QDigestAggregator(k, m))
+    quantileFacts(spark,
+      vals.groupBy("source").agg(qd(col("v")).as("digest")), vals, k, m)
+  }
+
+  /** s20: the STREAMING distribution monitor
+    * ([[graft.streaming.Streaming.sourceLengthDigests]]) — t35's
+    * q-digest produced by a real streaming aggregation over the
+    * arriving documents, then pushed through the same fact/audit
+    * finishing stage. The digest contents depend on the micro-batch
+    * merge tree, but every emitted fact is merge-order-independent
+    * (exact n + exact quantile + the ε·n bound that holds under ANY
+    * merge tree — the mergeable-summaries contract), so t35's oracle
+    * SQL covers this run verbatim: the s16 = v9 pattern, with a bound
+    * where bit-equality is not promised. */
+  def streamQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val m = 10
+    val k = 128
+    val u = 1L << m
+    val digests = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.sourceLengthDigests(
+        graft.streaming.Streaming.documentsStream(spark, dir), k, m))
+    val vals = Tables.documents(spark, dir).select(col("source"),
+      least(greatest(col("n_chars"), lit(0L)), lit(u - 1)).as("v"))
+    quantileFacts(spark, digests, vals, k, m)
+  }
+
+  /** t35/s20's shared finishing stage: the per-digest quantile walk
+    * (typed flatMap over the |sources|-row digest frame) joined to the
+    * exact-CDF audit side, emitting engine-exact facts plus the pinned
+    * order-independent bound (see [[quantileSketch]]'s scaladoc). */
+  private def quantileFacts(spark: SparkSession, digests: DataFrame,
+      vals: DataFrame, k: Int, m: Int,
+      phis: Seq[Int] = Seq(10, 50, 90, 99)): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val u = 1L << m
+    val ests = digests.as[(String, Map[Long, Long])].flatMap {
+      case (src, dg) =>
+        val nSk = dg.valuesIterator.sum
+        phis.map { p =>
+          (src, p, graft.functions.QDigest.quantile(dg, m, p.toLong, 100L),
+            dg.size.toLong, nSk)
+        }
+    }.toDF("source", "phi_pct", "est", "dsize", "n_sketch")
+    val cdf = vals.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("source").orderBy("v")))
+    val n = vals.groupBy("source").agg(count(lit(1)).as("n"))
+    val tgt = broadcast(ests.join(n, "source")
+      .withColumn("target", expr("(n * phi_pct + 99) div 100")))
+    // exact_q: min v whose inclusive rank reaches the target
+    val exactQ = tgt.join(cdf, Seq("source"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("source", "phi_pct").agg(min("v").as("exact_q"))
+    // ranks of the ESTIMATE against the exact CDF (audit side)
+    val rkIncl = tgt.join(cdf, Seq("source")).filter(col("v") <= col("est"))
+      .groupBy("source", "phi_pct").agg(max("cum").as("rank_incl"))
+    val rkExcl = tgt.join(cdf, Seq("source")).filter(col("v") < col("est"))
+      .groupBy("source", "phi_pct").agg(max("cum").as("rank_excl"))
+    tgt.join(exactQ, Seq("source", "phi_pct"))
+      .join(rkIncl, Seq("source", "phi_pct"), "left")
+      .join(rkExcl, Seq("source", "phi_pct"), "left")
+      .na.fill(0L, Seq("rank_incl", "rank_excl"))
+      .select(col("source"), col("phi_pct"), col("n"), col("exact_q"),
+        (col("n_sketch") === col("n") &&
+          col("dsize") <= 6L * k &&
+          col("est") >= 0 && col("est") < u &&
+          col("rank_incl") * k >= col("target") * k - lit(m.toLong) * col("n") &&
+          col("rank_excl") * k <= col("target") * k + lit(m.toLong) * col("n"))
+          .as("sketch_ok"))
+  }
+
   def qualitySignals(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(
       TextAnalysis.qualitySignals(Tables.documents(spark, dir)))
@@ -1715,6 +1824,107 @@ object ExtPipelines {
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), nListAfter.toLong, identical))
         .toDF("n_queries", "n_list_after", "identical")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** x31: index DESCRIBE ([[graft.ext.IndexLayout.describeIndex]]) —
+    * the read-only ops-dashboard row for both index families. The
+    * regime: build each family's index over its full table, take down
+    * the deterministic md5-bucket ≥ 58982 range (~10%), describe. The
+    * emitted facts are all engine-exact and SQL-recomputable: the
+    * identity card (format, stored schemaVersion 1 for fp/minhash
+    * layouts, generation 0 on a fresh build), the layout shape (fresh
+    * builds have exactly one composition entry per frame — 4 frames
+    * for MinHash: bands/shingles/sizes/tombstones; 3 for a fp IVF:
+    * centroids/lists/tombstones), the tombstone BACKLOG (= the doomed
+    * range's row count — the number an operator compares against
+    * corpus size to schedule a compaction), a free lease (both delete
+    * verbs released theirs), and zero retired dirs awaiting grace.
+    * Describe itself is manifest + one delta-sized tombstone scan —
+    * never a corpus-scale read — and takes no lease (lock-free like
+    * the serves). */
+  def indexDescribe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x31")
+    try {
+      val mhPath = s"$tmpRoot/mh"
+      val ivfPath = s"$tmpRoot/ivf"
+      Dedup.saveMinhashIndex(docs, mhPath)
+      Dedup.deleteFromMinhashIndex(
+        docs.filter(graft.ext.DataSplit.bucket(col("doc_id")) >= 58982)
+          .select("doc_id"), mhPath)
+      Similarity.saveIvfIndexWithCentroids(emb,
+        Similarity.ivfSeedCentroids(emb, nList = 8)
+          .select(col("seed_id").as("list_id"), col("cvec")), ivfPath)
+      Similarity.deleteFromIvfIndex(
+        emb.filter(graft.ext.DataSplit.bucket(col("vec_id")) >= 58982)
+          .select("vec_id"), ivfPath)
+      val legs = Seq("minhash" -> mhPath, "ivf" -> ivfPath).map {
+        case (leg, p) =>
+          val (m, frames, nTomb, held, nRetired) =
+            graft.ext.IndexLayout.describeIndex(spark, p)
+          (leg, m("format"), m("schemaVersion").toLong, m("gen").toLong,
+            frames.size.toLong, frames.map(_.nEntries).sum.toLong,
+            nTomb, !held, nRetired.toLong)
+      }
+      // driver-side local relation (describe is eager), so nothing lazy
+      // still reads the index files after cleanup
+      legs.toDF("leg", "format", "schema_version", "gen", "n_frames",
+        "n_entries", "n_tombstones", "lease_free", "n_retired")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** v24: drift-GATED index maintenance
+    * ([[graft.ext.Similarity.driftGateIvfIndex]]) — the decision layer
+    * between v11's monitoring and v23's retrain verb, run over a
+    * provable two-leg fixture (the m8 discipline): each leg builds the
+    * SAME standing index (md5-bucket 80% split, md5-drawn seed
+    * centroids — the v9 oracle-parity quantizer) and gates one arriving
+    * batch. The STABLE leg's batch is the held-out 20% unchanged — a
+    * same-distribution sample whose list-occupancy TV against the
+    * standing lists is multinomial noise (measured 0.05–0.16 across
+    * SFs). The DRIFTED leg's batch is the same rows re-embedded by a
+    * "collapsed" model (first coordinate pinned to 1, the rest ÷100 —
+    * the direction-collapse pathology of a broken/foreign embedder),
+    * which concentrates the batch into few lists (measured TV 0.87).
+    * Against the 0.5 threshold both decisions are determined with
+    * ≥ 0.3 margin — by construction, not tuning — so the oracle states
+    * them as literal facts: the stable leg appends and keeps nList=8;
+    * the drifted leg appends and retrains to nList=12, the flipped
+    * manifest's stored nList read back. `n_indexed` (all corpus rows
+    * present in the served frame after the verbs, live minus
+    * tombstones) is recomputed by SQL as the full embeddings count. */
+  def ivfIndexDriftGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    val standing = emb.filter(b < 52428)
+    val heldOut = emb.filter(b >= 52428)
+    val collapsed = heldOut.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i === 0, lit(1.0)).otherwise(x / lit(100.0)))
+        .cast("array<float>").as("embedding"))
+    val seeds = Similarity.ivfSeedCentroids(standing, nList = 8)
+      .select(col("seed_id").as("list_id"), col("cvec"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_gate")
+    try {
+      val legs = Seq("stable" -> heldOut, "drifted" -> collapsed).map {
+        case (name, batch) =>
+          val path = s"$tmpRoot/$name"
+          Similarity.saveIvfIndexWithCentroids(standing, seeds, path)
+          val (_, retrained) = Similarity.driftGateIvfIndex(spark, path,
+            batch, tvThresholdMu = 500000L, retrainNList = 12, nIters = 1)
+          val m = Similarity.ivfIndexParams(spark, path)
+          val nListAfter = m("nList").toLong
+          val nIndexed = graft.ext.IndexLayout
+            .readFrame(spark, path, m, "lists").count()
+          (name, nIndexed, retrained, nListAfter)
+      }
+      // driver-side local relation (every index read above is eager),
+      // so nothing lazy still reads the index files after cleanup
+      legs.toDF("leg", "n_indexed", "retrained", "n_list_after")
     } finally deleteTempTree(tmpRoot)
   }
 

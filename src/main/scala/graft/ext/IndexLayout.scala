@@ -833,4 +833,45 @@ private[graft] object IndexLayout {
       m: Map[String, String], idCol: String): Option[DataFrame] =
     readFrameGroups(spark, path, m, "tombstones").reduceOption(_.union(_))
       .map(_.select(col(idCol)))
+
+  /** One frame's health line in an [[describeIndex]] report. */
+  final case class FrameInfo(name: String, nEntries: Int)
+
+  /** x31 — the read-only ops DESCRIBE of a persisted index, for either
+    * family: everything an operator's dashboard needs to schedule
+    * maintenance, from the manifest and ONE delta-sized scan. The
+    * on-call questions it answers: is the tombstone backlog big enough
+    * to warrant a compaction (`nTombstones` — the only field that
+    * costs a read, of the delta-sized tombstone frame only; the
+    * corpus-scale frames are never touched)? Is a maintenance writer
+    * live (`leaseHeld` — a TTL-expired lease of a crashed writer reads
+    * as free)? How fragmented is the read path (`frames` entry counts
+    * vs the ≤ partitions + 1 bound the compaction fold restores)? Are
+    * retired dirs awaiting their grace (`nRetired`)? Plus the identity
+    * card every foreign binary checks first: format, schemaVersion,
+    * generation, and the stored layout parameters.
+    *
+    * Read-only and lock-free like the serves: it resolves the manifest
+    * once and never takes the lease, so describing a live index during
+    * a compaction is safe (it reports the pre- or post-flip state,
+    * never a torn mix). */
+  def describeIndex(spark: SparkSession, path: String)
+      : (Map[String, String], Seq[FrameInfo], Long, Boolean, Int) = {
+    val m = readManifest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no $ManifestFile: not a persisted index of this layout"))
+    val frames = m.keys.filter(_.startsWith("frames.")).toSeq.sorted
+      .map { k =>
+        val name = k.stripPrefix("frames.")
+        FrameInfo(name, frameEntries(m, name).size)
+      }
+    val nTomb =
+      if (m.contains("frames.tombstones"))
+        readFrameGroups(spark, path, m, "tombstones")
+          .reduceOption(_.union(_)).map(_.count()).getOrElse(0L)
+      else 0L
+    val held = readLease(IndexFs.fs(spark, path), path, DefaultLeaseTtlMs)
+      .exists { case (_, at, ttl) =>
+        System.currentTimeMillis() - at < ttl }
+    (m, frames, nTomb, held, retiredWithTimestamps(m).size)
+  }
 }

@@ -1149,6 +1149,93 @@ object Similarity {
     }
   }
 
+  /** v24 — drift-GATED maintenance (the decision layer that closes the
+    * monitor → verb loop, the way x26e closed x20 → index): an arriving
+    * vector batch is always appended, and the index is retrained ONLY
+    * when the batch's geometry says the stored quantizer no longer fits
+    * it. Returns (tvMu, retrained).
+    *
+    * The signal is LIST-OCCUPANCY total variation: assign the batch
+    * under the STORED centroids and compare its list-occupancy
+    * proportions against the standing lists' —
+    * TV = ½ Σ_L |p_batch(L) − p_standing(L)|, µ-ized from the exact
+    * integer cross-multiplication
+    * Σ |cnt_b(L)·n_s − cnt_s(L)·n_b| / (2·n_s·n_b). Why occupancy and
+    * not centroid direction or quantizer fit: cosine geometry is
+    * scale-invariant and a near-zero-mean corpus makes global-centroid
+    * cosine pure sample noise (measured: two same-distribution splits
+    * of this corpus score µcos ≈ 0.05–0.17 — noise around zero, not a
+    * usable "stable ≈ 1" signal), while mean max-cosine fit barely
+    * moves even under coordinate negation (measured ≈ 0.18 on both
+    * sides). Occupancy shift is what ACTUALLY degrades an IVF index:
+    * serves read nProbe/nList of the data only while arrivals spread
+    * like the training distribution; a batch that concentrates into
+    * few lists (re-embedded by a different/broken model, a new modality,
+    * a scraper regression) makes those lists grow without bound and
+    * every serve touching them quadratic-ish — and TV measures exactly
+    * that concentration, with multinomial noise O(√(nList/n_b)) that
+    * SHRINKS as batches grow. Measured on this corpus: stable batches
+    * 0.05–0.16 across all SFs, a collapsed-direction batch 0.87 — the
+    * 0.5 default threshold has ≥ 0.3 margin on both sides, so the
+    * float-kernel ±1 assignment edge flips can never change a decision.
+    *
+    * Probe assignment uses the deterministic double-HOF kernel
+    * ([[ivfAssignExact]], lowest-list-id tie-break) — the batch is
+    * metadata-scale next to the corpus, so the ~10× slower exact kernel
+    * costs nothing and the monitoring signal stays engine-exact
+    * (v9's oracle recomputes it); standing occupancy comes from the
+    * stored `list_id` column via a column-pruned scan (never the
+    * vectors), tombstones anti-joined out at the id level.
+    *
+    * Sequencing: occupancies are computed and COLLECTED (≤ nList rows
+    * each — k-bounded driver collect) before any write; then the batch
+    * is appended (it joins the corpus either way — on a drifted batch
+    * the subsequent retrain trains on survivors ∪ batch, adapting the
+    * quantizer to the new reality rather than freezing the old one);
+    * then, above threshold, [[retrainIvfIndex]] runs its usual staged,
+    * lock-free, atomically-flipped rewrite. Both writes take the
+    * maintenance lease through their own verbs — the gate itself only
+    * reads. */
+  def driftGateIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, tvThresholdMu: Long = 500000L,
+      retrainNList: Int = 16, nIters: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : (Long, Boolean) = {
+    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+    val cent = IndexLayout.readFrame(spark, path, m, "centroids")
+    val lists = IndexLayout.readFrame(spark, path, m, "lists")
+      .select(col(idCol), col("list_id"))
+    val live = IndexLayout.loadTombstones(spark, path, m, idCol) match {
+      case Some(tomb) => lists.join(tomb, Seq(idCol), "left_anti")
+      case None => lists
+    }
+    def occ(df: DataFrame): Map[Long, Long] =
+      df.groupBy("list_id").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val standOcc = occ(live)
+    val batchOcc = occ(ivfAssignExact(
+      dimChecked(batch, vecCol, IndexLayout.intParam(m, path, "dim"),
+        "driftGateIvfIndex"),
+      cent.select(col("list_id").as("seed_id"),
+        col("cvec").cast("array<double>").as("cvec")), vecCol, idCol))
+    val ns = standOcc.values.sum
+    val nb = batchOcc.values.sum
+    require(ns > 0 && nb > 0,
+      s"driftGateIvfIndex($path): empty standing index ($ns) or batch ($nb)")
+    val grid = cent.select(col("list_id").cast("long"))
+      .collect().map(_.getLong(0))
+    val num = grid.map(l =>
+      math.abs(batchOcc.getOrElse(l, 0L) * ns - standOcc.getOrElse(l, 0L) * nb))
+      .sum
+    val tvMu = math.floor(1000000.0 *
+      (num.toDouble / (2.0 * ns * nb)) + 0.5).toLong
+    appendToIvfIndex(spark, path, batch, vecCol, idCol)
+    val retrained = tvMu > tvThresholdMu
+    if (retrained) retrainIvfIndex(spark, path, retrainNList, nIters,
+      vecCol, idCol)
+    (tvMu, retrained)
+  }
+
   /** LSH-bucketed ANN: corpus and queries are hashed with the same
     * seeded hyperplanes into `nBits`-bit signatures over `nTables`
     * independent tables; candidates = corpus rows sharing a bucket with

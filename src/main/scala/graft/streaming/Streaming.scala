@@ -504,6 +504,27 @@ object Streaming {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("approx_users"))
 
+  /** s20 — streaming DISTRIBUTION monitor: per-source q-digest of the
+    * arriving documents' lengths ([[graft.functions.QDigestAggregator]]
+    * as a streaming aggregation) — the quantile leg of the streaming
+    * sketch symmetry (s12 streams the HLL). A live corpus-ingest
+    * pipeline watches its length/score quantiles per source as docs
+    * arrive (truncation cliffs and boilerplate floods move quantiles
+    * long before means); the exact answer needs per-group sorted state
+    * a stream cannot hold, the digest keeps O(k) state per source.
+    * Complete mode (s1's rationale); the digest CONTENTS depend on the
+    * micro-batch merge tree, but the ε·n rank-bound contract is
+    * order-independent (the whole point of mergeable summaries), so
+    * the batch query's oracle covers the streamed run verbatim —
+    * s16 = v9's pattern, with a bound instead of bit-equality. */
+  def sourceLengthDigests(docs: DataFrame, k: Int = 128, m: Int = 10)
+      : DataFrame = {
+    val qd = udaf(new graft.functions.QDigestAggregator(k, m))
+    docs.select(col("source"),
+      least(greatest(col("n_chars"), lit(0L)), lit((1L << m) - 1)).as("v"))
+      .groupBy("source").agg(qd(col("v")).as("digest"))
+  }
+
   /** Sliding 2-day/1-day event-time windows over the categorized stream
     * — the overlapping-window form of [[dailyCategoryTotals]] (each
     * event lands in exactly two windows), the standard shape for

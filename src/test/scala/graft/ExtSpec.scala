@@ -502,6 +502,155 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("t35: q-digest is exact when nothing folds, rank-bounded at any partitioning") {
+    import spark.implicits._
+    import graft.functions.{QDigest, QDigestAggregator}
+    val m = 10
+    val k = 128
+    val qd = udaf(new QDigestAggregator(k, m))
+    // node↔range geometry: root covers the whole universe, leaves pin
+    // their own value
+    assert(QDigest.range(1L, m) == (0L, 1023L))
+    assert(QDigest.range(1024L, m) == (0L, 0L))
+    assert(QDigest.range(2047L, m) == (1023L, 1023L))
+    assert(QDigest.range(512L + 3L, m) == (6L, 7L)) // depth 9, span 2
+    // no-fold regime: every leaf holds count 2 > τ = 1, so the digest
+    // IS the histogram and the walk answers the exact rank quantile
+    val dup = (1L to 40L).flatMap(v => Seq(v, v))
+    val dg = dup.toDF("v").agg(qd(col("v"))).head.getMap[Long, Long](0).toMap
+    assert(dg == (1L to 40L).map(v => (1024L + v) -> 2L).toMap)
+    assert(QDigest.quantile(dg, m, 50L, 100L) == 20L) // cum hits 40 at v=20
+    assert(QDigest.quantile(dg, m, 99L, 100L) == 40L)
+    assert(QDigest.quantile(dg, m, 1L, 100L) == 1L)
+    // skewed stream: the ε·n rank bound (ε = m/k) holds under any
+    // partitioning/merge tree, and the finished digest stays ≤ 3k
+    val stream = Seq.fill(600)(5L) ++ (0L until 1024L) ++
+      Seq.fill(300)(900L) ++ (0L until 1024L by 2)
+    val nTot = stream.size
+    val sorted = stream.sorted.toArray
+    for (parts <- Seq(1, 7, 32)) {
+      val dgp = stream.toDF("v").repartition(parts)
+        .agg(qd(col("v"))).head.getMap[Long, Long](0).toMap
+      assert(dgp.size <= 3 * k, s"parts=$parts size=${dgp.size}")
+      assert(dgp.valuesIterator.sum == nTot)
+      for (phi <- Seq(10, 50, 90, 99)) {
+        val est = QDigest.quantile(dgp, m, phi.toLong, 100L)
+        val target = (nTot.toLong * phi + 99) / 100
+        val rankIncl = sorted.count(_ <= est).toLong
+        val rankExcl = sorted.count(_ < est).toLong
+        assert(rankIncl * k >= target * k - m.toLong * nTot &&
+          rankExcl * k <= target * k + m.toLong * nTot,
+          s"parts=$parts phi=$phi est=$est incl=$rankIncl excl=$rankExcl " +
+            s"target=$target")
+      }
+    }
+    // the registered query: sources × 4 φs, every contract row green
+    val rows = graft.analytics.ExtPipelines.quantileSketch(spark, sf())
+      .collect()
+    assert(rows.length == 20 * 4)
+    rows.foreach(r => assert(r.getBoolean(4), r.toString))
+  }
+
+  test("s20: the streamed q-digest satisfies the same order-independent contract") {
+    // the digest CONTENTS may differ from the batch run's (micro-batch
+    // merge tree), but every emitted fact must not — that is the
+    // mergeable-summaries contract the streaming monitor rides on
+    val rows = graft.analytics.ExtPipelines.streamQuantileSketch(spark, sf())
+      .collect()
+    assert(rows.length == 20 * 4)
+    rows.foreach(r => assert(r.getBoolean(4), r.toString))
+  }
+
+  test("x31: describe tracks the index lifecycle and sees a live lease; never takes one") {
+    import spark.implicits._
+    import graft.ext.IndexLayout
+    val corpus = (1L to 30L).map(i => (i, s"alpha beta gamma delta token$i text body"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x31_spec")
+    val p = s"$tmp/idx"
+    try {
+      Dedup.saveMinhashIndex(corpus, p)
+      val (m0, f0, t0, h0, r0) = IndexLayout.describeIndex(spark, p)
+      assert(m0("format") == Dedup.MinhashIndexFormat && m0("gen") == "0")
+      assert(f0.map(_.name).toSet ==
+        Set("bands", "shingles", "sizes", "tombstones"))
+      assert(f0.forall(_.nEntries == 1) && t0 == 0L && !h0 && r0 == 0)
+      // a delete shows up as backlog, not as a generation change
+      Dedup.deleteFromMinhashIndex(Seq(3L, 7L).toDF("doc_id"), p)
+      val (_, _, t1, h1, _) = IndexLayout.describeIndex(spark, p)
+      assert(t1 == 2L && !h1) // delete's lease released
+      // compaction: backlog resolved, generation flipped, retired dirs
+      // tracked for their grace interval
+      Dedup.compactMinhashTombstones(spark, p)
+      val (m2, _, t2, _, r2) = IndexLayout.describeIndex(spark, p)
+      assert(m2("gen") == "1" && t2 == 0L && r2 > 0)
+      // describe is lock-free but SEES a live writer's lease
+      IndexLayout.withMaintenanceLease(spark, p) { _ =>
+        val (_, _, _, held, _) = IndexLayout.describeIndex(spark, p)
+        assert(held)
+      }
+      val (_, _, _, hEnd, _) = IndexLayout.describeIndex(spark, p)
+      assert(!hEnd)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    // the registered two-leg report: every fact as the oracle states it
+    val rows = graft.analytics.ExtPipelines.indexDescribe(spark, sf())
+      .collect().map(r => r.getString(0) -> r).toMap
+    val mh = rows("minhash"); val ivf = rows("ivf")
+    assert(mh.getString(1) == "graft-minhash-index" && mh.getLong(4) == 4L)
+    assert(ivf.getString(1) == "graft-ivf-index" && ivf.getLong(4) == 3L)
+    assert(mh.getLong(6) > 0 && ivf.getLong(6) > 0) // backlogs counted
+    assert(mh.getBoolean(7) && ivf.getBoolean(7))   // leases free
+  }
+
+  test("v24: occupancy drift gate — exact TV on a crafted grid; stable appends, collapsed retrains") {
+    import spark.implicits._
+    // 4 orthogonal lists, 10 standing vectors each (occupancy 10/10/10/10)
+    val basis = (0 until 4).map(d => Array.tabulate(4)(i => if (i == d) 1.0f else 0.0f))
+    val standing = (0 until 40).map(i => (i.toLong, basis(i % 4)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(d => (d.toLong, basis(d).map(_.toDouble).toSeq))
+      .toDF("list_id", "cvec")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v24_spec")
+    try {
+      // stable: 2 per list → proportions equal → TV exactly 0, no retrain
+      val p1 = s"$tmp/stable"
+      Similarity.saveIvfIndexWithCentroids(standing, cents, p1)
+      val stableBatch = (0 until 8).map(i => (100L + i, basis(i % 4)))
+        .toDF("vec_id", "embedding")
+      val (tv1, r1) = Similarity.driftGateIvfIndex(spark, p1, stableBatch,
+        tvThresholdMu = 500000L, retrainNList = 3, nIters = 1)
+      assert(tv1 == 0L && !r1)
+      val m1 = Similarity.ivfIndexParams(spark, p1)
+      assert(m1("nList").toLong == 4L)
+      assert(graft.ext.IndexLayout.readFrame(spark, p1, m1, "lists")
+        .count() == 48L) // appended even when not retraining
+      // collapsed: all 8 into list 0 → TV = (240+80·3)/(2·40·8) = 0.75
+      val p2 = s"$tmp/drifted"
+      Similarity.saveIvfIndexWithCentroids(standing, cents, p2)
+      val driftBatch = (0 until 8).map(i => (100L + i, basis(0)))
+        .toDF("vec_id", "embedding")
+      val (tv2, r2) = Similarity.driftGateIvfIndex(spark, p2, driftBatch,
+        tvThresholdMu = 500000L, retrainNList = 3, nIters = 1)
+      assert(tv2 == 750000L && r2)
+      val m2 = Similarity.ivfIndexParams(spark, p2)
+      // the fixture is DEGENERATE by design (4 distinct directions), so
+      // Lloyd may drop an empty list — the verb's contract is that the
+      // stored nList equals the SURVIVING centroid count (≤ requested);
+      // the registered real-embeddings fixture pins the exact 12
+      val nl2 = m2("nList").toLong
+      assert(nl2 <= 3L && nl2 == graft.ext.IndexLayout
+        .readFrame(spark, p2, m2, "centroids").count())
+      assert(graft.ext.IndexLayout.readFrame(spark, p2, m2, "lists")
+        .count() == 48L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    // the registered two-leg fixture: decisions by construction
+    val rows = graft.analytics.ExtPipelines.ivfIndexDriftGate(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(rows("stable") == ((500L, false, 8L)))
+    assert(rows("drifted") == ((500L, true, 12L)))
+  }
+
   test("v16: MMR demotes an exact duplicate below a diverse candidate; partitioning-invariant") {
     import spark.implicits._
     // query 0 ∥ nothing exactly; c1 and c2 are identical (sim=1), c3 is
