@@ -228,7 +228,13 @@ object Bench {
     // describe itself is manifest + delta-sized tombstone scan)
     "t35_quantile_sketch",
     "v24_ivf_drift_gate",
-    "x31_index_describe")
+    "x31_index_describe",
+    // x32/v25 price the autopilots' worst leg mixes (fresh builds +
+    // the fired verbs); the production nightly cost is the policy
+    // read (footer count + delta scan) plus whichever verb fires,
+    // each priced on its own row
+    "x32_index_autopilot",
+    "v25_ivf_autopilot")
 
   /** The two production SERVE rows that run even under
     * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the

@@ -95,6 +95,7 @@ object SparkEntry {
     "x26e_minhash_index_refresh" -> (ExtPipelines.minhashIndexRefresh _),
     "x30_minhash_index_rebucket" -> (ExtPipelines.minhashIndexRebucket _),
     "x31_index_describe" -> (ExtPipelines.indexDescribe _),
+    "x32_index_autopilot" -> (ExtPipelines.minhashIndexMaintain _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -160,6 +161,7 @@ object SparkEntry {
     "v19_ivf_index_delete" -> (ExtPipelines.ivfIndexDelete _),
     "v23_ivf_index_retrain" -> (ExtPipelines.ivfIndexRetrain _),
     "v24_ivf_drift_gate" -> (ExtPipelines.ivfIndexDriftGate _),
+    "v25_ivf_autopilot" -> (ExtPipelines.ivfIndexMaintain _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
@@ -1649,6 +1651,49 @@ object SparkEntry {
         |  CAST(3 AS BIGINT), CAST(3 AS BIGINT),
         |  (SELECT count(*) FROM bv WHERE bucket >= 58982),
         |  TRUE, CAST(0 AS BIGINT)""".stripMargin,
+
+    // x32: the autopilot's three legs are decided BY CONSTRUCTION
+    // (idle: exact sizing-rule build, nothing deleted; backlog: ~25%
+    // backlog vs the 10% policy; outgrown: desired ≥ 2× stored) — the
+    // oracle recomputes the sizing rule over the exact corpus/survivor
+    // counts and states the decisions and flip counts as facts
+    "x32_index_autopilot" ->
+      """WITH b AS (SELECT ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)),
+        |tot AS (SELECT count(*) AS n FROM b),
+        |liv AS (SELECT count(*) AS n FROM b WHERE bucket < 52428)
+        |SELECT 'idle' AS leg, FALSE AS compacted, FALSE AS rebucketed,
+        |  (SELECT (n + 49) // 50 FROM tot) AS buckets_after,
+        |  CAST(0 AS BIGINT) AS gen_after,
+        |  CAST(0 AS BIGINT) AS n_tombstones_after
+        |UNION ALL
+        |SELECT 'backlog', TRUE, FALSE,
+        |  (SELECT (n + 49) // 50 FROM tot),
+        |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'outgrown', FALSE, TRUE,
+        |  (SELECT (n + 49) // 50 FROM liv),
+        |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
+
+    // v25: x32's backlog policy on the vector index — decisions by
+    // construction (~25% backlog vs the 10% policy), survivor count
+    // recomputed from the md5-bucket rule
+    "v25_ivf_autopilot" ->
+      """WITH b AS (SELECT ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings))
+        |SELECT 'idle' AS leg, FALSE AS compacted,
+        |  CAST(0 AS BIGINT) AS gen_after,
+        |  CAST(0 AS BIGINT) AS n_tombstones_after,
+        |  (SELECT count(*) FROM b) AS n_live_after
+        |UNION ALL
+        |SELECT 'backlog', TRUE, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |  (SELECT count(*) FROM b WHERE bucket < 52428)""".stripMargin,
 
     // v24: the drift gate's two legs are decided BY CONSTRUCTION
     // (measured TV 0.05–0.16 stable vs 0.87 collapsed against the 0.5

@@ -998,18 +998,18 @@ object ExtPipelines {
     val n = vals.groupBy("source").agg(count(lit(1)).as("n"))
     val tgt = broadcast(ests.join(n, "source")
       .withColumn("target", expr("(n * phi_pct + 99) div 100")))
-    // exact_q: min v whose inclusive rank reaches the target
-    val exactQ = tgt.join(cdf, Seq("source"))
-      .filter(col("cum") >= col("target"))
-      .groupBy("source", "phi_pct").agg(min("v").as("exact_q"))
-    // ranks of the ESTIMATE against the exact CDF (audit side)
-    val rkIncl = tgt.join(cdf, Seq("source")).filter(col("v") <= col("est"))
-      .groupBy("source", "phi_pct").agg(max("cum").as("rank_incl"))
-    val rkExcl = tgt.join(cdf, Seq("source")).filter(col("v") < col("est"))
-      .groupBy("source", "phi_pct").agg(max("cum").as("rank_excl"))
-    tgt.join(exactQ, Seq("source", "phi_pct"))
-      .join(rkIncl, Seq("source", "phi_pct"), "left")
-      .join(rkExcl, Seq("source", "phi_pct"), "left")
+    // ONE pass over the CDF computes the exact quantile (min v whose
+    // inclusive rank reaches the target) and both ranks of the
+    // ESTIMATE (the audit side) as conditional aggregates — not three
+    // separate joins re-deriving the window each time
+    tgt.join(cdf, Seq("source"))
+      .groupBy("source", "phi_pct")
+      .agg(first("n").as("n"), first("target").as("target"),
+        first("est").as("est"), first("dsize").as("dsize"),
+        first("n_sketch").as("n_sketch"),
+        min(when(col("cum") >= col("target"), col("v"))).as("exact_q"),
+        max(when(col("v") <= col("est"), col("cum"))).as("rank_incl"),
+        max(when(col("v") < col("est"), col("cum"))).as("rank_excl"))
       .na.fill(0L, Seq("rank_incl", "rank_excl"))
       .select(col("source"), col("phi_pct"), col("n"), col("exact_q"),
         (col("n_sketch") === col("n") &&
@@ -1876,6 +1876,57 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** x32: the MinHash-family maintenance AUTOPILOT
+    * ([[graft.ext.Dedup.maintainMinhashIndex]]) — the policy verb a
+    * nightly scheduler runs, exercised over three by-construction legs
+    * (the v24 discipline):
+    *  - `idle`: built at exactly the sizing rule's count, nothing
+    *    deleted → neither trigger fires, gen stays 0;
+    *  - `backlog`: same count, the md5-bucket ≥ 52428 range (~20%)
+    *    deleted → backlog/live ≈ 25% crosses the 10% policy with 2.5×
+    *    margin at every SF, compact fires (one flip, backlog 0);
+    *  - `outgrown`: built at a quarter of the post-delete desired
+    *    count, same delete → desired ≥ 2× stored fires the rebucket at
+    *    ceil(live/target), which SUBSUMES the compact (its rewrite
+    *    clears the tombstones at the same flip).
+    * Every fact is SQL-recomputable: the decisions are margins-by-
+    * construction, `buckets_after` is the sizing rule over the exact
+    * corpus/survivor counts, `gen_after` counts the flips, and every
+    * leg ends with zero backlog. */
+  def minhashIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val doomed = docs
+      .filter(graft.ext.DataSplit.bucket(col("doc_id")) >= 52428)
+      .select("doc_id")
+    val target = 50L
+    val nTotal = docs.count()
+    val nLive = nTotal - doomed.count()
+    val rightCount = ((nTotal + target - 1) / target).toInt
+    val smallCount = math.max(1L, ((nLive + target - 1) / target) / 4).toInt
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x32")
+    try {
+      val legs = Seq(
+        ("idle", rightCount, false),
+        ("backlog", rightCount, true),
+        ("outgrown", smallCount, true)).map { case (leg, buildBuckets, del) =>
+        val p = s"$tmpRoot/$leg"
+        Dedup.saveMinhashIndex(docs, p, idBuckets = buildBuckets)
+        if (del) Dedup.deleteFromMinhashIndex(doomed, p)
+        val (compacted, rebucketed) = Dedup.maintainMinhashIndex(spark, p,
+          maxTombstonePct = 10, targetDocsPerBucket = target)
+        val (m, _, nTombAfter, _, _) =
+          graft.ext.IndexLayout.describeIndex(spark, p)
+        (leg, compacted, rebucketed, m("buckets").toLong,
+          m("gen").toLong, nTombAfter)
+      }
+      // driver-side local relation (describe is eager), so nothing lazy
+      // still reads the index files after cleanup
+      legs.toDF("leg", "compacted", "rebucketed", "buckets_after",
+        "gen_after", "n_tombstones_after")
+    } finally deleteTempTree(tmpRoot)
+  }
+
   /** v24: drift-GATED index maintenance
     * ([[graft.ext.Similarity.driftGateIvfIndex]]) — the decision layer
     * between v11's monitoring and v23's retrain verb, run over a
@@ -1925,6 +1976,46 @@ object ExtPipelines {
       // driver-side local relation (every index read above is eager),
       // so nothing lazy still reads the index files after cleanup
       legs.toDF("leg", "n_indexed", "retrained", "n_list_after")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** v25: the IVF-family maintenance autopilot
+    * ([[graft.ext.Similarity.maintainIvfIndex]]) — x32's two
+    * backlog-policy legs on the vector index (the rebucket trigger has
+    * no IVF analog: that family's re-sizing lives inside the
+    * ingest-gated retrain, see the verb's scaladoc). `idle` builds and
+    * deletes nothing → no flip; `backlog` deletes the md5-bucket
+    * ≥ 52428 range (~25% of live vs the 10% policy, 2.5× margin at
+    * every SF) → one compaction flip, backlog zero, and the doomed
+    * rows physically gone: `n_live_after` (the served frame's row
+    * count post-verb) equals the SQL-recomputed survivor count. */
+  def ivfIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val doomed = emb
+      .filter(graft.ext.DataSplit.bucket(col("vec_id")) >= 52428)
+      .select("vec_id")
+    val seeds = Similarity.ivfSeedCentroids(emb, nList = 8)
+      .select(col("seed_id").as("list_id"), col("cvec"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v25")
+    try {
+      val legs = Seq(("idle", false), ("backlog", true)).map {
+        case (leg, del) =>
+          val p = s"$tmpRoot/$leg"
+          Similarity.saveIvfIndexWithCentroids(emb, seeds, p)
+          if (del) Similarity.deleteFromIvfIndex(doomed, p)
+          val compacted = Similarity.maintainIvfIndex(spark, p,
+            maxTombstonePct = 10)
+          val (m, _, nTombAfter, _, _) =
+            graft.ext.IndexLayout.describeIndex(spark, p)
+          val nLive = graft.ext.IndexLayout
+            .readFrame(spark, p, m, "lists").count()
+          (leg, compacted, m("gen").toLong, nTombAfter, nLive)
+      }
+      // driver-side local relation (describe is eager), so nothing lazy
+      // still reads the index files after cleanup
+      legs.toDF("leg", "compacted", "gen_after", "n_tombstones_after",
+        "n_live_after")
     } finally deleteTempTree(tmpRoot)
   }
 

@@ -913,6 +913,59 @@ object Dedup {
     }
   }
 
+  /** x32 — POLICY-DRIVEN maintenance pass (the nightly autopilot): one
+    * verb a scheduler points at an index path, which reads the
+    * metadata-scale health facts ([[graft.ext.IndexLayout.describeIndex]]'s
+    * numbers) and fires the right maintenance verb, closing the
+    * monitor → verb loop for this family the way
+    * [[graft.ext.Similarity.driftGateIvfIndex]] closes it for the
+    * vector index. Two triggers, checked from one delta-sized
+    * tombstone scan plus one footer-metadata row count of the `sizes`
+    * frame (one row per doc — never a corpus-scale read):
+    *
+    *  - REBUCKET when the live corpus has outgrown the stored bucket
+    *    count by 2× or more under `targetDocsPerBucket`
+    *    ([[MinhashIndexBuckets]]'s sizing rule made a standing policy):
+    *    fires [[rebucketMinhashIndex]] at ceil(live / target). The 2×
+    *    hysteresis is the dynamic-array argument — whole-corpus
+    *    rewrites amortize against doublings, O(log growth) rewrites
+    *    over the index's lifetime, instead of a nightly churn that
+    *    re-moves the corpus for every +1 bucket drift.
+    *  - otherwise COMPACT when the tombstone backlog exceeds
+    *    `maxTombstonePct` of the live rows: fires
+    *    [[compactMinhashTombstones]]. When the rebucket fires, the
+    *    compact is SUBSUMED, not skipped-and-deferred: the rebucket's
+    *    whole-frame rewrite anti-joins the tombstones out and clears
+    *    them at its flip (its documented contract), so running both
+    *    would pay the whole-frame term twice for nothing.
+    *
+    * Both fired verbs take the maintenance lease themselves; the
+    * policy read is lock-free, so the autopilot can observe a live
+    * index and fail loudly at the verb if another writer appears.
+    * Returns (compacted, rebucketed). */
+  def maintainMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxTombstonePct: Int = 10,
+      targetDocsPerBucket: Long = 1000, idCol: String = "doc_id")
+      : (Boolean, Boolean) = {
+    require(maxTombstonePct > 0 && targetDocsPerBucket > 0,
+      s"maintainMinhashIndex($maxTombstonePct%, $targetDocsPerBucket/bucket)")
+    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+    val buckets = IndexLayout.intParam(m, path, "buckets")
+    val nRows = IndexLayout.readFrame(spark, path, m, "sizes").count()
+    val nTomb = IndexLayout.loadTombstones(spark, path, m, idCol)
+      .map(_.distinct().count()).getOrElse(0L)
+    val live = nRows - nTomb
+    val desired = math.max(1L, (live + targetDocsPerBucket - 1)
+      / targetDocsPerBucket)
+    if (desired >= 2L * buckets) {
+      rebucketMinhashIndex(spark, path, desired.toInt, idCol)
+      (false, true)
+    } else if (nTomb * 100L > live * maxTombstonePct) {
+      compactMinhashTombstones(spark, path, idCol)
+      (true, false)
+    } else (false, false)
+  }
+
   /** DEFAULT doc-id bucket count for the stored shingle/size frames of
     * a [[saveMinhashIndex]] index — a per-index BUILD PARAMETER stored
     * in the manifest, not a constant every binary must share. The

@@ -1236,6 +1236,36 @@ object Similarity {
     (tvMu, retrained)
   }
 
+  /** v25 — the IVF-family maintenance AUTOPILOT: the nightly policy
+    * verb ([[graft.ext.Dedup.maintainMinhashIndex]]'s counterpart),
+    * reading the metadata-scale health facts and firing
+    * [[compactIvfTombstones]] when the tombstone backlog exceeds
+    * `maxTombstonePct` of the live rows. Deliberately compact-ONLY:
+    * this family's other maintenance decisions are gated where their
+    * signals actually live — the retrain at INGEST TIME by
+    * [[driftGateIvfIndex]] (occupancy drift is a property of arriving
+    * batches, visible the moment one lands, not something a nightly
+    * scan should rediscover), and nList re-sizing inside the retrain
+    * itself ([[retrainIvfIndex]] stores the surviving centroid
+    * count). The policy read costs one footer-metadata row count of
+    * the full-precision frame plus the delta-sized tombstone scan,
+    * lock-free; the fired verb takes the lease itself. Returns
+    * whether a compaction fired. */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxTombstonePct: Int = 10,
+      idCol: String = "vec_id"): Boolean = {
+    require(maxTombstonePct > 0, s"maintainIvfIndex($maxTombstonePct%)")
+    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+    val fullFrame = if (m.getOrElse("storage", "fp") == "fp") "lists" else "fp"
+    val nRows = IndexLayout.readFrame(spark, path, m, fullFrame).count()
+    val nTomb = IndexLayout.loadTombstones(spark, path, m, idCol)
+      .map(_.distinct().count()).getOrElse(0L)
+    val live = nRows - nTomb
+    val fire = nTomb * 100L > live * maxTombstonePct
+    if (fire) compactIvfTombstones(spark, path, idCol)
+    fire
+  }
+
   /** LSH-bucketed ANN: corpus and queries are hashed with the same
     * seeded hyperplanes into `nBits`-bit signatures over `nTables`
     * independent tables; candidates = corpus rows sharing a bucket with

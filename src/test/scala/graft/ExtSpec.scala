@@ -602,6 +602,86 @@ class ExtSpec extends SparkSpec {
     assert(mh.getBoolean(7) && ivf.getBoolean(7))   // leases free
   }
 
+  test("x32: autopilot — idle no-op, backlog compacts, outgrown rebuckets and subsumes the compact") {
+    import spark.implicits._
+    import graft.ext.IndexLayout
+    val corpus = (1L to 40L).map(i => (i, s"alpha beta gamma delta tok$i body text"))
+      .toDF("doc_id", "text")
+    val dels = (1L to 8L).toDF("doc_id") // 8/32 live = 25% backlog
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x32_spec")
+    try {
+      // idle: exact sizing-rule count (ceil(40/10) = 4), nothing deleted
+      val p0 = s"$tmp/idle"
+      Dedup.saveMinhashIndex(corpus, p0, idBuckets = 4)
+      assert(Dedup.maintainMinhashIndex(spark, p0,
+        maxTombstonePct = 10, targetDocsPerBucket = 10L) == ((false, false)))
+      val (m0, _, t0, _, _) = IndexLayout.describeIndex(spark, p0)
+      assert(m0("gen") == "0" && m0("buckets") == "4" && t0 == 0L)
+      // backlog: same count, 25% deleted → compact fires, count stands
+      val p1 = s"$tmp/backlog"
+      Dedup.saveMinhashIndex(corpus, p1, idBuckets = 4)
+      Dedup.deleteFromMinhashIndex(dels, p1)
+      assert(Dedup.maintainMinhashIndex(spark, p1,
+        maxTombstonePct = 10, targetDocsPerBucket = 10L) == ((true, false)))
+      val (m1, _, t1, _, _) = IndexLayout.describeIndex(spark, p1)
+      assert(m1("gen") == "1" && m1("buckets") == "4" && t1 == 0L)
+      // outgrown: stored 1 vs desired ceil(32/10) = 4 ≥ 2×1 → rebucket
+      // at 4; its rewrite resolves the tombstones, so no compact
+      val p2 = s"$tmp/outgrown"
+      Dedup.saveMinhashIndex(corpus, p2, idBuckets = 1)
+      Dedup.deleteFromMinhashIndex(dels, p2)
+      assert(Dedup.maintainMinhashIndex(spark, p2,
+        maxTombstonePct = 10, targetDocsPerBucket = 10L) == ((false, true)))
+      val (m2, _, t2, _, _) = IndexLayout.describeIndex(spark, p2)
+      assert(m2("gen") == "1" && m2("buckets") == "4" && t2 == 0L)
+      // the deleted docs are really gone from the rebucketed frames
+      assert(IndexLayout.readFrame(spark, p2,
+        Dedup.minhashIndexParams(spark, p2), "sizes")
+        .filter(col("doc_id") <= 8).count() == 0L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    // the registered three-leg fixture, facts as the oracle states them
+    val rows = graft.analytics.ExtPipelines.minhashIndexMaintain(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(rows("idle") == ((false, false, 10L, 0L, 0L)))
+    assert(rows("backlog")._1 && !rows("backlog")._2)
+    assert(!rows("outgrown")._1 && rows("outgrown")._2)
+    assert(rows("backlog")._5 == 0L && rows("outgrown")._5 == 0L)
+  }
+
+  test("v25: IVF autopilot — backlog boundary exact; compaction removes the doomed rows") {
+    import spark.implicits._
+    val basis = (0 until 4).map(d => Array.tabulate(4)(i => if (i == d) 1.0f else 0.0f))
+    val corpus = (0 until 40).map(i => (i.toLong, basis(i % 4)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(d => (d.toLong, basis(d).map(_.toDouble).toSeq))
+      .toDF("list_id", "cvec")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v25_spec")
+    try {
+      val p = s"$tmp/idx"
+      Similarity.saveIvfIndexWithCentroids(corpus, cents, p)
+      // 3 dead of 37 live = 8.1% — UNDER the 10% policy, no fire
+      Similarity.deleteFromIvfIndex(Seq(0L, 1L, 2L).toDF("vec_id"), p)
+      assert(!Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10))
+      // one more (4 of 36 = 11.1%) crosses it: fire, backlog resolved
+      Similarity.deleteFromIvfIndex(Seq(3L).toDF("vec_id"), p)
+      assert(Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10))
+      val (m, _, t, _, _) = graft.ext.IndexLayout.describeIndex(spark, p)
+      assert(m("gen") == "1" && t == 0L)
+      assert(graft.ext.IndexLayout.readFrame(spark, p, m, "lists")
+        .filter(col("vec_id") < 4).count() == 0L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    // the registered two-leg fixture
+    val rows = graft.analytics.ExtPipelines.ivfIndexMaintain(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows("idle")._1 == false && rows("idle")._2 == 0L)
+    assert(rows("backlog")._1 && rows("backlog")._2 == 1L &&
+      rows("backlog")._3 == 0L)
+    assert(rows("idle")._4 > rows("backlog")._4)
+  }
+
   test("v24: occupancy drift gate — exact TV on a crafted grid; stable appends, collapsed retrains") {
     import spark.implicits._
     // 4 orthogonal lists, 10 standing vectors each (occupancy 10/10/10/10)
