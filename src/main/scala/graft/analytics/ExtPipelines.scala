@@ -942,11 +942,10 @@ object ExtPipelines {
     * corpus's n_chars; over-range values would collapse into the top
     * leaf — pick m for the domain). */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val m = 10
-    val k = 128
-    val u = 1L << m
+    val m = graft.functions.QDigest.DefaultM
+    val k = graft.functions.QDigest.DefaultK
     val vals = Tables.documents(spark, dir).select(col("source"),
-      least(greatest(col("n_chars"), lit(0L)), lit(u - 1)).as("v"))
+      graft.functions.QDigest.clampToUniverse(col("n_chars"), m).as("v"))
     val qd = udaf(new graft.functions.QDigestAggregator(k, m))
     quantileFacts(spark,
       vals.groupBy("source").agg(qd(col("v")).as("digest")), vals, k, m)
@@ -963,14 +962,13 @@ object ExtPipelines {
     * SQL covers this run verbatim: the s16 = v9 pattern, with a bound
     * where bit-equality is not promised. */
   def streamQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val m = 10
-    val k = 128
-    val u = 1L << m
+    val m = graft.functions.QDigest.DefaultM
+    val k = graft.functions.QDigest.DefaultK
     val digests = graft.streaming.Streaming.runToBatch(spark,
       graft.streaming.Streaming.sourceLengthDigests(
         graft.streaming.Streaming.documentsStream(spark, dir), k, m))
     val vals = Tables.documents(spark, dir).select(col("source"),
-      least(greatest(col("n_chars"), lit(0L)), lit(u - 1)).as("v"))
+      graft.functions.QDigest.clampToUniverse(col("n_chars"), m).as("v"))
     quantileFacts(spark, digests, vals, k, m)
   }
 
@@ -1903,7 +1901,15 @@ object ExtPipelines {
     val nTotal = docs.count()
     val nLive = nTotal - doomed.count()
     val rightCount = ((nTotal + target - 1) / target).toInt
-    val smallCount = math.max(1L, ((nLive + target - 1) / target) / 4).toInt
+    val desired = (nLive + target - 1) / target
+    // the outgrown leg's by-construction claim (rebucket fires) needs
+    // desired ≥ 2 — with one bucket's worth of live docs no stored
+    // count can be 2× outgrown; refuse loudly rather than emit rows
+    // that contradict the oracle's stated facts
+    require(desired >= 2,
+      s"x32 fixture needs ≥ ${2 * target} live docs (got $nLive): the " +
+        "outgrown leg cannot fire on a one-bucket corpus")
+    val smallCount = math.max(1L, desired / 4).toInt
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x32")
     try {
       val legs = Seq(

@@ -951,16 +951,27 @@ object Dedup {
       s"maintainMinhashIndex($maxTombstonePct%, $targetDocsPerBucket/bucket)")
     val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
     val buckets = IndexLayout.intParam(m, path, "buckets")
-    val nRows = IndexLayout.readFrame(spark, path, m, "sizes").count()
-    val nTomb = IndexLayout.loadTombstones(spark, path, m, idCol)
-      .map(_.distinct().count()).getOrElse(0L)
-    val live = nRows - nTomb
+    val sizes = IndexLayout.readFrame(spark, path, m, "sizes")
+    val nRows = sizes.count()
+    // dead = tombstones that STRIKE an indexed row. Raw tombstone count
+    // would do: an idempotent takedown pipeline re-submitting its
+    // cumulative delete list re-appends ids a past compaction already
+    // removed (and may name ids never indexed) — counting those as
+    // backlog fires a whole-frame compaction every night with zero
+    // dead rows, and deflating `live` skews the rebucket sizing too.
+    // The semi-join broadcasts the delta-sized distinct tombstones
+    // against a one-column scan of the smallest per-doc frame.
+    val nDead = IndexLayout.loadTombstones(spark, path, m, idCol)
+      .map(t => sizes.select(col(idCol))
+        .join(broadcast(t.distinct()), Seq(idCol), "left_semi").count())
+      .getOrElse(0L)
+    val live = nRows - nDead
     val desired = math.max(1L, (live + targetDocsPerBucket - 1)
       / targetDocsPerBucket)
     if (desired >= 2L * buckets) {
       rebucketMinhashIndex(spark, path, desired.toInt, idCol)
       (false, true)
-    } else if (nTomb * 100L > live * maxTombstonePct) {
+    } else if (nDead * 100L > live * maxTombstonePct) {
       compactMinhashTombstones(spark, path, idCol)
       (true, false)
     } else (false, false)

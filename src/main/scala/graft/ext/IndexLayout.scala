@@ -864,10 +864,14 @@ private[graft] object IndexLayout {
         val name = k.stripPrefix("frames.")
         FrameInfo(name, frameEntries(m, name).size)
       }
+    // DISTINCT ids, not raw rows: the same id deleted by two separate
+    // delete calls leaves two tombstone rows (appendTombstones dedups
+    // per call only) — a raw count would disagree with the autopilots'
+    // policy read and over-report the backlog to the operator
     val nTomb =
       if (m.contains("frames.tombstones"))
         readFrameGroups(spark, path, m, "tombstones")
-          .reduceOption(_.union(_)).map(_.count()).getOrElse(0L)
+          .reduceOption(_.union(_)).map(_.distinct().count()).getOrElse(0L)
       else 0L
     val held = readLease(IndexFs.fs(spark, path), path, DefaultLeaseTtlMs)
       .exists { case (_, at, ttl) =>

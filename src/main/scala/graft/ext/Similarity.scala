@@ -1224,11 +1224,17 @@ object Similarity {
       s"driftGateIvfIndex($path): empty standing index ($ns) or batch ($nb)")
     val grid = cent.select(col("list_id").cast("long"))
       .collect().map(_.getLong(0))
+    // BigInt cross-multiplication: at the corpus sizes this verb is
+    // for, cnt·n_standing exceeds Long (1e10 standing × 1e9 batch →
+    // per-list products ~1e19 > 2^63) and a silently wrapped numerator
+    // would flip the retrain decision; the grid is nList-bounded, so
+    // the arbitrary-precision arithmetic costs nothing
     val num = grid.map(l =>
-      math.abs(batchOcc.getOrElse(l, 0L) * ns - standOcc.getOrElse(l, 0L) * nb))
-      .sum
+      (BigInt(batchOcc.getOrElse(l, 0L)) * ns -
+        BigInt(standOcc.getOrElse(l, 0L)) * nb).abs).sum
+    val den = BigInt(2) * ns * nb
     val tvMu = math.floor(1000000.0 *
-      (num.toDouble / (2.0 * ns * nb)) + 0.5).toLong
+      (num.toDouble / den.toDouble) + 0.5).toLong
     appendToIvfIndex(spark, path, batch, vecCol, idCol)
     val retrained = tvMu > tvThresholdMu
     if (retrained) retrainIvfIndex(spark, path, retrainNList, nIters,
@@ -1257,11 +1263,17 @@ object Similarity {
     require(maxTombstonePct > 0, s"maintainIvfIndex($maxTombstonePct%)")
     val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
     val fullFrame = if (m.getOrElse("storage", "fp") == "fp") "lists" else "fp"
-    val nRows = IndexLayout.readFrame(spark, path, m, fullFrame).count()
-    val nTomb = IndexLayout.loadTombstones(spark, path, m, idCol)
-      .map(_.distinct().count()).getOrElse(0L)
-    val live = nRows - nTomb
-    val fire = nTomb * 100L > live * maxTombstonePct
+    val rows = IndexLayout.readFrame(spark, path, m, fullFrame)
+    val nRows = rows.count()
+    // dead = tombstones striking an indexed row (see
+    // maintainMinhashIndex: a re-submitted cumulative delete list must
+    // not re-fire the compaction nightly against zero dead rows)
+    val nDead = IndexLayout.loadTombstones(spark, path, m, idCol)
+      .map(t => rows.select(col(idCol))
+        .join(broadcast(t.distinct()), Seq(idCol), "left_semi").count())
+      .getOrElse(0L)
+    val live = nRows - nDead
+    val fire = nDead * 100L > live * maxTombstonePct
     if (fire) compactIvfTombstones(spark, path, idCol)
     fire
   }

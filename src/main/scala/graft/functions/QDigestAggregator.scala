@@ -117,6 +117,26 @@ class QDigestAggregator(k: Int, m: Int)
 }
 
 object QDigest {
+  /** The library's standing parameters for document-length digests:
+    * m = 10 covers this corpus's n_chars domain (pick m for yours),
+    * k = 128 gives ε = m/k ≈ 7.8% rank error from ≤ 3k-entry
+    * summaries. ONE definition site — the batch query, the streaming
+    * monitor, and the oracle contract all read the same values, so the
+    * "s20 oracle = t35 SQL verbatim" claim cannot drift apart
+    * silently. */
+  val DefaultM = 10
+  val DefaultK = 128
+
+  /** Clamp a value column into the digest's [0, 2^m) universe — the
+    * shared spelling every digest producer must use (a site-local copy
+    * that drifted would clamp the stream into a different universe
+    * than the batch audit and the SQL oracle). */
+  def clampToUniverse(c: org.apache.spark.sql.Column, m: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{greatest, least, lit}
+    least(greatest(c, lit(0L)), lit((1L << m) - 1))
+  }
+
   /** Node → covered leaf-value range [lo, hi] in the m-bit universe. */
   def range(v: Long, m: Int): (Long, Long) = {
     val depth = 63 - java.lang.Long.numberOfLeadingZeros(v)

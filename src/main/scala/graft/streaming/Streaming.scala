@@ -517,11 +517,12 @@ object Streaming {
     * order-independent (the whole point of mergeable summaries), so
     * the batch query's oracle covers the streamed run verbatim —
     * s16 = v9's pattern, with a bound instead of bit-equality. */
-  def sourceLengthDigests(docs: DataFrame, k: Int = 128, m: Int = 10)
-      : DataFrame = {
+  def sourceLengthDigests(docs: DataFrame,
+      k: Int = graft.functions.QDigest.DefaultK,
+      m: Int = graft.functions.QDigest.DefaultM): DataFrame = {
     val qd = udaf(new graft.functions.QDigestAggregator(k, m))
     docs.select(col("source"),
-      least(greatest(col("n_chars"), lit(0L)), lit((1L << m) - 1)).as("v"))
+      graft.functions.QDigest.clampToUniverse(col("n_chars"), m).as("v"))
       .groupBy("source").agg(qd(col("v")).as("digest"))
   }
 

@@ -575,10 +575,13 @@ class ExtSpec extends SparkSpec {
       assert(f0.map(_.name).toSet ==
         Set("bands", "shingles", "sizes", "tombstones"))
       assert(f0.forall(_.nEntries == 1) && t0 == 0L && !h0 && r0 == 0)
-      // a delete shows up as backlog, not as a generation change
+      // a delete shows up as backlog, not as a generation change; a
+      // second OVERLAPPING delete call must not double-count — the
+      // dashboard reports distinct doomed ids, the autopilots' basis
       Dedup.deleteFromMinhashIndex(Seq(3L, 7L).toDF("doc_id"), p)
+      Dedup.deleteFromMinhashIndex(Seq(7L).toDF("doc_id"), p)
       val (_, _, t1, h1, _) = IndexLayout.describeIndex(spark, p)
-      assert(t1 == 2L && !h1) // delete's lease released
+      assert(t1 == 2L && !h1) // distinct ids; delete's lease released
       // compaction: backlog resolved, generation flipped, retired dirs
       // tracked for their grace interval
       Dedup.compactMinhashTombstones(spark, p)
@@ -671,6 +674,14 @@ class ExtSpec extends SparkSpec {
       assert(m("gen") == "1" && t == 0L)
       assert(graft.ext.IndexLayout.readFrame(spark, p, m, "lists")
         .filter(col("vec_id") < 4).count() == 0L)
+      // the idempotent-takedown scenario: the cumulative delete list is
+      // re-submitted after the compaction already removed those rows —
+      // the policy counts DEAD rows (tombstones striking the index),
+      // not tombstone rows, so nothing re-fires against zero dead data
+      Similarity.deleteFromIvfIndex((0L to 3L).toDF("vec_id"), p)
+      assert(!Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10))
+      val (m2, _, _, _, _) = graft.ext.IndexLayout.describeIndex(spark, p)
+      assert(m2("gen") == "1") // no second flip
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     // the registered two-leg fixture
     val rows = graft.analytics.ExtPipelines.ivfIndexMaintain(spark, sf())
