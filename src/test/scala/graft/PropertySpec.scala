@@ -419,6 +419,48 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("property: q-digest rank bound holds over random streams and random merge trees") {
+    // pure-JVM property (no Spark jobs): drives the aggregator's
+    // reduce/merge/finish exactly as a shuffle would, but over RANDOM
+    // chunkings and RANDOM merge orders — the claim being pinned is
+    // that the ε·n = m/k rank bound is a property of the summary, not
+    // of any particular partitioning (the t35/s20 oracle's whole basis)
+    val m = 10
+    val k = 128
+    val agg = new graft.functions.QDigestAggregator(k, m)
+    val streamGen = for {
+      n <- Gen.chooseNum(1, 3000)
+      hot <- Gen.chooseNum(0L, 1023L)
+      vals <- Gen.listOfN(n, Gen.frequency(
+        (3, Gen.const(hot)),           // heavy spike
+        (2, Gen.chooseNum(0L, 1023L)), // uniform tail
+        (1, Gen.chooseNum(0L, 63L)))) // dense low cluster
+      chunks <- Gen.chooseNum(1, 12)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (vals, chunks, seed)
+    check(Prop.forAll(streamGen) { case (vals, chunks, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val parts = rnd.shuffle(vals).grouped(
+        math.max(1, vals.size / chunks)).toList
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val digest = agg.finish(
+        rnd.shuffle(partials).reduce(agg.merge))
+      val n = vals.size.toLong
+      val sorted = vals.sorted.toArray
+      digest.valuesIterator.sum == n &&
+        digest.size <= 3 * k &&
+        Seq(1, 10, 50, 90, 99).forall { phi =>
+          val est = graft.functions.QDigest.quantile(digest, m, phi.toLong, 100L)
+          val target = (n * phi + 99) / 100
+          val rankIncl = sorted.count(_ <= est).toLong
+          val rankExcl = sorted.count(_ < est).toLong
+          est >= 0 && est < 1024 &&
+            rankIncl * k >= target * k - m.toLong * n &&
+            rankExcl * k <= target * k + m.toLong * n
+        }
+    }, n = 60)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")

@@ -2,6 +2,18 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+/** Pins that every query name the benchmark harnesses time resolves to
+  * a registered SparkEntry query — a typo'd or renamed entry would
+  * otherwise surface only as a -1 row in a driver bench artifact. */
+class BenchRegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("headline/extended/serve/scale bench rows are all registered queries") {
+    val all = Bench.headline ++ Bench.extended ++ Bench.serveRows ++
+      ScaleBench.queries
+    val missing = all.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unregistered bench rows: $missing")
+  }
+}
+
 /** Pins the construction guarantees of [[ScaleBench.replicate]] — the
   * 10x-tier results in BENCH_SCALE.md are only as credible as the
   * generator, so the three properties the methodology claims are
