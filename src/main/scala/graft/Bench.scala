@@ -198,8 +198,10 @@ object Bench {
     // throughput, images never shuffle)
     "s18_stream_index_delete",
     "s19_stream_ivf_delete",
-    // s20: the streamed q-digest (t35's cost + the stream drain)
+    // s20/s21: the streamed sketches (the batch twin's cost + the
+    // stream drain)
     "s20_stream_quantile_sketch",
+    "s21_stream_heavy_hitters",
     // int8-stored IVF index audit row (dual build + dual serve)
     "v21_ivf_int8_index",
     "m7_image_decode",

@@ -129,6 +129,7 @@ object SparkEntry {
     "t34_weighted_sample" -> (ExtPipelines.weightedSample _),
     "t35_quantile_sketch" -> (ExtPipelines.quantileSketch _),
     "s20_stream_quantile_sketch" -> (ExtPipelines.streamQuantileSketch _),
+    "s21_stream_heavy_hitters" -> (ExtPipelines.streamHeavyHitters _),
     "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
@@ -495,6 +496,15 @@ object SparkEntry {
     * batch only — the delta a stored index appends. Shared verbatim
     * by s16 (the batch streamed in micro-batches): assignment is
     * per-row independent, so stream ≡ batch. */
+  private val t33HeavyHittersOracle: String =
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tk),
+      |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+      |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+      |       TRUE AS found_ok, TRUE AS err_ok
+      |FROM c, tot WHERE cnt * 100 >= n""".stripMargin
+
   private val t35QuantileOracle: String =
     """WITH v AS (SELECT source,
       |                  least(greatest(n_chars, 0), 1023) AS v
@@ -1539,14 +1549,13 @@ object SparkEntry {
     // t33: the oracle recomputes the exact heavy-token set (integer
     // cnt·100 ≥ N) and pins both Misra-Gries guarantees TRUE — the
     // sketch side is engine-specific state, its CONTRACT is not
-    "t33_heavy_hitters" ->
-      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
-        |            FROM documents),
-        |tot AS (SELECT count(*) AS n FROM tk),
-        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
-        |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
-        |       TRUE AS found_ok, TRUE AS err_ok
-        |FROM c, tot WHERE cnt * 100 >= n""".stripMargin,
+    "t33_heavy_hitters" -> t33HeavyHittersOracle,
+
+    // s21 = t33 with the documents STREAMED into the summary: both
+    // pinned guarantees are merge-order-independent (Misra-Gries
+    // mergeability), so one SQL covers batch and stream — the s20
+    // pattern, completing the streaming twin for all three sketches
+    "s21_stream_heavy_hitters" -> t33HeavyHittersOracle,
     // t35: q-digest per-source quantiles — the oracle recomputes n and
     // the rank-definition exact quantile (integer arithmetic) and pins
     // the order-independent ε·n rank bound TRUE; the estimate itself

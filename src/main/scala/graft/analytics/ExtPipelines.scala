@@ -896,12 +896,39 @@ object ExtPipelines {
     * demand, never rescanning the corpus. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val k = 512
-    val toks = Tables.documents(spark, dir)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val toks = docTokens(spark, dir)
     val mg = udaf(new graft.functions.FreqItemsAggregator(k))
+    heavyHitterFacts(toks.agg(mg(col("tok")).as("summary")), toks, k)
+  }
+
+  /** s21: the STREAMING heavy-hitter monitor
+    * ([[graft.streaming.Streaming.tokenHeavyHitters]]) — t33's
+    * Misra-Gries summary kept by a real streaming aggregation over the
+    * arriving documents, pushed through the same fact/audit finishing
+    * stage. The summary contents are micro-batch-merge-tree state, but
+    * both pinned guarantees (pure undercount; N/(k+1) bound, so every
+    * heavy token is present) are merge-order-independent — t33's
+    * oracle SQL covers this run verbatim (the s20 pattern, completing
+    * the streaming twin for all three sketches). */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val k = 512
+    val summary = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.tokenHeavyHitters(
+        graft.streaming.Streaming.documentsStream(spark, dir), k))
+    heavyHitterFacts(summary, docTokens(spark, dir), k)
+  }
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+
+  /** t33/s21's shared audit stage: the exact heavy-token set (integer
+    * cnt·100 ≥ N) joined to the ≤k-entry summary, pinning both
+    * Misra-Gries guarantees (see [[heavyHitters]]'s scaladoc). */
+  private def heavyHitterFacts(summaryRow: DataFrame, toks: DataFrame,
+      k: Int): DataFrame = {
     val tot = toks.agg(count(lit(1)).as("n"))
-    val est = toks.agg(mg(col("tok")).as("m"))
-      .select(explode(col("m")).as(Seq("tok", "est")))
+    val est = summaryRow.select(explode(col("summary")).as(Seq("tok", "est")))
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     exact.crossJoin(tot).filter(col("cnt") * 100 >= col("n"))
       .join(est, Seq("tok"), "left")

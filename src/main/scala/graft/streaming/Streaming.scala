@@ -526,6 +526,24 @@ object Streaming {
       .groupBy("source").agg(qd(col("v")).as("digest"))
   }
 
+  /** s21 — streaming heavy-hitter tokens: t33's Misra-Gries summary
+    * ([[graft.functions.FreqItemsAggregator]]) kept by a streaming
+    * aggregation over the arriving documents' tokens — the last leg of
+    * the streaming sketch symmetry (HLL s12, q-digest s20, frequent
+    * items here). A live ingest pipeline watches its hot tokens as
+    * docs arrive (a boilerplate flood or scraper loop shows up as a
+    * token shooting into the summary); the exact answer needs
+    * unbounded per-token state, the summary k counters. Complete mode;
+    * the summary CONTENTS depend on the micro-batch merge tree, but
+    * the Misra-Gries guarantees (pure undercount, N/(k+1) bound) are
+    * merge-order-independent — Agarwal et al.'s mergeability result —
+    * so the batch query's oracle covers the streamed run verbatim. */
+  def tokenHeavyHitters(docs: DataFrame, k: Int = 512): DataFrame = {
+    val mg = udaf(new graft.functions.FreqItemsAggregator(k))
+    docs.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .agg(mg(col("tok")).as("summary"))
+  }
+
   /** Sliding 2-day/1-day event-time windows over the categorized stream
     * — the overlapping-window form of [[dailyCategoryTotals]] (each
     * event lands in exactly two windows), the standard shape for

@@ -561,6 +561,13 @@ class ExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getBoolean(4), r.toString))
   }
 
+  test("s21: the streamed Misra-Gries summary satisfies the same order-independent contract") {
+    val rows = graft.analytics.ExtPipelines.streamHeavyHitters(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), r.toString))
+  }
+
   test("x31: describe tracks the index lifecycle and sees a live lease; never takes one") {
     import spark.implicits._
     import graft.ext.IndexLayout

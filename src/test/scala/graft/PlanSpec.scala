@@ -581,4 +581,14 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeOnText, s"text must not reach an exchange:\n$p")
     assert(p.contains("sha2"), p)
   }
+
+  test("t35: digest partials combine MAP-SIDE; the scan reads only (source, n_chars)") {
+    val p = plan(graft.analytics.ExtPipelines.quantileSketch(spark, sf()))
+    // the mergeable-summary cost shape: a partial ObjectHashAggregate
+    // BELOW the exchange ships ≤ O(k)-entry maps per partition, never
+    // the rows — losing the partial stage would shuffle the corpus
+    assert(p.contains("partial_qdigestaggregator"), p)
+    // text never read: the digest side's scan is pruned to 2 columns
+    assert(!p.contains("text#"), s"document text must not be scanned:\n$p")
+  }
 }
