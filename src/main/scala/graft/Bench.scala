@@ -202,6 +202,9 @@ object Bench {
     // stream drain)
     "s20_stream_quantile_sketch",
     "s21_stream_heavy_hitters",
+    // t36: the persisted day→week digest rollup (daily build + merge
+    // serve + the exact audit side)
+    "t36_quantile_rollup",
     // int8-stored IVF index audit row (dual build + dual serve)
     "v21_ivf_int8_index",
     "m7_image_decode",

@@ -130,6 +130,7 @@ object SparkEntry {
     "t35_quantile_sketch" -> (ExtPipelines.quantileSketch _),
     "s20_stream_quantile_sketch" -> (ExtPipelines.streamQuantileSketch _),
     "s21_stream_heavy_hitters" -> (ExtPipelines.streamHeavyHitters _),
+    "t36_quantile_rollup" -> (ExtPipelines.quantileRollup _),
     "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
@@ -1568,6 +1569,29 @@ object SparkEntry {
     // independent — one SQL covers batch and stream (the s16 = v9
     // pattern, with a bound where bit-equality is not promised)
     "s20_stream_quantile_sketch" -> t35QuantileOracle,
+
+    // t36: the day→week digest rollup — t35's fact form over event
+    // cents per week; the merged-digest estimate is merge-tree state,
+    // the pinned bound and the exact side are not
+    "t36_quantile_rollup" ->
+      """WITH v AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |                  least(greatest(CAST(floor(CAST(value AS DOUBLE) * 100
+        |                                             + 0.5) AS BIGINT),
+        |                                 0), 65535) AS v
+        |           FROM events),
+        |cum AS (SELECT week, v,
+        |               sum(count(*)) OVER (PARTITION BY week
+        |                                   ORDER BY v) AS cum
+        |        FROM v GROUP BY week, v),
+        |n AS (SELECT week, count(*) AS n FROM v GROUP BY week),
+        |phis(phi_pct) AS (VALUES (10), (50), (90), (99)),
+        |tgt AS (SELECT week, phi_pct, n,
+        |               (n * phi_pct + 99) // 100 AS target
+        |        FROM n CROSS JOIN phis)
+        |SELECT t.week, t.phi_pct, t.n, min(c.v) AS exact_q,
+        |       TRUE AS sketch_ok
+        |FROM tgt t JOIN cum c ON c.week = t.week AND c.cum >= t.target
+        |GROUP BY t.week, t.phi_pct, t.n""".stripMargin,
 
     // v3_ann_ivf_topk has no SQL oracle: probe membership depends on
     // the trained coarse quantizer, which SQL can't recompute. ExtSpec

@@ -978,6 +978,38 @@ object ExtPipelines {
       vals.groupBy("source").agg(qd(col("v")).as("digest")), vals, k, m)
   }
 
+  /** t36: persisted per-day quantile-digest ROLLUP — g32's
+    * persist-and-merge pattern ([[graft.analytics.Pipelines
+    * .sketchRollup]]) applied to the quantile sketch: a production
+    * pipeline persists ONE ≤3k-entry digest row per day (what `daily`
+    * computes here) and answers weekly value-distribution questions by
+    * merging the stored rows ([[graft.functions.QDigestMergeAggregator]])
+    * — O(days) rows touched at serve time, the corpus rescanned never.
+    * Values are event amounts in exact integer cents (floor(v·100+0.5),
+    * the library's cents discipline — one IEEE sequence both engines
+    * spell identically), clamped into a 2^16 universe; k=256 gives
+    * ε = 16/256 = 6.25% rank error per week. Facts are t35's: exact n,
+    * the rank-definition exact weekly quantile, and the
+    * merge-order-independent bound pinned TRUE — mass conservation
+    * through the day→week merge is inside the pin (n_sketch = n). */
+  def quantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16
+    val k = 256
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("source"),
+      date_trunc("day", col("ts")).as("day"),
+      graft.functions.QDigest.clampToUniverse(
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"), m).as("v"))
+    val qd = udaf(new graft.functions.QDigestAggregator(k, m))
+    val qm = udaf(new graft.functions.QDigestMergeAggregator(k, m))
+    // what a production system persists: one tiny digest row per day
+    val daily = ev.groupBy("source", "day").agg(qd(col("v")).as("digest"))
+    // serving path: merge the persisted daily digests per week
+    val weekly = daily.groupBy("source").agg(qm(col("digest")).as("digest"))
+    quantileFacts(spark, weekly, ev.select("source", "v"), k, m)
+      .withColumnRenamed("source", "week")
+  }
+
   /** s20: the STREAMING distribution monitor
     * ([[graft.streaming.Streaming.sourceLengthDigests]]) — t35's
     * q-digest produced by a real streaming aggregation over the

@@ -53,41 +53,8 @@ class QDigestAggregator(k: Int, m: Int)
 
   private val universe: Long = 1L << m
 
-  /** Canonical bottom-up compression at threshold τ = ⌈N/k⌉: level by
-    * level from the leaves, children fold into their parent whenever
-    * cnt(v) + cnt(sibling) + cnt(parent) < τ — STRICTLY less, the
-    * textbook condition. Strictness is load-bearing: at small/sparse
-    * N (τ = 1) a ≤ would fold every singleton leaf and cascade the
-    * whole digest into the root (rank error N, not ε·N); with < the
-    * sparse regime folds nothing and stays exact. A parent grown by a
-    * fold at depth d is itself a candidate at depth d−1 — the next
-    * level the sweep visits — so one sweep reaches the fully
-    * compressed fixed point. */
-  private def compress(in: Map[Long, Long]): Map[Long, Long] = {
-    val n = in.valuesIterator.sum
-    val tau = (n + k - 1) / k
-    val buf = scala.collection.mutable.HashMap.empty[Long, Long]
-    buf ++= in
-    var depth = m
-    while (depth >= 1) {
-      val lvlLo = 1L << depth
-      val lvlHi = lvlLo << 1
-      val lvl = buf.keysIterator.filter(v => v >= lvlLo && v < lvlHi).toArray
-      java.util.Arrays.sort(lvl)
-      for (v <- lvl) buf.get(v).foreach { c =>
-        val sib = v ^ 1L
-        val sc = buf.getOrElse(sib, 0L)
-        val par = v >> 1
-        val pc = buf.getOrElse(par, 0L)
-        if (c + sc + pc < tau) {
-          buf.remove(v); buf.remove(sib)
-          buf.update(par, pc + c + sc)
-        }
-      }
-      depth -= 1
-    }
-    buf.toMap
-  }
+  private def compress(in: Map[Long, Long]): Map[Long, Long] =
+    QDigest.compress(in, k, m)
 
   override def zero: Map[Long, Long] = Map.empty
 
@@ -116,7 +83,74 @@ class QDigestAggregator(k: Int, m: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
 }
 
+/** Merge ALREADY-BUILT q-digests (map rows produced by
+  * [[QDigestAggregator]]) — the SERVING half of the persisted-rollup
+  * pattern (g32's shape for quantiles): a production pipeline persists
+  * one ≤3k-entry digest row per shard/day and answers weekly/monthly
+  * quantiles by merging the stored rows, never rescanning the corpus.
+  * Same mergeability contract as the builder: summing counted nodes
+  * and recompressing at the merged mass preserves the ε·N rank bound
+  * under any merge tree. */
+class QDigestMergeAggregator(k: Int, m: Int)
+    extends Aggregator[Map[Long, Long], Map[Long, Long], Map[Long, Long]] {
+  require(k >= 1 && m >= 1 && m <= 40, s"QDigestMerge(k=$k, m=$m)")
+
+  private def add(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+    QDigest.compress(b.foldLeft(a) { case (acc, (v, c)) =>
+      acc.updated(v, acc.getOrElse(v, 0L) + c)
+    }, k, m)
+
+  override def zero: Map[Long, Long] = Map.empty
+  override def reduce(buf: Map[Long, Long], dg: Map[Long, Long]): Map[Long, Long] =
+    add(buf, dg)
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+    add(a, b)
+  override def finish(buf: Map[Long, Long]): Map[Long, Long] =
+    QDigest.compress(buf, k, m)
+
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  override def outputEncoder: Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+}
+
 object QDigest {
+  /** Canonical bottom-up compression at threshold τ = ⌈N/k⌉: level by
+    * level from the leaves, children fold into their parent whenever
+    * cnt(v) + cnt(sibling) + cnt(parent) < τ — STRICTLY less, the
+    * textbook condition. Strictness is load-bearing: at small/sparse
+    * N (τ = 1) a ≤ would fold every singleton leaf and cascade the
+    * whole digest into the root (rank error N, not ε·N); with < the
+    * sparse regime folds nothing and stays exact. A parent grown by a
+    * fold at depth d is itself a candidate at depth d−1 — the next
+    * level the sweep visits — so one sweep reaches the fully
+    * compressed fixed point. */
+  def compress(in: Map[Long, Long], k: Int, m: Int): Map[Long, Long] = {
+    val n = in.valuesIterator.sum
+    val tau = (n + k - 1) / k
+    val buf = scala.collection.mutable.HashMap.empty[Long, Long]
+    buf ++= in
+    var depth = m
+    while (depth >= 1) {
+      val lvlLo = 1L << depth
+      val lvlHi = lvlLo << 1
+      val lvl = buf.keysIterator.filter(v => v >= lvlLo && v < lvlHi).toArray
+      java.util.Arrays.sort(lvl)
+      for (v <- lvl) buf.get(v).foreach { c =>
+        val sib = v ^ 1L
+        val sc = buf.getOrElse(sib, 0L)
+        val par = v >> 1
+        val pc = buf.getOrElse(par, 0L)
+        if (c + sc + pc < tau) {
+          buf.remove(v); buf.remove(sib)
+          buf.update(par, pc + c + sc)
+        }
+      }
+      depth -= 1
+    }
+    buf.toMap
+  }
+
   /** The library's standing parameters for document-length digests:
     * m = 10 covers this corpus's n_chars domain (pick m for yours),
     * k = 128 gives ε = m/k ≈ 7.8% rank error from ≤ 3k-entry

@@ -561,6 +561,24 @@ class ExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getBoolean(4), r.toString))
   }
 
+  test("t36: day→week digest rollup keeps the bound through the persisted-merge path") {
+    val rows = graft.analytics.ExtPipelines.quantileRollup(spark, sf())
+      .collect()
+    assert(rows.nonEmpty && rows.length % 4 == 0)
+    rows.foreach(r => assert(r.getBoolean(4), r.toString))
+    // the merge aggregator alone: merging two finished digests
+    // conserves mass and keeps the compressed size bound
+    import graft.functions.{QDigest, QDigestAggregator, QDigestMergeAggregator}
+    val b = new QDigestAggregator(128, 10)
+    val mg = new QDigestMergeAggregator(128, 10)
+    val d1 = b.finish((0L until 500L).foldLeft(b.zero)((acc, v) => b.reduce(acc, v % 1024)))
+    val d2 = b.finish((0L until 700L).foldLeft(b.zero)((acc, v) => b.reduce(acc, (v * 7) % 1024)))
+    val merged = mg.finish(mg.reduce(mg.reduce(mg.zero, d1), d2))
+    assert(merged.valuesIterator.sum == 1200L)
+    assert(merged.size <= 3 * 128)
+    assert(QDigest.quantile(merged, 10, 50L, 100L) >= 0)
+  }
+
   test("s21: the streamed Misra-Gries summary satisfies the same order-independent contract") {
     val rows = graft.analytics.ExtPipelines.streamHeavyHitters(spark, sf())
       .collect()
