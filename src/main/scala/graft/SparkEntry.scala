@@ -490,13 +490,9 @@ object SparkEntry {
        |FROM j""".stripMargin
   }
 
-  /** v9: incremental IVF ingest — t7's md5-bucket split carves the
-    * standing index (80%) from the new batch (20%); seeds are x15's
-    * md5 draw but from the STANDING subset only; assignment is the
-    * x15 argmax (double cosine, lowest-seed-id tie-break) over the
-    * batch only — the delta a stored index appends. Shared verbatim
-    * by s16 (the batch streamed in micro-batches): assignment is
-    * per-row independent, so stream ≡ batch. */
+  /** t33/s21: the exact heavy-token set plus the pinned Misra-Gries
+    * guarantees — shared verbatim by the streamed run (both guarantees
+    * are merge-order-independent). */
   private val t33HeavyHittersOracle: String =
     """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
       |            FROM documents),
@@ -524,6 +520,13 @@ object SparkEntry {
       |FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.target
       |GROUP BY t.source, t.phi_pct, t.n""".stripMargin
 
+  /** v9: incremental IVF ingest — t7's md5-bucket split carves the
+    * standing index (80%) from the new batch (20%); seeds are x15's
+    * md5 draw but from the STANDING subset only; assignment is the
+    * x15 argmax (double cosine, lowest-seed-id tie-break) over the
+    * batch only — the delta a stored index appends. Shared verbatim
+    * by s16 (the batch streamed in micro-batches): assignment is
+    * per-row independent, so stream ≡ batch. */
   private val v9IvfIngestOracle: String =
     """WITH h AS (SELECT vec_id, embedding,
       |             md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings),
@@ -1575,8 +1578,7 @@ object SparkEntry {
     // the pinned bound and the exact side are not
     "t36_quantile_rollup" ->
       """WITH v AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-        |                  least(greatest(CAST(floor(CAST(value AS DOUBLE) * 100
-        |                                             + 0.5) AS BIGINT),
+        |                  least(greatest(CAST(round(value * 100) AS BIGINT),
         |                                 0), 65535) AS v
         |           FROM events),
         |cum AS (SELECT week, v,

@@ -895,7 +895,7 @@ object ExtPipelines {
     * persists only the ≤k-entry summary per shard/day and merges on
     * demand, never rescanning the corpus. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val k = 512
+    val k = graft.functions.FreqItems.DefaultK
     val toks = docTokens(spark, dir)
     val mg = udaf(new graft.functions.FreqItemsAggregator(k))
     heavyHitterFacts(toks.agg(mg(col("tok")).as("summary")), toks, k)
@@ -911,7 +911,7 @@ object ExtPipelines {
     * oracle SQL covers this run verbatim (the s20 pattern, completing
     * the streaming twin for all three sketches). */
   def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val k = 512
+    val k = graft.functions.FreqItems.DefaultK
     val summary = graft.streaming.Streaming.runToBatch(spark,
       graft.streaming.Streaming.tokenHeavyHitters(
         graft.streaming.Streaming.documentsStream(spark, dir), k))
@@ -985,9 +985,10 @@ object ExtPipelines {
     * computes here) and answers weekly value-distribution questions by
     * merging the stored rows ([[graft.functions.QDigestMergeAggregator]])
     * — O(days) rows touched at serve time, the corpus rescanned never.
-    * Values are event amounts in exact integer cents (floor(v·100+0.5),
-    * the library's cents discipline — one IEEE sequence both engines
-    * spell identically), clamped into a 2^16 universe; k=256 gives
+    * Values are event amounts in exact integer cents via
+    * [[graft.ops.Viewing.cents]] — THE library cents spelling, whose
+    * Spark round ↔ DuckDB round pair every monetary oracle already
+    * hash-matches — clamped into a 2^16 universe; k=256 gives
     * ε = 16/256 = 6.25% rank error per week. Facts are t35's: exact n,
     * the rank-definition exact weekly quantile, and the
     * merge-order-independent bound pinned TRUE — mass conservation
@@ -999,7 +1000,7 @@ object ExtPipelines {
       date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("source"),
       date_trunc("day", col("ts")).as("day"),
       graft.functions.QDigest.clampToUniverse(
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"), m).as("v"))
+        graft.ops.Viewing.cents, m).as("v"))
     val qd = udaf(new graft.functions.QDigestAggregator(k, m))
     val qm = udaf(new graft.functions.QDigestMergeAggregator(k, m))
     // what a production system persists: one tiny digest row per day

@@ -22,6 +22,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * makes [[TopKAggregator]]/[[BloomAggregator]] viable at 100 TB,
   * here for the "what are the hot tokens" question whose exact answer
   * needs a full vocabulary shuffle. */
+object FreqItems {
+  /** The library's standing counter budget for token heavy-hitter
+    * summaries — ONE definition site (the [[QDigest.DefaultK]]
+    * discipline): the batch query, the streaming monitor, and the
+    * oracle's (k+1)-bound all read this value, so they cannot drift
+    * apart silently. N/(k+1) ≈ 0.2% of stream mass at 512 — a 5×
+    * margin under the 1% heavy threshold the t33/s21 contract uses. */
+  val DefaultK = 512
+}
+
 class FreqItemsAggregator(k: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
 

@@ -71,9 +71,7 @@ class QDigestAggregator(k: Int, m: Int)
   }
 
   override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
-    compress(b.foldLeft(a) { case (acc, (v, c)) =>
-      acc.updated(v, acc.getOrElse(v, 0L) + c)
-    })
+    QDigest.mergeCounts(a, b, k, m)
 
   override def finish(buf: Map[Long, Long]): Map[Long, Long] = compress(buf)
 
@@ -95,16 +93,22 @@ class QDigestMergeAggregator(k: Int, m: Int)
     extends Aggregator[Map[Long, Long], Map[Long, Long], Map[Long, Long]] {
   require(k >= 1 && m >= 1 && m <= 40, s"QDigestMerge(k=$k, m=$m)")
 
-  private def add(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
-    QDigest.compress(b.foldLeft(a) { case (acc, (v, c)) =>
-      acc.updated(v, acc.getOrElse(v, 0L) + c)
-    }, k, m)
-
   override def zero: Map[Long, Long] = Map.empty
-  override def reduce(buf: Map[Long, Long], dg: Map[Long, Long]): Map[Long, Long] =
-    add(buf, dg)
+
+  /** Fold an arriving stored digest in; compress lazily (the builder's
+    * size-trigger pattern — a full m-level sweep per daily row would
+    * cost O(size·m) × days for nothing, the 6k headroom absorbs late
+    * folding and [[merge]]/[[finish]] compress at the boundaries). */
+  override def reduce(buf: Map[Long, Long], dg: Map[Long, Long]): Map[Long, Long] = {
+    val up = dg.foldLeft(buf) { case (acc, (v, c)) =>
+      acc.updated(v, acc.getOrElse(v, 0L) + c)
+    }
+    if (up.size > 4 * k) QDigest.compress(up, k, m) else up
+  }
+
   override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
-    add(a, b)
+    QDigest.mergeCounts(a, b, k, m)
+
   override def finish(buf: Map[Long, Long]): Map[Long, Long] =
     QDigest.compress(buf, k, m)
 
@@ -150,6 +154,17 @@ object QDigest {
     }
     buf.toMap
   }
+
+  /** The ONE merge of two count maps both aggregator classes share
+    * (sum per node, recompress at the merged mass): a fix to the
+    * builder's merge semantics reaches the serving-path merger by
+    * construction, keeping the "same mergeability contract" claim
+    * structural rather than copy-discipline. */
+  def mergeCounts(a: Map[Long, Long], b: Map[Long, Long],
+      k: Int, m: Int): Map[Long, Long] =
+    compress(b.foldLeft(a) { case (acc, (v, c)) =>
+      acc.updated(v, acc.getOrElse(v, 0L) + c)
+    }, k, m)
 
   /** The library's standing parameters for document-length digests:
     * m = 10 covers this corpus's n_chars domain (pick m for yours),

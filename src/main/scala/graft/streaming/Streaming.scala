@@ -538,7 +538,8 @@ object Streaming {
     * the Misra-Gries guarantees (pure undercount, N/(k+1) bound) are
     * merge-order-independent — Agarwal et al.'s mergeability result —
     * so the batch query's oracle covers the streamed run verbatim. */
-  def tokenHeavyHitters(docs: DataFrame, k: Int = 512): DataFrame = {
+  def tokenHeavyHitters(docs: DataFrame,
+      k: Int = graft.functions.FreqItems.DefaultK): DataFrame = {
     val mg = udaf(new graft.functions.FreqItemsAggregator(k))
     docs.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
       .agg(mg(col("tok")).as("summary"))

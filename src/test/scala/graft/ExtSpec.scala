@@ -576,7 +576,20 @@ class ExtSpec extends SparkSpec {
     val merged = mg.finish(mg.reduce(mg.reduce(mg.zero, d1), d2))
     assert(merged.valuesIterator.sum == 1200L)
     assert(merged.size <= 3 * 128)
-    assert(QDigest.quantile(merged, 10, 50L, 100L) >= 0)
+    // the merged digest must answer within the ε·n rank bound of the
+    // UNION stream — the actual mergeability claim, checked against a
+    // driver-side recompute of the deterministic union
+    val union = ((0L until 500L).map(_ % 1024) ++
+      (0L until 700L).map(v => (v * 7) % 1024)).sorted.toArray
+    for (phi <- Seq(10, 50, 90, 99)) {
+      val est = QDigest.quantile(merged, 10, phi.toLong, 100L)
+      val target = (1200L * phi + 99) / 100
+      val rankIncl = union.count(_ <= est).toLong
+      val rankExcl = union.count(_ < est).toLong
+      assert(rankIncl * 128 >= target * 128 - 10L * 1200 &&
+        rankExcl * 128 <= target * 128 + 10L * 1200,
+        s"phi=$phi est=$est incl=$rankIncl excl=$rankExcl target=$target")
+    }
   }
 
   test("s21: the streamed Misra-Gries summary satisfies the same order-independent contract") {
