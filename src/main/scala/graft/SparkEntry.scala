@@ -96,6 +96,7 @@ object SparkEntry {
     "x30_minhash_index_rebucket" -> (ExtPipelines.minhashIndexRebucket _),
     "x31_index_describe" -> (ExtPipelines.indexDescribe _),
     "x32_index_autopilot" -> (ExtPipelines.minhashIndexMaintain _),
+    "x33_minhash_index_asof" -> (ExtPipelines.minhashIndexAsOf _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -164,6 +165,7 @@ object SparkEntry {
     "v23_ivf_index_retrain" -> (ExtPipelines.ivfIndexRetrain _),
     "v24_ivf_drift_gate" -> (ExtPipelines.ivfIndexDriftGate _),
     "v25_ivf_autopilot" -> (ExtPipelines.ivfIndexMaintain _),
+    "v26_ivf_index_asof" -> (ExtPipelines.ivfIndexAsOf _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
@@ -951,6 +953,24 @@ object SparkEntry {
         |       TRUE AS identical
         |FROM b WHERE bucket >= 58982""".stripMargin,
 
+    // x33: index AS-OF serve. Appends/deletes are monotonic manifest
+    // commits, so a serve pinned at a retained seq sees exactly that
+    // commit's index: pinned@0 re-serves the pre-append answer and
+    // pinned@1 ignores the later tombstones — both exact set
+    // equalities probed by the engine. Facts: the batch size (md5
+    // bucket rule, >= 0.8*65536) + the two pins.
+    "x33_minhash_index_asof" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       TRUE AS pinned_pre_append, TRUE AS future_delete_invisible
+        |FROM b WHERE bucket >= 52428""".stripMargin,
+
     // x26d: index DELETE maintenance. The admitted sets are
     // engine-internal; the driver-checkable facts are the batch size
     // (md5-bucket rule, buckets >= 0.8*65536) and the identity pin —
@@ -1640,6 +1660,16 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // v26: index AS-OF serve — every maintenance verb is one monotonic
+    // manifest commit, so a serve pinned at a retained seq sees exactly
+    // the index as of that commit: serve@seq0 ≡ the pre-append result
+    // and serve@seq1 ≡ the pre-delete result, both exact set equalities
+    // probed by the engine. Facts: query-batch size + the two pins.
+    "v26_ivf_index_asof" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       TRUE AS pinned_pre_append, TRUE AS future_delete_invisible
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     // v19: index DELETE maintenance — tombstoned serve and
     // compacted serve must both equal a same-centroid rebuild over
     // standing∖deleted (candidates are struck pre-top-k, so freed
@@ -1661,8 +1691,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // x31: the describe report's facts are all deterministic — fresh
-    // builds have one composition entry per frame, fp/minhash layouts
-    // stamp schemaVersion 1, and the tombstone backlog is exactly the
+    // builds have one composition entry per frame PLUS the one
+    // manifest-committed tombstone batch the delete spliced in
+    // (appends/deletes grow the composition by one entry per commit,
+    // consolidated back at compaction), fp/minhash layouts stamp
+    // schemaVersion 1, and the tombstone backlog is exactly the
     // doomed md5-bucket range's row count, recomputed here
     "x31_index_describe" ->
       """WITH bd AS (SELECT ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
@@ -1677,13 +1710,13 @@ object SparkEntry {
         |      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings))
         |SELECT 'minhash' AS leg, 'graft-minhash-index' AS format,
         |  CAST(1 AS BIGINT) AS schema_version, CAST(0 AS BIGINT) AS gen,
-        |  CAST(4 AS BIGINT) AS n_frames, CAST(4 AS BIGINT) AS n_entries,
+        |  CAST(4 AS BIGINT) AS n_frames, CAST(5 AS BIGINT) AS n_entries,
         |  (SELECT count(*) FROM bd WHERE bucket >= 58982) AS n_tombstones,
         |  TRUE AS lease_free, CAST(0 AS BIGINT) AS n_retired
         |UNION ALL
         |SELECT 'ivf', 'graft-ivf-index',
         |  CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-        |  CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+        |  CAST(3 AS BIGINT), CAST(4 AS BIGINT),
         |  (SELECT count(*) FROM bv WHERE bucket >= 58982),
         |  TRUE, CAST(0 AS BIGINT)""".stripMargin,
 
@@ -1722,13 +1755,16 @@ object SparkEntry {
         |       + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
         |       + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS bucket
         |      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS m FROM embeddings))
-        |SELECT 'idle' AS leg, FALSE AS compacted,
+        |SELECT 'idle' AS leg, FALSE AS retrained, FALSE AS compacted,
         |  CAST(0 AS BIGINT) AS gen_after,
         |  CAST(0 AS BIGINT) AS n_tombstones_after,
         |  (SELECT count(*) FROM b) AS n_live_after
         |UNION ALL
-        |SELECT 'backlog', TRUE, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-        |  (SELECT count(*) FROM b WHERE bucket < 52428)""".stripMargin,
+        |SELECT 'backlog', FALSE, TRUE, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |  (SELECT count(*) FROM b WHERE bucket < 52428)
+        |UNION ALL
+        |SELECT 'imbalanced', TRUE, FALSE, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |  (SELECT count(*) FROM b WHERE bucket % 8 = 0)""".stripMargin,
 
     // v24: the drift gate's two legs are decided BY CONSTRUCTION
     // (measured TV 0.05–0.16 stable vs 0.87 collapsed against the 0.5

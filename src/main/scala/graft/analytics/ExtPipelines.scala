@@ -1836,6 +1836,107 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** x33: minhash index AS-OF (snapshot-pinned) serve — the read-side
+    * dividend of manifest-committed appends: every append/delete/flip
+    * is one monotonic manifest commit (`_manifest-<seq>.json`), so a
+    * serve can PIN a retained seq and see exactly the index as of that
+    * commit while later maintenance lands. The regime: build on the
+    * standing split (seq 0), serve the probe batch (result R0), append
+    * R0's admitted docs (seq 1, head result R1), then tombstone part
+    * of the standing split (seq 2). Pins checked exactly:
+    * serve@seq0 ≡ R0 (the append is invisible — previously-admitted
+    * docs admit again) and serve@seq1 ≡ R1 (the append is visible but
+    * the FUTURE delete is not — a pinned snapshot must not apply
+    * deletes committed after it, while the head serve admits the
+    * deleted docs' dups). Emits `n_batch` (oracle recomputes the
+    * md5-bucket rule) with `pinned_pre_append` / `future_delete_invisible`
+    * (both TRUE). */
+  def minhashIndexAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bk = graft.ext.DataSplit.bucket(col("doc_id"))
+    val standing = docs.filter(bk < 52428)
+    val batch = docs.filter(bk >= 52428)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_asof")
+    // the pins need seqs 0..2 retained; the default keeps only 2
+    val keep0 = spark.conf.getOption(graft.ext.IndexLayout.ManifestKeepConfKey)
+    spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, "8")
+    try {
+      val path = tmpRoot.toString + "/idx"
+      Dedup.saveMinhashIndex(standing, path, idBuckets = 48) // seq 0
+      def serve(asOf: Option[Int]): DataFrame =
+        Dedup.nearDupIngestFromPath(spark, path, batch, asOfSeq = asOf)
+      // eager delta-sized pins: later maintenance swaps files under a
+      // lazy plan, and the comparisons below interleave with commits
+      val r0 = graft.ext.Checkpoints.ckptLocal(serve(None))
+      val admittedDocs = graft.ext.Checkpoints.ckptLocal(
+        batch.join(r0, Seq("doc_id"), "left_semi"))
+      Dedup.appendToMinhashIndex(admittedDocs, path) // seq 1
+      val r1 = graft.ext.Checkpoints.ckptLocal(serve(None))
+      def eq(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val pinnedPreAppend = eq(serve(Some(0)), r0)
+      Dedup.deleteFromMinhashIndex(
+        standing.filter(bk >= 39321).select("doc_id"), path) // seq 2
+      val futureDeleteInvisible = eq(serve(Some(1)), r1)
+      Seq((batch.count(), pinnedPreAppend, futureDeleteInvisible))
+        .toDF("n_batch", "pinned_pre_append", "future_delete_invisible")
+    } finally {
+      keep0 match {
+        case Some(v) =>
+          spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, v)
+        case None =>
+          spark.conf.unset(graft.ext.IndexLayout.ManifestKeepConfKey)
+      }
+      deleteTempTree(tmpRoot)
+    }
+  }
+
+  /** v26: IVF index AS-OF serve — x33's discipline on the vector
+    * index: build on the standing split (seq 0, head top-k R0), append
+    * the remainder (seq 1, head top-k R1), tombstone a standing range
+    * (seq 2). Pins: serve@seq0 ≡ R0 (appended vectors invisible) and
+    * serve@seq1 ≡ R1 (append visible, FUTURE delete not — the head
+    * serve meanwhile re-fills the freed top-k slots). Emits
+    * `n_queries` + the two TRUE pins. */
+  def ivfIndexAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    val standing = emb.filter(b < 52428)
+    val batch = emb.filter(b >= 52428)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_asof")
+    val keep0 = spark.conf.getOption(graft.ext.IndexLayout.ManifestKeepConfKey)
+    spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, "8")
+    try {
+      val path = tmpRoot.toString + "/idx"
+      Similarity.saveIvfIndex(standing, path, nList = 8, nIters = 1) // seq 0
+      val queries = emb.filter(col("vec_id") < 10)
+      def serve(asOf: Option[Int]): DataFrame =
+        Similarity.ivfTopKFromIndex(spark, path, queries, k = 5, nProbe = 4,
+          asOfSeq = asOf)
+      val r0 = graft.ext.Checkpoints.ckptLocal(serve(None))
+      Similarity.appendToIvfIndex(spark, path, batch) // seq 1
+      val r1 = graft.ext.Checkpoints.ckptLocal(serve(None))
+      def eq(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val pinnedPreAppend = eq(serve(Some(0)), r0)
+      Similarity.deleteFromIvfIndex(
+        standing.filter(b >= 39321).select("vec_id"), path) // seq 2
+      val futureDeleteInvisible = eq(serve(Some(1)), r1)
+      Seq((queries.count(), pinnedPreAppend, futureDeleteInvisible))
+        .toDF("n_queries", "pinned_pre_append", "future_delete_invisible")
+    } finally {
+      keep0 match {
+        case Some(v) =>
+          spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, v)
+        case None =>
+          spark.conf.unset(graft.ext.IndexLayout.ManifestKeepConfKey)
+      }
+      deleteTempTree(tmpRoot)
+    }
+  }
+
   /** v23: persisted IVF index RETRAIN — the quantizer-replacement verb
     * ([[graft.ext.Similarity.retrainIvfIndex]]) that completes the
     * index lifecycle the immutable-quantizer contract leaves open:
@@ -1891,10 +1992,12 @@ object ExtPipelines {
     * the deterministic md5-bucket ≥ 58982 range (~10%), describe. The
     * emitted facts are all engine-exact and SQL-recomputable: the
     * identity card (format, stored schemaVersion 1 for fp/minhash
-    * layouts, generation 0 on a fresh build), the layout shape (fresh
-    * builds have exactly one composition entry per frame — 4 frames
-    * for MinHash: bands/shingles/sizes/tombstones; 3 for a fp IVF:
-    * centroids/lists/tombstones), the tombstone BACKLOG (= the doomed
+    * layouts, generation 0 on a fresh build), the layout shape (one
+    * composition entry per frame from the fresh build — 4 frames for
+    * MinHash: bands/shingles/sizes/tombstones; 3 for a fp IVF:
+    * centroids/lists/tombstones — plus ONE for the manifest-committed
+    * tombstone batch the delete spliced in), the tombstone BACKLOG
+    * (= the doomed
     * range's row count — the number an operator compares against
     * corpus size to schedule a compaction), a free lease (both delete
     * verbs released theirs), and zero retired dirs awaiting grace.
@@ -2046,15 +2149,31 @@ object ExtPipelines {
   }
 
   /** v25: the IVF-family maintenance autopilot
-    * ([[graft.ext.Similarity.maintainIvfIndex]]) — x32's two
-    * backlog-policy legs on the vector index (the rebucket trigger has
-    * no IVF analog: that family's re-sizing lives inside the
-    * ingest-gated retrain, see the verb's scaladoc). `idle` builds and
-    * deletes nothing → no flip; `backlog` deletes the md5-bucket
-    * ≥ 52428 range (~25% of live vs the 10% policy, 2.5× margin at
-    * every SF) → one compaction flip, backlog zero, and the doomed
-    * rows physically gone: `n_live_after` (the served frame's row
-    * count post-verb) equals the SQL-recomputed survivor count. */
+    * ([[graft.ext.Similarity.maintainIvfIndex]]) — three legs, every
+    * decision by construction and every emitted number SQL-recomputable:
+    *  - `idle` builds and deletes nothing → no trigger (live occupancy
+    *    equals the stored train-time baseline EXACTLY, TV = 0 — the
+    *    no-fire side needs no data-dependent margin), no flip;
+    *  - `backlog` deletes the md5-bucket ≥ 52428 range (~25% of live
+    *    vs the 10% policy, 2.5× margin at every SF; the deletes are
+    *    md5-random across lists, so the occupancy TV vs baseline is
+    *    multinomial thinning noise — far under the 0.5 imbalance
+    *    threshold) → one compaction flip, backlog zero, doomed rows
+    *    physically gone: `n_live_after` equals the SQL-recomputed
+    *    survivor count;
+    *  - `imbalanced` (the slow-skew scenario neither the v24 ingest
+    *    gate nor the backlog policy can see): the corpus is embedded
+    *    as CRAFTED 9-dim one-hot vectors — class = md5-bucket mod 8 on
+    *    dim `class`, a per-id perturbation on dim 8 only — against the
+    *    8 one-hot unit centroids, so list assignment IS the md5 rule
+    *    (the only non-zero dot is the true class) and everything about
+    *    occupancy is SQL-recomputable. Deleting classes 1..7 leaves
+    *    live occupancy concentrated on list 0: TV vs baseline =
+    *    1 − p₀ ≈ 0.875 ≫ the 0.5 threshold (exact-integer TV, margin
+    *    ≥ 0.3 at every SF since p₀ ≈ 1/8 by md5 uniformity) → the
+    *    RETRAIN fires and SUBSUMES the compaction (tombstones resolved
+    *    at its flip, the x32-rebucket discipline): gen 1, backlog 0,
+    *    `n_live_after` = the SQL-recomputed class-0 count. */
   def ivfIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -2063,25 +2182,43 @@ object ExtPipelines {
       .select("vec_id")
     val seeds = Similarity.ivfSeedCentroids(emb, nList = 8)
       .select(col("seed_id").as("list_id"), col("cvec"))
+    // the imbalanced leg's crafted embedding: one-hot on the md5 class
+    // (dims 0..7) plus a per-id perturbation on dim 8 — assignment to
+    // the one-hot centroids is exactly the class (only non-zero dot),
+    // and the survivors are non-degenerate for the retrain's kmeans
+    val cls = pmod(graft.ext.DataSplit.bucket(col("vec_id")), lit(8))
+    val crafted = emb.select(col("vec_id"),
+      transform(sequence(lit(0), lit(8)),
+        i => when(i === cls, lit(1.0))
+          .when(i === 8, (pmod(col("vec_id"), lit(5)) + 1) / lit(10.0))
+          .otherwise(lit(0.0)))
+        .cast("array<float>").as("embedding"))
+    val craftedCents = (0 until 8).map(d =>
+      (d.toLong, Seq.tabulate(9)(i => if (i == d) 1.0 else 0.0)))
+      .toDF("list_id", "cvec")
+    val craftedDoomed = crafted.filter(cls =!= 0).select("vec_id")
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v25")
     try {
-      val legs = Seq(("idle", false), ("backlog", true)).map {
-        case (leg, del) =>
+      val legs = Seq(
+        ("idle", emb, seeds, None),
+        ("backlog", emb, seeds, Some(doomed)),
+        ("imbalanced", crafted, craftedCents, Some(craftedDoomed))).map {
+        case (leg, corpus, cents, del) =>
           val p = s"$tmpRoot/$leg"
-          Similarity.saveIvfIndexWithCentroids(emb, seeds, p)
-          if (del) Similarity.deleteFromIvfIndex(doomed, p)
-          val compacted = Similarity.maintainIvfIndex(spark, p,
+          Similarity.saveIvfIndexWithCentroids(corpus, cents, p)
+          del.foreach(d => Similarity.deleteFromIvfIndex(d, p))
+          val (retrained, compacted) = Similarity.maintainIvfIndex(spark, p,
             maxTombstonePct = 10)
           val (m, _, nTombAfter, _, _) =
             graft.ext.IndexLayout.describeIndex(spark, p)
           val nLive = graft.ext.IndexLayout
             .readFrame(spark, p, m, "lists").count()
-          (leg, compacted, m("gen").toLong, nTombAfter, nLive)
+          (leg, retrained, compacted, m("gen").toLong, nTombAfter, nLive)
       }
       // driver-side local relation (describe is eager), so nothing lazy
       // still reads the index files after cleanup
-      legs.toDF("leg", "compacted", "gen_after", "n_tombstones_after",
-        "n_live_after")
+      legs.toDF("leg", "retrained", "compacted", "gen_after",
+        "n_tombstones_after", "n_live_after")
     } finally deleteTempTree(tmpRoot)
   }
 

@@ -502,9 +502,11 @@ object Dedup {
     * docs' bands/shingles/sizes must join the standing index so
     * TOMORROW's batch dedups against TODAY's admissions. Without this,
     * keeping the index current costs an O(corpus) rebuild per batch;
-    * with it, `mode("append")` + `partitionBy` writes NEW files into
-    * the existing `band=`/`bucket=` directories — the standing data is
-    * never read, rewritten, or even listed, so the job is O(batch).
+    * with it, the batch's frames are staged into fresh per-batch roots
+    * and spliced into the composition by ONE manifest commit
+    * ([[graft.ext.IndexLayout.stageAppendBatch]]/[[graft.ext
+    * .IndexLayout.commitAppend]]) — the standing data is never read,
+    * rewritten, or even listed, so the job is O(batch).
     *
     * Correct by frame-set equality: every index row is a PER-DOC
     * function of the doc's text (fixed hash families), so
@@ -525,24 +527,19 @@ object Dedup {
     * Every layout parameter — shingle width, hash family, bucket count
     * — comes FROM the index's manifest, never from the caller: a
     * binary built with different constants cannot mis-sign or
-    * mis-bucket the appended rows. Appends are ADDITIVE into each
-    * frame's open generation root, so concurrent readers are never
-    * torn (they just don't see the new files until they re-plan).
+    * mis-bucket the appended rows.
     *
-    * Durability note: `mode("append")`'s job commit is not atomic — a
-    * KILLED append can leave a partial batch in place, and re-running
-    * it would duplicate the committed part. A scheduled batch pipeline
-    * handles that the standard way (re-build or restore the index on
-    * job failure); the streaming composition
-    * ([[graft.streaming.Streaming]]'s near-dup ingest) instead writes
-    * per-batch DELTA directories with overwrite, which makes replays
-    * idempotent. */
+    * Durability: the batch is ATOMIC-VISIBLE across all three frames —
+    * staged into per-batch roots no reader resolves, then committed by
+    * one manifest write; a KILLED append leaves only unreferenced
+    * staging the replay overwrites (or a later compaction sweeps), so
+    * re-running a failed append is safe and duplicates nothing. */
   def appendToMinhashIndex(admitted: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = admitted.sparkSession
-    // leased: an append racing a compaction's staging would land rows
-    // in the old open root that the flip retires without folding —
-    // silent loss; under the lease the second writer fails loudly
+    // leased: an append racing a compaction's staging could commit a
+    // manifest the flip's commit would clobber (last-writer-wins on
+    // the composition); under the lease the second writer fails loudly
     IndexLayout.withMaintenanceLease(spark, path) { _ =>
       val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
       val buckets = IndexLayout.intParam(m, path, "buckets")
@@ -551,12 +548,19 @@ object Dedup {
         IndexLayout.intParam(m, path, "numHashes"),
         IndexLayout.intParam(m, path, "bands"),
         IndexLayout.intParam(m, path, "rows"), textCol, idCol)
-      IndexLayout.appendToFrame(spark, path, m, "bands", banded, Some("band"))
-      IndexLayout.appendToFrame(spark, path, m, "shingles",
-        sh.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
-      IndexLayout.appendToFrame(spark, path, m, "sizes",
-        sizes.withColumn("bucket", idBucket(col(idCol), buckets)), Some("bucket"))
+      val tag = s"a${IndexLayout.seqOf(m) + 1}"
+      val staged = Seq(
+        "bands" -> IndexLayout.stageAppendBatch(spark, path, "bands", tag,
+          banded, Some("band")),
+        "shingles" -> IndexLayout.stageAppendBatch(spark, path, "shingles",
+          tag, sh.withColumn("bucket", idBucket(col(idCol), buckets)),
+          Some("bucket")),
+        "sizes" -> IndexLayout.stageAppendBatch(spark, path, "sizes", tag,
+          sizes.withColumn("bucket", idBucket(col(idCol), buckets)),
+          Some("bucket")))
+        .collect { case (n, Some(e)) => n -> e }.toMap
       sh.unpersist()
+      if (staged.nonEmpty) IndexLayout.commitAppend(spark, path, m, staged)
     }
   }
 
@@ -642,8 +646,8 @@ object Dedup {
 
   def compactMinhashDeltas(spark: org.apache.spark.sql.SparkSession,
       deltaPath: String, path: String): Unit = {
-    // leased: this verb appends into the standing layout's open roots
-    // — the same flip-retirement hazard as appendToMinhashIndex
+    // leased: this verb commits an append into the standing layout —
+    // the same manifest-clobber hazard as appendToMinhashIndex
     IndexLayout.withMaintenanceLease(spark, path) { _ =>
       val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
       def delta(name: String): Option[DataFrame] = {
@@ -652,8 +656,6 @@ object Dedup {
           Some(spark.read.parquet(d).drop("batch"))
         else None
       }
-      delta("bands").foreach(
-        IndexLayout.appendToFrame(spark, path, m, "bands", _, Some("band")))
       // the delta rows' stored bucket values were computed under the
       // count at INGEST time — recompute them under the index's
       // CURRENT count, so folding stays correct even after a
@@ -666,10 +668,22 @@ object Dedup {
         val idc = IndexLayout.frameSchema(m, name).fieldNames.head
         df.drop("bucket").withColumn("bucket", idBucket(col(idc), buckets))
       }
-      delta("shingles").map(rekeyed(_, "shingles")).foreach(
-        IndexLayout.appendToFrame(spark, path, m, "shingles", _, Some("bucket")))
-      delta("sizes").map(rekeyed(_, "sizes")).foreach(
-        IndexLayout.appendToFrame(spark, path, m, "sizes", _, Some("bucket")))
+      // the whole epoch's fold is ONE committed append batch: all
+      // three frames staged, then spliced by a single manifest write —
+      // a reader sees the pre-fold or post-fold index, never a torn
+      // bands-without-shingles mix
+      val tag = s"a${IndexLayout.seqOf(m) + 1}"
+      val staged = Seq(
+        "bands" -> delta("bands").flatMap(IndexLayout.stageAppendBatch(
+          spark, path, "bands", tag, _, Some("band"))),
+        "shingles" -> delta("shingles").map(rekeyed(_, "shingles"))
+          .flatMap(IndexLayout.stageAppendBatch(
+            spark, path, "shingles", tag, _, Some("bucket"))),
+        "sizes" -> delta("sizes").map(rekeyed(_, "sizes"))
+          .flatMap(IndexLayout.stageAppendBatch(
+            spark, path, "sizes", tag, _, Some("bucket"))))
+        .collect { case (n, Some(e)) => n -> e }.toMap
+      if (staged.nonEmpty) IndexLayout.commitAppend(spark, path, m, staged)
       Seq("bands", "shingles", "sizes").foreach(name =>
         IndexFs.delete(spark, s"$deltaPath/$name"))
       // the folded epoch's bucket-count marker goes with its dirs, so
@@ -1038,11 +1052,25 @@ object Dedup {
     * sign probes with a different family than the stored rows), and
     * standing tombstones are honored automatically. `threshold` stays
     * a serve-time choice (it gates the exact-Jaccard verify, not the
-    * stored layout). */
+    * stored layout).
+    *
+    * `asOfSeq` pins the serve to a RETAINED manifest commit
+    * ([[graft.ext.IndexLayout.readManifestAt]]): the probe sees
+    * exactly the index as of that commit — appends, deletes and flips
+    * committed after it are invisible, including the tombstone set
+    * (a pinned snapshot must not apply future deletes). The horizon is
+    * the manifest retention window (`graft.index.manifestKeep`) and
+    * data liveness under the pin is the retired-dir grace contract —
+    * the same contract any in-flight reader already relies on. */
   def nearDupIngestFromPath(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, threshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+      textCol: String = "text", idCol: String = "doc_id",
+      asOfSeq: Option[Int] = None): DataFrame = {
+    val m = asOfSeq match {
+      case Some(s) =>
+        IndexLayout.requireManifestAt(spark, path, MinhashIndexFormat, s)
+      case None => IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+    }
     // frames, tombstones AND parameters all come from this ONE manifest
     // resolution: a second read (the old loadMinhashIndex call) could
     // land after a concurrent rebucket's flip, pruning the new count's

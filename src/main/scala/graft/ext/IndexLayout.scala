@@ -59,13 +59,36 @@ import org.apache.spark.sql.types.StructType
   * Spec-pinned across repeated cycles, with and without interleaved
   * appends.
   *
+  * APPENDS ARE MANIFEST-COMMITTED, same as compactions: an append
+  * batch is STAGED into its own fresh batch root (`name/aS` for batch
+  * verbs, `name/bN` for streaming micro-batches) that no manifest
+  * references yet, then made visible by ONE manifest commit splicing
+  * every staged frame's new entry into its composition. Consequences:
+  * (a) batch visibility is ATOMIC even across frames — a dual-frame
+  * append (MinHash bands+shingles+sizes, IVF fp+quantized lists)
+  * commits both batch roots in the single manifest write, so a reader
+  * can never see a torn half-batch (the old serve-side-dedup
+  * mitigation is now unnecessary by construction); (b) a KILLED
+  * append leaves only an unreferenced batch root — invisible to every
+  * reader, overwritten by the replay (batch-root names are
+  * deterministic: the manifest's next seq, resp. the stream's batch
+  * id), and swept by the next compaction if never re-run; (c)
+  * readers resolve a frame's file set entirely FROM THE MANIFEST —
+  * nothing becomes visible by directory listing alone — which makes
+  * SNAPSHOT PINNING real: a reader holding manifest seq S serves
+  * exactly the index as of commit S while later appends land
+  * ([[readManifestAt]]; retention via [[ManifestKeepConfKey]]).
+  * Between compactions the composition grows one entry per committed
+  * batch (the Delta-log discipline); the compaction fold consolidates
+  * batch roots back into the ≤ partitions + 1 bound.
+  *
   * Concurrency contract: ONE maintenance writer at a time (append /
   * delete / compact / refresh), any number of concurrent readers.
-  * The manifest commit is a MONOTONIC new-file-per-generation write
-  * (`_manifest-N.json`, highest-N-wins read — [[writeManifest]]):
-  * safe on object stores too, because it relies only on "a new file
-  * is absent or complete", never on rename atomicity over a live
-  * destination. */
+  * The manifest commit is a MONOTONIC new-file-per-commit write
+  * (`_manifest-N.json` with N = the commit SEQ, highest-N-wins read —
+  * [[writeManifest]]): safe on object stores too, because it relies
+  * only on "a new file is absent or complete", never on rename
+  * atomicity over a live destination. */
 private[graft] object IndexLayout {
 
   val ManifestFile = "_manifest.json"
@@ -90,8 +113,26 @@ private[graft] object IndexLayout {
 
   private val ManifestGenRe = "_manifest-(\\d+)\\.json".r
 
-  /** The per-generation manifest file a commit creates. */
+  /** The per-commit manifest file (N = the commit's SEQ). */
   private[graft] def manifestGenFile(gen: Int): String = s"_manifest-$gen.json"
+
+  /** The manifest COMMIT SEQUENCE — the number that names the
+    * `_manifest-N.json` commit object and totally orders every commit
+    * (appends, deletes, compaction flips alike). Distinct from `gen`,
+    * which counts DATA generations (compaction flips) and names the
+    * `name/gN` roots: appends bump seq without bumping gen. A manifest
+    * written before seq existed reads back with seq = gen — exactly
+    * the number that named its commit file, so ordering is unbroken
+    * across the upgrade. */
+  def seqOf(m: Map[String, String]): Int =
+    m.get("seq").orElse(m.get("gen")).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("manifest has no 'seq' or 'gen'"))
+
+  /** Session conf key for HOW MANY trailing manifest commits to retain
+    * (min 2). The default keeps the current and previous commit — the
+    * structural list-to-open grace; raise it to widen the as-of-serve
+    * horizon ([[readManifestAt]] can pin any retained seq). */
+  val ManifestKeepConfKey = "graft.index.manifestKeep"
 
   /** Committed manifest generations present under `path`. */
   private def listManifestGens(f: org.apache.hadoop.fs.FileSystem,
@@ -133,8 +174,9 @@ private[graft] object IndexLayout {
       kv: Map[String, String]): Unit = {
     val f = IndexFs.fs(spark, path)
     f.mkdirs(new Path(path))
-    val gen = kv.getOrElse("gen", throw new IllegalArgumentException(
-      s"manifest for $path has no 'gen' — not a layout manifest")).toInt
+    if (!kv.contains("gen")) throw new IllegalArgumentException(
+      s"manifest for $path has no 'gen' — not a layout manifest")
+    val gen = seqOf(kv)
     val sorted = new java.util.TreeMap[String, String]()
     kv.foreach { case (k, v) => sorted.put(k, v) }
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(sorted)
@@ -152,8 +194,51 @@ private[graft] object IndexLayout {
     }
     commit(s"._manifest-$gen.json.tmp", manifestGenFile(gen))
     commit(s".${ManifestFile}.tmp", ManifestFile)
-    listManifestGens(f, path).filter(_ <= gen - 2)
+    val keep = spark.conf.getOption(ManifestKeepConfKey)
+      .map(_.toInt.max(2)).getOrElse(2)
+    listManifestGens(f, path).filter(_ <= gen - keep)
       .foreach(g => f.delete(new Path(s"$path/${manifestGenFile(g)}"), false))
+  }
+
+  /** The retained manifest commit seqs of `path`, ascending — the
+    * as-of-serve horizon an operator can still pin
+    * ([[ManifestKeepConfKey]] sizes it). Empty for a legacy
+    * pointer-only layout. */
+  def availableManifestSeqs(spark: SparkSession, path: String): Seq[Int] =
+    listManifestGens(IndexFs.fs(spark, path), path).sorted
+
+  /** Resolve the manifest AS OF commit `seq` — the snapshot-pinning
+    * read: the returned composition references exactly the batch roots
+    * and generations visible at that commit, so a serve planned from
+    * it sees none of any later append/delete/flip. LOUD when the seq
+    * was never committed or has aged past the retention window
+    * ([[ManifestKeepConfKey]]); data liveness under a pinned serve is
+    * the same grace contract as any in-flight reader ([[dropRetired]]
+    * — retired dirs survive one compaction interval plus the
+    * configured time grace). */
+  def readManifestAt(spark: SparkSession, path: String, seq: Int)
+      : Map[String, String] = {
+    val f = IndexFs.fs(spark, path)
+    val p = new Path(s"$path/${manifestGenFile(seq)}")
+    val bytes = try {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toByteArray
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"$path has no manifest commit $seq (available: " +
+            s"${availableManifestSeqs(spark, path).mkString(",")}) — " +
+            s"never committed, or aged past the $ManifestKeepConfKey " +
+            "retention window")
+    }
+    val m = mapper.readValue(bytes, classOf[java.util.Map[String, String]])
+    val b = Map.newBuilder[String, String]
+    m.forEach((k, v) => b += (k -> v))
+    b.result()
   }
 
   /** Resolve the current manifest: the HIGHEST-N `_manifest-N.json`
@@ -220,10 +305,22 @@ private[graft] object IndexLayout {
     * foreign format (an IVF verb pointed at a MinHash index), or a
     * schemaVersion from newer code. */
   def requireManifest(spark: SparkSession, path: String,
+      format: String): Map[String, String] =
+    validated(readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no $ManifestFile: not a persisted index of this " +
+          "layout (or a pre-manifest layout — rebuild it with the save " +
+          "verb)")), path, format)
+
+  /** [[requireManifest]] pinned at commit `seq` — the gate of every
+    * as-of serve: same format/schemaVersion validation, resolved
+    * against the retained historical commit instead of the head. */
+  def requireManifestAt(spark: SparkSession, path: String,
+      format: String, seq: Int): Map[String, String] =
+    validated(readManifestAt(spark, path, seq), path, format)
+
+  private def validated(m: Map[String, String], path: String,
       format: String): Map[String, String] = {
-    val m = readManifest(spark, path).getOrElse(throw new IllegalStateException(
-      s"$path has no $ManifestFile: not a persisted index of this layout " +
-        "(or a pre-manifest layout — rebuild it with the save verb)"))
     val got = m.getOrElse("format", "<missing>")
     if (got != format) throw new IllegalStateException(
       s"$path is a '$got' index, not '$format': refusing to maintain/serve it")
@@ -473,11 +570,16 @@ private[graft] object IndexLayout {
     m.getOrElse(s"frames.$name", "").split(",").filter(_.nonEmpty).toSeq
 
   /** The single OPEN generation root of a frame — the LAST composition
-    * entry by convention, always a whole `name/gN` directory. Appends
-    * land here, in place (additive, reader-safe). */
+    * entry by convention, always a whole `name/gN` directory: the
+    * compaction's staging target. Appends do NOT land here — they
+    * stage their own batch roots ([[stageAppendBatch]]) spliced into
+    * the composition just before this entry. */
   def openRoot(m: Map[String, String], name: String): String = {
     val es = frameEntries(m, name)
-    require(es.nonEmpty && es.last.split("/").length == 2,
+    require(es.nonEmpty && (es.last.split("/") match {
+        case Array(_, g) => g.matches("g\\d+")
+        case _ => false
+      }),
       s"frame '$name' has no open generation root in ${es.mkString(",")}")
     es.last
   }
@@ -498,6 +600,7 @@ private[graft] object IndexLayout {
       "format" -> format,
       "schemaVersion" -> schemaVersion.toString,
       "gen" -> "0",
+      "seq" -> "0",
       "retired" -> "") ++
       schemas.flatMap { case (name, st) => Seq(
         s"frames.$name" -> s"$name/g0",
@@ -550,21 +653,78 @@ private[graft] object IndexLayout {
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], frameSchema(m, name)))
 
-  /** Append rows into the frame's open generation root — additive and
-    * in place, so concurrent readers are undisturbed (they just don't
-    * see the new files). `partCol` keeps the layout's pruning
-    * directories; the batch-sized repartition writes ≤1 file per
-    * partition value instead of tasks × values. */
-  def appendToFrame(spark: SparkSession, path: String,
-      m: Map[String, String], name: String, df: DataFrame,
-      partCol: Option[String]): Unit = {
-    val target = s"$path/${openRoot(m, name)}"
-    partCol match {
+  /** A batch root's directory name under its frame: `a<seq>` for the
+    * batch append verbs, `b<seq>_<batchId>` for streaming micro-batch
+    * sinks — both carry the manifest seq the commit will hold, so the
+    * name is deterministic under a replay that found the manifest
+    * unchanged (the stage overwrites the same root, idempotent) and
+    * GLOBALLY UNIQUE otherwise (seq is monotonic across the index's
+    * whole life, so a re-run batch id, a fresh stream checkpoint, or a
+    * post-compaction epoch can never collide with a live or retired
+    * root of an earlier commit). */
+  private[graft] val BatchRootRe = "[ab]\\d+(_\\d+)?".r
+
+  /** STAGE one append batch of frame `name` into the fresh batch root
+    * `name/<tag>` — INVISIBLE until [[commitAppend]] splices it into
+    * the composition (no manifest references it yet, and readers
+    * resolve files from the manifest, never by listing). The write is
+    * `overwrite`, so a replay after a kill rewrites the same root
+    * byte-equivalently instead of doubling rows. `partCol` keeps the
+    * layout's pruning directories; the batch-sized repartition writes
+    * ≤1 file per partition value instead of tasks × values.
+    *
+    * @return the composition entry to commit, or None when the batch
+    *         wrote no committed footers (an all-empty batch must not
+    *         grow the composition — and for unpartitioned frames an
+    *         empty write would leave a schema-anchor footer that reads
+    *         back as rows-present). */
+  def stageAppendBatch(spark: SparkSession, path: String, name: String,
+      tag: String, df: DataFrame, partCol: Option[String])
+      : Option[String] = {
+    require(BatchRootRe.matches(tag), s"batch root tag '$tag' must be aN/bN")
+    val entry = s"$name/$tag"
+    val target = s"$path/$entry"
+    val wrote = partCol match {
       case Some(p) =>
-        df.repartition(col(p)).write.mode("append").partitionBy(p).parquet(target)
+        // a partitioned empty write emits no partition dirs and no
+        // footers — emptiness is detectable AFTER the write
+        df.repartition(col(p)).write.mode("overwrite")
+          .partitionBy(p).parquet(target)
+        IndexFs.hasParquetData(spark, target)
       case None =>
-        df.write.mode("append").parquet(target)
+        // an UNPARTITIONED empty write would emit one schema-anchor
+        // footer that reads back as rows-present — probe the batch
+        // first (persisted, so the probe and the write agree even if
+        // the source moves between the two jobs)
+        val d = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (d.take(1).isEmpty) false
+          else { d.write.mode("overwrite").parquet(target); true }
+        } finally d.unpersist(blocking = false)
     }
+    if (wrote) Some(entry)
+    else { IndexFs.delete(spark, target); None }
+  }
+
+  /** The ONE atomic commit closing an append: splice every staged
+    * batch entry into its frame's composition (just before the open
+    * generation root, preserving the [[openRoot]] last-entry
+    * convention) and commit the next manifest seq. Batch visibility is
+    * atomic ACROSS frames — a dual-frame append stages both roots,
+    * then becomes visible here or not at all; a kill before this
+    * commit leaves only unreferenced staging ([[dropRetired]]'s orphan
+    * sweep reclaims it). Re-committing an entry the composition
+    * already holds is a no-op splice (the streaming sink's replay
+    * path: stage overwrote the same `bN` root, the commit must not
+    * double the entry). */
+  def commitAppend(spark: SparkSession, path: String,
+      m: Map[String, String], staged: Map[String, String]): Unit = {
+    val updated = m ++ staged.collect {
+      case (name, entry) if !frameEntries(m, name).contains(entry) =>
+        val es = frameEntries(m, name)
+        s"frames.$name" -> joinEntries(es.init ++ Seq(entry, es.last))
+    } + ("seq" -> (seqOf(m) + 1).toString)
+    writeManifest(spark, path, updated)
   }
 
   // ---------------------------------------------------------------
@@ -755,6 +915,7 @@ private[graft] object IndexLayout {
     val minAge = spark.conf.getOption(RetiredGraceConfKey).map(_.toLong)
       .getOrElse(0L)
     val now = System.currentTimeMillis()
+    sweepOrphanBatchRoots(spark, path, m)
     val (kept, dropped) = retiredWithTimestamps(m)
       .partition { case (_, at) => now - at < minAge }
     dropped.foreach { case (d, _) => IndexFs.delete(spark, s"$path/$d") }
@@ -775,6 +936,35 @@ private[graft] object IndexLayout {
     kept
   }
 
+  /** Reclaim CRASHED-append staging: delete any `name/aN`/`name/bN`
+    * batch root referenced by NEITHER the composition NOR the retired
+    * list — only a kill between [[stageAppendBatch]] and
+    * [[commitAppend]] that was never replayed leaves one. Safe under
+    * the caller's lease (no append can be staging concurrently), and
+    * safe for pinned as-of readers: a batch root an OLDER manifest
+    * references is always in the current composition or the retired
+    * list too (compaction retires entries, it never silently drops
+    * them), so an unreferenced root was never visible to any reader.
+    * Called at compaction start alongside [[dropRetired]]'s physical
+    * deletes. */
+  private def sweepOrphanBatchRoots(spark: SparkSession, path: String,
+      m: Map[String, String]): Unit = {
+    val f = IndexFs.fs(spark, path)
+    val referenced = (m.keys.filter(_.startsWith("frames."))
+      .flatMap(k => frameEntries(m, k.stripPrefix("frames."))) ++
+      m.getOrElse("retired", "").split(",").filter(_.nonEmpty))
+      .map(_.split("/").take(2).mkString("/")).toSet
+    m.keys.filter(_.startsWith("frames.")).map(_.stripPrefix("frames."))
+      .foreach { name =>
+        val dir = new Path(s"$path/$name")
+        if (f.exists(dir))
+          f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+            .filter(n => BatchRootRe.matches(n) &&
+              !referenced.contains(s"$name/$n"))
+            .foreach(n => f.delete(new Path(s"$path/$name/$n"), true))
+      }
+  }
+
   /** The ONE atomic flip closing a compaction: bump the generation,
     * replace every staged frame's composition, record the newly
     * retired directories — stamped with the flip time — plus any
@@ -784,12 +974,21 @@ private[graft] object IndexLayout {
       newGen: Int, staged: Map[String, (Seq[String], Seq[String])],
       carriedRetired: Seq[(String, Long)] = Seq.empty): Unit = {
     val now = System.currentTimeMillis()
+    // phantom filter: an open generation root nothing was ever written
+    // to (appends land in their own batch roots, so e.g. a tombstone
+    // frame's gN root often never materializes) retires as a manifest
+    // entry with no directory behind it — recording it would make the
+    // retired list lie to operators and to the grace accounting; one
+    // exists() per retired entry (composition-bounded) keeps it honest
+    val f = IndexFs.fs(spark, path)
     val allRetired = carriedRetired ++
-      staged.values.flatMap(_._2).toSeq.map(d => (d, now))
+      staged.values.flatMap(_._2).toSeq
+        .filter(d => f.exists(new Path(s"$path/$d"))).map(d => (d, now))
     val updated = m ++
       staged.map { case (name, (es, _)) => s"frames.$name" -> joinEntries(es) } ++
       Map(
         "gen" -> newGen.toString,
+        "seq" -> (seqOf(m) + 1).toString,
         "retired" -> joinEntries(allRetired.map(_._1)),
         "retiredAt" -> joinEntries(allRetired.map(_._2.toString)))
     writeManifest(spark, path, updated)
@@ -799,32 +998,23 @@ private[graft] object IndexLayout {
   // tombstones (shared by both families)
   // ---------------------------------------------------------------
 
-  /** Append delete ids into the tombstone frame's open root —
-    * O(delete-batch), standing data never touched. An EMPTY id frame
-    * writes nothing: an unpartitioned empty write would emit one
-    * schema-anchor footer, which would read back as
-    * tombstones-present and tax every later serve with a pointless
-    * anti-join. The emptiness probe is one job over the delta-sized
-    * delete set, persisted so the probe and the write agree even if
-    * the source moves between the two jobs.
-    *
-    * Ad-hoc deletes land under the FIXED `batch_id=-1` slot so the
-    * root's directory shape stays uniform with the streaming takedown
-    * sink (which overwrite-writes `batch_id=N` per micro-batch):
-    * parquet partition discovery refuses a root mixing bare data
-    * files with partition directories, so ONE shape serves both write
-    * paths. The inferred `batch_id` column is dropped by the frame's
-    * stored schema on every read. */
+  /** Append delete ids as a MANIFEST-COMMITTED tombstone batch —
+    * O(delete-batch), standing data never touched: stage the distinct
+    * ids into the fresh batch root `tombstones/a<nextSeq>` and splice
+    * it into the composition with one [[commitAppend]]. A delete is
+    * therefore atomic-visible exactly like a data append, and a pinned
+    * as-of reader ([[readManifestAt]]) correctly does NOT see deletes
+    * committed after its seq. An EMPTY id frame commits nothing
+    * ([[stageAppendBatch]]'s None — a schema-anchor footer would read
+    * back as tombstones-present and tax every later serve with a
+    * pointless anti-join). Each batch root holds bare parquet files;
+    * legacy `batch_id=N` dirs inside old open roots keep reading
+    * through the stored frame schema unchanged. */
   def appendTombstones(spark: SparkSession, path: String,
-      m: Map[String, String], ids: DataFrame, idCol: String): Unit = {
-    val d = ids.select(col(idCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (d.take(1).nonEmpty)
-        d.write.mode("append")
-          .parquet(s"$path/${openRoot(m, "tombstones")}/batch_id=-1")
-    } finally d.unpersist(blocking = false)
-  }
+      m: Map[String, String], ids: DataFrame, idCol: String): Unit =
+    stageAppendBatch(spark, path, "tombstones", s"a${seqOf(m) + 1}",
+      ids.select(col(idCol)).distinct(), None)
+      .foreach(e => commitAppend(spark, path, m, Map("tombstones" -> e)))
 
   /** The standing tombstone ids, if any — None when no tombstone
     * directory holds committed data, so serves skip the anti-join
@@ -843,7 +1033,14 @@ private[graft] object IndexLayout {
     * on-call questions it answers: is the tombstone backlog big enough
     * to warrant a compaction (`nTombstones` — the only field that
     * costs a read, of the delta-sized tombstone frame only; the
-    * corpus-scale frames are never touched)? Is a maintenance writer
+    * corpus-scale frames are never touched — an UPPER BOUND on the
+    * dead rows the autopilots act on: the autopilots count tombstones
+    * that STRIKE an indexed row via a semi-join against the doc frame,
+    * while this dashboard field counts distinct tombstone ids, so a
+    * re-submitted cumulative delete list after a compaction inflates
+    * this number with ids that strike nothing — the per-doc-frame scan
+    * that would tighten it is exactly the corpus-scale read this verb
+    * promises not to do)? Is a maintenance writer
     * live (`leaseHeld` — a TTL-expired lease of a crashed writer reads
     * as free)? How fragmented is the read path (`frames` entry counts
     * vs the ≤ partitions + 1 bound the compaction fold restores)? Are

@@ -563,7 +563,12 @@ object Similarity {
     IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
       IvfIndexFormat,
       Map("metric" -> "cosine", "dim" -> dim.toString,
-        "nList" -> cent.count().toString, "storage" -> storage) ++
+        "nList" -> cent.count().toString, "storage" -> storage,
+        // train-time occupancy baseline for the autopilot's imbalance
+        // trigger (maintainIvfIndex) — nList-bounded, from the footer
+        // scan of the just-written lists
+        "trainOcc" -> trainOccCsv(spark,
+          IndexLayout.genRoot(path, "lists", 0))) ++
         (if (storage == "pq") Map("numSub" -> PqNumSub.toString,
           "numCents" -> PqNumCents.toString) else Map.empty),
       Map("centroids" -> cent.schema, "lists" -> probeFrame.schema,
@@ -623,69 +628,85 @@ object Similarity {
     * by per-batch retraining, which would invalidate every stored
     * assignment). Pinned by the v18 oracle and ExtSpec.
     *
-    * Same durability note as [[graft.ext.Dedup.appendToMinhashIndex]]:
-    * `mode("append")` is not atomic across a job kill — a failed
-    * append is re-run against a restored index, or composed through
-    * per-batch delta directories in the streaming form. */
+    * Durability, as [[graft.ext.Dedup.appendToMinhashIndex]]: the
+    * batch is ATOMIC-VISIBLE — staged into per-batch roots, committed
+    * by one manifest write. For the quantized storage variants this
+    * closes the historical torn window outright: the fp rows and their
+    * quantized list rows become visible in the SAME commit, so no
+    * reader can ever see a quantized candidate without its re-rank
+    * row (the old fp-first write ordering and its serve-side-dedup
+    * mitigation are obsolete by construction). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit =
-    // leased: an append racing a compaction's staging would land rows
-    // in the old open root that the flip retires without folding —
-    // silent loss; under the lease the second writer fails loudly
+    // leased: an append racing a compaction could commit a manifest
+    // the flip's commit clobbers; under the lease the second writer
+    // fails loudly
     IndexLayout.withMaintenanceLease(spark, path) { _ =>
     val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
     val cent = IndexLayout.readFrame(spark, path, m, "centroids")
     // manifest dim guard: a batch embedded by the wrong model (or a
     // schema drift upstream) fails loudly instead of landing
-    // truncated-cosine assignments in the lists. The append itself is
-    // additive into each frame's open generation root (batch-sized
-    // repartition on the partition column: ≤1 file per list).
+    // truncated-cosine assignments in the lists. Staged writes keep
+    // the batch-sized repartition on the partition column (≤1 file
+    // per list).
     val assigned = ivfAssign(dimChecked(batch, vecCol,
       IndexLayout.intParam(m, path, "dim"), "appendToIvfIndex"),
       cent, vecCol, idCol)
     val storage = m.getOrElse("storage", "fp")
-    if (storage == "int8" || storage == "pq") {
-      // the two frames MUST hold identical rows, and `batch` may not be
-      // re-execution-stable (a directory a producer appends to between
-      // the writes, a sampled upstream) — one batch-sized ckptLocal
-      // pins the assignment for both writes, freed once they commit.
-      // fp FIRST: a concurrent reader that saw a quantized candidate
-      // without its fp row would silently drop it at the re-rank
-      // semi-join; in this order the worst a reader sees is the
-      // pre-append state. (A kill BETWEEN the writes + the documented
-      // re-run can still replay fp rows — harmless: the serve's exact
-      // stage collapses duplicate pairs before the top-k.)
-      val pinned = Checkpoints.ckptLocal(assigned)
-      try {
-        IndexLayout.appendToFrame(spark, path, m, "fp", pinned,
-          Some("list_id"))
-        val encoded =
-          if (storage == "int8") quantizedLists(pinned, vecCol, idCol)
-          else pqLists(residualized(pinned, cent, vecCol, idCol),
-            // encode with the STORED codebook and STORED shape (the pq
-            // analog of the immutable coarse quantizer): retraining or
-            // re-shaping per batch would invalidate every stored code
-            loadPqCodebook(spark, path, m), idCol,
-            IndexLayout.intParam(m, path, "numSub"),
-            IndexLayout.intParam(m, path, "numCents"))
-        IndexLayout.appendToFrame(spark, path, m, "lists", encoded,
-          Some("list_id"))
-      } finally Checkpoints.free(pinned)
-    } else
-      IndexLayout.appendToFrame(spark, path, m, "lists", assigned,
-        Some("list_id"))
+    val tag = s"a${IndexLayout.seqOf(m) + 1}"
+    val staged: Map[String, String] =
+      if (storage == "int8" || storage == "pq") {
+        // the two frames MUST hold identical rows, and `batch` may not
+        // be re-execution-stable (a directory a producer appends to
+        // between the writes, a sampled upstream) — one batch-sized
+        // ckptLocal pins the assignment for both staged writes, freed
+        // once they commit.
+        val pinned = Checkpoints.ckptLocal(assigned)
+        try {
+          val encoded =
+            if (storage == "int8") quantizedLists(pinned, vecCol, idCol)
+            else pqLists(residualized(pinned, cent, vecCol, idCol),
+              // encode with the STORED codebook and STORED shape (the pq
+              // analog of the immutable coarse quantizer): retraining or
+              // re-shaping per batch would invalidate every stored code
+              loadPqCodebook(spark, path, m), idCol,
+              IndexLayout.intParam(m, path, "numSub"),
+              IndexLayout.intParam(m, path, "numCents"))
+          Seq(
+            "fp" -> IndexLayout.stageAppendBatch(spark, path, "fp", tag,
+              pinned, Some("list_id")),
+            "lists" -> IndexLayout.stageAppendBatch(spark, path, "lists",
+              tag, encoded, Some("list_id")))
+            .collect { case (n, Some(e)) => n -> e }.toMap
+        } finally Checkpoints.free(pinned)
+      } else
+        IndexLayout.stageAppendBatch(spark, path, "lists", tag, assigned,
+          Some("list_id")).map("lists" -> _).toMap
+    if (staged.nonEmpty) IndexLayout.commitAppend(spark, path, m, staged)
   }
 
   /** ANN top-k against a [[saveIvfIndex]]-persisted index: identical
     * results to [[ivfTopK]] at the same build settings (the probe and
     * re-rank stage is literally shared), with the candidate scan
-    * partition-pruned to the probed lists. */
+    * partition-pruned to the probed lists.
+    *
+    * `asOfSeq` pins the serve to a RETAINED manifest commit
+    * ([[graft.ext.IndexLayout.readManifestAt]]): the query sees
+    * exactly the index as of that commit — vectors appended, deleted
+    * or compacted after it are invisible, tombstones included (a
+    * pinned snapshot must not apply future deletes). Horizon =
+    * `graft.index.manifestKeep` commits; data liveness under the pin
+    * is the retired-dir grace contract. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int = 5, nProbe: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      overFetch: Int = 4): DataFrame = {
-    val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+      overFetch: Int = 4, asOfSeq: Option[Int] = None): DataFrame = {
+    val m = asOfSeq match {
+      case Some(s) =>
+        IndexLayout.requireManifestAt(spark, path, IvfIndexFormat, s)
+      case None => IndexLayout.requireManifest(spark, path, IvfIndexFormat)
+    }
     val metric = IndexLayout.param(m, path, "metric")
     if (metric != "cosine") throw new IllegalStateException(
       s"$path was built for metric '$metric'; this serve scores cosine")
@@ -1054,6 +1075,45 @@ object Similarity {
     * nList, nIters, storage)` build — both quantizer trainings see the
     * identical survivor multiset and both are deterministic, so the
     * layouts agree row-for-row. */
+  /** Per-list row counts of a just-written lists directory, as the
+    * nList-bounded `trainOcc` manifest CSV ("list:count", sorted) —
+    * the TRAIN-TIME occupancy every build/retrain stores so the
+    * autopilot's imbalance trigger has an exact baseline: on an
+    * untouched index TV(live, trainOcc) = 0 BY CONSTRUCTION, so the
+    * no-fire side of the trigger needs no data-dependent margin. */
+  private def trainOccCsv(spark: org.apache.spark.sql.SparkSession,
+      listsDir: String): String =
+    spark.read.parquet(listsDir)
+      .groupBy(col("list_id").cast("long").as("l"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}")
+      .sorted.mkString(",")
+
+  private[graft] def parseOcc(csv: String): Map[Long, Long] =
+    csv.split(",").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf(':')
+      kv.substring(0, i).toLong -> kv.substring(i + 1).toLong
+    }.toMap
+
+  /** µ-ized total variation between two list-occupancy histograms,
+    * EXACT-INTEGER end to end: TV = Σ_l |a_l·n_b − b_l·n_a| / (2·n_a·n_b)
+    * by cross-multiplication in BigInt (per-list products overflow Long
+    * at production corpus sizes), and the final µ value is the
+    * round-half-up integer ((num·2,000,000 + den) div (2·den)) — no
+    * double division anywhere, so the only rounding is the declared µ
+    * quantization and a threshold compare can never flip on a ±1 ulp. */
+  private[graft] def occTvMu(a: Map[Long, Long], b: Map[Long, Long]): Long = {
+    val na = a.values.foldLeft(BigInt(0))(_ + _)
+    val nb = b.values.foldLeft(BigInt(0))(_ + _)
+    require(na > 0 && nb > 0,
+      s"occTvMu: empty occupancy histogram (na=$na, nb=$nb)")
+    val num = (a.keySet ++ b.keySet).toSeq.map(l =>
+      (BigInt(a.getOrElse(l, 0L)) * nb - BigInt(b.getOrElse(l, 0L)) * na).abs)
+      .foldLeft(BigInt(0))(_ + _)
+    val den = BigInt(2) * na * nb
+    ((num * 2000000 + den) / (den * 2)).toLong
+  }
+
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, nList: Int = 16, nIters: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
@@ -1144,7 +1204,12 @@ object Similarity {
         val newNList = cent.count()
         IndexLayout.renewLease(spark, path, lease)
         IndexLayout.flip(spark, path,
-          m + ("nList" -> newNList.toString), newGen, all, carried)
+          m + ("nList" -> newNList.toString) +
+            // the retrain RESETS the imbalance baseline: the staged
+            // lists are the new train-time occupancy
+            ("trainOcc" -> trainOccCsv(spark,
+              IndexLayout.genRoot(path, "lists", newGen))),
+          newGen, all, carried)
       }
     }
   }
@@ -1218,23 +1283,15 @@ object Similarity {
         "driftGateIvfIndex"),
       cent.select(col("list_id").as("seed_id"),
         col("cvec").cast("array<double>").as("cvec")), vecCol, idCol))
-    val ns = standOcc.values.sum
-    val nb = batchOcc.values.sum
-    require(ns > 0 && nb > 0,
-      s"driftGateIvfIndex($path): empty standing index ($ns) or batch ($nb)")
-    val grid = cent.select(col("list_id").cast("long"))
-      .collect().map(_.getLong(0))
-    // BigInt cross-multiplication: at the corpus sizes this verb is
-    // for, cnt·n_standing exceeds Long (1e10 standing × 1e9 batch →
-    // per-list products ~1e19 > 2^63) and a silently wrapped numerator
-    // would flip the retrain decision; the grid is nList-bounded, so
-    // the arbitrary-precision arithmetic costs nothing
-    val num = grid.map(l =>
-      (BigInt(batchOcc.getOrElse(l, 0L)) * ns -
-        BigInt(standOcc.getOrElse(l, 0L)) * nb).abs).sum
-    val den = BigInt(2) * ns * nb
-    val tvMu = math.floor(1000000.0 *
-      (num.toDouble / den.toDouble) + 0.5).toLong
+    require(standOcc.values.sum > 0 && batchOcc.values.sum > 0,
+      s"driftGateIvfIndex($path): empty standing index or batch")
+    // BigInt cross-multiplication inside occTvMu: at the corpus sizes
+    // this verb is for, cnt·n_standing exceeds Long (1e10 standing ×
+    // 1e9 batch → per-list products ~1e19 > 2^63) and a silently
+    // wrapped numerator would flip the retrain decision; integer-exact
+    // to the final round-half-up µ, so a threshold compare can never
+    // flip on a float ulp
+    val tvMu = occTvMu(batchOcc, standOcc)
     appendToIvfIndex(spark, path, batch, vecCol, idCol)
     val retrained = tvMu > tvThresholdMu
     if (retrained) retrainIvfIndex(spark, path, retrainNList, nIters,
@@ -1244,38 +1301,79 @@ object Similarity {
 
   /** v25 — the IVF-family maintenance AUTOPILOT: the nightly policy
     * verb ([[graft.ext.Dedup.maintainMinhashIndex]]'s counterpart),
-    * reading the metadata-scale health facts and firing
-    * [[compactIvfTombstones]] when the tombstone backlog exceeds
-    * `maxTombstonePct` of the live rows. Deliberately compact-ONLY:
-    * this family's other maintenance decisions are gated where their
-    * signals actually live — the retrain at INGEST TIME by
-    * [[driftGateIvfIndex]] (occupancy drift is a property of arriving
-    * batches, visible the moment one lands, not something a nightly
-    * scan should rediscover), and nList re-sizing inside the retrain
-    * itself ([[retrainIvfIndex]] stores the surviving centroid
-    * count). The policy read costs one footer-metadata row count of
-    * the full-precision frame plus the delta-sized tombstone scan,
-    * lock-free; the fired verb takes the lease itself. Returns
-    * whether a compaction fired. */
+    * two triggers in subsumption order:
+    *
+    *  1. IMBALANCE → RETRAIN: compare the LIVE list occupancy
+    *     (tombstone-struck rows excluded) against the TRAIN-TIME
+    *     occupancy stored in the manifest (`trainOcc`, written by
+    *     every build and reset by every retrain) — exact-integer µ-TV
+    *     ([[occTvMu]]). A standing index whose lists skewed SLOWLY
+    *     (localized deletes, appends that concentrated — no single
+    *     drifted batch for the v24 ingest gate to see) eventually
+    *     serves its hot lists quadratic-ish; when TV crosses
+    *     `imbalanceTvThresholdMu` the quantizer is re-fit to the live
+    *     distribution ([[retrainIvfIndex]] at the STORED nList — a
+    *     re-balance, not a re-size), which SUBSUMES the compaction
+    *     (its rewrite resolves the tombstones at the same flip, the
+    *     x32 rebucket discipline). The baseline makes the no-fire side
+    *     margin-free by construction: an untouched index has TV = 0
+    *     exactly, and proportional (list-independent) deletes only
+    *     multinomial noise. Indexes built before `trainOcc` existed
+    *     skip this trigger (absence is not an error — the next retrain
+    *     records the baseline).
+    *  2. BACKLOG → COMPACT: [[compactIvfTombstones]] when dead rows
+    *     (tombstones STRIKING an indexed row, semi-join counted — a
+    *     re-submitted cumulative delete list must not re-fire nightly)
+    *     exceed `maxTombstonePct` of live.
+    *
+    * The nList re-SIZING decision still lives inside the retrain
+    * itself (the surviving centroid count is stored), and the
+    * batch-drift retrain at ingest time in [[driftGateIvfIndex]] —
+    * this verb adds the standing-state leg those two can't see. Policy
+    * read cost: the imbalance trigger prices one column-pruned scan of
+    * the probe frame's (id, list_id) columns — never the vectors —
+    * shared with the dead-row count; lock-free, the fired verb takes
+    * the lease itself.
+    *
+    * @return (retrained, compacted) — at most one true. */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxTombstonePct: Int = 10,
-      idCol: String = "vec_id"): Boolean = {
+      imbalanceTvThresholdMu: Long = 500000L,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Boolean, Boolean) = {
     require(maxTombstonePct > 0, s"maintainIvfIndex($maxTombstonePct%)")
     val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
     val fullFrame = if (m.getOrElse("storage", "fp") == "fp") "lists" else "fp"
     val rows = IndexLayout.readFrame(spark, path, m, fullFrame)
     val nRows = rows.count()
+    val tomb = IndexLayout.loadTombstones(spark, path, m, idCol)
+      .map(t => broadcast(t.distinct()))
     // dead = tombstones striking an indexed row (see
     // maintainMinhashIndex: a re-submitted cumulative delete list must
     // not re-fire the compaction nightly against zero dead rows)
-    val nDead = IndexLayout.loadTombstones(spark, path, m, idCol)
-      .map(t => rows.select(col(idCol))
-        .join(broadcast(t.distinct()), Seq(idCol), "left_semi").count())
+    val nDead = tomb
+      .map(t => rows.select(col(idCol)).join(t, Seq(idCol), "left_semi").count())
       .getOrElse(0L)
     val live = nRows - nDead
-    val fire = nDead * 100L > live * maxTombstonePct
-    if (fire) compactIvfTombstones(spark, path, idCol)
-    fire
+    val liveOcc: Map[Long, Long] =
+      if (live == 0 || !m.contains("trainOcc")) Map.empty
+      else {
+        val struck = rows.select(col(idCol), col("list_id"))
+        tomb.map(t => struck.join(t, Seq(idCol), "left_anti"))
+          .getOrElse(struck)
+          .groupBy(col("list_id").cast("long").as("l"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    val retrain = liveOcc.nonEmpty &&
+      occTvMu(liveOcc, parseOcc(m("trainOcc"))) > imbalanceTvThresholdMu
+    val backlog = !retrain && nDead * 100L > live * maxTombstonePct
+    if (retrain)
+      retrainIvfIndex(spark, path,
+        nList = IndexLayout.intParam(m, path, "nList"), nIters = 1,
+        vecCol = vecCol, idCol = idCol)
+    else if (backlog) compactIvfTombstones(spark, path, idCol)
+    (retrain, backlog)
   }
 
   /** LSH-bucketed ANN: corpus and queries are hashed with the same

@@ -375,18 +375,17 @@ object Streaming {
     * tombstones per batch), everything — while the standing data is
     * never read or rewritten (O(delete-batch) per micro-batch).
     *
-    * Exactly-once discipline: the batch verb
-    * ([[graft.ext.Dedup.deleteFromMinhashIndex]]) appends with a
-    * non-kill-atomic job commit, which under streaming replays would
-    * double tombstone rows — harmless by the id-shadowing contract but
-    * unbounded under repeated failures. This sink instead writes each
-    * micro-batch's distinct ids to its OWN `batch_id=N` directory
-    * inside the tombstone frame's open generation root with overwrite
-    * (the s15/s16/s17 idempotence discipline): a replay rewrites its
-    * own directory byte-for-byte, so no tombstone is lost or doubled.
-    * Readers see the dirs through the same manifest composition (the
-    * inferred `batch_id` partition column is dropped by the frame's
-    * stored schema), so nothing downstream changes.
+    * Effectively-once discipline: each micro-batch's distinct ids are
+    * STAGED into their own `tombstones/b<seq>_<batchId>` root and made
+    * visible by one manifest commit (the
+    * [[graft.ext.IndexLayout.stageAppendBatch]] discipline) — a replay
+    * before the commit overwrites the same invisible root
+    * (idempotent); a replay after a commit the checkpoint never
+    * recorded stages a fresh uniquely-named root whose duplicate ids
+    * are harmless by the id-shadowing contract (bounded: one per
+    * crash-in-the-window) and cleared at the next compaction. No
+    * tombstone is ever lost, and a kill can never leave a
+    * reader-visible partial batch.
     *
     * WRITER CONTRACT: this stream IS the index's single maintenance
     * writer while it runs — stop it before compacting (compaction
@@ -429,21 +428,24 @@ object Streaming {
       // the flip would silently resolve away
       IndexLayout.withMaintenanceLease(spark, indexPath) { _ =>
         // manifest re-read per micro-batch: cheap (one small file), and
-        // it pins the open tombstone root even if an OFFLINE compaction
-        // bumped the generation between stream runs
+        // it pins the current composition even if an OFFLINE compaction
+        // bumped the generation between stream runs. The batch root is
+        // named `b<seq>_<batchId>`: a replay that found the manifest
+        // unchanged overwrites its own root (idempotent); a replay
+        // whose first attempt DID commit stages a fresh uniquely-named
+        // root, whose duplicate ids are harmless by the id-shadowing
+        // contract and cleared at the next compaction — no tombstone is
+        // ever lost, and no name can collide with a live or retired
+        // root of an earlier epoch. An EMPTY micro-batch commits
+        // nothing (stageAppendBatch's None: a schema-anchor footer
+        // would read back as tombstones-present, taxing every later
+        // serve with a pointless anti-join).
         val m = IndexLayout.requireManifest(spark, indexPath, format)
-        val root = IndexLayout.openRoot(m, "tombstones")
-        val d = batch.select(col(idCol)).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // an EMPTY micro-batch writes nothing: an unpartitioned empty
-        // write would emit one schema-anchor footer that reads back as
-        // tombstones-present, taxing every later serve with a pointless
-        // anti-join (the appendTombstones discipline)
-        try {
-          if (d.take(1).nonEmpty)
-            d.coalesce(1).write.mode("overwrite")
-              .parquet(s"$indexPath/$root/batch_id=$batchId")
-        } finally d.unpersist(blocking = false)
+        IndexLayout.stageAppendBatch(spark, indexPath, "tombstones",
+          s"b${IndexLayout.seqOf(m) + 1}_$batchId",
+          batch.select(col(idCol)).distinct().coalesce(1), None)
+          .foreach(e => IndexLayout.commitAppend(spark, indexPath, m,
+            Map("tombstones" -> e)))
       }
     }
   }

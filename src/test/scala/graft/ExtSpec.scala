@@ -702,12 +702,19 @@ class ExtSpec extends SparkSpec {
     try {
       val p = s"$tmp/idx"
       Similarity.saveIvfIndexWithCentroids(corpus, cents, p)
-      // 3 dead of 37 live = 8.1% — UNDER the 10% policy, no fire
+      // 3 dead of 37 live = 8.1% — UNDER the 10% policy, no fire; the
+      // deletes strike lists 0..2 once each, so the live occupancy
+      // (9,9,9,10) vs the stored baseline (10,10,10,10) is exact-TV
+      // 20270µ — far under the imbalance threshold too
       Similarity.deleteFromIvfIndex(Seq(0L, 1L, 2L).toDF("vec_id"), p)
-      assert(!Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10))
-      // one more (4 of 36 = 11.1%) crosses it: fire, backlog resolved
+      assert(Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10)
+        == ((false, false)))
+      // one more (4 of 36 = 11.1%) crosses the backlog policy: compact
+      // fires (occupancy 9/9/9/9 vs baseline is TV = 0 — proportional
+      // deletes never masquerade as imbalance), backlog resolved
       Similarity.deleteFromIvfIndex(Seq(3L).toDF("vec_id"), p)
-      assert(Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10))
+      assert(Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10)
+        == ((false, true)))
       val (m, _, t, _, _) = graft.ext.IndexLayout.describeIndex(spark, p)
       assert(m("gen") == "1" && t == 0L)
       assert(graft.ext.IndexLayout.readFrame(spark, p, m, "lists")
@@ -717,18 +724,50 @@ class ExtSpec extends SparkSpec {
       // the policy counts DEAD rows (tombstones striking the index),
       // not tombstone rows, so nothing re-fires against zero dead data
       Similarity.deleteFromIvfIndex((0L to 3L).toDF("vec_id"), p)
-      assert(!Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10))
+      assert(Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10)
+        == ((false, false)))
       val (m2, _, _, _, _) = graft.ext.IndexLayout.describeIndex(spark, p)
       assert(m2("gen") == "1") // no second flip
+      // IMBALANCE leg, exact TV: kill all of lists 2,3 and 8 of list 1
+      // → live (9,1,0,0)/10 … vs baseline (9,9,9,9)/36 — wait: the
+      // baseline was RESET by nothing (compaction keeps trainOcc), so
+      // baseline is still (10,10,10,10): live (9,1,0,0) n=10 →
+      // TV = ½(|9/10−¼| + |1/10−¼| + ¼ + ¼) = 13/20 = 650000µ > 500000
+      // → RETRAIN fires and SUBSUMES the compact (one flip, tombstones
+      // resolved, baseline reset to the live occupancy)
+      Similarity.deleteFromIvfIndex(
+        corpus.filter(col("vec_id") >= 4 &&
+          pmod(col("vec_id"), lit(4)).isin(2, 3)).select("vec_id")
+          .unionByName(Seq(9L, 13L, 17L, 21L, 25L, 29L, 33L, 37L)
+            .toDF("vec_id")), p)
+      assert(Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10)
+        == ((true, false)))
+      val (m3, _, t3, _, _) = graft.ext.IndexLayout.describeIndex(spark, p)
+      assert(m3("gen") == "2" && t3 == 0L,
+        s"retrain must flip once and resolve the tombstones (gen=${m3("gen")}, t=$t3)")
+      val lives = graft.ext.IndexLayout.readFrame(spark, p, m3, "lists")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(lives == ((4L until 40L by 4).toSet ++ Set(5L)),
+        s"retrain must preserve exactly the live rows: $lives")
+      // the baseline reset: a re-run against the retrained index sees
+      // TV = 0 exactly and no backlog — nothing fires
+      assert(Similarity.maintainIvfIndex(spark, p, maxTombstonePct = 10)
+        == ((false, false)))
+      val (m4, _, _, _, _) = graft.ext.IndexLayout.describeIndex(spark, p)
+      assert(m4("gen") == "2")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-    // the registered two-leg fixture
+    // the registered three-leg fixture
     val rows = graft.analytics.ExtPipelines.ivfIndexMaintain(spark, sf())
       .collect().map(r => r.getString(0) ->
-        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(rows("idle")._1 == false && rows("idle")._2 == 0L)
-    assert(rows("backlog")._1 && rows("backlog")._2 == 1L &&
-      rows("backlog")._3 == 0L)
-    assert(rows("idle")._4 > rows("backlog")._4)
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(rows("idle") == ((false, false, 0L, 0L, rows("idle")._5)))
+    assert(rows("backlog")._1 == false && rows("backlog")._2 &&
+      rows("backlog")._3 == 1L && rows("backlog")._4 == 0L)
+    assert(rows("imbalanced")._1 && rows("imbalanced")._2 == false &&
+      rows("imbalanced")._3 == 1L && rows("imbalanced")._4 == 0L)
+    assert(rows("idle")._5 > rows("backlog")._5 &&
+      rows("backlog")._5 > rows("imbalanced")._5)
   }
 
   test("v24: occupancy drift gate — exact TV on a crafted grid; stable appends, collapsed retrains") {
@@ -3000,25 +3039,29 @@ class ExtSpec extends SparkSpec {
     // a fresh build commits _manifest-0.json plus the legacy pointer
     assert(file(IndexLayout.manifestGenFile(0)).exists())
     assert(file(IndexLayout.ManifestFile).exists())
-    // flip to gen 1: BOTH generations present (one-interval grace on
-    // manifest files, like retired dirs) and the reader resolves 1
+    // delete commits seq 1 (appends are manifest-committed), compaction
+    // flips to gen 1 at seq 2; the keep-2 cleanup leaves the current
+    // and previous commits (one-interval grace on manifest files, like
+    // retired dirs) and the reader resolves the highest seq
     Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
-    Dedup.compactMinhashTombstones(spark, path)
-    assert(file(IndexLayout.manifestGenFile(0)).exists() &&
-      file(IndexLayout.manifestGenFile(1)).exists())
-    assert(IndexLayout.readManifest(spark, path).get("gen") == "1")
-    // flip to gen 2: cleanup drops generations ≤ 0, keeps 1 (grace)
-    Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"), path)
     Dedup.compactMinhashTombstones(spark, path)
     assert(!file(IndexLayout.manifestGenFile(0)).exists() &&
       file(IndexLayout.manifestGenFile(1)).exists() &&
       file(IndexLayout.manifestGenFile(2)).exists())
+    val m1 = IndexLayout.readManifest(spark, path).get
+    assert(m1("gen") == "1" && IndexLayout.seqOf(m1) == 2)
+    // second delete (seq 3) + flip to gen 2 (seq 4): cleanup keeps 3,4
+    Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"), path)
+    Dedup.compactMinhashTombstones(spark, path)
+    assert(!file(IndexLayout.manifestGenFile(2)).exists() &&
+      file(IndexLayout.manifestGenFile(3)).exists() &&
+      file(IndexLayout.manifestGenFile(4)).exists())
     assert(IndexLayout.readManifest(spark, path).get("gen") == "2")
     // SIMULATED TORN COMMIT: a crashed writer resurrects a stale older
-    // generation file (copy gen-1 content back as _manifest-0.json) —
+    // commit file (copy seq-3 content back as _manifest-0.json) —
     // the reader must still resolve the highest N, never the relic
     java.nio.file.Files.copy(
-      file(IndexLayout.manifestGenFile(1)).toPath,
+      file(IndexLayout.manifestGenFile(3)).toPath,
       file(IndexLayout.manifestGenFile(0)).toPath)
     assert(IndexLayout.readManifest(spark, path).get("gen") == "2")
     // a leftover hidden temp (kill mid-commit before rename) is ignored
@@ -3040,6 +3083,75 @@ class ExtSpec extends SparkSpec {
     Dedup.compactMinhashTombstones(spark, path)
     assert(file(IndexLayout.ManifestFile).delete())
     assert(IndexLayout.readManifest(spark, path).get("gen") == "3")
+    // SEQ VS GEN: the two counters moved apart — seq orders EVERY
+    // commit (4 appends/deletes + 3 flips on top of the legacy-restart
+    // at 4), gen only the flips
+    val mEnd = IndexLayout.readManifest(spark, path).get
+    assert(IndexLayout.seqOf(mEnd) == 6 && mEnd("gen") == "3",
+      s"seq=${IndexLayout.seqOf(mEnd)} gen=${mEnd("gen")}")
+  }
+
+  test("manifest-committed appends: torn staging is invisible, a pinned reader never sees a later commit, orphans are swept") {
+    import spark.implicits._
+    import graft.ext.IndexLayout
+    val root = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val path = s"$root/idx"
+    def doc(i: Long) = (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    val keep0 = spark.conf.getOption(IndexLayout.ManifestKeepConfKey)
+    spark.conf.set(IndexLayout.ManifestKeepConfKey, "16")
+    try {
+      Dedup.saveMinhashIndex((0L until 6L).map(doc).toDF("doc_id", "text"),
+        path, idBuckets = 5)
+      val probes = Seq((100L, doc(0)._2), (106L, doc(6)._2),
+        (107L, doc(7)._2)).toDF("doc_id", "text")
+      def admittedAt(asOf: Option[Int]): Set[Long] =
+        Dedup.nearDupIngestFromPath(spark, path, probes, asOfSeq = asOf)
+          .collect().map(_.getLong(0)).toSet
+      // seq 0 head state: 6/7 not indexed yet → their dups admit
+      assert(admittedAt(None) == Set(106L, 107L))
+      // TORN STAGING IS INVISIBLE: stage a bands-only batch (the shape
+      // a kill between frames leaves) — no reader change until commit
+      val m0 = IndexLayout.readManifest(spark, path).get
+      val (tb, tsh, _) = Dedup.minhashIndexFrames(
+        Seq(doc(6), doc(7)).toDF("doc_id", "text"), 3, 16, 8, 2)
+      IndexLayout.stageAppendBatch(spark, path, "bands", "a99", tb,
+        Some("band"))
+      tsh.unpersist()
+      assert(admittedAt(None) == Set(106L, 107L),
+        "uncommitted staging must be invisible to serves")
+      assert(IndexLayout.seqOf(IndexLayout.readManifest(spark, path).get) == 0)
+      // the REAL append commits atomically across all three frames
+      Dedup.appendToMinhashIndex(Seq(doc(6), doc(7)).toDF("doc_id", "text"),
+        path)
+      assert(admittedAt(None) == Set.empty[Long],
+        "after the committed append every probe dup rejects")
+      // PINNED READER: as-of seq 0 still serves the pre-append index
+      assert(admittedAt(Some(0)) == Set(106L, 107L))
+      // a delete commits seq 2; the pin at seq 1 must NOT apply it
+      Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
+      assert(admittedAt(None) == Set(100L),
+        "head serve honors the tombstone")
+      assert(admittedAt(Some(1)) == Set.empty,
+        "a pinned snapshot must not apply deletes committed after it")
+      assert(IndexLayout.availableManifestSeqs(spark, path) == Seq(0, 1, 2))
+      // beyond-retention pin fails LOUDLY, naming the horizon
+      val e = intercept[IllegalStateException](admittedAt(Some(9)))
+      assert(e.getMessage.contains("manifest commit 9"), e.getMessage)
+      // ORPHAN SWEEP: the torn a99 staging dir is reclaimed by the next
+      // compaction (it is referenced by no manifest, live or retired)
+      assert(new java.io.File(s"$path/bands/a99").exists())
+      Dedup.compactMinhashTombstones(spark, path)
+      assert(!new java.io.File(s"$path/bands/a99").exists(),
+        "unreferenced staging must be swept at compaction")
+      // and the compacted head still serves exactly right
+      assert(admittedAt(None) == Set(100L))
+    } finally {
+      keep0 match {
+        case Some(v) => spark.conf.set(IndexLayout.ManifestKeepConfKey, v)
+        case None => spark.conf.unset(IndexLayout.ManifestKeepConfKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
   }
 
   test("maintenance lease: a second concurrent writer fails loudly, serves stay lock-free, a crashed writer's expired lease is reclaimed") {

@@ -355,9 +355,12 @@ class PropertySpec extends SparkSpec {
           // fold, the fallback and the grace interact in one lifecycle
           val appended = (0 until nParts)
             .map(i => (nParts * perPart + i).toLong -> pvs(i)).toMap
-          IndexLayout.appendToFrame(spark, path,
-            IndexLayout.readManifest(spark, path).get, "data",
-            toDf(appended.toSeq), Some("pv"))
+          val mA = IndexLayout.readManifest(spark, path).get
+          IndexLayout.stageAppendBatch(spark, path, "data",
+            s"a${IndexLayout.seqOf(mA) + 1}", toDf(appended.toSeq),
+            Some("pv"))
+            .foreach(e =>
+              IndexLayout.commitAppend(spark, path, mA, Map("data" -> e)))
           live = live ++ appended
           compactCycle(doomedB)
           okA && stateOk
