@@ -24,7 +24,9 @@ import graft.sources.Tables
   *     absent ACROSS replicas — naive duplication would instead make
   *     every doc a 10-way duplicate group and blow the minhash/simhash
   *     candidate-pair count up quadratically, measuring an artifact of
-  *     the copy, not the operator;
+  *     the copy, not the operator; one SALT-INVARIANT beacon token
+  *     ([[HeavyBeacon]]) is appended per salted doc so the heavy-hitter
+  *     rows stay non-vacuous at the replica tiers;
   *   - ANN query sets are pinned by `vec_id < k` predicates, so only
   *     replica 0 qualifies: fixed queries against a 10x corpus — the
   *     scaling an ANN index actually faces in production.
@@ -41,6 +43,28 @@ object ScaleBench {
 
   /** Key stride between replicas — far above any sf0.1 key. */
   private val Stride = 1000000000L
+
+  /** The SALT-INVARIANT heavy token planted once per salted-replica
+    * doc: token salting deliberately divides every original token's
+    * mass by the replica count (preserving near-dup linearity), which
+    * left the heavy-hitter rows (t33/s21) VACUOUS at the replica tiers
+    * — no token reached the 1% threshold, so "0 rows = 0 rows" was the
+    * only 100× evidence. The beacon escapes the salt (appended AFTER
+    * it, identical across replicas), so its share is deterministic at
+    * every tier: (R−1)·nDocs beacon tokens over R·nTokens + (R−1)·nDocs
+    * total ≈ 1/(avgDocTokens+1) ≈ 1.6–1.8% on this testdata — exactly
+    * one planted heavy row, engine and oracle agreeing. Construction
+    * safety: appended after salting, every 3-token shingle containing
+    * the beacon also contains a replica-salted neighbor, so
+    * cross-replica shingle disjointness (the near-dup linearity pin)
+    * is preserved; replica 0 stays byte-identical to the source. */
+  private[graft] val HeavyBeacon = "graftbeacon"
+
+  /** Tier layout version, stamped into the completion marker: bumping
+    * it invalidates cached `target/scale` tiers built by older
+    * generator code (which e.g. lacked the beacon token) so a stale
+    * tier is rebuilt instead of silently measured. */
+  private val ReplicatedMarker = "_REPLICATED_v2"
 
   private val keyCols: Map[String, Seq[String]] = Map(
     "customer" -> Seq("c_custkey"),
@@ -193,7 +217,20 @@ object ScaleBench {
     // two k-bounded collects (v24), one manifest read plus a
     // delta-sized tombstone scan (x31) — have no corpus-scale term to
     // measure.
-    "t35_quantile_sketch")
+    "t35_quantile_sketch",
+    // round-18: t36's persist-and-merge SERVING path — the production
+    // claim is O(days) digest rows at serve time: the daily build is
+    // one events scan with O(k)-bounded partials (t35's shape over the
+    // cents column), the week merge touches |days| tiny rows, and the
+    // exact-CDF audit it carries is a (week, value)-bounded shuffle,
+    // linear in the scan — expect ~t35's ratio
+    "t36_quantile_rollup",
+    // round-18: the streamed heavy-hitter monitor, measurable at the
+    // replica tiers since the salt-invariant beacon token (see
+    // replicate) keeps exactly one planted heavy row above the 1%
+    // threshold — the timed cost is the micro-batch drain over the
+    // tier's documents plus the vocab-bounded exact audit
+    "s21_stream_heavy_hitters")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
@@ -210,18 +247,20 @@ object ScaleBench {
             if (name != "documents") keyed
             else keyed
               .withColumn("text", when(col("_r") === 0, col("text"))
-                .otherwise(concat_ws(" ",
+                .otherwise(concat(concat_ws(" ",
                   transform(split(col("text"), " "),
-                    t => concat(t, lit("_"), col("_r"))))))
+                    t => concat(t, lit("_"), col("_r")))),
+                  lit(" " + HeavyBeacon))))
               .withColumn("n_chars", when(col("_r") === 0, col("n_chars"))
                 .otherwise(length(col("text")).cast("long")))
           salted.drop("_r")
       }
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
-    // written LAST: its presence proves every table landed (an
-    // interrupted build must rebuild, not half-skip)
-    new java.io.File(s"$outDir/_REPLICATED").createNewFile()
+    // written LAST: its presence proves every table landed at the
+    // CURRENT generator version (an interrupted build must rebuild,
+    // not half-skip; a version bump invalidates stale cached tiers)
+    new java.io.File(s"$outDir/$ReplicatedMarker").createNewFile()
   }
 
   private def timeOnce(f: => Unit): Double = {
@@ -255,7 +294,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$outDir/_REPLICATED").exists()) {
+    if (!new java.io.File(s"$outDir/$ReplicatedMarker").exists()) {
       val t = timeOnce(replicate(spark, srcDir, outDir, replicas))
       System.err.println(f"[scale] materialized ${replicas}x tier at $outDir in $t%.1fs")
     }

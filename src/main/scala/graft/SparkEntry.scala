@@ -504,9 +504,13 @@ object SparkEntry {
       |       TRUE AS found_ok, TRUE AS err_ok
       |FROM c, tot WHERE cnt * 100 >= n""".stripMargin
 
+  // clamp bound interpolated from the engine's ONE definition site
+  // (QDigest.DefaultM) so a constants change cannot silently
+  // desynchronize the DuckDB oracle from the query
   private val t35QuantileOracle: String =
-    """WITH v AS (SELECT source,
-      |                  least(greatest(n_chars, 0), 1023) AS v
+    s"""WITH v AS (SELECT source,
+      |                  least(greatest(n_chars, 0),
+      |                        ${(1L << graft.functions.QDigest.DefaultM) - 1}) AS v
       |           FROM documents),
       |cum AS (SELECT source, v,
       |               sum(count(*)) OVER (PARTITION BY source
@@ -1595,11 +1599,12 @@ object SparkEntry {
 
     // t36: the day→week digest rollup — t35's fact form over event
     // cents per week; the merged-digest estimate is merge-tree state,
-    // the pinned bound and the exact side are not
+    // the pinned bound and the exact side are not. Clamp bound
+    // interpolated from QDigest.RollupM (the one definition site).
     "t36_quantile_rollup" ->
-      """WITH v AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      s"""WITH v AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
         |                  least(greatest(CAST(round(value * 100) AS BIGINT),
-        |                                 0), 65535) AS v
+        |                                 0), ${(1L << graft.functions.QDigest.RollupM) - 1}) AS v
         |           FROM events),
         |cum AS (SELECT week, v,
         |               sum(count(*)) OVER (PARTITION BY week

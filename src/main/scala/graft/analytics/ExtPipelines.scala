@@ -994,8 +994,8 @@ object ExtPipelines {
     * merge-order-independent bound pinned TRUE — mass conservation
     * through the day→week merge is inside the pin (n_sketch = n). */
   def quantileRollup(spark: SparkSession, dir: String): DataFrame = {
-    val m = 16
-    val k = 256
+    val m = graft.functions.QDigest.RollupM
+    val k = graft.functions.QDigest.RollupK
     val ev = Tables.events(spark, dir).select(
       date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("source"),
       date_trunc("day", col("ts")).as("day"),

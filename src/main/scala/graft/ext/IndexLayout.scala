@@ -358,10 +358,55 @@ private[graft] object IndexLayout {
 
   /** Proof of lease ownership, threaded to [[renewLease]] (the
     * heartbeat a long compaction sends between staging and flip) and
-    * [[releaseLease]]. */
-  final case class LeaseHandle(writerId: String, ttlMs: Long)
+    * [[releaseLease]]. `gen` is the monotonic lease generation this
+    * handle's file claims — the ownership key. */
+  final case class LeaseHandle(writerId: String, ttlMs: Long, gen: Int)
 
   private def leasePath(path: String) = new Path(s"$path/$LeaseFile")
+
+  private val LeaseGenRe = "_maintenance\\.lease-(\\d+)".r
+
+  /** The per-generation lease file an acquisition creates. */
+  private[graft] def leaseGenFile(gen: Int): String = s"$LeaseFile-$gen"
+
+  private def listLeaseGens(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Int] = {
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.flatMap(st => st.getPath.getName match {
+      case LeaseGenRe(n) => Some(n.toInt)
+      case _ => None
+    })
+  }
+
+  /** The CURRENT lease as (gen, holder, acquiredAtMs, ttlMs): the
+    * HIGHEST-generation `_maintenance.lease-N` file, or the legacy
+    * single `_maintenance.lease` as generation 0 when no generation
+    * files exist (pre-monotonic binaries' leases stay honored). Why
+    * generations at all: the old single-file protocol arbitrated
+    * expired-lease reclaim by rename-then-recreate, and the
+    * PropertySpec reclaim schedules proved it unsound — a slow
+    * reclaimer that had read the EXPIRED lease could rename away the
+    * FRESH lease a faster reclaimer had just created (rename moves
+    * whatever file is at the path, not the file that was read), and
+    * the no-file window between its rename and restore let a third
+    * racer create too: two live owners. With monotonic generations
+    * ownership is simply "holder of the highest N"; claiming is ONE
+    * atomic create-exclusive of N+1 (no renames, and nobody ever
+    * deletes or moves another writer's live file), so two owners
+    * would require two successful creates of the same name. */
+  private def currentLease(f: org.apache.hadoop.fs.FileSystem, path: String,
+      fallbackTtlMs: Long): Option[(Int, String, Long, Long)] = {
+    val gens = listLeaseGens(f, path)
+    if (gens.isEmpty)
+      readLeaseFile(f, leasePath(path), fallbackTtlMs)
+        .map { case (h, at, t) => (0, h, at, t) }
+    else {
+      val g = gens.max
+      readLeaseFile(f, new Path(s"$path/${leaseGenFile(g)}"), fallbackTtlMs)
+        .map { case (h, at, t) => (g, h, at, t) }
+    }
+  }
 
   /** (holder, acquiredAtMs, ttlMs) of the standing lease, if any. A
     * lease file that exists but does not parse (a writer crashed mid-
@@ -370,7 +415,8 @@ private[graft] object IndexLayout {
     * `fallbackTtlMs`, so it expires like any other lease. */
   private def readLease(f: org.apache.hadoop.fs.FileSystem, path: String,
       fallbackTtlMs: Long): Option[(String, Long, Long)] =
-    readLeaseFile(f, leasePath(path), fallbackTtlMs)
+    currentLease(f, path, fallbackTtlMs)
+      .map { case (_, h, at, t) => (h, at, t) }
 
   private def readLeaseFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
       fallbackTtlMs: Long): Option[(String, Long, Long)] = {
@@ -395,15 +441,48 @@ private[graft] object IndexLayout {
     }
   }
 
-  private def writeLease(f: org.apache.hadoop.fs.FileSystem, path: String,
+  private def writeLeaseTo(f: org.apache.hadoop.fs.FileSystem, p: Path,
       writerId: String, ttlMs: Long, overwrite: Boolean): Unit = {
     val json = mapper.writeValueAsString(new java.util.TreeMap[String, String](
       java.util.Map.of("writerId", writerId,
         "acquiredAtMs", System.currentTimeMillis().toString,
         "ttlMs", ttlMs.toString)))
-    val out = f.create(leasePath(path), overwrite) // exclusive when !overwrite
+    // exclusive create when !overwrite — THE arbitration point of the
+    // whole protocol. Hadoop's LocalFileSystem implements
+    // create(overwrite=false) as a CHECK-THEN-ACT (exists() then open)
+    // — two in-process racers can both pass the check and both believe
+    // they acquired, the exact two-owner outcome the lease exists to
+    // prevent (found by the PropertySpec reclaim schedules). On the
+    // file scheme we therefore go through NIO's CREATE_NEW, a single
+    // atomic O_EXCL open; HDFS create-exclusive is namenode-atomic
+    // already, and the S3A HEAD-then-PUT window remains the documented
+    // caveat.
+    val out: java.io.OutputStream =
+      if (!overwrite && f.getScheme == "file") {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.newOutputStream(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else f.create(p, overwrite)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Claim lease generation `gen` by one atomic create-exclusive —
+    * true iff this writer's create was THE one that materialized the
+    * file. */
+  private def tryClaimLease(f: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Int, writerId: String, ttlMs: Long): Boolean = {
+    val p = new Path(s"$path/${leaseGenFile(gen)}")
+    try { writeLeaseTo(f, p, writerId, ttlMs, overwrite = false); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // LocalFileSystem signals an existing file with a plain
+      // IOException; only swallow it when the file really exists
+      case e: java.io.IOException =>
+        if (f.exists(p)) false else throw e
+    }
   }
 
   /** ENFORCE the one-maintenance-writer contract: acquire the index's
@@ -417,10 +496,14 @@ private[graft] object IndexLayout {
     * failure at the second writer's acquire instead.
     *
     * Mechanics: acquisition is an EXCLUSIVE create (`overwrite =
-    * false`) of `_maintenance.lease` — atomic on HDFS and local
-    * filesystems; on S3A, create-exclusive is a HEAD-then-PUT with a
-    * small race window, the standard caveat (S3 conditional writes
-    * close it on stores that support If-None-Match). A standing
+    * false`) of `_maintenance.lease` — namenode-atomic on HDFS, and on
+    * the file scheme a single NIO CREATE_NEW (O_EXCL) open, because
+    * Hadoop's LocalFileSystem create-exclusive is exists-then-open
+    * and two in-process racers could both pass the check (found and
+    * pinned by the PropertySpec reclaim schedules); on S3A,
+    * create-exclusive is a HEAD-then-PUT with a small race window,
+    * the standard caveat (S3 conditional writes close it on stores
+    * that support If-None-Match). A standing
     * unexpired lease throws, naming the holder and its expiry. A lease
     * whose TTL has passed is a CRASHED writer's: it is reclaimed
     * (delete + fresh exclusive create), so no operator intervention is
@@ -468,20 +551,12 @@ private[graft] object IndexLayout {
     val f = IndexFs.fs(spark, path)
     f.mkdirs(new Path(path))
     val id = java.util.UUID.randomUUID().toString
-    def attempt(): Boolean =
-      try { writeLease(f, path, id, ttlMs, overwrite = false); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        // LocalFileSystem signals an existing file with a plain
-        // IOException; only swallow it when the file really exists
-        case e: java.io.IOException =>
-          if (f.exists(leasePath(path))) false else throw e
-      }
-    var acquired = attempt()
-    var reclaims = 0
-    while (!acquired && reclaims < 3) {
-      readLease(f, path, ttlMs) match {
-        case Some((holder, at, ttl))
+    var attempts = 0
+    while (attempts < 4) {
+      val gens = listLeaseGens(f, path)
+      val curGen = if (gens.nonEmpty) gens.max else 0
+      currentLease(f, path, ttlMs) match {
+        case Some((_, holder, at, ttl))
             if System.currentTimeMillis() < at + ttl =>
           throw new IllegalStateException(
             s"$path is under maintenance by writer $holder (lease " +
@@ -489,73 +564,71 @@ private[graft] object IndexLayout {
               "maintenance would lose appends/deletes silently — " +
               "serialize the verbs, or wait out the TTL if the holder " +
               "crashed")
-        case Some(_) =>
-          // expired: a crashed writer's lease — reclaim by RENAMING it
-          // to a marker first. Rename is the arbiter: of two
-          // concurrent reclaimers only ONE rename of the same source
-          // succeeds (a bare delete+create would let reclaimer B
-          // delete A's freshly-created lease between A's create and
-          // B's delete — both would then believe they own it). The
-          // loser loops, reads the winner's fresh lease, and throws
-          // the loud standing-lease error above.
-          val marker = new Path(s"$path/.$LeaseFile.reclaim.$id")
-          val won =
-            try f.rename(leasePath(path), marker)
-            catch { case _: java.io.IOException => false }
-          if (won) {
-            f.delete(marker, false)
-            acquired = attempt()
+        case _ =>
+          // expired, vanished between list and read, or absent: claim
+          // the NEXT generation by one atomic create-exclusive — the
+          // sole arbitration point. No renames, and nobody ever
+          // deletes or moves another writer's LIVE file, so two
+          // owners would require two successful creates of one name.
+          // The loser loops, reads the winner's fresh lease, and
+          // throws the loud standing-lease error above.
+          if (tryClaimLease(f, path, curGen + 1, id, ttlMs)) {
+            // sweep superseded relics (strictly lower generations and
+            // the legacy single file — every one expired or released;
+            // ownership is by HIGHEST N, so deleting lower files can
+            // never change it)
+            gens.filter(_ <= curGen).foreach(g =>
+              f.delete(new Path(s"$path/${leaseGenFile(g)}"), false))
+            if (f.exists(leasePath(path))) f.delete(leasePath(path), false)
+            return LeaseHandle(id, ttlMs, curGen + 1)
           }
-        case None => // holder released between attempt and read — retry
-          acquired = attempt()
       }
-      reclaims += 1
+      attempts += 1
     }
-    if (!acquired) throw new IllegalStateException(
+    throw new IllegalStateException(
       s"could not acquire the maintenance lease on $path after " +
-        s"$reclaims reclaim attempts (another writer keeps winning)")
-    LeaseHandle(id, ttlMs)
+        s"$attempts claim attempts (another writer keeps winning)")
   }
 
   /** Heartbeat: re-stamp the lease's acquisition time — and FAIL LOUDLY
     * if this handle no longer holds it (TTL elapsed and another writer
-    * reclaimed): continuing to a manifest flip without the lease could
-    * lose the new writer's work, so the verb must abort instead. */
+    * claimed a higher generation): continuing to a manifest flip
+    * without the lease could lose the new writer's work, so the verb
+    * must abort instead. Overwriting our own generation file is safe:
+    * no other writer ever targets an existing generation. */
   def renewLease(spark: SparkSession, path: String, h: LeaseHandle): Unit = {
     val f = IndexFs.fs(spark, path)
-    readLease(f, path, h.ttlMs) match {
-      case Some((holder, _, _)) if holder == h.writerId =>
-        writeLease(f, path, h.writerId, h.ttlMs, overwrite = true)
+    currentLease(f, path, h.ttlMs) match {
+      case Some((g, holder, _, _)) if g == h.gen && holder == h.writerId =>
+        writeLeaseTo(f, new Path(s"$path/${leaseGenFile(h.gen)}"),
+          h.writerId, h.ttlMs, overwrite = true)
       case other => throw new IllegalStateException(
         s"maintenance lease on $path lost mid-verb (now held by " +
-          s"${other.map(_._1).getOrElse("<nobody>")}): aborting before " +
+          s"${other.map(_._2).getOrElse("<nobody>")}): aborting before " +
           "the manifest flip")
     }
   }
 
+  /** The standing lease file's holder id, if any — expiry NOT applied
+    * (an expired-but-unreclaimed holder still reads back). Ops/test
+    * visibility only; the verbs use [[readLease]]'s full tuple. */
+  private[graft] def leaseHolder(spark: SparkSession, path: String)
+      : Option[String] =
+    readLease(IndexFs.fs(spark, path), path, DefaultLeaseTtlMs).map(_._1)
+
   def releaseLease(spark: SparkSession, path: String, h: LeaseHandle): Unit = {
     val f = IndexFs.fs(spark, path)
-    // cheap filter first: expired-and-reclaimed → not ours to touch
-    if (readLease(f, path, h.ttlMs).exists(_._1 == h.writerId)) {
-      // rename-arbitrated delete: a bare read-then-delete could remove
-      // a NEW owner's lease when ours expired and was reclaimed between
-      // the read and the delete. Rename is the arbiter (exactly one
-      // mover of the same source wins); if the moved file turns out not
-      // to be ours after all, it is restored best-effort — and if even
-      // the restore loses (a third writer already created a fresh
-      // lease), the orphaned hidden marker is inert.
-      val marker = new Path(s"$path/.$LeaseFile.release.${h.writerId}")
-      val moved =
-        try f.rename(leasePath(path), marker)
-        catch { case _: java.io.IOException => false }
-      if (moved) {
-        if (readLeaseFile(f, marker, h.ttlMs).exists(_._1 == h.writerId))
-          f.delete(marker, false)
-        else if (!f.rename(marker, leasePath(path)))
-          f.delete(marker, false)
-        ()
-      }
-    }
+    // delete ONLY our own generation file, and only while it is still
+    // the current lease. If our TTL elapsed and another writer claimed
+    // a higher generation, the current lease is theirs — our stale
+    // lower-generation file is inert and swept at the next acquire;
+    // deleting it here would be fine too, but the guard keeps release
+    // a no-op for a handle that lost ownership (symmetric with renew's
+    // loud abort). No rename-marker dance is needed: we never touch a
+    // file another writer could currently own.
+    if (currentLease(f, path, h.ttlMs).exists { case (g, holder, _, _) =>
+        g == h.gen && holder == h.writerId })
+      f.delete(new Path(s"$path/${leaseGenFile(h.gen)}"), false)
   }
 
   def intParam(m: Map[String, String], path: String, key: String): Int =

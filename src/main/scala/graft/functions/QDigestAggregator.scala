@@ -176,6 +176,15 @@ object QDigest {
   val DefaultM = 10
   val DefaultK = 128
 
+  /** The t36 rollup's parameters: m = 16 covers exact integer event
+    * CENTS (a 2^16 universe), k = 256 gives ε = 16/256 = 6.25% weekly
+    * rank error. ONE definition site like [[DefaultM]]/[[DefaultK]] —
+    * the rollup pipeline and its DuckDB oracle string both interpolate
+    * these, so a parameter change cannot silently desynchronize the
+    * oracle's clamp literal from the engine's universe. */
+  val RollupM = 16
+  val RollupK = 256
+
   /** Clamp a value column into the digest's [0, 2^m) universe — the
     * shared spelling every digest producer must use (a site-local copy
     * that drifted would clamp the stream into a different universe

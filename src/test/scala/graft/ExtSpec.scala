@@ -3191,16 +3191,27 @@ class ExtSpec extends SparkSpec {
     Thread.sleep(20)
     Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
     Dedup.compactMinhashTombstones(spark, path) // exercises renewLease too
-    assert(!new java.io.File(s"$path/${IndexLayout.LeaseFile}").exists(),
-      "verbs must release the lease on completion")
+    assert(!new java.io.File(path).listFiles()
+        .exists(_.getName.startsWith(IndexLayout.LeaseFile)),
+      "verbs must release the lease on completion (no lease files left)")
     // a TORN lease file (writer crashed mid-create) expires by mtime
-    // under the caller's TTL instead of blocking maintenance forever
+    // under the caller's TTL instead of blocking maintenance forever —
+    // both the LEGACY single-file shape an old binary would leave...
     java.nio.file.Files.write(
       new java.io.File(s"$path/${IndexLayout.LeaseFile}").toPath,
       "{torn".getBytes)
     Thread.sleep(20)
     val h2 = IndexLayout.acquireLease(spark, path, ttlMs = 1)
     IndexLayout.releaseLease(spark, path, h2)
+    // ...and the monotonic generation shape (the legacy relic was
+    // swept by the acquire above; torn gen files behave identically)
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/${IndexLayout.leaseGenFile(99)}").toPath,
+      "{torn".getBytes)
+    Thread.sleep(20)
+    val h3 = IndexLayout.acquireLease(spark, path, ttlMs = 1)
+    assert(h3.gen == 100, s"claim must supersede the torn gen (${h3.gen})")
+    IndexLayout.releaseLease(spark, path, h3)
     // the IVF family shares the enforcement (same layer)
     val emb2 = emb.filter(col("vec_id") < 100)
     val ipath = s"$root/ivf"
@@ -3219,7 +3230,8 @@ class ExtSpec extends SparkSpec {
     IndexLayout.releaseLease(spark, ipath, heldIvf)
     Similarity.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), ipath)
     Similarity.compactIvfTombstones(spark, ipath)
-    assert(!new java.io.File(s"$ipath/${IndexLayout.LeaseFile}").exists())
+    assert(!new java.io.File(ipath).listFiles()
+      .exists(_.getName.startsWith(IndexLayout.LeaseFile)))
   }
 
   test("time-based retired grace: back-to-back compactions keep a slow reader's files alive inside the grace window") {

@@ -396,6 +396,99 @@ class PropertySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("property: lease reclaim state machine — crashed writers, torn files and racing reclaimers never yield two live owners") {
+    import graft.ext.IndexLayout
+    // random schedules over the axes the reclaim machinery arbitrates:
+    // the crashed holder's TTL (live vs expired by the time anyone
+    // else arrives), an optional TORN lease file (a kill mid-create —
+    // unparseable, expiry falls back to file mtime under the reader's
+    // TTL), and 1..3 CONCURRENT reclaimers. Invariants, whatever the
+    // schedule: at most ONE reclaimer ever wins; against a LIVE holder
+    // nobody wins; the dead holder's renew fails loudly and its
+    // release never deletes the new owner's lease; and after the
+    // winner releases, the path is acquirable again. This pins the
+    // rename-arbitrated reclaim (two concurrent delete+create
+    // reclaimers would both believe they own it) the way the rebucket
+    // identity and q-digest bound are pinned — over schedules, not one
+    // example.
+    val caseGen = for {
+      holderLiveTtl <- Gen.oneOf(true, false) // 60s vs 1ms holder lease
+      torn <- Gen.oneOf(true, false)          // overwrite with garbage
+      nRace <- Gen.chooseNum(1, 3)
+    } yield (holderLiveTtl, torn, nRace)
+    check(Prop.forAll(caseGen) { case (holderLive, torn, nRace) =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Files.createTempDirectory("graft-lease-prop")
+      try {
+        val path = s"$root/idx"
+        val holderTtl = if (holderLive) 60000L else 1L
+        // writer A acquires and CRASHES (never releases)
+        val a = IndexLayout.acquireLease(spark, path, holderTtl)
+        if (torn) {
+          // the holder's lease file torn (killed mid-create/renew): it
+          // must behave like a lease of file-mtime age, not wedge the
+          // index forever and not grant anyone instant ownership
+          val f = new java.io.FileOutputStream(
+            s"$path/${IndexLayout.leaseGenFile(a.gen)}")
+          try f.write("{torn".getBytes) finally f.close()
+        }
+        if (!holderLive) Thread.sleep(10) // let the 1ms lease expire
+        // N concurrent reclaimers, each wanting a LONG lease
+        // (shrinking ignores chooseNum's lower bound — clamp)
+        val racers = nRace.max(1)
+        val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[
+          Throwable, IndexLayout.LeaseHandle]]()
+        val threads = (0 until racers).map { i =>
+          val t = new Thread(() =>
+            results.put(i,
+              try Right(IndexLayout.acquireLease(spark, path, 60000L))
+              catch { case e: Throwable => Left(e) }))
+          t.start(); t
+        }
+        threads.foreach(_.join(30000))
+        val wins = results.values.asScala.collect { case Right(h) => h }.toSeq
+        val losses = results.values.asScala.collect { case Left(e) => e }.toSeq
+        // torn: the garbage file's mtime is NOW, so under the
+        // reclaimers' 60s fallback TTL it reads as a LIVE unreadable
+        // lease — nobody may win (it expires like any lease, it just
+        // cannot be stolen instantly). live untorn holder: blocks all.
+        // expired untorn: the rename arbitration yields EXACTLY one.
+        val expectedWins = if (torn || holderLive) 0 else 1
+        val okWins = wins.size == expectedWins &&
+          losses.forall(_.isInstanceOf[IllegalStateException])
+        // the crashed writer must not be able to renew once reclaimed,
+        // and its release must never delete the new owner's lease
+        val okOldWriter = wins.headOption.forall { w =>
+          val renewFailed =
+            try { IndexLayout.renewLease(spark, path, a); false }
+            catch { case _: IllegalStateException => true }
+          IndexLayout.releaseLease(spark, path, a)
+          IndexLayout.leaseHolder(spark, path).contains(w.writerId) &&
+            renewFailed
+        }
+        // release the winner (or the surviving holder) — the path must
+        // be acquirable afterwards, so no schedule wedges the index
+        wins.foreach(w => IndexLayout.releaseLease(spark, path, w))
+        if (wins.isEmpty && !torn) IndexLayout.releaseLease(spark, path, a)
+        val reacquired =
+          try {
+            // a torn file is reclaimable only once its fallback TTL
+            // passes — acquire under a tiny one
+            if (torn) Thread.sleep(5)
+            val h = IndexLayout.acquireLease(spark, path,
+              if (torn) 1L else 60000L)
+            IndexLayout.releaseLease(spark, path, h); true
+          } catch { case _: IllegalStateException => false }
+        if (!(okWins && okOldWriter && reacquired))
+          System.err.println(s"[lease-prop] holderLive=$holderLive " +
+            s"torn=$torn racers=$racers wins=${wins.size} " +
+            s"losses=${losses.map(e => e.getClass.getName + ":" + e.getMessage).mkString("; ")} " +
+            s"okWins=$okWins okOldWriter=$okOldWriter reacquired=$reacquired")
+        okWins && okOldWriter && reacquired
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }, n = 12)
+  }
+
   test("property: TopKAggregator returns the top-k DISTINCT ids by best score (replayed duplicates never double-slot)") {
     import spark.implicits._
     val rowsGen = Gen.listOfN(120, for {

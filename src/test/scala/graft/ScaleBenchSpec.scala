@@ -78,4 +78,35 @@ class ScaleBenchSpec extends SparkSpec {
     assert(r0.exceptAll(src).isEmpty && src.exceptAll(r0).isEmpty,
       "replica 0 must be byte-identical to the source corpus")
   }
+
+  test("the planted beacon token is heavy at the replica tier: salt-invariant, once per salted doc, absent from replica 0") {
+    val docs = graft.sources.Tables(spark, outDir, "documents")
+    val toks = docs.select(
+      explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"),
+      (col("doc_id") / 1000000000L).cast("long").as("_r"))
+    val total = toks.count()
+    val beacon = toks.filter(col("tok") === ScaleBench.HeavyBeacon)
+    // the 1% heavy threshold t33/s21 use — the beacon's share is
+    // deterministic by construction ((n−1)/n of one token per doc),
+    // so the streamed heavy-hitter row has non-vacuous content at
+    // every replica tier
+    assert(beacon.count() * 100 >= total,
+      s"beacon must cross the 1% threshold (${beacon.count()} of $total)")
+    // exactly once per salted-replica doc, never in replica 0 (whose
+    // byte-identity the previous test pins)
+    assert(beacon.filter(col("_r") === 0).count() == 0)
+    val perDoc = docs.filter(col("doc_id") >= 1000000000L)
+      .select(graft.ext.TextAnalysis.tokens(col("text")).as("ts"))
+      .select(size(filter(col("ts"),
+        t => t === ScaleBench.HeavyBeacon)).as("c"))
+    assert(perDoc.filter(col("c") =!= 1).count() == 0,
+      "exactly one beacon per salted doc")
+    // and the Misra-Gries summary actually surfaces it: the planted
+    // row reads found_ok (the s21 scale-tier claim in miniature)
+    val facts = graft.analytics.ExtPipelines.heavyHitters(spark, outDir)
+      .filter(col("tok") === ScaleBench.HeavyBeacon).collect()
+    assert(facts.length == 1 && facts(0).getAs[Boolean]("found_ok") &&
+      facts(0).getAs[Boolean]("err_ok"),
+      s"beacon row must be found with the MG bound: ${facts.mkString}")
+  }
 }
