@@ -420,8 +420,8 @@ object Streaming {
     import graft.ext.IndexLayout
     perBatchSink(ids, checkpoint, trigger) { (batch, batchId) =>
       val spark = batch.sparkSession
-      // per-micro-batch LEASE: each batch is one maintenance write into
-      // the index's tombstone root, so it takes the same lease as the
+      // per-micro-batch LEASE: each batch is one maintenance commit of
+      // a tombstone batch root, so it takes the same lease as the
       // batch verbs — a compaction that starts between micro-batches
       // holds the lease and the next batch FAILS LOUDLY (and replays
       // after the compaction releases) instead of writing a tombstone
