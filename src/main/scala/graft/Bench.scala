@@ -241,7 +241,20 @@ object Bench {
     // read (footer count + delta scan) plus whichever verb fires,
     // each priced on its own row
     "x32_index_autopilot",
-    "v25_ivf_autopilot")
+    "v25_ivf_autopilot",
+    // round-18: the bottom-k distinct-set family — g36 cross-segment
+    // set algebra (one sketch aggregation + the exact self-join audit
+    // side), g37 the persisted retention rollup (daily sketches +
+    // week merges + the same audit), s22 the streamed twin (g36's
+    // cost plus the stream drain), and the two as-of snapshot-pinned
+    // serve audit rows (each prices an index build + three serves +
+    // set compares; the production pinned serve costs exactly one
+    // manifest read more than a head serve)
+    "g36_theta_segments",
+    "g37_theta_retention",
+    "s22_stream_theta_segments",
+    "x33_minhash_index_asof",
+    "v26_ivf_index_asof")
 
   /** The two production SERVE rows that run even under
     * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the

@@ -230,7 +230,14 @@ object ScaleBench {
     // replicate) keeps exactly one planted heavy row above the 1%
     // threshold — the timed cost is the micro-batch drain over the
     // tier's documents plus the vocab-bounded exact audit
-    "s21_stream_heavy_hitters")
+    "s21_stream_heavy_hitters",
+    // round-18: the bottom-k distinct-set family — sketch aggregation
+    // with O(k) partials (the t33/g32/t35 class); the corpus term of
+    // both rows is the exact AUDIT self-join over deduped (seg, user)
+    // pairs, segment-keyed and at most users×segments rows (users are
+    // replica-offset, so the dedup scales linearly, not quadratically)
+    "g36_theta_segments",
+    "g37_theta_retention")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

@@ -81,6 +81,9 @@ object SparkEntry {
     "g30_copurchase_pairs" -> ((s: SparkSession, d: String) =>
       Pipelines.coPurchasePairs(s, d)),
     "g32_sketch_rollup" -> (Pipelines.sketchRollup _),
+    "g36_theta_segments" -> (Pipelines.thetaSegments _),
+    "g37_theta_retention" -> (Pipelines.thetaRetentionRollup _),
+    "s22_stream_theta_segments" -> (Pipelines.streamThetaSegments _),
     "g33_pagerank" -> ((s: SparkSession, d: String) => Pipelines.pageRank(s, d)),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
@@ -503,6 +506,29 @@ object SparkEntry {
       |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
       |       TRUE AS found_ok, TRUE AS err_ok
       |FROM c, tot WHERE cnt * 100 >= n""".stripMargin
+
+  /** g36/s22: exact pairwise distinct-set cardinalities per event-type
+    * segment pair — every ordered pair present (left join, coalesce 0)
+    * so the engine's all-pairs emission and the SQL side can never
+    * disagree on row sets; the sketch estimates surface only as the
+    * pinned booleans. Shared verbatim by the streamed run: a bottom-k
+    * sketch is a pure function of the set, so stream ≡ batch
+    * bit-for-bit. */
+  private val thetaSegmentsOracle: String =
+    """WITH d AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
+      |c AS (SELECT seg, count(*) AS n FROM d GROUP BY seg),
+      |i AS (SELECT a.seg AS sa, b.seg AS sb, count(*) AS ni
+      |      FROM d a JOIN d b ON a.user_id = b.user_id AND a.seg < b.seg
+      |      GROUP BY 1, 2),
+      |p AS (SELECT ca.seg AS sa, cb.seg AS sb, ca.n AS na, cb.n AS nb
+      |      FROM c ca JOIN c cb ON ca.seg < cb.seg)
+      |SELECT p.sa AS a_seg, p.sb AS b_seg,
+      |       CAST(p.na AS BIGINT) AS exact_a, CAST(p.nb AS BIGINT) AS exact_b,
+      |       CAST(COALESCE(i.ni, 0) AS BIGINT) AS exact_inter,
+      |       CAST(p.na + p.nb - COALESCE(i.ni, 0) AS BIGINT) AS exact_union,
+      |       CAST(p.na - COALESCE(i.ni, 0) AS BIGINT) AS exact_diff,
+      |       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+      |FROM p LEFT JOIN i ON i.sa = p.sa AND i.sb = p.sb""".stripMargin
 
   // clamp bound interpolated from the engine's ONE definition site
   // (QDigest.DefaultM) so a constants change cannot silently
@@ -1642,6 +1668,33 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       TRUE AS hll_ok, TRUE AS merge_ok
         |FROM events GROUP BY 1""".stripMargin,
+    // g36 (and s22 verbatim — bottom-k sketches are EXACTLY merge-order
+    // independent, so the streamed run is bit-identical to batch): the
+    // oracle recomputes every pairwise exact cardinality (distinct
+    // (seg, user) self-join, ALL ordered pairs via the left join so a
+    // zero-overlap pair cannot desynchronize row sets) and pins the
+    // three 10σ sketch contracts TRUE; the estimates themselves are
+    // engine-internal (the t33/t35 discipline)
+    "g36_theta_segments" -> thetaSegmentsOracle,
+    "s22_stream_theta_segments" -> thetaSegmentsOracle,
+    // g37: persisted daily bottom-k sketches merged per week, adjacent
+    // weeks INTERSECTED — the retention question the HLL rollup cannot
+    // answer; oracle recomputes exact returning users per adjacent
+    // week pair and pins the 10σ contract TRUE
+    "g37_theta_retention" ->
+      """WITH w AS (SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |                  user_id
+        |           FROM events),
+        |wk AS (SELECT week, lead(week) OVER (ORDER BY week) AS next_week
+        |       FROM (SELECT DISTINCT week FROM w)),
+        |r AS (SELECT a.week AS wa, b.week AS wb, count(*) AS ret
+        |      FROM w a JOIN w b ON a.user_id = b.user_id
+        |      GROUP BY 1, 2)
+        |SELECT wk.week, wk.next_week,
+        |       CAST(COALESCE(r.ret, 0) AS BIGINT) AS exact_returning,
+        |       TRUE AS returning_ok
+        |FROM wk LEFT JOIN r ON r.wa = wk.week AND r.wb = wk.next_week
+        |WHERE wk.next_week IS NOT NULL""".stripMargin,
     "t4b_fingerprint_bounded" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
         |       TRUE AS fp_ok

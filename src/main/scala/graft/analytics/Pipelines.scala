@@ -1230,4 +1230,130 @@ object Pipelines {
       (abs(col("est_merged") - col("est_direct"))
         <= greatest(col("exact_users") * lit(0.05), lit(3.0))).as("merge_ok"))
   }
+
+  /** g36/g37/s22's shared finishing stage: pairwise distinct-set facts
+    * from bottom-k sketches ([[graft.functions.Theta]]) plus the exact
+    * audit side. Every emitted NUMBER is exact and SQL-recomputable
+    * (per-segment distinct counts and all pairwise
+    * intersection/union/difference cardinalities — one self-join of
+    * the deduped (seg, user) pairs); the sketch-side estimates are
+    * engine-internal and surface only as the pinned `*_ok` booleans:
+    * |estimate − exact| ≤ max(10·|A∪B|/√k, 8) — ≥10 standard errors of
+    * the KMV sampling regime (the g16b 10σ rule), and identically 0
+    * below k where the sketch IS the set. Driver work is k-bounded by
+    * construction (|segments| sketch rows × ≤ k longs, |segments|²
+    * exact pair rows — the v24 collect discipline); the corpus-scale
+    * work is the one sketch aggregation and the deduped self-join,
+    * both segment-keyed shuffles. */
+  private def thetaPairFacts(spark: SparkSession, sketches: DataFrame,
+      segUsers: DataFrame, k: Int, aName: String, bName: String,
+      adjacentOnly: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val sk: Map[String, Seq[Long]] = sketches.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val d = segUsers.toDF("seg", "uid").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = d.groupBy("seg").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inter = d.as("a").join(d.as("b"), col("a.uid") === col("b.uid"))
+        .filter(col("a.seg") < col("b.seg"))
+        .groupBy(col("a.seg").as("sa"), col("b.seg").as("sb"))
+        .agg(count(lit(1)).as("ni")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val segs = counts.keys.toSeq.sorted
+      val pairs =
+        if (adjacentOnly) segs.zip(segs.drop(1))
+        else for { a <- segs; b <- segs if a < b } yield (a, b)
+      val rows = pairs.map { case (a, b) =>
+        val na = counts(a); val nb = counts(b)
+        val ni = inter.getOrElse((a, b), 0L)
+        val nu = na + nb - ni
+        val (uEst, iEst, dEst) = graft.functions.Theta.setOps(sk(a), sk(b), k)
+        val slack = math.max(10.0 * nu / math.sqrt(k.toDouble), 8.0)
+        (a, b, na, nb, ni, nu, na - ni,
+          math.abs(uEst - nu) <= slack,
+          math.abs(iEst - ni) <= slack,
+          math.abs(dEst - (na - ni)) <= slack)
+      }
+      // driver-side local relation (every input above is collected), so
+      // nothing lazy outlives the persist
+      rows.toDF(aName, bName, "exact_a", "exact_b", "exact_inter",
+        "exact_union", "exact_diff", "union_ok", "inter_ok", "diff_ok")
+    } finally d.unpersist(blocking = false)
+  }
+
+  /** g36 — cross-segment DISTINCT-SET ALGEBRA from bottom-k (KMV /
+    * theta) sketches: per event-type user sketches, then |A ∪ B|,
+    * |A ∩ B|, |A ∖ B| for every segment pair FROM THE SKETCHES ALONE
+    * — the set-expression class HLL cannot answer (g32 unions
+    * losslessly but can never intersect), and the exact answer at
+    * 100 TB is a full (seg, user) self-join per question. One
+    * segment-keyed aggregation builds every sketch in a single events
+    * scan (O(k) partials per task); the exact self-join here is the
+    * AUDIT side the oracle recomputes, not the production path.
+    * Facts: exact pairwise cardinalities (SQL-recomputable) + the
+    * three 10σ `*_ok` pins ([[thetaPairFacts]]); exact below k by the
+    * sketch's small-set property. */
+  def thetaSegments(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.functions.Theta.DefaultK
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("seg"), col("user_id"))
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val sketches = ev.groupBy("seg")
+      .agg(th(xxhash64(col("user_id"))).as("sk"))
+    thetaPairFacts(spark, sketches, ev, k, "a_seg", "b_seg")
+  }
+
+  /** g37 — PERSISTED retention rollup from bottom-k sketches (g32's
+    * persist-and-merge pattern, completed with the INTERSECTION the
+    * HLL rollup cannot take): a production system stores one ≤ k-long
+    * user sketch row per day; week-over-week RETURNING USERS —
+    * |active(week i) ∩ active(week i+1)| — are then answered by
+    * merging each week's stored daily rows
+    * ([[graft.functions.ThetaMergeAggregator]]) and intersecting the
+    * two weekly sketches driver-side, O(days) tiny rows at serve
+    * time, the events rescanned never. The g34 cohort matrix answers
+    * this exactly with a corpus-scale self-join; this row is the same
+    * question at sketch cost. Facts: exact returning-user counts per
+    * adjacent week pair (SQL-recomputable) + the 10σ pin. */
+  def thetaRetentionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.functions.Theta.DefaultK
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_trunc("day", col("ts")).as("day"),
+      col("user_id"))
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val tm = udaf(new graft.functions.ThetaMergeAggregator(k))
+    // what a production system persists: one tiny sketch row per day
+    val daily = ev.groupBy("week", "day")
+      .agg(th(xxhash64(col("user_id"))).as("sk"))
+    // serving path: merge the persisted daily rows per week
+    val weekly = daily.groupBy("week").agg(tm(col("sk")).as("sk"))
+    thetaPairFacts(spark, weekly, ev.select("week", "user_id"), k,
+      "week", "next_week", adjacentOnly = true)
+      .select(col("week"), col("next_week"),
+        col("exact_inter").as("exact_returning"),
+        col("inter_ok").as("returning_ok"))
+  }
+
+  /** s22 — the STREAMING twin of g36: the per-segment user sketches
+    * kept by a real streaming aggregation over arriving events, pushed
+    * through the same finishing stage. Unlike the q-digest (whose
+    * contents are merge-tree state), a bottom-k sketch is EXACTLY
+    * merge-order independent — bottomK(S) is a pure function of the
+    * set — so the streamed sketches are bit-identical to the batch
+    * ones and g36's oracle covers this run verbatim (stronger than
+    * the s20/s21 pattern, which only shares order-independent
+    * FACTS). */
+  def streamThetaSegments(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.functions.Theta.DefaultK
+    val sketches = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.userSegmentSketches(
+        graft.streaming.Streaming.eventsStream(spark, dir), k))
+    thetaPairFacts(spark, sketches,
+      Tables.events(spark, dir)
+        .select(col("event_type").as("seg"), col("user_id")),
+      k, "a_seg", "b_seg")
+  }
 }

@@ -547,6 +547,22 @@ object Streaming {
       .agg(mg(col("tok")).as("summary"))
   }
 
+  /** s22 — streaming per-segment DISTINCT-SET sketches: one bottom-k
+    * user sketch per event type, kept by a streaming aggregation as
+    * events arrive (k-bounded state per segment). A bottom-k sketch is
+    * EXACTLY merge-order independent (bottomK(S) is a pure function of
+    * the set), so the maintained sketches are bit-identical to a batch
+    * build over the same events under ANY micro-batch schedule — the
+    * strongest batch≡stream form in the library (s16's bit-equality,
+    * for a summary). Complete mode, |event types| rows. */
+  def userSegmentSketches(events: DataFrame,
+      k: Int = graft.functions.Theta.DefaultK): DataFrame = {
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    events.select(col("event_type").as("seg"),
+        xxhash64(col("user_id")).as("h"))
+      .groupBy("seg").agg(th(col("h")).as("sk"))
+  }
+
   /** Sliding 2-day/1-day event-time windows over the categorized stream
     * — the overlapping-window form of [[dailyCategoryTotals]] (each
     * event lands in exactly two windows), the standard shape for

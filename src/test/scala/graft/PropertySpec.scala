@@ -515,6 +515,68 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("property: bottom-k sketch is EXACTLY merge-order independent and exact below k; set ops exact in the small regime, 10σ-bounded estimating") {
+    // pure-JVM property (no Spark jobs): drive the aggregator's
+    // reduce/merge/finish over RANDOM chunkings and merge orders — the
+    // claim is STRONGER than the q-digest's (whose contents are
+    // merge-tree state): bottomK(S) is a pure function of the set, so
+    // the sketch must be BIT-IDENTICAL to bottom-k of the distinct
+    // hashes under every schedule (the fact that lets s22 share g36's
+    // oracle verbatim). Then the set-op estimator: exact when both
+    // sides are below k; within the 10σ slack the query rows pin when
+    // estimating.
+    val k = 16
+    val caseGen = for {
+      nA <- Gen.chooseNum(1, 60)
+      nB <- Gen.chooseNum(1, 60)
+      overlap <- Gen.chooseNum(0, math.min(nA, nB))
+      chunks <- Gen.chooseNum(1, 8)
+      seed <- Gen.chooseNum(0L, 100000L)
+    } yield (nA, nB, overlap, chunks, seed)
+    check(Prop.forAll(caseGen) { case (nA, nB, overlap, chunks, seed) =>
+      val agg = new graft.functions.ThetaSketchAggregator(k)
+      // deterministic "hashes" from a seeded shuffle of distinct longs
+      // (scrambled so unsigned order is non-trivial)
+      val rnd = new scala.util.Random(seed)
+      def h(x: Long): Long = {
+        var z = x * 0x9E3779B97F4A7C15L + seed
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      }
+      val a = (0 until nA).map(i => h(i.toLong))
+      val b = (0 until nB).map(i => h((i + nA - overlap).toLong))
+      // random chunking + random merge order of A's stream
+      val shuffled = rnd.shuffle(a ++ a.take(rnd.nextInt(nA))) // dups too
+      val parts = (0 until chunks).map(c =>
+        shuffled.zipWithIndex.collect { case (v, i) if i % chunks == c => v })
+      val partials = rnd.shuffle(parts.map(p =>
+        p.foldLeft(agg.zero)(agg.reduce)))
+      val merged = partials.reduceLeft(agg.merge)
+      val sketchA = agg.finish(merged)
+      val unsigned = Ordering.fromLessThan[Long](
+        java.lang.Long.compareUnsigned(_, _) < 0)
+      val wantA = a.distinct.sorted(unsigned).take(k)
+      val orderOk = sketchA == wantA
+      // set ops against B's one-shot sketch
+      val sketchB = agg.finish(b.foldLeft(agg.zero)(agg.reduce))
+      val (uEst, iEst, dEst) =
+        graft.functions.Theta.setOps(sketchA, sketchB, k)
+      val exactU = (a ++ b).distinct.size
+      val exactI = a.toSet.intersect(b.toSet).size
+      val exactD = a.toSet.diff(b.toSet).size
+      val opsOk =
+        if (a.distinct.size < k && b.distinct.size < k)
+          uEst == exactU && iEst == exactI && dEst == exactD // EXACT
+        else {
+          val slack = math.max(10.0 * exactU / math.sqrt(k.toDouble), 8.0)
+          math.abs(uEst - exactU) <= slack &&
+            math.abs(iEst - exactI) <= slack &&
+            math.abs(dEst - exactD) <= slack
+        }
+      orderOk && opsOk
+    }, n = 60)
+  }
+
   test("property: q-digest rank bound holds over random streams and random merge trees") {
     // pure-JVM property (no Spark jobs): drives the aggregator's
     // reduce/merge/finish exactly as a shuffle would, but over RANDOM

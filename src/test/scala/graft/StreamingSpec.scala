@@ -178,6 +178,30 @@ class StreamingSpec extends SparkSpec {
     assert(ok.nonEmpty && ok.forall(_.getBoolean(2)))
   }
 
+  test("s22: streamed bottom-k segment sketches are BIT-IDENTICAL to the batch build") {
+    // bottomK(S) is a pure function of the set — unlike the q-digest,
+    // whose contents are merge-tree state — so the streamed sketches
+    // must equal the batch ones exactly, under whatever micro-batch
+    // schedule AvailableNow produced (the strongest batch≡stream form;
+    // it is why s22 shares g36's oracle verbatim)
+    val k = graft.functions.Theta.DefaultK
+    val streamed = graft.streaming.Streaming.runToBatch(spark,
+      graft.streaming.Streaming.userSegmentSketches(
+        graft.streaming.Streaming.eventsStream(spark, sf()), k))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val batch = graft.sources.Tables.events(spark, sf())
+      .groupBy(col("event_type").as("seg"))
+      .agg(th(xxhash64(col("user_id"))).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(streamed == batch)
+    // and the registered row's pins all hold on the drained stream
+    val rows = graft.analytics.Pipelines.streamThetaSegments(spark, sf())
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9)))
+  }
+
   test("streaming CDC emits exactly the batch diff minus removals") {
     val streamed = graft.analytics.ExtPipelines.streamCdc(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
