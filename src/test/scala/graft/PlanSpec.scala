@@ -591,4 +591,19 @@ class PlanSpec extends SparkSpec {
     // text never read: the digest side's scan is pruned to 2 columns
     assert(!p.contains("text#"), s"document text must not be scanned:\n$p")
   }
+
+  test("g36: bottom-k sketch partials combine MAP-SIDE; the scan reads only (event_type, user_id)") {
+    // the sketch-build side of the theta family in isolation (the
+    // registered row's finishing stage collects it): same t35 cost
+    // shape — ≤ 4k-long set partials below the exchange, never rows
+    import org.apache.spark.sql.functions.{col, udaf, xxhash64}
+    val k = graft.functions.Theta.DefaultK
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val p = plan(graft.sources.Tables.events(spark, sf())
+      .groupBy(col("event_type").as("seg"))
+      .agg(th(xxhash64(col("user_id"))).as("sk")))
+    assert(p.contains("partial_thetasketchaggregator"), p)
+    assert(!p.contains("props#") && !p.contains("value#"),
+      s"only (event_type, user_id) may be scanned:\n$p")
+  }
 }
