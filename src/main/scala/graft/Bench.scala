@@ -254,7 +254,10 @@ object Bench {
     "g37_theta_retention",
     "s22_stream_theta_segments",
     "x33_minhash_index_asof",
-    "v26_ivf_index_asof")
+    "v26_ivf_index_asof",
+    // x34 prices one verb of each class plus four manifest-only diffs
+    // (the production diff itself reads two small JSON files)
+    "x34_index_diff")
 
   /** The two production SERVE rows that run even under
     * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the

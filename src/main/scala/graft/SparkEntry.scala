@@ -100,6 +100,7 @@ object SparkEntry {
     "x31_index_describe" -> (ExtPipelines.indexDescribe _),
     "x32_index_autopilot" -> (ExtPipelines.minhashIndexMaintain _),
     "x33_minhash_index_asof" -> (ExtPipelines.minhashIndexAsOf _),
+    "x34_index_diff" -> (ExtPipelines.indexDiff _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -1000,6 +1001,24 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_batch,
         |       TRUE AS pinned_pre_append, TRUE AS future_delete_invisible
         |FROM b WHERE bucket >= 52428""".stripMargin,
+
+    // x34: the commit-log diff. Every emitted number is a LAYOUT
+    // CONSTANT of the driven verb (see the pipeline scaladoc) — the
+    // manifest entry arithmetic is data- and SF-independent, so the
+    // oracle states the whole table as literals; only the
+    // partition-dependent shingles/sizes diffs hide behind the
+    // composition_bounded boolean.
+    "x34_index_diff" ->
+      """SELECT 'append' AS leg, CAST(0 AS BIGINT) AS gen_delta,
+        |       CAST(1 AS BIGINT) AS seq_delta,
+        |       CAST(1 AS BIGINT) AS bands_added,
+        |       CAST(0 AS BIGINT) AS bands_removed,
+        |       CAST(0 AS BIGINT) AS tomb_added,
+        |       CAST(0 AS BIGINT) AS tomb_removed,
+        |       '' AS params_changed, TRUE AS composition_bounded
+        |UNION ALL SELECT 'delete', 0, 1, 0, 0, 1, 0, '', TRUE
+        |UNION ALL SELECT 'compact', 1, 1, 1, 2, 1, 2, '', TRUE
+        |UNION ALL SELECT 'rebucket', 1, 1, 0, 0, 0, 0, 'buckets', TRUE""".stripMargin,
 
     // x26d: index DELETE maintenance. The admitted sets are
     // engine-internal; the driver-checkable facts are the batch size

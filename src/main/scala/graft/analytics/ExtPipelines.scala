@@ -1892,6 +1892,70 @@ object ExtPipelines {
     }
   }
 
+  /** x34: index COMMIT DIFF ([[graft.ext.IndexLayout.diffManifests]])
+    * — the audit-trail verb the monotonic commit log enables: each
+    * maintenance verb's effect reconstructed from two retained
+    * manifests alone (no data read, no lease). The regime drives one
+    * verb per commit — append (seq 1), delete (seq 2), compaction
+    * (seq 3, gen 1), tombstone-free rebucket (seq 4, gen 2) — and
+    * diffs each adjacent pair. Every emitted number is a LAYOUT
+    * CONSTANT of the verb, independent of data and SF: an append adds
+    * exactly one batch-root entry per staged frame (bands shown), a
+    * delete adds exactly one tombstone batch, the compaction retires
+    * both frames' two entries into one new root each, and the
+    * rebucket touches neither (tombstone-free ⇒ bands/tombstones
+    * carried) while flipping the stored `buckets` — so the oracle
+    * states the full table as literals. The shingles/sizes diffs are
+    * partition-count-dependent (the fold), so they surface as the
+    * `composition_bounded` boolean (≤ buckets + 1 after every verb)
+    * instead of counts. */
+  def indexDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bk = graft.ext.DataSplit.bucket(col("doc_id"))
+    val standing = docs.filter(bk < 52428)
+    val batch = docs.filter(bk >= 52428)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x34")
+    val keep0 = spark.conf.getOption(graft.ext.IndexLayout.ManifestKeepConfKey)
+    spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, "16")
+    try {
+      val p = tmpRoot.toString + "/idx"
+      Dedup.saveMinhashIndex(standing, p, idBuckets = 48) // seq 0
+      Dedup.appendToMinhashIndex(batch, p) // seq 1
+      Dedup.deleteFromMinhashIndex(
+        standing.filter(bk >= 39321).select("doc_id"), p) // seq 2
+      Dedup.compactMinhashTombstones(spark, p) // seq 3, gen 1
+      Dedup.rebucketMinhashIndex(spark, p, 96) // seq 4, gen 2
+      def m(s: Int) = graft.ext.IndexLayout.readManifestAt(spark, p, s)
+      val legs = Seq(("append", 0, 1), ("delete", 1, 2),
+        ("compact", 2, 3), ("rebucket", 3, 4)).map { case (leg, a, b) =>
+        val (gd, sd, perFrame, changed) =
+          graft.ext.IndexLayout.diffManifests(m(a), m(b))
+        val fm = perFrame.map(x => x._1 -> ((x._2, x._3))).toMap
+        val mB = m(b)
+        val bkts = graft.ext.IndexLayout.intParam(mB, p, "buckets")
+        val bounded = Seq("shingles", "sizes").forall(f =>
+          graft.ext.IndexLayout.frameEntries(mB, f).size <= bkts + 1)
+        (leg, gd, sd, fm("bands")._1, fm("bands")._2,
+          fm("tombstones")._1, fm("tombstones")._2,
+          changed.mkString(","), bounded)
+      }
+      // driver-side local relation (manifests already read eagerly),
+      // so nothing lazy reads the index files after cleanup
+      legs.toDF("leg", "gen_delta", "seq_delta", "bands_added",
+        "bands_removed", "tomb_added", "tomb_removed", "params_changed",
+        "composition_bounded")
+    } finally {
+      keep0 match {
+        case Some(v) =>
+          spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, v)
+        case None =>
+          spark.conf.unset(graft.ext.IndexLayout.ManifestKeepConfKey)
+      }
+      deleteTempTree(tmpRoot)
+    }
+  }
+
   /** v26: IVF index AS-OF serve — x33's discipline on the vector
     * index: build on the standing split (seq 0, head top-k R0), append
     * the remainder (seq 1, head top-k R1), tombstone a standing range

@@ -1100,6 +1100,38 @@ private[graft] object IndexLayout {
   /** One frame's health line in an [[describeIndex]] report. */
   final case class FrameInfo(name: String, nEntries: Int)
 
+  /** x34 — the read-only DIFF between two manifest commits: what a
+    * maintenance window actually did, reconstructed from the retained
+    * `_manifest-N.json` files ALONE (no data files read, no lease —
+    * the describeIndex discipline). Returns (genDelta, seqDelta,
+    * per-frame (name, entriesAdded, entriesRemoved) sorted by name,
+    * changed layout-parameter keys sorted): an append shows up as one
+    * added batch-root entry per staged frame, a delete as one added
+    * tombstone batch, a compaction as a generation bump with the
+    * folded entries removed and one new root added, and a
+    * re-parameterization (rebucket/retrain) as a changed `buckets` /
+    * `nList` — the audit trail the monotonic commit log makes
+    * reconstructible, the same way `asOfSeq` makes it re-servable. */
+  def diffManifests(mA: Map[String, String], mB: Map[String, String])
+      : (Long, Long, Seq[(String, Long, Long)], Seq[String]) = {
+    val genDelta = mA.get("gen").zip(mB.get("gen"))
+      .map { case (a, b) => b.toLong - a.toLong }.getOrElse(0L)
+    val seqDelta = (seqOf(mB) - seqOf(mA)).toLong
+    val frames = (mA.keys ++ mB.keys).filter(_.startsWith("frames."))
+      .map(_.stripPrefix("frames.")).toSeq.distinct.sorted
+    val perFrame = frames.map { f =>
+      val ea = frameEntries(mA, f).toSet
+      val eb = frameEntries(mB, f).toSet
+      (f, (eb -- ea).size.toLong, (ea -- eb).size.toLong)
+    }
+    val bookkeeping = Set("gen", "seq", "retired", "retiredAt", "trainOcc")
+    val changed = (mA.keys ++ mB.keys).toSeq.distinct
+      .filterNot(k => k.startsWith("frames.") || k.startsWith("schema.") ||
+        bookkeeping(k))
+      .filter(k => mA.get(k) != mB.get(k)).sorted
+    (genDelta, seqDelta, perFrame, changed)
+  }
+
   /** x31 — the read-only ops DESCRIBE of a persisted index, for either
     * family: everything an operator's dashboard needs to schedule
     * maintenance, from the manifest and ONE delta-sized scan. The

@@ -3154,6 +3154,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x34: diffManifests reads verb effects from manifests alone — entry arithmetic, param changes, bookkeeping excluded") {
+    import graft.ext.IndexLayout
+    val a = Map(
+      "format" -> "f", "schemaVersion" -> "1", "gen" -> "3", "seq" -> "7",
+      "buckets" -> "48", "retired" -> "x/g0", "retiredAt" -> "1",
+      "trainOcc" -> "0:5",
+      "frames.bands" -> "bands/g3", "schema.bands" -> "a INT",
+      "frames.tombstones" -> "tombstones/g3,tombstones/a6")
+    val b = Map(
+      "format" -> "f", "schemaVersion" -> "1", "gen" -> "4", "seq" -> "9",
+      "buckets" -> "96", "retired" -> "", "retiredAt" -> "",
+      "trainOcc" -> "0:9",
+      "frames.bands" -> "bands/g4", "schema.bands" -> "a INT",
+      "frames.tombstones" -> "tombstones/g4")
+    val (gd, sd, perFrame, changed) = IndexLayout.diffManifests(a, b)
+    assert(gd == 1L && sd == 2L)
+    assert(perFrame == Seq(("bands", 1L, 1L), ("tombstones", 1L, 2L)))
+    // buckets flags as a layout change; gen/seq/retired/trainOcc and
+    // the frame/schema keys are bookkeeping, never "parameters"
+    assert(changed == Seq("buckets"))
+    // and the registered row's four legs all hold at the smallest SF
+    val rows = graft.analytics.ExtPipelines.indexDiff(spark, sf())
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("append", "delete", "compact", "rebucket"))
+    assert(rows("rebucket").getAs[String]("params_changed") == "buckets")
+    assert(rows.values.forall(_.getAs[Boolean]("composition_bounded")))
+  }
+
   test("maintenance lease: a second concurrent writer fails loudly, serves stay lock-free, a crashed writer's expired lease is reclaimed") {
     import spark.implicits._
     import graft.ext.IndexLayout
