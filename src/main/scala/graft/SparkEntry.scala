@@ -101,6 +101,7 @@ object SparkEntry {
     "x32_index_autopilot" -> (ExtPipelines.minhashIndexMaintain _),
     "x33_minhash_index_asof" -> (ExtPipelines.minhashIndexAsOf _),
     "x34_index_diff" -> (ExtPipelines.indexDiff _),
+    "x35_minhash_index_fold" -> (ExtPipelines.minhashIndexFold _),
     "x29_cc_incremental" -> (ExtPipelines.ccIncremental _),
     "x11_clean_corpus" -> (ExtPipelines.cleanCorpus _),
     // training-data-pipeline operators (dedup / text / similarity)
@@ -170,6 +171,7 @@ object SparkEntry {
     "v24_ivf_drift_gate" -> (ExtPipelines.ivfIndexDriftGate _),
     "v25_ivf_autopilot" -> (ExtPipelines.ivfIndexMaintain _),
     "v26_ivf_index_asof" -> (ExtPipelines.ivfIndexAsOf _),
+    "v27_ivf_index_fold" -> (ExtPipelines.ivfIndexFold _),
     "v13_kmeans_lloyd" -> (ExtPipelines.kmeansLloyd _),
     "v15_cluster_balanced" -> (ExtPipelines.clusterBalancedSelect _),
     "v16_mmr_topk" -> (ExtPipelines.mmrTopK _),
@@ -1018,7 +1020,23 @@ object SparkEntry {
         |       '' AS params_changed, TRUE AS composition_bounded
         |UNION ALL SELECT 'delete', 0, 1, 0, 0, 1, 0, '', TRUE
         |UNION ALL SELECT 'compact', 1, 1, 1, 2, 1, 2, '', TRUE
-        |UNION ALL SELECT 'rebucket', 1, 1, 0, 0, 0, 0, 'buckets', TRUE""".stripMargin,
+        |UNION ALL SELECT 'rebucket', 1, 1, 0, 0, 0, 0, 'buckets', TRUE
+        |UNION ALL SELECT 'window', 2, 4, 1, 1, 1, 1, 'buckets', TRUE""".stripMargin,
+
+    // x35: the autopilot's composition-length fold trigger on an
+    // append-only index. Every number is a LAYOUT CONSTANT of the
+    // fixture regime (2 vs 4 committed appends against bound 3): batch
+    // roots stand until the fold returns them to 0 in one flip; the
+    // other triggers are cold by construction (nothing deleted, sizing
+    // exact), so the whole table is literals.
+    "x35_minhash_index_fold" ->
+      """SELECT 'under' AS leg, FALSE AS compacted, FALSE AS rebucketed,
+        |       CAST(2 AS BIGINT) AS batches_before,
+        |       CAST(2 AS BIGINT) AS batches_after,
+        |       CAST(0 AS BIGINT) AS gen_after,
+        |       CAST(0 AS BIGINT) AS n_tombstones_after,
+        |       TRUE AS serve_identical
+        |UNION ALL SELECT 'over', TRUE, FALSE, 4, 0, 1, 0, TRUE""".stripMargin,
 
     // x26d: index DELETE maintenance. The admitted sets are
     // engine-internal; the driver-checkable facts are the batch size
@@ -1746,6 +1764,20 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       TRUE AS pinned_pre_append, TRUE AS future_delete_invisible
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // v27: the IVF autopilot's composition-length fold trigger —
+    // x35's layout constants on the vector family (2 vs 4 committed
+    // appends against bound 3; nothing deleted, imbalance threshold
+    // 1,000,000µ = arithmetic-unreachable, so the whole table is
+    // literals).
+    "v27_ivf_index_fold" ->
+      """SELECT 'under' AS leg, FALSE AS compacted, FALSE AS retrained,
+        |       CAST(2 AS BIGINT) AS batches_before,
+        |       CAST(2 AS BIGINT) AS batches_after,
+        |       CAST(0 AS BIGINT) AS gen_after,
+        |       CAST(0 AS BIGINT) AS n_tombstones_after,
+        |       TRUE AS serve_identical
+        |UNION ALL SELECT 'over', TRUE, FALSE, 4, 0, 1, 0, TRUE""".stripMargin,
 
     // v19: index DELETE maintenance — tombstoned serve and
     // compacted serve must both equal a same-centroid rebuild over

@@ -1841,11 +1841,13 @@ object ExtPipelines {
     * is one monotonic manifest commit (`_manifest-<seq>.json`), so a
     * serve can PIN a retained seq and see exactly the index as of that
     * commit while later maintenance lands. The regime: build on the
-    * standing split (seq 0), serve the probe batch (result R0), append
-    * R0's admitted docs (seq 1, head result R1), then tombstone part
-    * of the standing split (seq 2). Pins checked exactly:
-    * serve@seq0 ≡ R0 (the append is invisible — previously-admitted
-    * docs admit again) and serve@seq1 ≡ R1 (the append is visible but
+    * standing split (seq 0), widen retention as the index's OWN stored
+    * parameter (seq 1 — [[graft.ext.IndexLayout.setManifestKeep]], not
+    * the session-global conf), serve the probe batch (result R0),
+    * append R0's admitted docs (seq 2, head result R1), then tombstone
+    * part of the standing split (seq 3). Pins checked exactly:
+    * serve@seq1 ≡ R0 (the append is invisible — previously-admitted
+    * docs admit again) and serve@seq2 ≡ R1 (the append is visible but
     * the FUTURE delete is not — a pinned snapshot must not apply
     * deletes committed after it, while the head serve admits the
     * deleted docs' dups). Emits `n_batch` (oracle recomputes the
@@ -1858,12 +1860,14 @@ object ExtPipelines {
     val standing = docs.filter(bk < 52428)
     val batch = docs.filter(bk >= 52428)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_asof")
-    // the pins need seqs 0..2 retained; the default keeps only 2
-    val keep0 = spark.conf.getOption(graft.ext.IndexLayout.ManifestKeepConfKey)
-    spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, "8")
     try {
       val path = tmpRoot.toString + "/idx"
       Dedup.saveMinhashIndex(standing, path, idBuckets = 48) // seq 0
+      // the pins need the early seqs retained; the default keeps only
+      // 2 — widen THIS index's retention as a stored layout parameter
+      // (a leased commit, seq 1) instead of mutating the session-global
+      // conf, which would leak into every concurrent commit
+      graft.ext.IndexLayout.setManifestKeep(spark, path, 8) // seq 1
       def serve(asOf: Option[Int]): DataFrame =
         Dedup.nearDupIngestFromPath(spark, path, batch, asOfSeq = asOf)
       // eager delta-sized pins: later maintenance swaps files under a
@@ -1871,34 +1875,26 @@ object ExtPipelines {
       val r0 = graft.ext.Checkpoints.ckptLocal(serve(None))
       val admittedDocs = graft.ext.Checkpoints.ckptLocal(
         batch.join(r0, Seq("doc_id"), "left_semi"))
-      Dedup.appendToMinhashIndex(admittedDocs, path) // seq 1
+      Dedup.appendToMinhashIndex(admittedDocs, path) // seq 2
       val r1 = graft.ext.Checkpoints.ckptLocal(serve(None))
       def eq(a: DataFrame, b: DataFrame): Boolean =
         a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-      val pinnedPreAppend = eq(serve(Some(0)), r0)
+      val pinnedPreAppend = eq(serve(Some(1)), r0)
       Dedup.deleteFromMinhashIndex(
-        standing.filter(bk >= 39321).select("doc_id"), path) // seq 2
-      val futureDeleteInvisible = eq(serve(Some(1)), r1)
+        standing.filter(bk >= 39321).select("doc_id"), path) // seq 3
+      val futureDeleteInvisible = eq(serve(Some(2)), r1)
       Seq((batch.count(), pinnedPreAppend, futureDeleteInvisible))
         .toDF("n_batch", "pinned_pre_append", "future_delete_invisible")
-    } finally {
-      keep0 match {
-        case Some(v) =>
-          spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, v)
-        case None =>
-          spark.conf.unset(graft.ext.IndexLayout.ManifestKeepConfKey)
-      }
-      deleteTempTree(tmpRoot)
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** x34: index COMMIT DIFF ([[graft.ext.IndexLayout.diffManifests]])
     * — the audit-trail verb the monotonic commit log enables: each
     * maintenance verb's effect reconstructed from two retained
     * manifests alone (no data read, no lease). The regime drives one
-    * verb per commit — append (seq 1), delete (seq 2), compaction
-    * (seq 3, gen 1), tombstone-free rebucket (seq 4, gen 2) — and
-    * diffs each adjacent pair. Every emitted number is a LAYOUT
+    * verb per commit — retention widened (seq 1), append (seq 2),
+    * delete (seq 3), compaction (seq 4, gen 1), tombstone-free
+    * rebucket (seq 5, gen 2) — and diffs each adjacent verb pair. Every emitted number is a LAYOUT
     * CONSTANT of the verb, independent of data and SF: an append adds
     * exactly one batch-root entry per staged frame (bands shown), a
     * delete adds exactly one tombstone batch, the compaction retires
@@ -1908,7 +1904,22 @@ object ExtPipelines {
     * states the full table as literals. The shingles/sizes diffs are
     * partition-count-dependent (the fold), so they surface as the
     * `composition_bounded` boolean (≤ buckets + 1 after every verb)
-    * instead of counts. */
+    * instead of counts.
+    *
+    * The fifth leg, `window`, diffs NON-ADJACENT commits — the whole
+    * append→rebucket maintenance window in one call — proving the diff
+    * is a WINDOW SUMMARY, not just a step function: the transient
+    * batch roots the append and delete spliced in (`bands/aN`,
+    * `tombstones/aN`) were folded away by the compaction inside the
+    * window, so they appear on NEITHER side of the set diff — the
+    * window reads as exactly one root replaced per frame (1 added,
+    * 1 removed) plus the rebucket's `buckets` change and the two
+    * flips' gen delta, where a SUM of the four step diffs would count
+    * every transient twice. Retention for the wide horizon comes from
+    * the index's own stored `manifestKeep` parameter
+    * ([[graft.ext.IndexLayout.setManifestKeep]], one leased commit) —
+    * never from mutating the session-global conf, which would leak
+    * into concurrent commits on the shared session. */
   def indexDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1916,19 +1927,19 @@ object ExtPipelines {
     val standing = docs.filter(bk < 52428)
     val batch = docs.filter(bk >= 52428)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x34")
-    val keep0 = spark.conf.getOption(graft.ext.IndexLayout.ManifestKeepConfKey)
-    spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, "16")
     try {
       val p = tmpRoot.toString + "/idx"
       Dedup.saveMinhashIndex(standing, p, idBuckets = 48) // seq 0
-      Dedup.appendToMinhashIndex(batch, p) // seq 1
+      graft.ext.IndexLayout.setManifestKeep(spark, p, 16) // seq 1
+      Dedup.appendToMinhashIndex(batch, p) // seq 2
       Dedup.deleteFromMinhashIndex(
-        standing.filter(bk >= 39321).select("doc_id"), p) // seq 2
-      Dedup.compactMinhashTombstones(spark, p) // seq 3, gen 1
-      Dedup.rebucketMinhashIndex(spark, p, 96) // seq 4, gen 2
+        standing.filter(bk >= 39321).select("doc_id"), p) // seq 3
+      Dedup.compactMinhashTombstones(spark, p) // seq 4, gen 1
+      Dedup.rebucketMinhashIndex(spark, p, 96) // seq 5, gen 2
       def m(s: Int) = graft.ext.IndexLayout.readManifestAt(spark, p, s)
-      val legs = Seq(("append", 0, 1), ("delete", 1, 2),
-        ("compact", 2, 3), ("rebucket", 3, 4)).map { case (leg, a, b) =>
+      val legs = Seq(("append", 1, 2), ("delete", 2, 3),
+        ("compact", 3, 4), ("rebucket", 4, 5),
+        ("window", 1, 5)).map { case (leg, a, b) =>
         val (gd, sd, perFrame, changed) =
           graft.ext.IndexLayout.diffManifests(m(a), m(b))
         val fm = perFrame.map(x => x._1 -> ((x._2, x._3))).toMap
@@ -1945,22 +1956,15 @@ object ExtPipelines {
       legs.toDF("leg", "gen_delta", "seq_delta", "bands_added",
         "bands_removed", "tomb_added", "tomb_removed", "params_changed",
         "composition_bounded")
-    } finally {
-      keep0 match {
-        case Some(v) =>
-          spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, v)
-        case None =>
-          spark.conf.unset(graft.ext.IndexLayout.ManifestKeepConfKey)
-      }
-      deleteTempTree(tmpRoot)
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** v26: IVF index AS-OF serve — x33's discipline on the vector
-    * index: build on the standing split (seq 0, head top-k R0), append
-    * the remainder (seq 1, head top-k R1), tombstone a standing range
-    * (seq 2). Pins: serve@seq0 ≡ R0 (appended vectors invisible) and
-    * serve@seq1 ≡ R1 (append visible, FUTURE delete not — the head
+    * index: build on the standing split (seq 0, retention widened at
+    * seq 1, head top-k R0), append the remainder (seq 2, head top-k
+    * R1), tombstone a standing range (seq 3). Pins: serve@seq1 ≡ R0
+    * (appended vectors invisible) and
+    * serve@seq2 ≡ R1 (append visible, FUTURE delete not — the head
     * serve meanwhile re-fills the freed top-k slots). Emits
     * `n_queries` + the two TRUE pins. */
   def ivfIndexAsOf(spark: SparkSession, dir: String): DataFrame = {
@@ -1970,35 +1974,28 @@ object ExtPipelines {
     val standing = emb.filter(b < 52428)
     val batch = emb.filter(b >= 52428)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_asof")
-    val keep0 = spark.conf.getOption(graft.ext.IndexLayout.ManifestKeepConfKey)
-    spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, "8")
     try {
       val path = tmpRoot.toString + "/idx"
       Similarity.saveIvfIndex(standing, path, nList = 8, nIters = 1) // seq 0
+      // widen THIS index's retention as a stored layout parameter (one
+      // leased commit) — not the session-global conf (x33's note)
+      graft.ext.IndexLayout.setManifestKeep(spark, path, 8) // seq 1
       val queries = emb.filter(col("vec_id") < 10)
       def serve(asOf: Option[Int]): DataFrame =
         Similarity.ivfTopKFromIndex(spark, path, queries, k = 5, nProbe = 4,
           asOfSeq = asOf)
       val r0 = graft.ext.Checkpoints.ckptLocal(serve(None))
-      Similarity.appendToIvfIndex(spark, path, batch) // seq 1
+      Similarity.appendToIvfIndex(spark, path, batch) // seq 2
       val r1 = graft.ext.Checkpoints.ckptLocal(serve(None))
       def eq(a: DataFrame, b: DataFrame): Boolean =
         a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-      val pinnedPreAppend = eq(serve(Some(0)), r0)
+      val pinnedPreAppend = eq(serve(Some(1)), r0)
       Similarity.deleteFromIvfIndex(
-        standing.filter(b >= 39321).select("vec_id"), path) // seq 2
-      val futureDeleteInvisible = eq(serve(Some(1)), r1)
+        standing.filter(b >= 39321).select("vec_id"), path) // seq 3
+      val futureDeleteInvisible = eq(serve(Some(2)), r1)
       Seq((queries.count(), pinnedPreAppend, futureDeleteInvisible))
         .toDF("n_queries", "pinned_pre_append", "future_delete_invisible")
-    } finally {
-      keep0 match {
-        case Some(v) =>
-          spark.conf.set(graft.ext.IndexLayout.ManifestKeepConfKey, v)
-        case None =>
-          spark.conf.unset(graft.ext.IndexLayout.ManifestKeepConfKey)
-      }
-      deleteTempTree(tmpRoot)
-    }
+    } finally deleteTempTree(tmpRoot)
   }
 
   /** v23: persisted IVF index RETRAIN — the quantizer-replacement verb
@@ -2160,6 +2157,87 @@ object ExtPipelines {
     } finally deleteTempTree(tmpRoot)
   }
 
+  /** x35: the autopilot's COMPOSITION-LENGTH (fold) trigger
+    * ([[graft.ext.Dedup.maintainMinhashIndex]]'s third leg) on an
+    * APPEND-ONLY index — the lifecycle the other two triggers never
+    * see: zero dead rows and stable sizing, but every committed append
+    * splices one batch root per frame, so serve plans union one more
+    * scan per batch until a compaction folds them (the Delta-log trade
+    * needs its checkpoint trigger; r18's named scale suspect). Two
+    * by-construction legs over the same base/4-batch md5-bucket split:
+    *  - `under`: 2 of the 4 batches appended, bound 3 → no verb fires,
+    *    gen stays 0, both batch roots stand;
+    *  - `over`: all 4 appended, bound 3 → the FOLD fires (reported as
+    *    `compacted` — it IS a compaction with an empty tombstone set),
+    *    batch roots return to 0, one flip.
+    * The other triggers are cold BY CONSTRUCTION, not by measurement:
+    * nothing is ever deleted (n_tombstones_after = 0 → backlog's
+    * nDead = 0 exactly) and the index is built at the sizing rule's
+    * own bucket count over the FULL corpus, so after all appends
+    * desired == stored and the rebucket's desired ≥ 2×stored is
+    * arithmetic-false. `serve_identical` pins the fold's read-side
+    * no-op: the same probe batch (standing dups + novel docs) admits
+    * identically before and after — eagerly pinned before the fold
+    * swaps files under the lazy plan. */
+  def minhashIndexFold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bk = graft.ext.DataSplit.bucket(col("doc_id"))
+    val base = docs.filter(bk < 32768)
+    val batches = Seq(
+      docs.filter(bk >= 32768 && bk < 40960),
+      docs.filter(bk >= 40960 && bk < 49152),
+      docs.filter(bk >= 49152 && bk < 57344),
+      docs.filter(bk >= 57344))
+    // sizing-cold build count: the rule's own count over the FULL
+    // corpus (after every append desired == stored, never 2× outgrown)
+    val target = 50L
+    val rightCount = ((docs.count() + target - 1) / target).toInt
+    // probe batch: half standing dups (must reject), half novel docs
+    // (must admit) — the serve whose result the fold must not change.
+    // Eagerly pinned ONCE (ckptLocal): both serves must probe the same
+    // rows, and an unordered limit re-evaluated per job could not
+    // guarantee that
+    val probes = graft.ext.Checkpoints.ckptLocal(
+      base.orderBy("doc_id").limit(5).select(
+        (col("doc_id") + 9000000L).as("doc_id"), col("text"))
+      .unionAll(Seq.tabulate(5)(i =>
+        (9100000L + i, s"qq${i}a qq${i}b qq${i}c qq${i}d qq${i}e qq${i}f"))
+        .toDF("doc_id", "text")))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x35")
+    try {
+      val legs = Seq(("under", 2), ("over", 4)).map { case (leg, nAppend) =>
+        val p = s"$tmpRoot/$leg"
+        Dedup.saveMinhashIndex(base, p, idBuckets = rightCount)
+        batches.take(nAppend).foreach(b => Dedup.appendToMinhashIndex(b, p))
+        def mNow() = graft.ext.IndexLayout
+          .requireManifest(spark, p, Dedup.MinhashIndexFormat)
+        val batchesBefore = graft.ext.IndexLayout.maxBatchRootCount(mNow())
+        val served0 = graft.ext.Checkpoints.ckptLocal(
+          Dedup.nearDupIngestFromPath(spark, p, probes))
+        val (compacted, rebucketed) = Dedup.maintainMinhashIndex(spark, p,
+          maxTombstonePct = 10, targetDocsPerBucket = target,
+          maxAppendBatches = 3)
+        val served1 = Dedup.nearDupIngestFromPath(spark, p, probes)
+        val serveIdentical = served0.exceptAll(served1).isEmpty &&
+          served1.exceptAll(served0).isEmpty
+        val (m, _, nTombAfter, _, _) =
+          graft.ext.IndexLayout.describeIndex(spark, p)
+        (leg, compacted, rebucketed, batchesBefore.toLong,
+          graft.ext.IndexLayout.maxBatchRootCount(m).toLong,
+          m("gen").toLong, nTombAfter, serveIdentical)
+      }
+      // driver-side local relation (describe/serve pins are eager), so
+      // nothing lazy still reads the index files after cleanup
+      legs.toDF("leg", "compacted", "rebucketed", "batches_before",
+        "batches_after", "gen_after", "n_tombstones_after",
+        "serve_identical")
+    } finally {
+      graft.ext.Checkpoints.free(probes)
+      deleteTempTree(tmpRoot)
+    }
+  }
+
   /** v24: drift-GATED index maintenance
     * ([[graft.ext.Similarity.driftGateIvfIndex]]) — the decision layer
     * between v11's monitoring and v23's retrain verb, run over a
@@ -2283,6 +2361,64 @@ object ExtPipelines {
       // still reads the index files after cleanup
       legs.toDF("leg", "retrained", "compacted", "gen_after",
         "n_tombstones_after", "n_live_after")
+    } finally deleteTempTree(tmpRoot)
+  }
+
+  /** v27: the IVF autopilot's COMPOSITION-LENGTH (fold) trigger
+    * ([[graft.ext.Similarity.maintainIvfIndex]]'s third leg) on an
+    * append-only index — x35's discipline on the vector family. Same
+    * two by-construction legs (2 vs 4 committed appends against bound
+    * 3); the over leg folds the batch roots to 0 in one flip, reported
+    * as `compacted`. The other triggers are cold BY CONSTRUCTION:
+    * nothing is deleted (nDead = 0 exactly), and the imbalance
+    * threshold is passed as 1,000,000µ — a µ-scaled total-variation
+    * distance is ≤ 1,000,000 by definition, so the retrain comparison
+    * is arithmetic-false whatever the occupancies (stronger than the
+    * measured-noise argument v25's idle leg rests on).
+    * `serve_identical` pins the fold's read-side no-op: the same
+    * query batch's exact top-k before and after, eagerly pinned
+    * before the fold swaps files under the lazy plan. */
+  def ivfIndexFold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val b = graft.ext.DataSplit.bucket(col("vec_id"))
+    val base = emb.filter(b < 32768)
+    val batches = Seq(
+      emb.filter(b >= 32768 && b < 40960),
+      emb.filter(b >= 40960 && b < 49152),
+      emb.filter(b >= 49152 && b < 57344),
+      emb.filter(b >= 57344))
+    val queries = emb.filter(col("vec_id") < 5)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v27")
+    try {
+      val legs = Seq(("under", 2), ("over", 4)).map { case (leg, nAppend) =>
+        val p = s"$tmpRoot/$leg"
+        Similarity.saveIvfIndex(base, p, nList = 8, nIters = 1)
+        batches.take(nAppend).foreach(bt =>
+          Similarity.appendToIvfIndex(spark, p, bt))
+        def mNow() = graft.ext.IndexLayout
+          .requireManifest(spark, p, Similarity.IvfIndexFormat)
+        val batchesBefore = graft.ext.IndexLayout.maxBatchRootCount(mNow())
+        val served0 = graft.ext.Checkpoints.ckptLocal(
+          Similarity.ivfTopKFromIndex(spark, p, queries, k = 5, nProbe = 4))
+        val (retrained, compacted) = Similarity.maintainIvfIndex(spark, p,
+          maxTombstonePct = 10, imbalanceTvThresholdMu = 1000000L,
+          maxAppendBatches = 3)
+        val served1 =
+          Similarity.ivfTopKFromIndex(spark, p, queries, k = 5, nProbe = 4)
+        val serveIdentical = served0.exceptAll(served1).isEmpty &&
+          served1.exceptAll(served0).isEmpty
+        val (m, _, nTombAfter, _, _) =
+          graft.ext.IndexLayout.describeIndex(spark, p)
+        (leg, compacted, retrained, batchesBefore.toLong,
+          graft.ext.IndexLayout.maxBatchRootCount(m).toLong,
+          m("gen").toLong, nTombAfter, serveIdentical)
+      }
+      // driver-side local relation (describe/serve pins are eager), so
+      // nothing lazy still reads the index files after cleanup
+      legs.toDF("leg", "compacted", "retrained", "batches_before",
+        "batches_after", "gen_after", "n_tombstones_after",
+        "serve_identical")
     } finally deleteTempTree(tmpRoot)
   }
 

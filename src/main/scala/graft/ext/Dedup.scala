@@ -768,12 +768,43 @@ object Dedup {
     * dirs, which the re-run overwrites — single MAINTENANCE writer at
     * a time, any number of readers. */
   def compactMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String = "doc_id"): Unit = {
+      path: String, idCol: String = "doc_id"): Unit =
+    compactMinhash(spark, path, idCol, foldEvenClean = false)
+
+  /** FOLD the composition of a [[saveMinhashIndex]] index even when no
+    * tombstone exists — the maintenance verb for the APPEND-ONLY
+    * lifecycle: every committed append splices one batch-root entry
+    * per frame into the composition, and the serve plan unions one
+    * scan per entry until a compaction folds them back (the Delta-log
+    * checkpoint discipline). An index that only ever appends (zero
+    * dead rows, stable sizing) never fires the tombstone compaction,
+    * so its serve fan-out would grow one scan per committed batch
+    * forever; this verb is the same pruned compaction with an empty
+    * tombstone set — batch roots consolidate into the next generation,
+    * entries return to ≤ partitions + 1 per frame — fired by
+    * [[maintainMinhashIndex]]'s composition-length trigger. */
+  def foldMinhashComposition(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "doc_id"): Unit =
+    compactMinhash(spark, path, idCol, foldEvenClean = true)
+
+  private def compactMinhash(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, foldEvenClean: Boolean): Unit = {
     // leased across staging AND flip — the whole window in which a
     // concurrent append/delete would be silently retired or dropped
     IndexLayout.withMaintenanceLease(spark, path) { lease =>
       val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
-      IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
+      val tombStanding = IndexLayout.loadTombstones(spark, path, m, idCol)
+      // an empty tombstone set makes the pruned compaction a pure
+      // composition FOLD (nothing affected, nothing anti-joined away;
+      // split partitions — including every batch root — consolidate)
+      val tombForFold =
+        if (foldEvenClean && tombStanding.isEmpty)
+          Some(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              Seq(IndexLayout.frameSchema(m, "sizes")(idCol)))))
+        else tombStanding
+      tombForFold.foreach { tombRaw =>
         val carried = IndexLayout.dropRetired(spark, path, m)
         // the tombstone set feeds three anti-joins and a bucket-list
         // aggregate; delta-sized, so one ckptLocal pins it for all four.
@@ -952,17 +983,33 @@ object Dedup {
     *    whole-frame rewrite anti-joins the tombstones out and clears
     *    them at its flip (its documented contract), so running both
     *    would pay the whole-frame term twice for nothing.
+    *  - otherwise FOLD when the composition has accumulated more than
+    *    `maxAppendBatches` committed batch roots in any frame
+    *    ([[graft.ext.IndexLayout.maxBatchRootCount]] — a manifest map
+    *    lookup, no read at all): fires [[foldMinhashComposition]].
+    *    This is the trigger the APPEND-ONLY lifecycle needs — an index
+    *    with few deletes and stable sizing never fires the other two,
+    *    yet every committed append adds one union-ed scan to every
+    *    serve until a compaction folds the batch roots (the Delta-log
+    *    trade needs its checkpoint trigger); without this leg serve
+    *    plans grow linear-in-batches forever. Both heavier verbs
+    *    SUBSUME it (their compactions fold the batch roots at the same
+    *    flip), which is why it is checked last.
     *
-    * Both fired verbs take the maintenance lease themselves; the
+    * All fired verbs take the maintenance lease themselves; the
     * policy read is lock-free, so the autopilot can observe a live
     * index and fail loudly at the verb if another writer appears.
-    * Returns (compacted, rebucketed). */
+    * Returns (compacted, rebucketed) — the fold reports as
+    * `compacted` (it IS a compaction, with an empty tombstone set). */
   def maintainMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxTombstonePct: Int = 10,
-      targetDocsPerBucket: Long = 1000, idCol: String = "doc_id")
+      targetDocsPerBucket: Long = 1000, idCol: String = "doc_id",
+      maxAppendBatches: Int = 16)
       : (Boolean, Boolean) = {
-    require(maxTombstonePct > 0 && targetDocsPerBucket > 0,
-      s"maintainMinhashIndex($maxTombstonePct%, $targetDocsPerBucket/bucket)")
+    require(maxTombstonePct > 0 && targetDocsPerBucket > 0 &&
+        maxAppendBatches > 0,
+      s"maintainMinhashIndex($maxTombstonePct%, $targetDocsPerBucket/bucket," +
+        s" $maxAppendBatches batches)")
     val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
     val buckets = IndexLayout.intParam(m, path, "buckets")
     val sizes = IndexLayout.readFrame(spark, path, m, "sizes")
@@ -987,6 +1034,9 @@ object Dedup {
       (false, true)
     } else if (nDead * 100L > live * maxTombstonePct) {
       compactMinhashTombstones(spark, path, idCol)
+      (true, false)
+    } else if (IndexLayout.maxBatchRootCount(m) > maxAppendBatches) {
+      foldMinhashComposition(spark, path, idCol)
       (true, false)
     } else (false, false)
   }

@@ -131,8 +131,22 @@ private[graft] object IndexLayout {
   /** Session conf key for HOW MANY trailing manifest commits to retain
     * (min 2). The default keeps the current and previous commit — the
     * structural list-to-open grace; raise it to widen the as-of-serve
-    * horizon ([[readManifestAt]] can pin any retained seq). */
+    * horizon ([[readManifestAt]] can pin any retained seq).
+    *
+    * Precedence: a `manifestKeep` key stored IN the index's own
+    * manifest wins over this session conf ([[setManifestKeep]] writes
+    * it). Retention is a property of the index — it must hold for
+    * EVERY writer that commits to it, including one that never set the
+    * conf — and a per-index stored parameter is also concurrency-safe
+    * where a session-global conf is not: two pipelines committing to
+    * different indexes on one shared SparkSession each get their own
+    * index's retention instead of whichever conf value happens to be
+    * set during their commit. */
   val ManifestKeepConfKey = "graft.index.manifestKeep"
+
+  /** The stored per-index retention key ([[ManifestKeepConfKey]]'s
+    * precedence note). */
+  val ManifestKeepParam = "manifestKeep"
 
   /** Committed manifest generations present under `path`. */
   private def listManifestGens(f: org.apache.hadoop.fs.FileSystem,
@@ -194,7 +208,11 @@ private[graft] object IndexLayout {
     }
     commit(s"._manifest-$gen.json.tmp", manifestGenFile(gen))
     commit(s".${ManifestFile}.tmp", ManifestFile)
-    val keep = spark.conf.getOption(ManifestKeepConfKey)
+    // retention: the index's own stored parameter wins (it travels
+    // with the data and applies to every writer); the session conf is
+    // the fallback for indexes that never stored one
+    val keep = kv.get(ManifestKeepParam)
+      .orElse(spark.conf.getOption(ManifestKeepConfKey))
       .map(_.toInt.max(2)).getOrElse(2)
     listManifestGens(f, path).filter(_ <= gen - keep)
       .foreach(g => f.delete(new Path(s"$path/${manifestGenFile(g)}"), false))
@@ -398,14 +416,20 @@ private[graft] object IndexLayout {
   private def currentLease(f: org.apache.hadoop.fs.FileSystem, path: String,
       fallbackTtlMs: Long): Option[(Int, String, Long, Long)] = {
     val gens = listLeaseGens(f, path)
-    if (gens.isEmpty)
-      readLeaseFile(f, leasePath(path), fallbackTtlMs)
-        .map { case (h, at, t) => (0, h, at, t) }
-    else {
-      val g = gens.max
-      readLeaseFile(f, new Path(s"$path/${leaseGenFile(g)}"), fallbackTtlMs)
-        .map { case (h, at, t) => (g, h, at, t) }
-    }
+    val fromGens =
+      if (gens.isEmpty) None
+      else {
+        val g = gens.max
+        readLeaseFile(f, new Path(s"$path/${leaseGenFile(g)}"), fallbackTtlMs)
+          .map { case (h, at, t) => (g, h, at, t) }
+      }
+    // fall through to the legacy single file when the generation files
+    // yield no standing lease (none exist, or the highest is a
+    // released stamp): an old binary that create-exclusively acquired
+    // `_maintenance.lease` keeps being honored in a mixed-version
+    // deployment even though this protocol's released stamps persist
+    fromGens.orElse(readLeaseFile(f, leasePath(path), fallbackTtlMs)
+      .map { case (h, at, t) => (0, h, at, t) })
   }
 
   /** (holder, acquiredAtMs, ttlMs) of the standing lease, if any. A
@@ -418,11 +442,20 @@ private[graft] object IndexLayout {
     currentLease(f, path, fallbackTtlMs)
       .map { case (_, h, at, t) => (h, at, t) }
 
+  /** Parse one lease file. Three outcomes: a standing lease tuple; None
+    * for an absent file or a RELEASED stamp (the tombstone
+    * [[releaseLease]] leaves behind so lease generations are never
+    * reused — it is not a lease, it is the monotonic high-water
+    * record); and for a file that exists but does not parse (a writer
+    * crashed mid-create) the mtime-fallback tuple, so a torn file
+    * expires like any lease instead of wedging maintenance forever. */
   private def readLeaseFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
       fallbackTtlMs: Long): Option[(String, Long, Long)] = {
     if (!f.exists(p)) None
     else {
-      val parsed = try {
+      // Some(None) = parsed released stamp; Some(Some(t)) = parsed
+      // lease; None = unparseable (fall back to mtime expiry below)
+      val parsed: Option[Option[(String, Long, Long)]] = try {
         val in = f.open(p)
         val bytes = try {
           val buf = new java.io.ByteArrayOutputStream()
@@ -430,10 +463,11 @@ private[graft] object IndexLayout {
           buf.toByteArray
         } finally in.close()
         val m = mapper.readValue(bytes, classOf[java.util.Map[String, String]])
-        Some((m.get("writerId"), m.get("acquiredAtMs").toLong,
-          m.get("ttlMs").toLong))
+        if ("true" == m.get("released")) Some(None)
+        else Some(Some((m.get("writerId"), m.get("acquiredAtMs").toLong,
+          m.get("ttlMs").toLong)))
       } catch { case scala.util.control.NonFatal(_) => None }
-      parsed.orElse {
+      parsed.getOrElse {
         try Some(("<unreadable>", f.getFileStatus(p).getModificationTime,
           fallbackTtlMs))
         catch { case _: java.io.FileNotFoundException => None }
@@ -442,11 +476,14 @@ private[graft] object IndexLayout {
   }
 
   private def writeLeaseTo(f: org.apache.hadoop.fs.FileSystem, p: Path,
-      writerId: String, ttlMs: Long, overwrite: Boolean): Unit = {
-    val json = mapper.writeValueAsString(new java.util.TreeMap[String, String](
+      writerId: String, ttlMs: Long, overwrite: Boolean,
+      released: Boolean = false): Unit = {
+    val kv = new java.util.TreeMap[String, String](
       java.util.Map.of("writerId", writerId,
         "acquiredAtMs", System.currentTimeMillis().toString,
-        "ttlMs", ttlMs.toString)))
+        "ttlMs", ttlMs.toString))
+    if (released) kv.put("released", "true")
+    val json = mapper.writeValueAsString(kv)
     // exclusive create when !overwrite — THE arbitration point of the
     // whole protocol. Hadoop's LocalFileSystem implements
     // create(overwrite=false) as a CHECK-THEN-ACT (exists() then open)
@@ -505,11 +542,16 @@ private[graft] object IndexLayout {
     * the standard caveat (S3 conditional writes close it on stores
     * that support If-None-Match). A standing
     * unexpired lease throws, naming the holder and its expiry. A lease
-    * whose TTL has passed is a CRASHED writer's: it is reclaimed
-    * (delete + fresh exclusive create), so no operator intervention is
-    * needed beyond waiting out the TTL. Release deletes the file only
-    * if this handle still holds it — a reclaimed-after-expiry lease is
-    * never deleted out from under its new owner.
+    * whose TTL has passed is a CRASHED writer's: it is reclaimed by
+    * claiming the NEXT generation (one exclusive create — nobody ever
+    * deletes or renames another writer's live file), so no operator
+    * intervention is needed beyond waiting out the TTL. Release stamps
+    * the handle's own file released/ttl-0 instead of deleting it
+    * ([[releaseLease]] — the stamp keeps the generation sequence
+    * monotonic so racers around a release can never claim two
+    * different names), and only while the handle still holds it — a
+    * reclaimed-after-expiry lease is never touched under its new
+    * owner.
     *
     * NOT leased: serves (readers are lock-free by design — the whole
     * point of the generation layout) and the full-rebuild save verbs
@@ -573,14 +615,52 @@ private[graft] object IndexLayout {
           // The loser loops, reads the winner's fresh lease, and
           // throws the loud standing-lease error above.
           if (tryClaimLease(f, path, curGen + 1, id, ttlMs)) {
-            // sweep superseded relics (strictly lower generations and
-            // the legacy single file — every one expired or released;
-            // ownership is by HIGHEST N, so deleting lower files can
-            // never change it)
-            gens.filter(_ <= curGen).foreach(g =>
-              f.delete(new Path(s"$path/${leaseGenFile(g)}"), false))
-            if (f.exists(leasePath(path))) f.delete(leasePath(path), false)
-            return LeaseHandle(id, ttlMs, curGen + 1)
+            // POST-CLAIM VERIFY: the claim is ours only if it is still
+            // the HIGHEST generation. A create that succeeded because a
+            // later acquire's sweep deleted this generation's old file
+            // (this writer listed, stalled, and claimed from a stale
+            // curGen) is a claim BELOW the current max — and since the
+            // sweep of generation N runs strictly AFTER generation N+1
+            // was created, the higher file is already visible to this
+            // re-list: abandon (the stale file is inert below the max
+            // and swept later), loop, and fail loudly on the real
+            // owner's standing lease. Without this check the sweep
+            // would re-open the very two-owner race the monotonic
+            // claim closed.
+            if (listLeaseGens(f, path).max == curGen + 1) {
+              // sweep superseded relics — strictly lower generations:
+              // every one expired, released, or owned by a writer whose
+              // renew/completion gate will fail loudly anyway;
+              // ownership is by HIGHEST N, so deleting lower files can
+              // never change it. Deleting ONLY strictly-superseded
+              // files (never the current one — release stamps it
+              // instead of deleting) is what keeps the claim target
+              // monotonic: the listing a racer takes always contains
+              // the highest generation ever claimed, so racers
+              // arriving around a release converge on the SAME next
+              // name (one create-exclusive wins) instead of claiming
+              // two different ones.
+              gens.filter(_ <= curGen).foreach(g =>
+                f.delete(new Path(s"$path/${leaseGenFile(g)}"), false))
+              // legacy single-file sweep, mixed-version-safe: re-read
+              // it RIGHT BEFORE deleting and keep it if an old binary
+              // create-exclusively acquired a fresh lease there between
+              // our currentLease read and this claim — deleting that
+              // live file would let a third old-binary writer acquire
+              // concurrently. (The old binary and this writer still
+              // overlap — monotonic files cannot arbitrate a protocol
+              // the old binary does not speak — but the sweep must not
+              // WIDEN the exposure to a third writer.)
+              val legacyFresh = readLeaseFile(f, leasePath(path), ttlMs)
+                .exists { case (_, at, t) =>
+                  System.currentTimeMillis() < at + t }
+              if (!legacyFresh && f.exists(leasePath(path)))
+                f.delete(leasePath(path), false)
+              return LeaseHandle(id, ttlMs, curGen + 1)
+            }
+            // else: abandoned (claim landed below the current max —
+            // see the verify note); loop and fail loudly on the real
+            // owner's standing lease
           }
       }
       attempts += 1
@@ -616,23 +696,55 @@ private[graft] object IndexLayout {
       : Option[String] =
     readLease(IndexFs.fs(spark, path), path, DefaultLeaseTtlMs).map(_._1)
 
+  /** Release by overwriting the handle's own generation file with a
+    * RELEASED/ttl-0 stamp — never by deleting it. The stamp is the
+    * protocol's monotonic high-water record: [[acquireLease]] derives
+    * its claim target (curGen + 1) from a directory listing, and if a
+    * release DELETED the highest file, two racers straddling the
+    * delete could compute DIFFERENT targets (one lists the emptied
+    * dir and claims a reused low generation, the other got
+    * FileNotFound reading the vanished gen and claims gen + 1) — two
+    * successful create-exclusives on two different names, i.e. two
+    * live owners, the exact unsoundness the monotonic rebuild
+    * eliminated from the reclaim path. With the stamp, the highest
+    * generation ever claimed is always visible to every lister, so
+    * all racers converge on the SAME next name and one create wins.
+    * At most one stamp persists: the next successful acquire sweeps
+    * all strictly-superseded files after claiming. Only stamps while
+    * this handle still holds the current lease — a handle that lost
+    * ownership (TTL overrun + reclaim) must not touch the new owner's
+    * file (symmetric with renew's loud abort). */
   def releaseLease(spark: SparkSession, path: String, h: LeaseHandle): Unit = {
     val f = IndexFs.fs(spark, path)
-    // delete ONLY our own generation file, and only while it is still
-    // the current lease. If our TTL elapsed and another writer claimed
-    // a higher generation, the current lease is theirs — our stale
-    // lower-generation file is inert and swept at the next acquire;
-    // deleting it here would be fine too, but the guard keeps release
-    // a no-op for a handle that lost ownership (symmetric with renew's
-    // loud abort). No rename-marker dance is needed: we never touch a
-    // file another writer could currently own.
     if (currentLease(f, path, h.ttlMs).exists { case (g, holder, _, _) =>
         g == h.gen && holder == h.writerId })
-      f.delete(new Path(s"$path/${leaseGenFile(h.gen)}"), false)
+      writeLeaseTo(f, new Path(s"$path/${leaseGenFile(h.gen)}"),
+        h.writerId, 0L, overwrite = true, released = true)
   }
 
   def intParam(m: Map[String, String], path: String, key: String): Int =
     param(m, path, key).toInt
+
+  /** Store the index's manifest-retention window as a layout parameter
+    * (the `ALTER TABLE SET TBLPROPERTIES` of this layout): every later
+    * commit — by ANY writer, whatever its session conf — retains the
+    * trailing `keep` manifest commits, widening the as-of-serve /
+    * commit-diff horizon ([[readManifestAt]], [[diffManifests]]).
+    * A leased maintenance commit like any other (seq bumps, data
+    * untouched); the fixtures that need seqs pinned use this instead
+    * of mutating the session-global conf, which would leak the widened
+    * retention into every concurrent commit on the shared session. */
+  def setManifestKeep(spark: SparkSession, path: String, keep: Int): Unit = {
+    require(keep >= 2, s"setManifestKeep($keep): retention must be >= 2")
+    withMaintenanceLease(spark, path) { _ =>
+      val m = readManifest(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"$path has no $ManifestFile: not a persisted index of this layout"))
+      writeManifest(spark, path, m ++ Map(
+        ManifestKeepParam -> keep.toString,
+        "seq" -> (seqOf(m) + 1).toString))
+    }
+  }
 
   // ---------------------------------------------------------------
   // frame composition
@@ -736,6 +848,24 @@ private[graft] object IndexLayout {
     * post-compaction epoch can never collide with a live or retired
     * root of an earlier commit). */
   private[graft] val BatchRootRe = "[ab]\\d+(_\\d+)?".r
+
+  /** Committed batch-root entries (`aN`/`bN_M`) still in frame
+    * `name`'s composition — the serve fan-out appends accumulate: each
+    * committed batch adds one union-ed scan to every serve of this
+    * frame until a compaction folds them back into a generation root.
+    * Metadata-only (one manifest map lookup), which is what lets an
+    * autopilot poll it nightly for free — the composition-length
+    * trigger both family autopilots fire a fold on. */
+  def batchRootCount(m: Map[String, String], name: String): Int =
+    frameEntries(m, name).count { e =>
+      val s = e.split("/")
+      s.length == 2 && BatchRootRe.matches(s(1))
+    }
+
+  /** The maximum [[batchRootCount]] across all frames of `m`. */
+  def maxBatchRootCount(m: Map[String, String]): Int =
+    m.keys.filter(_.startsWith("frames.")).map(k =>
+      batchRootCount(m, k.stripPrefix("frames."))).maxOption.getOrElse(0)
 
   /** STAGE one append batch of frame `name` into the fresh batch root
     * `name/<tag>` — INVISIBLE until [[commitAppend]] splices it into
@@ -876,9 +1006,19 @@ private[graft] object IndexLayout {
         listPartDirNames(spark, s"$path/$e", partCol).map(n => s"$e/$n")
       else Seq(e)
     }
-    // partitions present in >1 entry get folded into the new root too
+    // partitions present in >1 entry get folded into the new root too,
+    // and so does EVERY partition living under a committed batch root
+    // (aN/bN) even if nothing duplicates it — batch roots are the
+    // transient entries appends splice in, and a compaction must
+    // always consolidate them or an append-only partition mix would
+    // keep one scan group per committed batch alive forever (the
+    // composition-length trigger's whole point)
     val dupNames = expanded.groupBy(_.split("/").last)
-      .collect { case (n, es) if es.size > 1 => n }.toSet
+      .collect { case (n, es) if es.size > 1 => n }.toSet ++
+      expanded.collect {
+        case e if e.split("/").length == 3 &&
+            BatchRootRe.matches(e.split("/")(1)) => e.split("/").last
+      }
     val foldVals: Seq[Any] =
       if (dupNames.isEmpty) Seq.empty
       else expanded.filter(e => dupNames.contains(e.split("/").last))

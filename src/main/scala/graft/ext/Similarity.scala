@@ -958,12 +958,38 @@ object Similarity {
     * time; merge-on-read tombstones mean the deletion itself was
     * already served before any compaction ran. */
   def compactIvfTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String = "vec_id"): Unit = {
+      path: String, idCol: String = "vec_id"): Unit =
+    compactIvf(spark, path, idCol, foldEvenClean = false)
+
+  /** FOLD the composition of a [[saveIvfIndex]] index even when no
+    * tombstone exists — [[graft.ext.Dedup.foldMinhashComposition]]'s
+    * counterpart for the vector index: an append-only index (zero dead
+    * rows, no drift) never fires the tombstone compaction or the
+    * retrain, yet each committed append splices one batch root per
+    * frame and every serve unions one more scan until a compaction
+    * folds them. Same pruned compaction with an empty tombstone set,
+    * fired by [[maintainIvfIndex]]'s composition-length trigger. */
+  def foldIvfComposition(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "vec_id"): Unit =
+    compactIvf(spark, path, idCol, foldEvenClean = true)
+
+  private def compactIvf(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, foldEvenClean: Boolean): Unit = {
     // leased across staging AND flip — the whole window in which a
     // concurrent append/delete would be silently retired or dropped
     IndexLayout.withMaintenanceLease(spark, path) { lease =>
       val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
-      IndexLayout.loadTombstones(spark, path, m, idCol).foreach { tombRaw =>
+      val tombStanding = IndexLayout.loadTombstones(spark, path, m, idCol)
+      // empty tombstones make the pruned compaction a pure composition
+      // FOLD: nothing anti-joined away, batch roots consolidate
+      val tombForFold =
+        if (foldEvenClean && tombStanding.isEmpty)
+          Some(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              Seq(IndexLayout.frameSchema(m, "lists")(idCol)))))
+        else tombStanding
+      tombForFold.foreach { tombRaw =>
         val carried = IndexLayout.dropRetired(spark, path, m)
         val tomb = Checkpoints.ckptLocal(tombRaw.distinct())
         // try/finally: a compaction that fails mid-stage must not leak
@@ -1325,6 +1351,15 @@ object Similarity {
     *     (tombstones STRIKING an indexed row, semi-join counted — a
     *     re-submitted cumulative delete list must not re-fire nightly)
     *     exceed `maxTombstonePct` of live.
+    *  3. FAN-OUT → FOLD: [[foldIvfComposition]] when any frame's
+    *     composition holds more than `maxAppendBatches` committed
+    *     batch roots ([[graft.ext.IndexLayout.maxBatchRootCount]], a
+    *     manifest map lookup — free). The append-only lifecycle's
+    *     trigger: without it, an index with no deletes and no drift
+    *     accumulates one union-ed scan per committed append in every
+    *     serve plan, unbounded between compactions. Checked last
+    *     because both heavier verbs fold the batch roots at their own
+    *     flip (subsumption, the trigger-1/2 discipline).
     *
     * The nList re-SIZING decision still lives inside the retrain
     * itself (the surviving centroid count is stored), and the
@@ -1335,13 +1370,17 @@ object Similarity {
     * shared with the dead-row count; lock-free, the fired verb takes
     * the lease itself.
     *
-    * @return (retrained, compacted) — at most one true. */
+    * @return (retrained, compacted) — at most one true; the fold
+    *         reports as `compacted` (it IS a compaction, with an
+    *         empty tombstone set). */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxTombstonePct: Int = 10,
       imbalanceTvThresholdMu: Long = 500000L,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxAppendBatches: Int = 16)
       : (Boolean, Boolean) = {
-    require(maxTombstonePct > 0, s"maintainIvfIndex($maxTombstonePct%)")
+    require(maxTombstonePct > 0 && maxAppendBatches > 0,
+      s"maintainIvfIndex($maxTombstonePct%, $maxAppendBatches batches)")
     val m = IndexLayout.requireManifest(spark, path, IvfIndexFormat)
     val fullFrame = if (m.getOrElse("storage", "fp") == "fp") "lists" else "fp"
     val rows = IndexLayout.readFrame(spark, path, m, fullFrame)
@@ -1368,12 +1407,15 @@ object Similarity {
     val retrain = liveOcc.nonEmpty &&
       occTvMu(liveOcc, parseOcc(m("trainOcc"))) > imbalanceTvThresholdMu
     val backlog = !retrain && nDead * 100L > live * maxTombstonePct
+    val fanout = !retrain && !backlog &&
+      IndexLayout.maxBatchRootCount(m) > maxAppendBatches
     if (retrain)
       retrainIvfIndex(spark, path,
         nList = IndexLayout.intParam(m, path, "nList"), nIters = 1,
         vecCol = vecCol, idCol = idCol)
     else if (backlog) compactIvfTombstones(spark, path, idCol)
-    (retrain, backlog)
+    else if (fanout) foldIvfComposition(spark, path, idCol)
+    (retrain, backlog || fanout)
   }
 
   /** LSH-bucketed ANN: corpus and queries are hashed with the same

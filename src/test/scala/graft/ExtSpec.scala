@@ -770,6 +770,95 @@ class ExtSpec extends SparkSpec {
       rows("backlog")._5 > rows("imbalanced")._5)
   }
 
+  test("x35/v27: composition-length fold trigger — batch roots past the bound fold in one flip, data and serves unchanged, other triggers cold") {
+    import spark.implicits._
+    import graft.ext.IndexLayout
+    // MinHash family: append-only index, 5 committed batches
+    val corpus = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta tok$i body text")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fold_spec")
+    try {
+      val p = s"$tmp/mh"
+      Dedup.saveMinhashIndex(corpus.filter(col("doc_id") <= 15), p,
+        idBuckets = 4)
+      (0 until 5).foreach(k => Dedup.appendToMinhashIndex(
+        corpus.filter(col("doc_id") > 15 + 5 * k &&
+          col("doc_id") <= 20 + 5 * k), p))
+      val m0 = IndexLayout.requireManifest(spark, p, Dedup.MinhashIndexFormat)
+      assert(IndexLayout.maxBatchRootCount(m0) == 5,
+        s"five committed appends = five batch roots (${m0.filter(_._1.startsWith("frames."))})")
+      val rows0 = IndexLayout.readFrame(spark, p, m0, "sizes")
+        .collect().map(_.getLong(0)).toSet
+      // bound not yet crossed: autopilot no-op (fanout 5 ≤ 5)
+      assert(Dedup.maintainMinhashIndex(spark, p, maxTombstonePct = 10,
+        targetDocsPerBucket = 10L, maxAppendBatches = 5) == ((false, false)))
+      // bound crossed: the FOLD fires (reported as compacted), one flip
+      assert(Dedup.maintainMinhashIndex(spark, p, maxTombstonePct = 10,
+        targetDocsPerBucket = 10L, maxAppendBatches = 4) == ((true, false)))
+      val m1 = IndexLayout.requireManifest(spark, p, Dedup.MinhashIndexFormat)
+      assert(m1("gen") == "1" && IndexLayout.maxBatchRootCount(m1) == 0,
+        s"fold must consolidate every batch root (gen=${m1("gen")})")
+      // every frame's composition is back under partitions + 1
+      Seq("bands", "shingles", "sizes").foreach { fr =>
+        assert(IndexLayout.frameEntries(m1, fr).size <= 4 + 1,
+          s"$fr: ${IndexLayout.frameEntries(m1, fr)}")
+      }
+      // the fold preserved every row (empty tombstone set = pure fold)
+      assert(IndexLayout.readFrame(spark, p, m1, "sizes")
+        .collect().map(_.getLong(0)).toSet == rows0)
+      // idempotent: a re-run sees zero batch roots — nothing fires
+      assert(Dedup.maintainMinhashIndex(spark, p, maxTombstonePct = 10,
+        targetDocsPerBucket = 10L, maxAppendBatches = 4) == ((false, false)))
+
+      // IVF family: same discipline on the vector index
+      val basis = (0 until 4).map(d =>
+        Array.tabulate(4)(i => if (i == d) 1.0f else 0.0f))
+      val emb = (0 until 40).map(i => (i.toLong, basis(i % 4)))
+        .toDF("vec_id", "embedding")
+      val cents = (0 until 4).map(d =>
+        (d.toLong, basis(d).map(_.toDouble).toSeq)).toDF("list_id", "cvec")
+      val q = s"$tmp/ivf"
+      Similarity.saveIvfIndexWithCentroids(emb.filter(col("vec_id") < 20),
+        cents, q)
+      (0 until 5).foreach(k => Similarity.appendToIvfIndex(spark, q,
+        emb.filter(col("vec_id") >= 20 + 4 * k &&
+          col("vec_id") < 24 + 4 * k)))
+      val qm0 = IndexLayout.requireManifest(spark, q, Similarity.IvfIndexFormat)
+      assert(IndexLayout.maxBatchRootCount(qm0) == 5)
+      val queries = emb.filter(col("vec_id") < 3)
+      val served0 = graft.ext.Checkpoints.ckptLocal(
+        Similarity.ivfTopKFromIndex(spark, q, queries, k = 3, nProbe = 4))
+      // retrain arithmetic-cold at threshold 1,000,000µ (TV ≤ 1 by
+      // definition), backlog cold (nothing deleted) → only fanout fires
+      assert(Similarity.maintainIvfIndex(spark, q, maxTombstonePct = 10,
+        imbalanceTvThresholdMu = 1000000L, maxAppendBatches = 4)
+        == ((false, true)))
+      val qm1 = IndexLayout.requireManifest(spark, q, Similarity.IvfIndexFormat)
+      assert(qm1("gen") == "1" && IndexLayout.maxBatchRootCount(qm1) == 0)
+      val served1 = Similarity.ivfTopKFromIndex(spark, q, queries,
+        k = 3, nProbe = 4)
+      assert(served0.exceptAll(served1).isEmpty &&
+        served1.exceptAll(served0).isEmpty,
+        "the fold must not change any serve result")
+      assert(Similarity.maintainIvfIndex(spark, q, maxTombstonePct = 10,
+        imbalanceTvThresholdMu = 1000000L, maxAppendBatches = 4)
+        == ((false, false)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    // the registered two-leg fixtures, facts as the oracles state them
+    Seq(graft.analytics.ExtPipelines.minhashIndexFold(spark, sf()),
+      graft.analytics.ExtPipelines.ivfIndexFold(spark, sf())).foreach { df =>
+      val rows = df.collect().map(r => r.getString(0) -> r).toMap
+      assert(!rows("under").getBoolean(1) && !rows("under").getBoolean(2))
+      assert(rows("under").getLong(3) == 2L && rows("under").getLong(4) == 2L
+        && rows("under").getLong(5) == 0L)
+      assert(rows("over").getBoolean(1) && !rows("over").getBoolean(2))
+      assert(rows("over").getLong(3) == 4L && rows("over").getLong(4) == 0L
+        && rows("over").getLong(5) == 1L)
+      assert(rows.values.forall(r =>
+        r.getLong(6) == 0L && r.getBoolean(7)))
+    }
+  }
+
   test("v24: occupancy drift gate — exact TV on a crafted grid; stable appends, collapsed retrains") {
     import spark.implicits._
     // 4 orthogonal lists, 10 standing vectors each (occupancy 10/10/10/10)
@@ -3174,12 +3263,26 @@ class ExtSpec extends SparkSpec {
     // buckets flags as a layout change; gen/seq/retired/trainOcc and
     // the frame/schema keys are bookkeeping, never "parameters"
     assert(changed == Seq("buckets"))
-    // and the registered row's four legs all hold at the smallest SF
+    // and the registered row's five legs all hold at the smallest SF
     val rows = graft.analytics.ExtPipelines.indexDiff(spark, sf())
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("append", "delete", "compact", "rebucket"))
+    assert(rows.keySet ==
+      Set("append", "delete", "compact", "rebucket", "window"))
     assert(rows("rebucket").getAs[String]("params_changed") == "buckets")
     assert(rows.values.forall(_.getAs[Boolean]("composition_bounded")))
+    // the NON-ADJACENT window diff (seq 1 vs 5, across four verbs) is
+    // a set-diff SUMMARY: the transient batch roots the append/delete
+    // spliced in were folded inside the window, so they net out — one
+    // root replaced per frame, both flips' gen delta, the rebucket's
+    // parameter change; a sum of the step diffs would count each
+    // transient twice (bands 2/2, tombstones 2/2)
+    val w = rows("window")
+    assert(w.getAs[Long]("gen_delta") == 2L && w.getAs[Long]("seq_delta") == 4L)
+    assert(w.getAs[Long]("bands_added") == 1L &&
+      w.getAs[Long]("bands_removed") == 1L)
+    assert(w.getAs[Long]("tomb_added") == 1L &&
+      w.getAs[Long]("tomb_removed") == 1L)
+    assert(w.getAs[String]("params_changed") == "buckets")
   }
 
   test("maintenance lease: a second concurrent writer fails loudly, serves stay lock-free, a crashed writer's expired lease is reclaimed") {
@@ -3219,9 +3322,16 @@ class ExtSpec extends SparkSpec {
     Thread.sleep(20)
     Dedup.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), path)
     Dedup.compactMinhashTombstones(spark, path) // exercises renewLease too
-    assert(!new java.io.File(path).listFiles()
-        .exists(_.getName.startsWith(IndexLayout.LeaseFile)),
-      "verbs must release the lease on completion (no lease files left)")
+    // verbs must release on completion: no LIVE lease remains. A
+    // single released/ttl-0 STAMP file does remain by design — it is
+    // the monotonic high-water record that keeps lease generations
+    // from ever being reused (deleting it would let two racers around
+    // a release claim two different generation names — two owners)
+    assert(IndexLayout.leaseHolder(spark, path).isEmpty,
+      "verbs must release the lease on completion (no live lease)")
+    assert(new java.io.File(path).listFiles()
+        .count(_.getName.startsWith(IndexLayout.LeaseFile)) <= 1,
+      "at most one released stamp persists (acquire sweeps the rest)")
     // a TORN lease file (writer crashed mid-create) expires by mtime
     // under the caller's TTL instead of blocking maintenance forever —
     // both the LEGACY single-file shape an old binary would leave...
@@ -3258,8 +3368,7 @@ class ExtSpec extends SparkSpec {
     IndexLayout.releaseLease(spark, ipath, heldIvf)
     Similarity.deleteFromIvfIndex(Seq(1L).toDF("vec_id"), ipath)
     Similarity.compactIvfTombstones(spark, ipath)
-    assert(!new java.io.File(ipath).listFiles()
-      .exists(_.getName.startsWith(IndexLayout.LeaseFile)))
+    assert(IndexLayout.leaseHolder(spark, ipath).isEmpty)
   }
 
   test("time-based retired grace: back-to-back compactions keep a slow reader's files alive inside the grace window") {

@@ -489,6 +489,67 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("property: lease generations are never reused — racing release/acquire cycles yield at most one owner at any instant, every grant a fresh generation") {
+    import graft.ext.IndexLayout
+    // the schedule the r18 protocol left open (found by review, pinned
+    // here the way the reclaim property pinned the rename protocol):
+    // release used to DELETE the highest generation file, so two racers
+    // straddling a release could derive DIFFERENT claim targets from
+    // their listings (one saw the emptied dir and claimed a REUSED low
+    // generation, one got FileNotFound on the vanished gen and claimed
+    // gen+1) — two successful create-exclusives on two different
+    // names, two live owners. With release stamping its own file
+    // released/ttl-0 (the monotonic high-water record) plus the
+    // post-claim max re-verify, every racer converges on one name.
+    // Invariants over racing full acquire→work→release cycles: the
+    // critical section never holds two writers, and every granted
+    // handle carries a generation never granted before.
+    val caseGen = Gen.chooseNum(2, 4)
+    check(Prop.forAll(caseGen) { nRaw =>
+      import scala.jdk.CollectionConverters._
+      val n = nRaw.max(2).min(4) // shrinker ignores chooseNum bounds
+      val cyclesEach = 5
+      val root = java.nio.file.Files.createTempDirectory("graft-lease-cycle")
+      try {
+        val path = s"$root/idx"
+        val inCrit = new java.util.concurrent.atomic.AtomicInteger(0)
+        val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val granted = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+        val deadline = System.currentTimeMillis() + 60000
+        val threads = (0 until n).map { _ =>
+          val t = new Thread(() => {
+            var done = 0
+            while (done < cyclesEach && System.currentTimeMillis() < deadline) {
+              try {
+                val h = IndexLayout.acquireLease(spark, path, 60000L)
+                if (inCrit.incrementAndGet() > 1) overlapped.set(true)
+                granted.add(h.gen)
+                Thread.sleep(1) // widen the overlap window
+                inCrit.decrementAndGet()
+                IndexLayout.releaseLease(spark, path, h)
+                done += 1
+              } catch {
+                // lost the race (standing lease / kept losing claims):
+                // back off and retry the cycle
+                case _: IllegalStateException => Thread.sleep(1)
+              }
+            }
+          })
+          t.start(); t
+        }
+        threads.foreach(_.join(90000))
+        val gens = granted.asScala.toList
+        val ok = !overlapped.get() &&
+          gens.size == n * cyclesEach &&      // nobody wedged or timed out
+          gens.distinct.size == gens.size     // no generation ever reused
+        if (!ok) System.err.println(s"[lease-cycle] n=$n " +
+          s"overlapped=${overlapped.get()} grants=${gens.size} " +
+          s"(want ${n * cyclesEach}) distinct=${gens.distinct.size}")
+        ok
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }, n = 6)
+  }
+
   test("property: TopKAggregator returns the top-k DISTINCT ids by best score (replayed duplicates never double-slot)") {
     import spark.implicits._
     val rowsGen = Gen.listOfN(120, for {
