@@ -255,9 +255,19 @@ object Bench {
     "s22_stream_theta_segments",
     "x33_minhash_index_asof",
     "v26_ivf_index_asof",
-    // x34 prices one verb of each class plus four manifest-only diffs
+    // x34 prices one verb of each class plus five manifest-only diffs
     // (the production diff itself reads two small JSON files)
-    "x34_index_diff")
+    "x34_index_diff",
+    // round-19: g38 prices the sketch store end-to-end (daily build +
+    // store write + one committed day append + the stored serve + the
+    // same exact audit side as g37 — compare the two rows to see what
+    // persistence adds: the store I/O, while the serve itself reads
+    // O(days) tiny rows); x35/v27 price the composition-fold autopilot
+    // legs (two fresh builds + 6 appends + the fold + dual serves —
+    // the production fold is the one amortized compaction)
+    "g38_sketch_store_serve",
+    "x35_minhash_index_fold",
+    "v27_ivf_index_fold")
 
   /** The two production SERVE rows that run even under
     * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the

@@ -237,7 +237,16 @@ object ScaleBench {
     // pairs, segment-keyed and at most users×segments rows (users are
     // replica-offset, so the dedup scales linearly, not quadratically)
     "g36_theta_segments",
-    "g37_theta_retention")
+    "g37_theta_retention",
+    // round-19: the streamed theta twin (g36's cost plus the
+    // micro-batch drain — the s21 precedent: the drain is a real
+    // corpus term at volume) and the PERSISTED sketch store served
+    // end-to-end (daily build + store write + one committed day
+    // append + the stored serve + g37's exact audit side — the store
+    // I/O is O(days × segments × k), so expect ~g37's ratio with the
+    // commit floor on top)
+    "s22_stream_theta_segments",
+    "g38_sketch_store_serve")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
@@ -310,6 +319,10 @@ object ScaleBench {
       df.write.format("noop").mode("overwrite").save()
 
     val tiers = Seq(("sf0.1", srcDir, 1), (s"sf${0.1 * replicas}", outDir, replicas))
+    // per-tier x35 serve-vs-batches curves, collected alongside the
+    // tier tuple (kept out of it: the tuple is at the arity limit)
+    val foldCurves = scala.collection.mutable.Map[
+      String, (Double, Double, Double, Double, Double, Double)]()
     val results = tiers.map { case (label, dir, factor) =>
       cacheTables(spark, dir)
       // x15 with its documented scale DISCIPLINE applied: k ∝ corpus, so
@@ -576,7 +589,59 @@ object ScaleBench {
           -1.0
         } finally org.apache.commons.io.FileUtils.deleteQuietly(ivfTmp.toFile)
       }
+      // x35 SERVE-vs-BATCHES curve: the composition-length trigger's
+      // measured justification. Build a tier-sized index, then time the
+      // SAME fixed-probe serve at 0 / 1 / 8 / 32 committed append
+      // batches, fold (the autopilot's verb), and time it once more —
+      // the curve shows what each committed batch root adds to a serve
+      // (one more union-ed scan + its job overhead) and that the fold
+      // returns the serve to its baseline. The appended batches are
+      // tiny (250 docs each; ≤ 8K docs total against the tier corpus)
+      // so the growth measured is PLAN fan-out, not data volume.
+      val foldCurve: (Double, Double, Double, Double, Double, Double) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_fold_$label")
+        try {
+          val p = tmp.toString + "/idx"
+          val corpus = Tables.documents(spark, dir).select("doc_id", "text")
+          graft.ext.Dedup.saveMinhashIndex(corpus, p)
+          val probe = corpus.filter(col("doc_id") < 500)
+            .withColumn("doc_id", col("doc_id") + lit(99L * Stride))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          probe.count()
+          def appendBatches(from: Int, n: Int): Unit =
+            (from until from + n).foreach { i =>
+              graft.ext.Dedup.appendToMinhashIndex(
+                corpus.filter(col("doc_id") >= 1000 + i * 250L &&
+                    col("doc_id") < 1000 + (i + 1) * 250L)
+                  .withColumn("doc_id",
+                    col("doc_id") + lit((200L + i) * Stride)), p)
+            }
+          def serve(): Double = med3(runNoop(
+            graft.ext.Dedup.nearDupIngestFromPath(spark, p, probe)))
+          val s0 = serve()
+          appendBatches(0, 1)
+          val s1 = serve()
+          appendBatches(1, 7)
+          val s8 = serve()
+          appendBatches(8, 24)
+          val s32 = serve()
+          val foldSec = timeOnce(
+            graft.ext.Dedup.foldMinhashComposition(spark, p))
+          val sAfter = serve()
+          probe.unpersist(blocking = false)
+          System.err.println(
+            f"[scale] $label x35 serve-vs-batches: b0=$s0%.3fs b1=$s1%.3fs " +
+              f"b8=$s8%.3fs b32=$s32%.3fs fold=$foldSec%.2fs " +
+              f"after_fold=$sAfter%.3fs")
+          (s0, s1, s8, s32, foldSec, sAfter)
+        } catch { case e: Exception =>
+          System.err.println(s"[scale] fold curve failed at $label: $e")
+          (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
       spark.catalog.clearCache()
+      foldCurves(label) = foldCurve
       (label, times, m2m1Pruned, sinkSec, sinkExactlyOnce, readFraction,
         appendBuildSec, appendSec, deleteSec, compactSec, rebucketSec,
         retrainSec)
@@ -584,6 +649,8 @@ object ScaleBench {
 
     val Seq((l0, t0, r0, k0, _, _, ab0, aa0, dd0, cc0, rb0, rt0),
       (l1, t1, r1, k1, eo1, rfr1, ab1, aa1, dd1, cc1, rb1, rt1)) = results
+    val fc0 = foldCurves(l0)
+    val fc1 = foldCurves(l1)
     def fmt(ts: Seq[(String, Double)]): String =
       ts.map { case (q, s) => f""""$q":$s%.4f""" }.mkString("{", ",", "}")
     val ratios = t0.zip(t1).map { case ((q, a), (_, b)) =>
@@ -604,7 +671,14 @@ object ScaleBench {
       f""""x30_rebucket_sec":{"$l0":$rb0%.3f,"$l1":$rb1%.3f},""" +
       f""""x30_rebucket_ratio_10x":${if (rb0 > 0 && rb1 > 0) rb1 / rb0 else -1.0}%.2f,""" +
       f""""v23_retrain_sec":{"$l0":$rt0%.3f,"$l1":$rt1%.3f},""" +
-      f""""v23_retrain_ratio_10x":${if (rt0 > 0 && rt1 > 0) rt1 / rt0 else -1.0}%.2f}""")
+      f""""v23_retrain_ratio_10x":${if (rt0 > 0 && rt1 > 0) rt1 / rt0 else -1.0}%.2f,""" +
+      fmtCurve(l0, fc0) + "," + fmtCurve(l1, fc1) + "}")
     spark.stop()
   }
+
+  private def fmtCurve(label: String,
+      c: (Double, Double, Double, Double, Double, Double)): String =
+    f""""x35_serve_vs_batches_$label":{"b0":${c._1}%.3f,"b1":${c._2}%.3f,""" +
+      f""""b8":${c._3}%.3f,"b32":${c._4}%.3f,"fold_sec":${c._5}%.3f,""" +
+      f""""after_fold":${c._6}%.3f}"""
 }

@@ -83,6 +83,7 @@ object SparkEntry {
     "g32_sketch_rollup" -> (Pipelines.sketchRollup _),
     "g36_theta_segments" -> (Pipelines.thetaSegments _),
     "g37_theta_retention" -> (Pipelines.thetaRetentionRollup _),
+    "g38_sketch_store_serve" -> (Pipelines.thetaStoreServe _),
     "s22_stream_theta_segments" -> (Pipelines.streamThetaSegments _),
     "g33_pagerank" -> ((s: SparkSession, d: String) => Pipelines.pageRank(s, d)),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
@@ -1732,6 +1733,31 @@ object SparkEntry {
         |       TRUE AS returning_ok
         |FROM wk LEFT JOIN r ON r.wa = wk.week AND r.wb = wk.next_week
         |WHERE wk.next_week IS NOT NULL""".stripMargin,
+
+    // g38: the sketch store SERVED FOR REAL — same exact facts as g37
+    // (the serve must answer identically whether the daily rows were
+    // persisted or computed in-query), plus the stored-day count and
+    // the bit-identity pin (bottomK is a pure set function, so parquet
+    // round trip + incremental append change nothing)
+    "g38_sketch_store_serve" ->
+      """WITH w AS (SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |                  user_id
+        |           FROM events),
+        |wk AS (SELECT week, lead(week) OVER (ORDER BY week) AS next_week
+        |       FROM (SELECT DISTINCT week FROM w)),
+        |r AS (SELECT a.week AS wa, b.week AS wb, count(*) AS ret
+        |      FROM w a JOIN w b ON a.user_id = b.user_id
+        |      GROUP BY 1, 2),
+        |d AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n
+        |      FROM events)
+        |SELECT wk.week, wk.next_week,
+        |       CAST(COALESCE(r.ret, 0) AS BIGINT) AS exact_returning,
+        |       TRUE AS returning_ok,
+        |       (SELECT n FROM d) AS n_days_stored,
+        |       TRUE AS store_matches_direct
+        |FROM wk LEFT JOIN r ON r.wa = wk.week AND r.wb = wk.next_week
+        |WHERE wk.next_week IS NOT NULL""".stripMargin,
+
     "t4b_fingerprint_bounded" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
         |       TRUE AS fp_ok

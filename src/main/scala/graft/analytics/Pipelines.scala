@@ -1356,4 +1356,84 @@ object Pipelines {
         .select(col("event_type").as("seg"), col("user_id")),
       k, "a_seg", "b_seg")
   }
+
+  /** The kind tag of the daily theta-user sketch store (g38). */
+  private[graft] val ThetaStoreKind = "theta-user-daily"
+
+  /** The g38 SERVE plan: weekly sketch rollup read from a persisted
+    * [[graft.ext.SketchStore]] ALONE — merge the stored daily rows per
+    * week with [[graft.functions.ThetaMergeAggregator]]. Factored out
+    * so the plan spec can pin the serving-path claim literally: this
+    * DataFrame's executed plan scans only the store's own parquet
+    * (day-partition-pruned to the range), never the events table. */
+  private[graft] def thetaStoreWeekly(spark: SparkSession, storePath: String,
+      fromDay: String, toDay: String): DataFrame = {
+    val tm = udaf(new graft.functions.ThetaMergeAggregator(
+      graft.functions.Theta.DefaultK))
+    graft.ext.SketchStore.readRange(spark, storePath, ThetaStoreKind,
+      fromDay, toDay)
+      .groupBy("week").agg(tm(col("sk")).as("sk"))
+  }
+
+  /** g38 — the PERSISTED sketch store, served for real: g37
+    * demonstrates the persist-and-merge shape but computes its
+    * "persisted" daily rows in-query; this row builds an actual
+    * [[graft.ext.SketchStore]] on disk (manifest-governed, the index
+    * layout's machinery), appends the LAST day as a separate
+    * manifest-committed increment (the nightly-job shape: one atomic
+    * commit per day, kill-safe), and serves the week-over-week
+    * retention rollup from the STORED frames alone — the serve plan
+    * never scans events (plan-spec pinned via [[thetaStoreWeekly]]),
+    * O(days × ≤k) tiny rows at serve time. Facts: g37's exact
+    * returning-user counts and 10σ pin, plus `n_days_stored` (the
+    * stored row count — one per day, SQL-recomputable) and
+    * `store_matches_direct` (the store-served weekly sketches are
+    * BIT-IDENTICAL to the in-query build's — bottomK(S) is a pure
+    * function of the set, so a parquet round trip plus incremental
+    * append must change nothing; TRUE by construction). */
+  def thetaStoreServe(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.functions.Theta.DefaultK
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val tm = udaf(new graft.functions.ThetaMergeAggregator(k))
+    // the build side: ONE events scan producing the tiny daily rows
+    val daily = ev.groupBy("week", "day").agg(th(xxhash64(col("user_id"))).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_g38")
+    try {
+      val days = daily.select("day").distinct()
+        .collect().map(_.getString(0)).sorted // O(days) driver rows
+      val store = s"$tmpRoot/store"
+      // nightly-pipeline shape: bulk build, then the newest day lands
+      // as its own manifest-committed append
+      graft.ext.SketchStore.save(daily.filter(col("day") < days.last),
+        store, ThetaStoreKind)
+      graft.ext.SketchStore.appendDays(
+        daily.filter(col("day") === days.last), store, ThetaStoreKind)
+      // SERVE from the stored frames alone
+      val weekly = thetaStoreWeekly(spark, store, days.head, days.last)
+      // audit: the stored-and-merged sketches must be bit-identical to
+      // the in-query build's (g37's weekly stage) — both maps are
+      // |weeks|-bounded driver collects
+      val fromStore = weekly.collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val direct = daily.groupBy("week").agg(tm(col("sk")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val storeMatchesDirect = fromStore == direct
+      val nDays = days.length.toLong
+      thetaPairFacts(spark, weekly, ev.select("week", "user_id"), k,
+        "week", "next_week", adjacentOnly = true)
+        .select(col("week"), col("next_week"),
+          col("exact_inter").as("exact_returning"),
+          col("inter_ok").as("returning_ok"),
+          lit(nDays).as("n_days_stored"),
+          lit(storeMatchesDirect).as("store_matches_direct"))
+    } finally {
+      daily.unpersist(blocking = false)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+    }
+  }
 }

@@ -859,6 +859,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("g38 store: sketch-store lifecycle — save, manifest-committed day appends, range serve, fold; foreign kind refused") {
+    import spark.implicits._
+    import graft.ext.{IndexLayout, SketchStore}
+    // deterministic daily rows: 6 days, tiny hand-made sketches
+    val days = (1 to 6).map(d => f"2024-01-$d%02d")
+    val daily = days.zipWithIndex.map { case (d, i) =>
+      ("2024-01-01", d, Seq(i.toLong, 100L + i))
+    }.toDF("week", "day", "sk")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_spec")
+    try {
+      val p = s"$tmp/store"
+      SketchStore.save(daily.filter(col("day") <= days(3)), p, "test-kind")
+      // two incremental day appends = two manifest-committed batches
+      SketchStore.appendDays(daily.filter(col("day") === days(4)), p, "test-kind")
+      SketchStore.appendDays(daily.filter(col("day") === days(5)), p, "test-kind")
+      val m0 = IndexLayout.requireManifest(spark, p, SketchStore.SketchStoreFormat)
+      assert(IndexLayout.seqOf(m0) == 2 && IndexLayout.maxBatchRootCount(m0) == 2)
+      // readAll sees every committed day; the range serve prunes
+      def allRows() = SketchStore.readAll(spark, p, "test-kind")
+        .collect().map(r => r.getString(1) -> r.getSeq[Long](2).toList).toMap
+      val before = allRows()
+      assert(before.keySet == days.toSet && before(days(4)) == List(4L, 104L))
+      assert(SketchStore.readRange(spark, p, "test-kind", days(1), days(3))
+        .collect().map(_.getString(1)).toSet == days.slice(1, 4).toSet)
+      // a serve pointed at the wrong sketch family fails loudly
+      val e = intercept[IllegalStateException](
+        SketchStore.readAll(spark, p, "hll-user-daily"))
+      assert(e.getMessage.contains("test-kind"), e.getMessage)
+      // the FOLD consolidates the two day batches; data unchanged
+      SketchStore.fold(spark, p, "test-kind")
+      val m1 = IndexLayout.requireManifest(spark, p, SketchStore.SketchStoreFormat)
+      assert(m1("gen") == "1" && IndexLayout.maxBatchRootCount(m1) == 0)
+      assert(IndexLayout.frameEntries(m1, "sketches").size <= days.size + 1)
+      assert(allRows() == before, "the fold must preserve every stored row")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    // the registered g38 row's facts at the smallest SF: the stored
+    // serve answers identically to the in-query build (bit-identity
+    // pin) and every 10σ retention pin holds
+    val g38 = graft.analytics.Pipelines.thetaStoreServe(spark, sf()).collect()
+    assert(g38.nonEmpty)
+    assert(g38.forall(_.getAs[Boolean]("store_matches_direct")))
+    assert(g38.forall(_.getAs[Boolean]("returning_ok")))
+    assert(g38.forall(_.getAs[Long]("n_days_stored") > 1L))
+  }
+
   test("v24: occupancy drift gate — exact TV on a crafted grid; stable appends, collapsed retrains") {
     import spark.implicits._
     // 4 orthogonal lists, 10 standing vectors each (occupancy 10/10/10/10)

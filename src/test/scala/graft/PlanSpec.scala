@@ -606,4 +606,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("props#") && !p.contains("value#"),
       s"only (event_type, user_id) may be scanned:\n$p")
   }
+
+  test("g38: the sketch-store SERVE plan scans only the store's own parquet — the events are never rescanned") {
+    // the serving-path claim made literal: build a real store from the
+    // daily rows, then pin that the week-rollup serve's executed plan
+    // reads the STORE path alone — no events scan, merge partials
+    // combining map-side like every mergeable summary
+    import org.apache.spark.sql.functions.{col, date_format, date_trunc, udaf, xxhash64}
+    val k = graft.functions.Theta.DefaultK
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val daily = graft.sources.Tables.events(spark, sf()).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+      .groupBy("week", "day").agg(th(xxhash64(col("user_id"))).as("sk"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_g38_plan")
+    try {
+      val store = s"$tmp/store"
+      graft.ext.SketchStore.save(daily, store,
+        graft.analytics.Pipelines.ThetaStoreKind)
+      val serve = graft.analytics.Pipelines.thetaStoreWeekly(spark, store,
+        "0000-01-01", "9999-12-31")
+      val p = plan(serve)
+      val scans = p.linesIterator.filter(_.contains("Scan parquet")).toSeq
+      assert(scans.nonEmpty, p)
+      // every file scan in the serve plan reads the store, nothing else
+      assert(!p.contains("events.parquet"),
+        s"the serve must not rescan events:\n$p")
+      assert(p.contains("partial_thetamergeaggregator"), p)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
 }

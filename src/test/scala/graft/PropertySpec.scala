@@ -489,6 +489,166 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("property: manifest linearizability — under random verb schedules with crash points, concurrent readers only ever see exactly a committed state, and as-of reads are immutable") {
+    import graft.ext.IndexLayout
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    // the data-visibility counterpart of the lease properties: whatever
+    // interleaving of append / crashed-append / delete / compact /
+    // crashed-compact the writer runs, a concurrent reader resolving
+    // the manifest and reading (data ∖ tombstones) must see EXACTLY the
+    // live id set of some committed seq — never a torn mix, never a
+    // staged-but-uncommitted batch, with per-reader seqs monotonic —
+    // and after the whole schedule every retained commit replays
+    // identically through readManifestAt (as-of immutability).
+    // Verb alphabet: 'a' append+commit, 'x' append staged then CRASHED
+    // (no commit; its rows may be re-appended later — the replay path),
+    // 'd' delete half the live ids, 'k' compact (tombstones resolved,
+    // batch roots folded), 'c' compaction staged then CRASHED before
+    // its flip. The model records each commit's expected live set
+    // BEFORE the manifest write, so any visible seq is in the model.
+    val verbGen = Gen.listOfN(6, Gen.frequency(
+      (4, Gen.const('a')), (2, Gen.const('x')), (3, Gen.const('d')),
+      (2, Gen.const('k')), (1, Gen.const('c'))))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("pv", LongType)))
+    check(Prop.forAll(verbGen) { verbsRaw =>
+      import scala.jdk.CollectionConverters._
+      val verbs = if (verbsRaw.isEmpty) List('a', 'd', 'k') else verbsRaw
+      val root = java.nio.file.Files.createTempDirectory("graft-linz")
+      val grace0 = spark.conf.getOption(IndexLayout.RetiredGraceConfKey)
+      // retired dirs outlive the schedule: readers here deliberately
+      // straddle multiple compactions, which the liveness grace knob
+      // (not the visibility protocol) is responsible for
+      spark.conf.set(IndexLayout.RetiredGraceConfKey, "600000")
+      try {
+        val path = s"$root/idx"
+        def rows(ids: Seq[Long]) = ids.map(i => (i, i % 3)).toDF("id", "pv")
+        IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
+          "graft-proptest", Map("manifestKeep" -> "64"),
+          Map("data" -> schema,
+            "tombstones" -> StructType(Seq(StructField("id", LongType))))))
+        // model: seq → the live ids a read at that commit must see
+        val model = new java.util.concurrent.ConcurrentHashMap[Int, Set[Long]]()
+        model.put(0, Set.empty)
+        val violations =
+          new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def liveAt(m: Map[String, String]): Set[Long] = {
+          val data = IndexLayout.readFrame(spark, path, m, "data")
+            .select("id").collect().map(_.getLong(0)).toSet
+          val tomb = IndexLayout.loadTombstones(spark, path, m, "id")
+            .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+          data -- tomb
+        }
+        val readers = (0 until 2).map { r =>
+          val t = new Thread(() => {
+            var lastSeq = -1
+            while (!done.get()) {
+              try {
+                val m = IndexLayout.readManifest(spark, path).get
+                val s = IndexLayout.seqOf(m)
+                if (s < lastSeq)
+                  violations.add(s"reader$r: seq regressed $lastSeq→$s")
+                lastSeq = s
+                val live = liveAt(m)
+                val want = Option(model.get(s))
+                if (!want.contains(live)) violations.add(
+                  s"reader$r: at seq $s saw ${live.toSeq.sorted} " +
+                    s"want ${want.map(_.toSeq.sorted)}")
+              } catch { case e: Throwable =>
+                violations.add(s"reader$r: read FAILED mid-maintenance: $e")
+              }
+            }
+          })
+          t.start(); t
+        }
+        // the writer: apply the schedule sequentially
+        var nextId = 0L
+        var appended = Set.empty[Long]   // committed data rows
+        var tombstoned = Set.empty[Long]
+        var crashedStage: Option[Seq[Long]] = None
+        def freshIds(n: Int): Seq[Long] = {
+          val ids = (nextId until nextId + n); nextId += n; ids
+        }
+        verbs.foreach { v =>
+          val m = IndexLayout.readManifest(spark, path).get
+          val seq = IndexLayout.seqOf(m)
+          v match {
+            case 'a' =>
+              // the replay path: a crashed stage's rows are re-staged
+              // under the CURRENT next seq (deterministic tag) — the
+              // orphaned old root stays invisible until swept
+              val ids = crashedStage.getOrElse(freshIds(4))
+              crashedStage = None
+              val staged = IndexLayout.stageAppendBatch(spark, path,
+                "data", s"a${seq + 1}", rows(ids), Some("pv"))
+              appended ++= ids
+              model.put(seq + 1, appended -- tombstoned)
+              staged.foreach(e =>
+                IndexLayout.commitAppend(spark, path, m, Map("data" -> e)))
+            case 'x' =>
+              val ids = freshIds(4)
+              IndexLayout.stageAppendBatch(spark, path, "data",
+                s"a${seq + 1}", rows(ids), Some("pv"))
+              crashedStage = Some(ids) // NO commit — a kill point
+            case 'd' =>
+              val live = (appended -- tombstoned).toSeq.sorted
+              val doomed = live.take(live.size / 2)
+              if (doomed.nonEmpty) {
+                tombstoned ++= doomed
+                model.put(seq + 1, appended -- tombstoned)
+                IndexLayout.appendTombstones(spark, path, m,
+                  doomed.toDF("id"), "id")
+              }
+            case 'k' | 'c' =>
+              val carried = IndexLayout.dropRetired(spark, path, m)
+              val tomb = IndexLayout.loadTombstones(spark, path, m, "id")
+                .map(_.distinct()).getOrElse(spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row],
+                  StructType(Seq(StructField("id", LongType)))))
+              val newGen = m("gen").toInt + 1
+              val staged = Map(
+                "data" -> IndexLayout.stageCompactFrame(spark, path, m,
+                  "data", "pv", Seq(0L, 1L, 2L), tomb, "id", newGen),
+                "tombstones" ->
+                  IndexLayout.stageDropFrame(m, "tombstones", newGen))
+              if (v == 'k') {
+                // the compaction resolves the tombstones physically;
+                // the LIVE set is unchanged by construction
+                appended --= tombstoned
+                tombstoned = Set.empty
+                model.put(seq + 1, appended)
+                IndexLayout.flip(spark, path, m, newGen, staged, carried)
+              } // 'c': staged only — crashed before its flip
+          }
+        }
+        done.set(true)
+        readers.foreach(_.join(60000))
+        // AS-OF IMMUTABILITY: after the whole schedule, every retained
+        // commit still reads back exactly its recorded live set
+        IndexLayout.availableManifestSeqs(spark, path).foreach { s =>
+          val live = liveAt(IndexLayout.readManifestAt(spark, path, s))
+          if (Option(model.get(s)) != Some(live))
+            violations.add(s"as-of $s: ${live.toSeq.sorted} want " +
+              s"${Option(model.get(s)).map(_.toSeq.sorted)}")
+        }
+        val vs = violations.asScala.toList
+        if (vs.nonEmpty) System.err.println(
+          s"[linz-prop] verbs=${verbs.mkString} violations:\n  " +
+            vs.take(8).mkString("\n  "))
+        vs.isEmpty
+      } finally {
+        grace0 match {
+          case Some(g) => spark.conf.set(IndexLayout.RetiredGraceConfKey, g)
+          case None => spark.conf.unset(IndexLayout.RetiredGraceConfKey)
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      }
+    }, n = 5)
+  }
+
   test("property: lease generations are never reused — racing release/acquire cycles yield at most one owner at any instant, every grant a fresh generation") {
     import graft.ext.IndexLayout
     // the schedule the r18 protocol left open (found by review, pinned
