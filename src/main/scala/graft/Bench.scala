@@ -263,11 +263,19 @@ object Bench {
     // same exact audit side as g37 — compare the two rows to see what
     // persistence adds: the store I/O, while the serve itself reads
     // O(days) tiny rows); x35/v27 price the composition-fold autopilot
-    // legs (two fresh builds + 6 appends + the fold + dual serves —
-    // the production fold is the one amortized compaction)
+    // legs (one shared base build + 4 appends + the fold + dual serves
+    // per leg — the production fold is the one amortized compaction)
     "g38_sketch_store_serve",
     "x35_minhash_index_fold",
-    "v27_ivf_index_fold")
+    "v27_ivf_index_fold",
+    // round-20: the store routed under the other two mergeable
+    // families (g39 vs g32 and t37 vs t36 price exactly what the
+    // persisted store adds over the in-query rollup: the store I/O
+    // around an identical build + serve + audit), and the streamed
+    // store arc (g38's cost class plus the delta drain + day closes)
+    "g39_hll_store_serve",
+    "t37_qdigest_store_serve",
+    "s23_stream_sketch_store")
 
   /** The two production SERVE rows that run even under
     * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the

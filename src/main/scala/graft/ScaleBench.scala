@@ -318,7 +318,13 @@ object ScaleBench {
     def runNoop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val tiers = Seq(("sf0.1", srcDir, 1), (s"sf${0.1 * replicas}", outDir, replicas))
+    // replicas == 1 would give both tiers the label "sf0.1" — suffix
+    // the replica tier so the foldCurves key and every per-tier JSON
+    // object key stay distinct (duplicate keys would silently shadow
+    // the baseline tier's values in any JSON consumer)
+    val tiers = Seq(("sf0.1", srcDir, 1),
+      (s"sf${0.1 * replicas}" + (if (replicas == 1) "r" else ""),
+        outDir, replicas))
     // per-tier x35 serve-vs-batches curves, collected alongside the
     // tier tuple (kept out of it: the tuple is at the arity limit)
     val foldCurves = scala.collection.mutable.Map[
@@ -537,58 +543,9 @@ object ScaleBench {
       // re-parameterization) — the evidence is the ratio staying at or
       // below the tier factor (no super-linear term from the
       // generation-composed read path) alongside the flat append/delete.
-      val (appendBuildSec, appendSec, deleteSec, compactSec, rebucketSec) = {
-        // temp index freed in finally — a failed tier run must not
-        // leak a corpus-scale index copy into /tmp
-        val idxTmp = java.nio.file.Files
-          .createTempDirectory(s"graft_scale_append_$label")
-        try {
-          val idxPath = idxTmp.toString + "/idx"
-          val corpus = Tables.documents(spark, dir).select("doc_id", "text")
-          val fixedBatch = corpus.filter(col("doc_id") < 500)
-            // fresh ids: offset far beyond every replica's key range
-            // (replica r holds ids near r * Stride, r < replicas — a
-            // 5e9 offset would collide with replica 5's ids at the 10x
-            // tier)
-            .withColumn("doc_id", col("doc_id") + lit(100L * Stride))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          fixedBatch.count()
-          val b = timeOnce(graft.ext.Dedup.saveMinhashIndex(corpus, idxPath))
-          val a = med3(graft.ext.Dedup.appendToMinhashIndex(fixedBatch, idxPath))
-          // med3 re-deletes the same ids: duplicate tombstone rows are
-          // harmless by contract and cleared by the compaction below
-          val fixedIds = corpus.filter(col("doc_id") < 500).select("doc_id")
-          val d = med3(graft.ext.Dedup.deleteFromMinhashIndex(fixedIds, idxPath))
-          val c = timeOnce(graft.ext.Dedup.compactMinhashTombstones(spark, idxPath))
-          val rb = timeOnce(
-            graft.ext.Dedup.rebucketMinhashIndex(spark, idxPath, 96))
-          fixedBatch.unpersist(blocking = false)
-          System.err.println(
-            f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs, " +
-              f"fixed-id delete $d%.3fs, compaction $c%.3fs, rebucket $rb%.3fs")
-          (b, a, d, c, rb)
-        } catch { case e: Exception =>
-          System.err.println(s"[scale] append experiment failed at $label: $e")
-          (-1.0, -1.0, -1.0, -1.0, -1.0)
-        } finally org.apache.commons.io.FileUtils.deleteQuietly(idxTmp.toFile)
-      }
-      val retrainSec = {
-        val ivfTmp = java.nio.file.Files
-          .createTempDirectory(s"graft_scale_retrain_$label")
-        try {
-          val p = ivfTmp.toString + "/ivf"
-          graft.ext.Similarity.saveIvfIndex(
-            Tables.embeddings(spark, dir), p, nList = 16, nIters = 1)
-          val t = timeOnce(
-            graft.ext.Similarity.retrainIvfIndex(spark, p, nList = 24,
-              nIters = 1))
-          System.err.println(f"[scale] $label v23 ivf retrain $t%.3fs")
-          t
-        } catch { case e: Exception =>
-          System.err.println(s"[scale] retrain experiment failed at $label: $e")
-          -1.0
-        } finally org.apache.commons.io.FileUtils.deleteQuietly(ivfTmp.toFile)
-      }
+      val (appendBuildSec, appendSec, deleteSec, compactSec, rebucketSec) =
+        maintMinhashBlock(spark, dir, label)
+      val retrainSec = maintRetrainBlock(spark, dir, label)
       // x35 SERVE-vs-BATCHES curve: the composition-length trigger's
       // measured justification. Build a tier-sized index, then time the
       // SAME fixed-probe serve at 0 / 1 / 8 / 32 committed append
@@ -676,9 +633,130 @@ object ScaleBench {
     spark.stop()
   }
 
+  /** The MinHash-index maintenance experiment (x26c build/append, x26d
+    * delete/compact, x30 rebucket) at one tier — shared verbatim
+    * between the full sweep and [[MaintBench]]'s dedicated run. */
+  private[graft] def maintMinhashBlock(spark: SparkSession, dir: String,
+      label: String): (Double, Double, Double, Double, Double) = {
+    // temp index freed in finally — a failed tier run must not
+    // leak a corpus-scale index copy into /tmp
+    val idxTmp = java.nio.file.Files
+      .createTempDirectory(s"graft_scale_append_$label")
+    try {
+      val idxPath = idxTmp.toString + "/idx"
+      val corpus = Tables.documents(spark, dir).select("doc_id", "text")
+      val fixedBatch = corpus.filter(col("doc_id") < 500)
+        // fresh ids: offset far beyond every replica's key range
+        // (replica r holds ids near r * Stride, r < replicas — a
+        // 5e9 offset would collide with replica 5's ids at the 10x
+        // tier)
+        .withColumn("doc_id", col("doc_id") + lit(100L * Stride))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      fixedBatch.count()
+      val b = timeOnce(graft.ext.Dedup.saveMinhashIndex(corpus, idxPath))
+      val a = med3(graft.ext.Dedup.appendToMinhashIndex(fixedBatch, idxPath))
+      // med3 re-deletes the same ids: duplicate tombstone rows are
+      // harmless by contract and cleared by the compaction below
+      val fixedIds = corpus.filter(col("doc_id") < 500).select("doc_id")
+      val d = med3(graft.ext.Dedup.deleteFromMinhashIndex(fixedIds, idxPath))
+      val c = timeOnce(graft.ext.Dedup.compactMinhashTombstones(spark, idxPath))
+      val rb = timeOnce(
+        graft.ext.Dedup.rebucketMinhashIndex(spark, idxPath, 96))
+      fixedBatch.unpersist(blocking = false)
+      System.err.println(
+        f"[scale] $label x26c index build $b%.2fs, fixed-batch append $a%.3fs, " +
+          f"fixed-id delete $d%.3fs, compaction $c%.3fs, rebucket $rb%.3fs")
+      (b, a, d, c, rb)
+    } catch { case e: Exception =>
+      System.err.println(s"[scale] append experiment failed at $label: $e")
+      (-1.0, -1.0, -1.0, -1.0, -1.0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(idxTmp.toFile)
+  }
+
+  /** The IVF retrain experiment (v23) at one tier — shared verbatim
+    * between the full sweep and [[MaintBench]]'s dedicated run. */
+  private[graft] def maintRetrainBlock(spark: SparkSession, dir: String,
+      label: String): Double = {
+    val ivfTmp = java.nio.file.Files
+      .createTempDirectory(s"graft_scale_retrain_$label")
+    try {
+      val p = ivfTmp.toString + "/ivf"
+      graft.ext.Similarity.saveIvfIndex(
+        Tables.embeddings(spark, dir), p, nList = 16, nIters = 1)
+      val t = timeOnce(
+        graft.ext.Similarity.retrainIvfIndex(spark, p, nList = 24,
+          nIters = 1))
+      System.err.println(f"[scale] $label v23 ivf retrain $t%.3fs")
+      t
+    } catch { case e: Exception =>
+      System.err.println(s"[scale] retrain experiment failed at $label: $e")
+      -1.0
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(ivfTmp.toFile)
+  }
+
+  /** [[MaintBench]]'s body: ONLY the maintenance experiments, both
+    * tiers sequentially on an otherwise idle session — the dedicated
+    * (uncontended) readings the full sweep's co-resident caches and
+    * preceding shuffles perturb. One JSON line. */
+  private[graft] def maintMain(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.headOption.getOrElse("target/scale/sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/$ReplicatedMarker").exists()) {
+      val t = timeOnce(replicate(spark, srcDir, outDir, replicas))
+      System.err.println(f"[scale] materialized ${replicas}x tier at $outDir in $t%.1fs")
+    }
+    val tiers = Seq(("sf0.1", srcDir),
+      (s"sf${0.1 * replicas}" + (if (replicas == 1) "r" else ""), outDir))
+    val rows = tiers.map { case (label, dir) =>
+      cacheTables(spark, dir)
+      val (b, a, d, c, rb) = maintMinhashBlock(spark, dir, label)
+      val rt = maintRetrainBlock(spark, dir, label)
+      spark.catalog.clearCache()
+      (label, b, a, d, c, rb, rt)
+    }
+    val Seq((l0, b0, a0, d0, c0, rb0, rt0), (l1, b1, a1, d1, c1, rb1, rt1)) =
+      rows
+    def pair(k: String, v0: Double, v1: Double): String =
+      f""""$k":{"$l0":$v0%.3f,"$l1":$v1%.3f}"""
+    def ratio(k: String, v0: Double, v1: Double): String =
+      f""""$k":${if (v0 > 0 && v1 > 0) v1 / v0 else -1.0}%.2f"""
+    println(s"""{"metric":"scale_maint_dedicated","replicas":$replicas,""" +
+      pair("x26c_index_build_sec", b0, b1) + "," +
+      pair("x26c_fixed_batch_append_sec", a0, a1) + "," +
+      ratio("x26c_append_ratio", a0, a1) + "," +
+      pair("x26d_fixed_id_delete_sec", d0, d1) + "," +
+      ratio("x26d_delete_ratio", d0, d1) + "," +
+      pair("x26d_compact_sec", c0, c1) + "," +
+      pair("x30_rebucket_sec", rb0, rb1) + "," +
+      ratio("x30_rebucket_ratio", rb0, rb1) + "," +
+      pair("v23_retrain_sec", rt0, rt1) + "," +
+      ratio("v23_retrain_ratio", rt0, rt1) + "}")
+    spark.stop()
+  }
+
   private def fmtCurve(label: String,
       c: (Double, Double, Double, Double, Double, Double)): String =
     f""""x35_serve_vs_batches_$label":{"b0":${c._1}%.3f,"b1":${c._2}%.3f,""" +
       f""""b8":${c._3}%.3f,"b32":${c._4}%.3f,"fold_sec":${c._5}%.3f,""" +
       f""""after_fold":${c._6}%.3f}"""
+}
+
+/** Dedicated maintenance benchmark — the sweep's x26c/x26d/x30/v23
+  * rows measured on an otherwise idle session (the r19 adjudication:
+  * the committed sweep JSON carried contended readings while the doc
+  * cited dedicated-run prose; this main makes the dedicated numbers a
+  * committed artifact). Same tiers/env knobs as [[ScaleBench]]. */
+object MaintBench {
+  def main(args: Array[String]): Unit = ScaleBench.maintMain(args)
 }

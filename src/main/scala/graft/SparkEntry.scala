@@ -84,7 +84,9 @@ object SparkEntry {
     "g36_theta_segments" -> (Pipelines.thetaSegments _),
     "g37_theta_retention" -> (Pipelines.thetaRetentionRollup _),
     "g38_sketch_store_serve" -> (Pipelines.thetaStoreServe _),
+    "g39_hll_store_serve" -> (Pipelines.hllStoreServe _),
     "s22_stream_theta_segments" -> (Pipelines.streamThetaSegments _),
+    "s23_stream_sketch_store" -> (Pipelines.streamSketchStore _),
     "g33_pagerank" -> ((s: SparkSession, d: String) => Pipelines.pageRank(s, d)),
     "x8_skew_salted_agg" -> (Pipelines.skewSaltedAgg _),
     "x9_dedup_clusters" -> (ExtPipelines.dedupClusters _),
@@ -138,6 +140,7 @@ object SparkEntry {
     "s20_stream_quantile_sketch" -> (ExtPipelines.streamQuantileSketch _),
     "s21_stream_heavy_hitters" -> (ExtPipelines.streamHeavyHitters _),
     "t36_quantile_rollup" -> (ExtPipelines.quantileRollup _),
+    "t37_qdigest_store_serve" -> (ExtPipelines.quantileStoreServe _),
     "t11_repetition_signals" -> (ExtPipelines.repetitionSignals _),
     "t12_corpus_mix" -> (ExtPipelines.corpusMix _),
     "t13_token_shards" -> (ExtPipelines.tokenShards _),
@@ -518,6 +521,31 @@ object SparkEntry {
     * pinned booleans. Shared verbatim by the streamed run: a bottom-k
     * sketch is a pure function of the set, so stream ≡ batch
     * bit-for-bit. */
+  /** g38/s23: the persisted theta store's serve facts — g37's exact
+    * retention counts plus the stored-day count and the bit-identity
+    * pin. Shared verbatim by the STREAMED store run (s23): bottomK(S)
+    * is a pure function of the set, so the store is bit-identical
+    * whether its days landed by batch save+append or by streaming
+    * delta drain + day close. */
+  private val thetaStoreOracle: String =
+    """WITH w AS (SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |                  user_id
+      |           FROM events),
+      |wk AS (SELECT week, lead(week) OVER (ORDER BY week) AS next_week
+      |       FROM (SELECT DISTINCT week FROM w)),
+      |r AS (SELECT a.week AS wa, b.week AS wb, count(*) AS ret
+      |      FROM w a JOIN w b ON a.user_id = b.user_id
+      |      GROUP BY 1, 2),
+      |d AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n
+      |      FROM events)
+      |SELECT wk.week, wk.next_week,
+      |       CAST(COALESCE(r.ret, 0) AS BIGINT) AS exact_returning,
+      |       TRUE AS returning_ok,
+      |       (SELECT n FROM d) AS n_days_stored,
+      |       TRUE AS store_matches_direct
+      |FROM wk LEFT JOIN r ON r.wa = wk.week AND r.wb = wk.next_week
+      |WHERE wk.next_week IS NOT NULL""".stripMargin
+
   private val thetaSegmentsOracle: String =
     """WITH d AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
       |c AS (SELECT seg, count(*) AS n FROM d GROUP BY seg),
@@ -1739,24 +1767,54 @@ object SparkEntry {
     // persisted or computed in-query), plus the stored-day count and
     // the bit-identity pin (bottomK is a pure set function, so parquet
     // round trip + incremental append change nothing)
-    "g38_sketch_store_serve" ->
-      """WITH w AS (SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-        |                  user_id
-        |           FROM events),
-        |wk AS (SELECT week, lead(week) OVER (ORDER BY week) AS next_week
-        |       FROM (SELECT DISTINCT week FROM w)),
-        |r AS (SELECT a.week AS wa, b.week AS wb, count(*) AS ret
-        |      FROM w a JOIN w b ON a.user_id = b.user_id
-        |      GROUP BY 1, 2),
-        |d AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n
-        |      FROM events)
-        |SELECT wk.week, wk.next_week,
-        |       CAST(COALESCE(r.ret, 0) AS BIGINT) AS exact_returning,
-        |       TRUE AS returning_ok,
+    "g38_sketch_store_serve" -> thetaStoreOracle,
+    // s23: the same store filled BY STREAM (delta drain + day-close
+    // appends) — bottom-k sketches are exactly merge-order
+    // independent, so the streamed store is bit-identical to the batch
+    // build and g38's oracle covers the run verbatim (the s22 = g36
+    // pattern extended to the persisted store)
+    "s23_stream_sketch_store" -> thetaStoreOracle,
+
+    // g39: the HLL rollup routed through the persisted store — g32's
+    // exact facts and contract pins, plus the stored-day count and the
+    // store-equals-in-query estimate pin (registers round-trip parquet
+    // bit-identically; HLL union is a per-register max, so merge order
+    // cannot move the estimate)
+    "g39_hll_store_serve" ->
+      """WITH d AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n
+        |           FROM events)
+        |SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok, TRUE AS merge_ok,
         |       (SELECT n FROM d) AS n_days_stored,
-        |       TRUE AS store_matches_direct
-        |FROM wk LEFT JOIN r ON r.wa = wk.week AND r.wb = wk.next_week
-        |WHERE wk.next_week IS NOT NULL""".stripMargin,
+        |       TRUE AS store_matches_inquery
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // t37: the q-digest rollup routed through the persisted store —
+    // t36's exact facts and ε·n bound pin (the bound holds under ANY
+    // merge tree, including the store round trip), plus the stored-day
+    // count
+    "t37_qdigest_store_serve" ->
+      s"""WITH v AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |                  least(greatest(CAST(round(value * 100) AS BIGINT),
+        |                                 0), ${(1L << graft.functions.QDigest.RollupM) - 1}) AS v
+        |           FROM events),
+        |cum AS (SELECT week, v,
+        |               sum(count(*)) OVER (PARTITION BY week
+        |                                   ORDER BY v) AS cum
+        |        FROM v GROUP BY week, v),
+        |n AS (SELECT week, count(*) AS n FROM v GROUP BY week),
+        |phis(phi_pct) AS (VALUES (10), (50), (90), (99)),
+        |tgt AS (SELECT week, phi_pct, n,
+        |               (n * phi_pct + 99) // 100 AS target
+        |        FROM n CROSS JOIN phis),
+        |d AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS nd
+        |      FROM events)
+        |SELECT t.week, t.phi_pct, t.n, min(c.v) AS exact_q,
+        |       TRUE AS sketch_ok,
+        |       (SELECT nd FROM d) AS n_days_stored
+        |FROM tgt t JOIN cum c ON c.week = t.week AND c.cum >= t.target
+        |GROUP BY t.week, t.phi_pct, t.n""".stripMargin,
 
     "t4b_fingerprint_bounded" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,

@@ -1011,6 +1011,79 @@ object ExtPipelines {
       .withColumnRenamed("source", "week")
   }
 
+  /** The kind tag of the daily cents q-digest store (t37). */
+  private[graft] val QdigestStoreKind = "qdigest-cents-daily"
+
+  /** The t37 SERVE plan: weekly digest rollup read from a persisted
+    * [[graft.ext.SketchStore]] ALONE — merge the stored daily digest
+    * maps per week with [[graft.functions.QDigestMergeAggregator]].
+    * Factored out so the plan spec can pin the g38 serving-path claim
+    * on this family too: the executed plan scans only the store's
+    * parquet, never the events. */
+  private[graft] def qdigestStoreWeekly(spark: SparkSession,
+      storePath: String, fromDay: String, toDay: String): DataFrame = {
+    val qm = udaf(new graft.functions.QDigestMergeAggregator(
+      graft.functions.QDigest.RollupK, graft.functions.QDigest.RollupM))
+    graft.ext.SketchStore.readRange(spark, storePath, QdigestStoreKind,
+      fromDay, toDay)
+      .groupBy("source").agg(qm(col("digest")).as("digest"))
+  }
+
+  /** t37 — the q-digest rollup (t36) routed through the persisted
+    * [[graft.ext.SketchStore]], its third sketch family: t36 computes
+    * its "persisted" daily digest rows in-query; this row lands them
+    * in a real store on disk (map<long,long> payload under the
+    * schema-agnostic layout, kind-tagged `qdigest-cents-daily`),
+    * appends the LAST day as its own manifest-committed increment,
+    * and serves the weekly value-distribution rollup from the STORED
+    * frames alone — no events scan in the serve plan (plan-spec
+    * pinned via [[qdigestStoreWeekly]]), O(days × ≤3k-entry) digest
+    * rows at serve time. Facts are t36's exactly (exact n, the
+    * rank-definition exact weekly quantile, and the merge-order-
+    * independent ε·n bound pinned TRUE — the bound is what holds
+    * under ANY merge tree, including the parquet round trip plus
+    * incremental append this store adds) plus `n_days_stored`. No
+    * bit-identity pin on this family BY DESIGN: digest compression is
+    * merge-tree state (the t35/s20 discipline), the bound is the
+    * contract. */
+  def quantileStoreServe(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.QDigest.RollupM
+    val k = graft.functions.QDigest.RollupK
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("source"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      graft.functions.QDigest.clampToUniverse(
+        graft.ops.Viewing.cents, m).as("v"))
+    val qd = udaf(new graft.functions.QDigestAggregator(k, m))
+    // the build side: ONE events scan producing the tiny daily rows
+    val daily = ev.groupBy("source", "day").agg(qd(col("v")).as("digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_t37")
+    try {
+      val days = daily.select("day").distinct()
+        .collect().map(_.getString(0)).sorted // O(days) driver rows
+      val store = s"$tmpRoot/store"
+      graft.ext.SketchStore.save(daily.filter(col("day") < days.last),
+        store, QdigestStoreKind)
+      graft.ext.SketchStore.appendDays(
+        daily.filter(col("day") === days.last), store, QdigestStoreKind)
+      // SERVE from the stored frames alone — the merged weekly digests
+      // are materialized driver-side (|weeks| rows × ≤3k-entry maps)
+      // before the temp store goes away: the returned frame must not
+      // lazily re-scan a deleted path
+      import spark.implicits._
+      val weekly = qdigestStoreWeekly(spark, store, days.head, days.last)
+        .as[(String, Map[Long, Long])].collect().toSeq
+        .toDF("source", "digest")
+      quantileFacts(spark, weekly, ev.select("source", "v"), k, m)
+        .withColumnRenamed("source", "week")
+        .withColumn("n_days_stored", lit(days.length.toLong))
+    } finally {
+      daily.unpersist(blocking = false)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+    }
+  }
+
   /** s20: the STREAMING distribution monitor
     * ([[graft.streaming.Streaming.sourceLengthDigests]]) — t35's
     * q-digest produced by a real streaming aggregation over the
@@ -2178,7 +2251,10 @@ object ExtPipelines {
     * arithmetic-false. `serve_identical` pins the fold's read-side
     * no-op: the same probe batch (standing dups + novel docs) admits
     * identically before and after — eagerly pinned before the fold
-    * swaps files under the lazy plan. */
+    * swaps files under the lazy plan. Fixture cost: the base index is
+    * built ONCE — the under leg is the over leg's exact prefix (its
+    * autopilot is a no-op, require-checked), so the over leg resumes
+    * from a directory copy instead of a second full build. */
   def minhashIndexFold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -2206,10 +2282,7 @@ object ExtPipelines {
         .toDF("doc_id", "text")))
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x35")
     try {
-      val legs = Seq(("under", 2), ("over", 4)).map { case (leg, nAppend) =>
-        val p = s"$tmpRoot/$leg"
-        Dedup.saveMinhashIndex(base, p, idBuckets = rightCount)
-        batches.take(nAppend).foreach(b => Dedup.appendToMinhashIndex(b, p))
+      def leg(p: String, name: String) = {
         def mNow() = graft.ext.IndexLayout
           .requireManifest(spark, p, Dedup.MinhashIndexFormat)
         val batchesBefore = graft.ext.IndexLayout.maxBatchRootCount(mNow())
@@ -2223,15 +2296,32 @@ object ExtPipelines {
           served1.exceptAll(served0).isEmpty
         val (m, _, nTombAfter, _, _) =
           graft.ext.IndexLayout.describeIndex(spark, p)
-        (leg, compacted, rebucketed, batchesBefore.toLong,
+        (name, compacted, rebucketed, batchesBefore.toLong,
           graft.ext.IndexLayout.maxBatchRootCount(m).toLong,
           m("gen").toLong, nTombAfter, serveIdentical)
       }
+      // the base index is built ONCE: the under leg IS the over leg's
+      // prefix (its autopilot fires nothing by construction — gen 0,
+      // both roots standing — so the post-autopilot directory is
+      // bit-identical to a fresh build + 2 appends), and the over leg
+      // resumes from a copy instead of paying a second full build
+      val underPath = s"$tmpRoot/under"
+      Dedup.saveMinhashIndex(base, underPath, idBuckets = rightCount)
+      batches.take(2).foreach(b => Dedup.appendToMinhashIndex(b, underPath))
+      val under = leg(underPath, "under")
+      require(!under._2 && !under._3 && under._6 == 0L,
+        s"x35 under-leg autopilot must be a no-op (got $under): the " +
+          "over leg resumes from this directory")
+      val overPath = s"$tmpRoot/over"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(underPath), new java.io.File(overPath))
+      batches.drop(2).foreach(b => Dedup.appendToMinhashIndex(b, overPath))
+      val over = leg(overPath, "over")
       // driver-side local relation (describe/serve pins are eager), so
       // nothing lazy still reads the index files after cleanup
-      legs.toDF("leg", "compacted", "rebucketed", "batches_before",
-        "batches_after", "gen_after", "n_tombstones_after",
-        "serve_identical")
+      Seq(under, over).toDF("leg", "compacted", "rebucketed",
+        "batches_before", "batches_after", "gen_after",
+        "n_tombstones_after", "serve_identical")
     } finally {
       graft.ext.Checkpoints.free(probes)
       deleteTempTree(tmpRoot)
@@ -2377,7 +2467,10 @@ object ExtPipelines {
     * measured-noise argument v25's idle leg rests on).
     * `serve_identical` pins the fold's read-side no-op: the same
     * query batch's exact top-k before and after, eagerly pinned
-    * before the fold swaps files under the lazy plan. */
+    * before the fold swaps files under the lazy plan. Fixture cost:
+    * x35's shared-prefix discipline — one base build, the over leg
+    * resumes from a copy of the under leg's (no-op-autopiloted)
+    * directory. */
   def ivfIndexFold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -2391,11 +2484,7 @@ object ExtPipelines {
     val queries = emb.filter(col("vec_id") < 5)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v27")
     try {
-      val legs = Seq(("under", 2), ("over", 4)).map { case (leg, nAppend) =>
-        val p = s"$tmpRoot/$leg"
-        Similarity.saveIvfIndex(base, p, nList = 8, nIters = 1)
-        batches.take(nAppend).foreach(bt =>
-          Similarity.appendToIvfIndex(spark, p, bt))
+      def leg(p: String, name: String) = {
         def mNow() = graft.ext.IndexLayout
           .requireManifest(spark, p, Similarity.IvfIndexFormat)
         val batchesBefore = graft.ext.IndexLayout.maxBatchRootCount(mNow())
@@ -2410,15 +2499,33 @@ object ExtPipelines {
           served1.exceptAll(served0).isEmpty
         val (m, _, nTombAfter, _, _) =
           graft.ext.IndexLayout.describeIndex(spark, p)
-        (leg, compacted, retrained, batchesBefore.toLong,
+        (name, compacted, retrained, batchesBefore.toLong,
           graft.ext.IndexLayout.maxBatchRootCount(m).toLong,
           m("gen").toLong, nTombAfter, serveIdentical)
       }
+      // x35's shared-prefix discipline: one base build; the under
+      // leg's autopilot is a no-op by construction, so the over leg
+      // resumes from a copy of its directory (bit-identical to a
+      // fresh build + 2 appends) and pays only its own 2 extra appends
+      val underPath = s"$tmpRoot/under"
+      Similarity.saveIvfIndex(base, underPath, nList = 8, nIters = 1)
+      batches.take(2).foreach(bt =>
+        Similarity.appendToIvfIndex(spark, underPath, bt))
+      val under = leg(underPath, "under")
+      require(!under._2 && !under._3 && under._6 == 0L,
+        s"v27 under-leg autopilot must be a no-op (got $under): the " +
+          "over leg resumes from this directory")
+      val overPath = s"$tmpRoot/over"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(underPath), new java.io.File(overPath))
+      batches.drop(2).foreach(bt =>
+        Similarity.appendToIvfIndex(spark, overPath, bt))
+      val over = leg(overPath, "over")
       // driver-side local relation (describe/serve pins are eager), so
       // nothing lazy still reads the index files after cleanup
-      legs.toDF("leg", "compacted", "retrained", "batches_before",
-        "batches_after", "gen_after", "n_tombstones_after",
-        "serve_identical")
+      Seq(under, over).toDF("leg", "compacted", "retrained",
+        "batches_before", "batches_after", "gen_after",
+        "n_tombstones_after", "serve_identical")
     } finally deleteTempTree(tmpRoot)
   }
 

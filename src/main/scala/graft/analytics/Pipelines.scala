@@ -1436,4 +1436,158 @@ object Pipelines {
       org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
     }
   }
+
+  /** The kind tag of the daily HLL-user sketch store (g39). */
+  private[graft] val HllStoreKind = "hll-user-daily"
+
+  /** The g39 SERVE plan: weekly HLL rollup read from a persisted
+    * [[graft.ext.SketchStore]] ALONE — union the stored daily register
+    * blobs per week (`hll_union_agg`, codegen'd built-in) and
+    * estimate. Factored out so the plan spec can pin the serving-path
+    * claim exactly like g38's: the executed plan scans only the
+    * store's parquet, never the events. */
+  private[graft] def hllStoreWeekly(spark: SparkSession, storePath: String,
+      fromDay: String, toDay: String): DataFrame =
+    graft.ext.SketchStore.readRange(spark, storePath, HllStoreKind,
+      fromDay, toDay)
+      .groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .as("est_merged"))
+
+  /** g39 — the HLL rollup (g32) routed through the persisted
+    * [[graft.ext.SketchStore]], its second sketch family: g32
+    * demonstrates the persist-and-merge shape but computes its
+    * "persisted" daily register rows in-query; this row lands them in
+    * a real store on disk (binary payload under the schema-agnostic
+    * layout, kind-tagged `hll-user-daily`), appends the LAST day as
+    * its own manifest-committed increment (the nightly-job shape), and
+    * serves the weekly distinct-user rollup from the STORED frames
+    * alone — no events scan in the serve plan (plan-spec pinned via
+    * [[hllStoreWeekly]]), O(days) KB-sized register rows at serve
+    * time. Facts are g32's driver-checkable contract (exact weekly
+    * users + the ±20% `hll_ok` and ±5% `merge_ok` bands — both >3σ at
+    * lgK=12, the g16b rule) plus `n_days_stored` and
+    * `store_matches_inquery`: the store-served weekly estimate equals
+    * the in-query union's EXACTLY — parquet round-trips the register
+    * blobs bit-identically and the HLL union is a per-register max
+    * (order-independent), so the two paths compute the same double;
+    * TRUE by construction. */
+  def hllStoreServe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    // the build side: ONE events scan producing the tiny daily rows
+    val daily = ev.groupBy("week", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_g39")
+    try {
+      val days = daily.select("day").distinct()
+        .collect().map(_.getString(0)).sorted // O(days) driver rows
+      val store = s"$tmpRoot/store"
+      graft.ext.SketchStore.save(daily.filter(col("day") < days.last),
+        store, HllStoreKind)
+      graft.ext.SketchStore.appendDays(
+        daily.filter(col("day") === days.last), store, HllStoreKind)
+      // SERVE from the stored frames alone — materialized driver-side
+      // (|weeks|-bounded) before the temp store goes away: the
+      // returned frame must not lazily re-scan a deleted path
+      import spark.implicits._
+      val served = hllStoreWeekly(spark, store, days.head, days.last)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // audit sides: the in-query union (the g32 serving path — the
+      // store must answer identically), the direct whole-week sketch,
+      // and the exact count — all |weeks|-bounded driver collects
+      val inQuery = daily.groupBy("week")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("est_inquery"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDays = days.length.toLong
+      ev.groupBy("week")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("est_direct"),
+          countDistinct("user_id").as("exact_users"))
+        .collect().map { r =>
+          val week = r.getString(0)
+          val estDirect = r.getLong(1)
+          val exact = r.getLong(2)
+          val estMerged = served(week)
+          (week, exact,
+            math.abs(estMerged - exact) <= math.max(exact * 0.2, 5.0),
+            math.abs((estMerged - estDirect).toDouble) <= math.max(exact * 0.05, 3.0),
+            nDays, estMerged == inQuery(week))
+        }.toSeq.toDF("week", "exact_users", "hll_ok", "merge_ok",
+          "n_days_stored", "store_matches_inquery")
+    } finally {
+      daily.unpersist(blocking = false)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+    }
+  }
+
+  /** s23 — the STREAM → STORE → SERVE arc closed: events arrive as a
+    * real Structured Streaming query draining per-batch delta sketch
+    * rows ([[graft.streaming.Streaming.sketchDeltaStream]] — the
+    * s15/s16 exactly-once per-batch-overwrite discipline), the days
+    * close into a persisted [[graft.ext.SketchStore]] via
+    * manifest-committed, replay-idempotent appends
+    * ([[graft.streaming.Streaming.closeDaysIntoStore]]), and the
+    * week-over-week retention rollup is served from the STORED frames
+    * alone — g38's serve verbatim. The store starts EMPTY: every
+    * stored row traveled the full streaming arc.
+    *
+    * Bottom-k sketches are exactly merge-order independent, so the
+    * streamed store is BIT-IDENTICAL to a direct batch build over the
+    * same events — `store_matches_direct` pins it, and the batch
+    * twin's (g38's) oracle covers this run verbatim (the s22 = g36
+    * pattern extended to the persisted store). Kill/resume landing
+    * each day exactly once is pinned by StreamingSpec. */
+  def streamSketchStore(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.functions.Theta.DefaultK
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val tm = udaf(new graft.functions.ThetaMergeAggregator(k))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s23")
+    try {
+      val store = s"$tmpRoot/store"
+      // the store starts empty — the arc is streaming end to end
+      graft.ext.SketchStore.save(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "week STRING, day STRING, sk ARRAY<BIGINT>")),
+        store, ThetaStoreKind)
+      val q = graft.streaming.Streaming.sketchDeltaStream(
+        graft.streaming.Streaming.eventsStream(spark, dir),
+        s"$tmpRoot/delta", s"$tmpRoot/ck", k)
+      q.awaitTermination()
+      // the static corpus has fully drained: every day has closed
+      graft.streaming.Streaming.closeDaysIntoStore(spark,
+        s"$tmpRoot/delta", store, ThetaStoreKind, k,
+        closedDay = "9999-12-31")
+      // SERVE from the stored frames alone (g38's serve path)
+      val weekly = thetaStoreWeekly(spark, store, "0000-01-01", "9999-12-31")
+      // audit: the streamed store's weekly sketches must be
+      // bit-identical to a direct batch build — |weeks|-bounded collects
+      val fromStore = weekly.collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val direct = ev.groupBy("week", "day")
+        .agg(th(xxhash64(col("user_id"))).as("sk"))
+        .groupBy("week").agg(tm(col("sk")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val storeMatchesDirect = fromStore == direct
+      val nDays = graft.ext.SketchStore.readAll(spark, store, ThetaStoreKind)
+        .select("day").distinct().count() // O(days)
+      thetaPairFacts(spark, weekly, ev.select("week", "user_id"), k,
+        "week", "next_week", adjacentOnly = true)
+        .select(col("week"), col("next_week"),
+          col("exact_inter").as("exact_returning"),
+          col("inter_ok").as("returning_ok"),
+          lit(nDays).as("n_days_stored"),
+          lit(storeMatchesDirect).as("store_matches_direct"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+  }
 }

@@ -627,7 +627,11 @@ private[graft] object IndexLayout {
             // owner's standing lease. Without this check the sweep
             // would re-open the very two-owner race the monotonic
             // claim closed.
-            if (listLeaseGens(f, path).max == curGen + 1) {
+            // maxOption: a concurrent full-rebuild save deletes the
+            // whole index path (lease files included) — an empty
+            // re-list must fall through to the retry loop's loud
+            // failure, not throw bare NoSuchElementException
+            if (listLeaseGens(f, path).maxOption.contains(curGen + 1)) {
               // sweep superseded relics — strictly lower generations:
               // every one expired, released, or owned by a writer whose
               // renew/completion gate will fail loudly anyway;
@@ -651,10 +655,28 @@ private[graft] object IndexLayout {
               // overlap — monotonic files cannot arbitrate a protocol
               // the old binary does not speak — but the sweep must not
               // WIDEN the exposure to a third writer.)
-              val legacyFresh = readLeaseFile(f, leasePath(path), ttlMs)
-                .exists { case (_, at, t) =>
-                  System.currentTimeMillis() < at + t }
-              if (!legacyFresh && f.exists(leasePath(path)))
+              val legacy = readLeaseFile(f, leasePath(path), ttlMs)
+              val legacyFresh = legacy.exists { case (_, at, t) =>
+                System.currentTimeMillis() < at + t }
+              if (legacyFresh) {
+                // an old binary create-exclusively acquired a LIVE
+                // legacy lease between our currentLease read and this
+                // claim. Monotonic files cannot arbitrate a protocol
+                // the old binary does not speak, so proceeding means
+                // two knowing concurrent owners — strictly worse than
+                // failing. Stamp our own just-claimed generation
+                // released (keeping the high-water record) and throw
+                // the standing-lease error naming the legacy holder.
+                writeLeaseTo(f, new Path(s"$path/${leaseGenFile(curGen + 1)}"),
+                  id, 0L, overwrite = true, released = true)
+                throw new IllegalStateException(
+                  s"$path is under maintenance by LEGACY writer " +
+                    s"${legacy.map(_._1).getOrElse("<unknown>")} (old " +
+                    "single-file lease acquired concurrently): refusing " +
+                    "a second owner in a mixed-version deployment — " +
+                    "serialize the verbs, or wait out the legacy TTL")
+              }
+              if (f.exists(leasePath(path)))
                 f.delete(leasePath(path), false)
               return LeaseHandle(id, ttlMs, curGen + 1)
             }
@@ -857,10 +879,15 @@ private[graft] object IndexLayout {
     * autopilot poll it nightly for free — the composition-length
     * trigger both family autopilots fire a fold on. */
   def batchRootCount(m: Map[String, String], name: String): Int =
-    frameEntries(m, name).count { e =>
-      val s = e.split("/")
-      s.length == 2 && BatchRootRe.matches(s(1))
-    }
+    // count DISTINCT batch roots by their aN/bN_M segment regardless of
+    // entry depth: a 3-segment partition entry under a batch root
+    // (retained by stageCompactFrame's formatter-mismatch RETAIN
+    // fallback) still adds serve fan-out, so it must keep pressuring
+    // the composition-length fold trigger — a depth==2 filter would
+    // let it escape the count permanently
+    frameEntries(m, name).flatMap { e =>
+      e.split("/").drop(1).headOption.filter(BatchRootRe.matches)
+    }.distinct.size
 
   /** The maximum [[batchRootCount]] across all frames of `m`. */
   def maxBatchRootCount(m: Map[String, String]): Int =

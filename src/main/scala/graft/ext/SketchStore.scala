@@ -62,8 +62,12 @@ object SketchStore {
   /** The store's manifest, validated for format and `kind` — the gate
     * every serve and maintenance verb passes through. */
   private def requireStore(spark: SparkSession, path: String,
+      kind: String): Map[String, String] =
+    validateKind(
+      IndexLayout.requireManifest(spark, path, SketchStoreFormat), path, kind)
+
+  private def validateKind(m: Map[String, String], path: String,
       kind: String): Map[String, String] = {
-    val m = IndexLayout.requireManifest(spark, path, SketchStoreFormat)
     val got = IndexLayout.param(m, path, "kind")
     if (got != kind) throw new IllegalStateException(
       s"$path stores '$got' sketches, not '$kind': merging foreign " +
@@ -108,6 +112,54 @@ object SketchStore {
   def readAll(spark: SparkSession, path: String, kind: String): DataFrame = {
     val m = requireStore(spark, path, kind)
     IndexLayout.readFrame(spark, path, m, "sketches")
+  }
+
+  /** AS-OF serve: [[readRange]] pinned at retained manifest commit
+    * `seq` — every store verb is one monotonic manifest commit, so the
+    * frames a historical manifest references are immutable until aged
+    * out by the per-index `manifestKeep` window (the x33/v26 machinery
+    * verbatim). A serve pinned before a day's append does not see that
+    * day; a serve pinned before a retention drop still sees the
+    * dropped days (their retired directories survive the grace
+    * window). Same format/kind gates as the head serve. */
+  def readRangeAt(spark: SparkSession, path: String, kind: String,
+      fromDay: String, toDay: String, seq: Int): DataFrame = {
+    val m = validateKind(IndexLayout.requireManifestAt(
+      spark, path, SketchStoreFormat, seq), path, kind)
+    val dayCol = IndexLayout.param(m, path, "dayCol")
+    IndexLayout.readFrame(spark, path, m, "sketches")
+      .filter(col(dayCol) >= fromDay && col(dayCol) <= toDay)
+  }
+
+  /** RETENTION: drop every stored day STRICTLY BEFORE `minDay` — the
+    * horizon verb of a store appended forever (a 90-day rolling
+    * window keeps the store O(horizon × segments) regardless of age).
+    * Tombstone-free by construction: whole day partitions leave the
+    * composition at a compaction flip — the dropped days' partition
+    * directories retire (nothing survives the anti-join, so nothing is
+    * staged for them), surviving days carry forward untouched, and the
+    * committed batch roots fold into the new generation as every
+    * compaction of this layout does. The dropped-day set is O(days)
+    * driver-side by nature (it parameterizes the partition retire
+    * list). Historical manifests still inside `manifestKeep` continue
+    * to serve the dropped days until the retired-directory grace
+    * window ([[IndexLayout.RetiredGraceConfKey]]) lapses. */
+  def retainFrom(spark: SparkSession, path: String, kind: String,
+      minDay: String): Unit = {
+    IndexLayout.withMaintenanceLease(spark, path) { lease =>
+      val m = requireStore(spark, path, kind)
+      val dayCol = IndexLayout.param(m, path, "dayCol")
+      val carried = IndexLayout.dropRetired(spark, path, m)
+      val stored = IndexLayout.readFrame(spark, path, m, "sketches")
+      val tomb = stored.filter(col(dayCol) < minDay)
+        .select(dayCol).distinct()
+      val dropped: Seq[Any] = tomb.collect().map(_.get(0)).toSeq
+      val newGen = IndexLayout.intParam(m, path, "gen") + 1
+      val staged = Map("sketches" -> IndexLayout.stageCompactFrame(
+        spark, path, m, "sketches", dayCol, dropped, tomb, dayCol, newGen))
+      IndexLayout.renewLease(spark, path, lease)
+      IndexLayout.flip(spark, path, m, newGen, staged, carried)
+    }
   }
 
   /** FOLD the composition (the autopilots' composition-length

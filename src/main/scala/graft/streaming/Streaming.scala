@@ -155,6 +155,70 @@ object Streaming {
         .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
     }
 
+  /** s23 (delta leg) — STREAMING DAY-CLOSE into the persisted sketch
+    * store, step 1: micro-batches of events drain into per-batch DELTA
+    * sketch rows — each batch's (week, day) bottom-k user sketches
+    * land in `deltaPath/batch_id=N` with per-batch-directory overwrite
+    * (the s15/s16/s17 exactly-once discipline: a replayed batch
+    * rewrites its own directory byte-for-byte). Per-batch work is
+    * O(batch) with k-bounded map-side partials; the standing store is
+    * touched ZERO times per micro-batch — day close
+    * ([[closeDaysIntoStore]]) is the only writer of the store itself.
+    * Bottom-k sketches are EXACTLY merge-order independent (bottomK(S)
+    * is a pure function of the set), so however the stream slices a
+    * day across micro-batches, the day-close merge of these deltas is
+    * bit-identical to a batch build over the same events — which is
+    * what lets the batch twin's oracle cover the streamed store
+    * verbatim. `checkpoint` and `deltaPath` are one coupled lifecycle
+    * ([[perBatchSink]]'s contract). */
+  def sketchDeltaStream(events: DataFrame, deltaPath: String,
+      checkpoint: String, k: Int,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    perBatchSink(events, checkpoint, trigger) { (batch, batchId) =>
+      batch.select(
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+        .groupBy("week", "day")
+        .agg(th(xxhash64(col("user_id"))).as("sk"))
+        .write.mode("overwrite").parquet(s"$deltaPath/batch_id=$batchId")
+    }
+  }
+
+  /** s23 (close leg) — DAY CLOSE: merge the drained deltas per
+    * (week, day) ([[graft.functions.ThetaMergeAggregator]] — a pure
+    * set merge, so the stored sketch cannot depend on how the stream
+    * batched the day) and land every closed day (`day <= closedDay`)
+    * not yet stored via ONE manifest-committed
+    * [[graft.ext.SketchStore.appendDays]] batch — atomic-visible,
+    * kill-safe, leased like every maintenance verb of the layout.
+    *
+    * REPLAY-IDEMPOTENT end to end, which is exactly the at-least-once
+    * scheduler contract a nightly close job runs under: the
+    * already-stored day set (an O(days) manifest-frame read) filters
+    * the candidate days, so a re-run after a crash — before, between,
+    * or after the manifest splice — lands each day exactly once (a
+    * close that died pre-commit left only an unreferenced batch root,
+    * swept at the next fold; one that died post-commit finds its days
+    * stored and appends nothing — an empty append commits nothing by
+    * [[graft.ext.IndexLayout.stageAppendBatch]]'s contract). */
+  def closeDaysIntoStore(spark: SparkSession, deltaPath: String,
+      storePath: String, kind: String, k: Int,
+      closedDay: String): Unit = {
+    val tm = udaf(new graft.functions.ThetaMergeAggregator(k))
+    val stored = graft.ext.SketchStore.readAll(spark, storePath, kind)
+      .select("day").distinct()
+      .collect().map(_.getString(0)).toSet // O(days) driver rows
+    val newDaily = spark.read.parquet(deltaPath)
+      .filter(col("day") <= closedDay &&
+        !col("day").isin(stored.toSeq: _*))
+      .groupBy("week", "day").agg(tm(col("sk")).as("sk"))
+      .select("week", "day", "sk")
+    graft.ext.SketchStore.appendDays(newDaily, storePath, kind)
+  }
+
   /** Streaming corpus quality gate: the stateless per-row quality
     * filter applied at INGEST, so low-quality docs never land in the
     * corpus at all. Pure codegen'd expressions — no state, no

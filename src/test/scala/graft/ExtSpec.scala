@@ -904,6 +904,78 @@ class ExtSpec extends SparkSpec {
     assert(g38.forall(_.getAs[Long]("n_days_stored") > 1L))
   }
 
+  test("g39/t37: the HLL and q-digest rollups served from the persisted store — every contract pin holds at the smallest SF") {
+    // g39: the store-served weekly estimate must EQUAL the in-query
+    // union's (binary registers round-trip parquet bit-identically,
+    // HLL union is a per-register max — order cannot move the double)
+    val g39 = graft.analytics.Pipelines.hllStoreServe(spark, sf()).collect()
+    assert(g39.nonEmpty)
+    assert(g39.forall(_.getAs[Boolean]("hll_ok")))
+    assert(g39.forall(_.getAs[Boolean]("merge_ok")))
+    assert(g39.forall(_.getAs[Boolean]("store_matches_inquery")))
+    assert(g39.forall(_.getAs[Long]("n_days_stored") > 1L))
+    // t37: the ε·n bound holds under ANY merge tree — including the
+    // store round trip plus the incremental day append
+    val t37 = graft.analytics.ExtPipelines.quantileStoreServe(spark, sf())
+      .collect()
+    assert(t37.nonEmpty)
+    assert(t37.forall(_.getAs[Boolean]("sketch_ok")))
+    assert(t37.forall(_.getAs[Long]("n_days_stored") > 1L))
+  }
+
+  test("store retention + as-of: the horizon drop retires whole day partitions, survivors stay bit-identical, and pinned serves still see history") {
+    import spark.implicits._
+    import graft.ext.{IndexLayout, SketchStore}
+    val days = (1 to 6).map(d => f"2024-02-$d%02d")
+    val daily = days.zipWithIndex.map { case (d, i) =>
+      ("2024-02-01", d, Seq(i.toLong, 200L + i))
+    }.toDF("week", "day", "sk")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_retain")
+    try {
+      // keep retired dirs alive for the whole spec (as-of reads below
+      // deliberately straddle the retention flip)
+      spark.conf.set(IndexLayout.RetiredGraceConfKey,
+        (60 * 60 * 1000L).toString)
+      val p = s"$tmp/store"
+      SketchStore.save(daily.filter(col("day") <= days(3)), p, "test-kind") // seq 0
+      IndexLayout.setManifestKeep(spark, p, 10)                             // seq 1
+      SketchStore.appendDays(daily.filter(col("day") === days(4)), p, "test-kind") // seq 2
+      SketchStore.appendDays(daily.filter(col("day") === days(5)), p, "test-kind") // seq 3
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(1) -> r.getSeq[Long](2).toList).toMap
+      val before = rows(SketchStore.readAll(spark, p, "test-kind"))
+      assert(before.keySet == days.toSet)
+      // AS-OF pinned before the day appends: only the bulk-built days
+      val preAppend = rows(SketchStore.readRangeAt(spark, p, "test-kind",
+        days.head, days.last, seq = 1))
+      assert(preAppend.keySet == days.take(4).toSet)
+      assert(preAppend == before.view.filterKeys(days.take(4).toSet).toMap)
+      // RETENTION: horizon at days(2) — the two older days leave at a
+      // compaction flip; the committed batch roots fold as a bonus
+      SketchStore.retainFrom(spark, p, "test-kind", minDay = days(2))
+      val m1 = IndexLayout.requireManifest(spark, p,
+        SketchStore.SketchStoreFormat)
+      assert(m1("gen") == "1" && IndexLayout.seqOf(m1) == 4)
+      assert(IndexLayout.maxBatchRootCount(m1) == 0)
+      val after = rows(SketchStore.readAll(spark, p, "test-kind"))
+      assert(after.keySet == days.drop(2).toSet,
+        "exactly the days before the horizon must be gone")
+      assert(after == before.view.filterKeys(days.drop(2).toSet).toMap,
+        "surviving days must round-trip bit-identically")
+      // AS-OF pinned before the retention still serves the dropped
+      // days: the retired directories live out the grace window
+      val preDrop = rows(SketchStore.readRangeAt(spark, p, "test-kind",
+        days.head, days.last, seq = 3))
+      assert(preDrop == before)
+      // a fold after retention preserves the post-horizon rows
+      SketchStore.fold(spark, p, "test-kind")
+      assert(rows(SketchStore.readAll(spark, p, "test-kind")) == after)
+    } finally {
+      spark.conf.unset(IndexLayout.RetiredGraceConfKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
+
   test("v24: occupancy drift gate — exact TV on a crafted grid; stable appends, collapsed retrains") {
     import spark.implicits._
     // 4 orthogonal lists, 10 standing vectors each (occupancy 10/10/10/10)

@@ -636,4 +636,47 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("partial_thetamergeaggregator"), p)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
+
+  test("g39/t37: the HLL and q-digest store SERVE plans scan only the store's parquet — the events are never rescanned") {
+    // the g38 pin extended to the other two mergeable families: build
+    // a real store from each family's daily rows, then pin that the
+    // week-rollup serve reads the STORE path alone
+    import org.apache.spark.sql.functions.{col, date_format, date_trunc, expr, udaf}
+    val ev = graft.sources.Tables.events(spark, sf()).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"), col("value"), col("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_g39_plan")
+    try {
+      // HLL family
+      val hllDaily = ev.groupBy("week", "day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val hllStore = s"$tmp/hll"
+      graft.ext.SketchStore.save(hllDaily, hllStore,
+        graft.analytics.Pipelines.HllStoreKind)
+      val pHll = plan(graft.analytics.Pipelines.hllStoreWeekly(spark,
+        hllStore, "0000-01-01", "9999-12-31"))
+      assert(pHll.linesIterator.exists(_.contains("Scan parquet")), pHll)
+      assert(!pHll.contains("events.parquet"),
+        s"the HLL serve must not rescan events:\n$pHll")
+      assert(pHll.toLowerCase.contains("partial_hll_union_agg"), pHll)
+      // q-digest family
+      val m = graft.functions.QDigest.RollupM
+      val qd = udaf(new graft.functions.QDigestAggregator(
+        graft.functions.QDigest.RollupK, m))
+      val qdDaily = ev.select(col("week").as("source"), col("day"),
+        graft.functions.QDigest.clampToUniverse(
+          graft.ops.Viewing.cents, m).as("v"))
+        .groupBy("source", "day").agg(qd(col("v")).as("digest"))
+      val qdStore = s"$tmp/qd"
+      graft.ext.SketchStore.save(qdDaily, qdStore,
+        graft.analytics.ExtPipelines.QdigestStoreKind)
+      val pQd = plan(graft.analytics.ExtPipelines.qdigestStoreWeekly(spark,
+        qdStore, "0000-01-01", "9999-12-31"))
+      assert(pQd.linesIterator.exists(_.contains("Scan parquet")), pQd)
+      assert(!pQd.contains("events.parquet"),
+        s"the q-digest serve must not rescan events:\n$pQd")
+      assert(pQd.contains("partial_qdigestmergeaggregator"), pQd)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
 }

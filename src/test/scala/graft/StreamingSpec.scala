@@ -401,6 +401,82 @@ class StreamingSpec extends SparkSpec {
     Dedup.compactMinhashDeltas(spark, s"$tmp/delta2", idxPath)
   }
 
+  test("s23: streaming day-close into the sketch store — kill/resume lands each day exactly once, bit-identical to the batch build") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.ext.SketchStore
+    val tmp = Files.createTempDirectory("graft-s23-restart").toString
+    val k = 8
+    val kind = "theta-user-daily"
+    // two source files → two micro-batches at maxFilesPerTrigger=1:
+    // file A carries ALL of day 03-04 plus part of 03-05; file B the
+    // rest of 03-05 (the cross-micro-batch merge case — the day-close
+    // merge must fold both batches' deltas) plus day 03-11
+    val fileA = Seq(
+      ("2024-03-04 01:00:00", "u1"), ("2024-03-04 02:00:00", "u2"),
+      ("2024-03-04 03:00:00", "u4"), ("2024-03-05 04:00:00", "u3"))
+    val fileB = Seq(
+      ("2024-03-05 05:00:00", "u6"), ("2024-03-05 06:00:00", "u3"),
+      ("2024-03-11 07:00:00", "u5"))
+    def toDf(s: Seq[(String, String)]) = s.toDF("ts_s", "user_id")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("user_id"))
+    val in = s"$tmp/in"
+    toDf(fileA).coalesce(1).write.parquet(in)
+    toDf(fileB).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val store = s"$tmp/store"; val delta = s"$tmp/delta"; val ck = s"$tmp/ck"
+    SketchStore.save(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "week STRING, day STRING, sk ARRAY<BIGINT>")), store, kind)
+    // run 1: continuous trigger, KILLED once ≥1 batch has committed
+    val q1 = Streaming.sketchDeltaStream(src(), delta, ck, k,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(q1.recentProgress.nonEmpty, "run 1 never processed a batch")
+    // a MID-STREAM close of the one day that has certainly closed (a
+    // real deployment's watermark decision): whichever micro-batch
+    // committed first, day 03-04's events are complete or absent
+    Streaming.closeDaysIntoStore(spark, delta, store, kind, k,
+      closedDay = "2024-03-04")
+    // run 2: resume from the SAME checkpoint, drain the rest; then the
+    // remaining days close
+    val q2 = Streaming.sketchDeltaStream(src(), delta, ck, k)
+    q2.awaitTermination()
+    Streaming.closeDaysIntoStore(spark, delta, store, kind, k,
+      closedDay = "9999-12-31")
+    // a REPLAYED close (the at-least-once scheduler case) lands nothing
+    Streaming.closeDaysIntoStore(spark, delta, store, kind, k,
+      closedDay = "9999-12-31")
+    def storedRows() = SketchStore.readAll(spark, store, kind).collect()
+      .map(r => r.getString(1) -> r.getSeq[Long](2).toList)
+    val rows = storedRows()
+    // each day exactly once — across the kill, the partial close, and
+    // the replayed close
+    assert(rows.length == 3 && rows.map(_._1).toSet ==
+      Set("2024-03-04", "2024-03-05", "2024-03-11"),
+      s"each day must land exactly once, got ${rows.toSeq}")
+    // bit-identical to the direct batch build: bottomK is a pure set
+    // function, so the stream's batching cannot leak into the store
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val batchDaily = toDf(fileA ++ fileB)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(th(xxhash64(col("user_id"))).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(rows.toMap == batchDaily,
+      "the streamed store must equal the batch build bit-for-bit")
+    // the close appends were manifest-committed batches; the fold
+    // consolidates them and changes nothing
+    SketchStore.fold(spark, store, kind)
+    assert(storedRows().toMap == batchDaily)
+  }
+
   test("s16: streaming IVF ingest equals the batch assignment; kill/resume assigns nothing twice") {
     import java.nio.file.Files
     import graft.ext.{DataSplit, Similarity}
