@@ -275,7 +275,10 @@ object Bench {
     // store arc (g38's cost class plus the delta drain + day closes)
     "g39_hll_store_serve",
     "t37_qdigest_store_serve",
-    "s23_stream_sketch_store")
+    "s23_stream_sketch_store",
+    // g40 prices the store's retention + as-of lifecycle (build +
+    // keep-commit + day append + horizon drop + pinned serve)
+    "g40_sketch_store_retention")
 
   /** The two production SERVE rows that run even under
     * SPARK_GRAFT_SKIP_EXTENDED (the sf1 replica tier): the paths the

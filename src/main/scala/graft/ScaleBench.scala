@@ -246,7 +246,14 @@ object ScaleBench {
     // I/O is O(days × segments × k), so expect ~g37's ratio with the
     // commit floor on top)
     "s22_stream_theta_segments",
-    "g38_sketch_store_serve")
+    "g38_sketch_store_serve",
+    // round-20: the store routed under the other two mergeable
+    // families (same O(days × segments × payload) store I/O around
+    // each family's in-query cost — expect ~g32's / ~t36's ratios)
+    // and the streamed store arc (g38's class + the delta drain)
+    "g39_hll_store_serve",
+    "t37_qdigest_store_serve",
+    "s23_stream_sketch_store")
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {

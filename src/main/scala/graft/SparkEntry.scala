@@ -85,6 +85,7 @@ object SparkEntry {
     "g37_theta_retention" -> (Pipelines.thetaRetentionRollup _),
     "g38_sketch_store_serve" -> (Pipelines.thetaStoreServe _),
     "g39_hll_store_serve" -> (Pipelines.hllStoreServe _),
+    "g40_sketch_store_retention" -> (Pipelines.thetaStoreRetention _),
     "s22_stream_theta_segments" -> (Pipelines.streamThetaSegments _),
     "s23_stream_sketch_store" -> (Pipelines.streamSketchStore _),
     "g33_pagerank" -> ((s: SparkSession, d: String) => Pipelines.pageRank(s, d)),
@@ -1774,6 +1775,25 @@ object SparkEntry {
     // build and g38's oracle covers the run verbatim (the s22 = g36
     // pattern extended to the persisted store)
     "s23_stream_sketch_store" -> thetaStoreOracle,
+
+    // g40: the store's retention-horizon + as-of lifecycle verbs —
+    // exact day arithmetic (total, post-horizon count, the median
+    // horizon day itself) recomputed in SQL; the only-removes-never-
+    // rewrites and pre-retention-sees-all claims are the pinned TRUEs
+    "g40_sketch_store_retention" ->
+      """WITH dd AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |            FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS days_total FROM dd),
+        |h AS (SELECT day AS horizon_day
+        |      FROM (SELECT day, row_number() OVER (ORDER BY day) AS rn FROM dd)
+        |      WHERE rn = (SELECT days_total // 2 + 1 FROM n))
+        |SELECT n.days_total,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM dd
+        |        WHERE day >= (SELECT horizon_day FROM h)) AS days_after_retention,
+        |       (SELECT horizon_day FROM h) AS horizon_day,
+        |       TRUE AS survivors_identical,
+        |       TRUE AS asof_sees_all
+        |FROM n""".stripMargin,
 
     // g39: the HLL rollup routed through the persisted store — g32's
     // exact facts and contract pins, plus the stored-day count and the

@@ -1437,6 +1437,70 @@ object Pipelines {
     }
   }
 
+  /** g40 — the store's LIFECYCLE verbs served for real: the retention
+    * horizon ([[graft.ext.SketchStore.retainFrom]] — whole day
+    * partitions leave the composition at one compaction flip,
+    * tombstone-free) and the as-of range serve
+    * ([[graft.ext.SketchStore.readRangeAt]] — the x33/v26 machinery on
+    * the store). Build the theta daily store (g38's shape), append the
+    * last day as its own commit, then drop everything before the
+    * median stored day and pin:
+    *  - `days_total` / `days_after_retention`: the exact day counts
+    *    (SQL recomputes both — the horizon is the middle distinct day
+    *    by the same index arithmetic);
+    *  - `survivors_identical`: every surviving day's sketch row is
+    *    BIT-IDENTICAL to its pre-retention self (retention must only
+    *    remove, never rewrite — bottomK rows round-trip the compaction
+    *    untouched);
+    *  - `asof_sees_all`: a range serve pinned at the pre-retention
+    *    commit still reads every day including the dropped ones (the
+    *    retired directories outlive the flip until a later verb's
+    *    grace sweep). */
+  def thetaStoreRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = graft.functions.Theta.DefaultK
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    val th = udaf(new graft.functions.ThetaSketchAggregator(k))
+    val daily = ev.groupBy("week", "day").agg(th(xxhash64(col("user_id"))).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_g40")
+    try {
+      val days = daily.select("day").distinct()
+        .collect().map(_.getString(0)).sorted // O(days) driver rows
+      val store = s"$tmpRoot/store"
+      graft.ext.SketchStore.save(daily.filter(col("day") < days.last),
+        store, ThetaStoreKind)                                        // seq 0
+      graft.ext.IndexLayout.setManifestKeep(spark, store, 10)         // seq 1
+      graft.ext.SketchStore.appendDays(
+        daily.filter(col("day") === days.last), store, ThetaStoreKind) // seq 2
+      def rows() = graft.ext.SketchStore
+        .readAll(spark, store, ThetaStoreKind).collect()
+        .map(r => r.getString(1) -> r.getSeq[Long](2).toSeq).toMap
+      val before = rows()
+      val horizon = days(days.length / 2)
+      graft.ext.SketchStore.retainFrom(spark, store, ThetaStoreKind,
+        minDay = horizon)                                              // seq 3
+      val after = rows()
+      val survivorsIdentical =
+        after == before.view.filterKeys(_ >= horizon).toMap
+      // the pre-retention commit still serves every day, dropped ones
+      // included (retired dirs outlive the flip)
+      val asOf = graft.ext.SketchStore.readRangeAt(spark, store,
+        ThetaStoreKind, days.head, days.last, seq = 2).collect()
+        .map(r => r.getString(1) -> r.getSeq[Long](2).toSeq).toMap
+      Seq((days.length.toLong, after.size.toLong, horizon,
+        survivorsIdentical, asOf == before))
+        .toDF("days_total", "days_after_retention", "horizon_day",
+          "survivors_identical", "asof_sees_all")
+    } finally {
+      daily.unpersist(blocking = false)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+    }
+  }
+
   /** The kind tag of the daily HLL-user sketch store (g39). */
   private[graft] val HllStoreKind = "hll-user-daily"
 

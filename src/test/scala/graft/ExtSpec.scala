@@ -3402,6 +3402,43 @@ class ExtSpec extends SparkSpec {
     assert(w.getAs[String]("params_changed") == "buckets")
   }
 
+  test("mixed-version overlap: a live LEGACY lease detected post-claim is refused loudly — never two knowing owners") {
+    import graft.ext.IndexLayout
+    val root = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val path = s"$root/idx"
+    new java.io.File(path).mkdirs()
+    def writeLease(file: String, holder: String, at: Long, ttl: Long): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/$file"),
+        s"""{"acquiredAtMs":"$at","ttlMs":"$ttl","writerId":"$holder"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val now = System.currentTimeMillis()
+    // the highest GENERATION lease is an EXPIRED crashed writer's —
+    // currentLease resolves it and acquire proceeds to reclaim...
+    writeLease(IndexLayout.leaseGenFile(3), "crashed-writer",
+      at = now - 100000, ttl = 1)
+    // ...but an old binary create-exclusively acquired a FRESH legacy
+    // single-file lease in the read→claim window: refusing is the only
+    // sound outcome (monotonic files cannot arbitrate a protocol the
+    // old binary does not speak)
+    writeLease(IndexLayout.LeaseFile, "old-binary", at = now, ttl = 600000)
+    val e = intercept[IllegalStateException](
+      IndexLayout.acquireLease(spark, path, ttlMs = 60000))
+    assert(e.getMessage.contains("LEGACY") &&
+      e.getMessage.contains("old-binary"), e.getMessage)
+    // the refusal stamped its own claimed generation released (the
+    // high-water record) and left the legacy holder's file untouched
+    assert(new java.io.File(s"$path/${IndexLayout.leaseGenFile(4)}").exists())
+    assert(IndexLayout.leaseHolder(spark, path).contains("old-binary"))
+    // once the legacy holder is gone, acquire claims a FRESH generation
+    // past the stamp (never reusing 4)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/${IndexLayout.LeaseFile}"))
+    val h = IndexLayout.acquireLease(spark, path, ttlMs = 60000)
+    assert(h.gen == 5, s"gen ${h.gen}: stamps must keep generations monotonic")
+    IndexLayout.releaseLease(spark, path, h)
+  }
+
   test("maintenance lease: a second concurrent writer fails loudly, serves stay lock-free, a crashed writer's expired lease is reclaimed") {
     import spark.implicits._
     import graft.ext.IndexLayout
