@@ -360,13 +360,25 @@ object Dedup {
 
   /** Banded (id, band, sig) LSH bucket keys of a signature table —
     * factored out so the self-join ([[lshCandidates]]) and the
-    * persisted index ([[saveMinhashIndex]]) share one definition. */
+    * persisted index ([[saveMinhashIndex]]) share one definition.
+    *
+    * ONE pass, not a `bands`-way union: the earlier union-of-selects
+    * form planned the signature AGGREGATE once per band branch (x4's
+    * physical plan held 80 HashAggregates / 46 Exchanges; the final
+    * agg ran 8x and every downstream stage scheduled bands x shuffle
+    * partitions tasks). `posexplode` emits the same (band, sig) rows —
+    * band = array position = the old `lit(bnd)`, sig = the same
+    * `hash(mh_*)` per band — from a single aggregate subtree, so the
+    * values (and the persisted index frames) are bit-identical while
+    * the plan holds exactly one signature aggregation. */
   def bandedSignatures(signatures: DataFrame, bands: Int = 8, rows: Int = 2,
-      idCol: String = "doc_id"): DataFrame =
-    (0 until bands).map { bnd =>
-      val sig = hash((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*)
-      signatures.select(col(idCol), lit(bnd).as("band"), sig.as("sig"))
-    }.reduce(_ unionByName _)
+      idCol: String = "doc_id"): DataFrame = {
+    val sigs = (0 until bands).map { bnd =>
+      hash((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*)
+    }
+    signatures.select(col(idCol),
+      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+  }
 
   /** Candidate pairs via banding: split the signature into `bands` bands
     * of `rows` hashes; docs sharing any full band collide. One shuffle on
@@ -1376,10 +1388,14 @@ object Dedup {
   def simhashNearDups(df: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sigs = simhashTable(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = (0 until 4).map { c =>
-      sigs.select(col(idCol), col("sh"), lit(c).as("chunk"),
-        shiftright(col("sh"), c * 15).bitwiseAND(0x7FFFL).as("key"))
-    }.reduce(_ unionByName _)
+    // one pass over the cached sig table instead of a 4-way union of
+    // selects (same rows: chunk = array position, key = the same
+    // 15-bit slice) — the union form scheduled 4x the tasks and planned
+    // the cache scan per branch (the bandedSignatures rationale)
+    val banded = sigs.select(col(idCol), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 15).bitwiseAND(0x7FFFL)): _*))
+        .as(Seq("chunk", "key")))
     banded.as("x").join(banded.as("y"), Seq("chunk", "key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
