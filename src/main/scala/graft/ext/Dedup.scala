@@ -475,6 +475,10 @@ object Dedup {
     IndexFs.delete(spark, path)
     val (banded, sh, sizes) =
       minhashIndexFrames(corpus, n, numHashes, bands, rows, textCol, idCol)
+    // the bands write runs FIRST and alone: its aggregate scan is what
+    // materializes the shared shingle cache, so the two bucket writes
+    // below find every block already cached instead of racing to
+    // compute it
     banded.write.partitionBy("band")
       .parquet(IndexLayout.genRoot(path, "bands", 0))
     // repartition ON the partition column before the partitioned write:
@@ -482,13 +486,17 @@ object Dedup {
     // directory (tasks × idBuckets small files — slow commits now, slow
     // listings forever); with it each bucket is a handful of files and
     // the one extra shuffle is a one-time build cost the read path
-    // repays on every batch
+    // repays on every batch. The two writes are independent scans of
+    // the cached shingle frame into disjoint roots — overlapped
+    // (IndexLayout.inParallel) so the build pays one write latency,
+    // not two
     val shB = sh.withColumn("bucket", idBucket(col(idCol), idBuckets))
-    shB.repartition(col("bucket")).write.partitionBy("bucket")
-      .parquet(IndexLayout.genRoot(path, "shingles", 0))
     val szB = sizes.withColumn("bucket", idBucket(col(idCol), idBuckets))
-    szB.repartition(col("bucket")).write.partitionBy("bucket")
-      .parquet(IndexLayout.genRoot(path, "sizes", 0))
+    IndexLayout.inParallel(Seq(
+      () => shB.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(IndexLayout.genRoot(path, "shingles", 0)),
+      () => szB.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(IndexLayout.genRoot(path, "sizes", 0))))
     sh.unpersist()
     IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
       MinhashIndexFormat,
@@ -561,15 +569,21 @@ object Dedup {
         IndexLayout.intParam(m, path, "bands"),
         IndexLayout.intParam(m, path, "rows"), textCol, idCol)
       val tag = s"a${IndexLayout.seqOf(m) + 1}"
-      val staged = Seq(
-        "bands" -> IndexLayout.stageAppendBatch(spark, path, "bands", tag,
+      // three independent batch-root writes off one persisted shingle
+      // frame — overlapped (IndexLayout.inParallel): the per-frame
+      // staging cost is dominated by fixed write/commit latency at
+      // batch scale, so the append pays it once, not three times
+      val Seq(stBands, stShingles, stSizes) = IndexLayout.inParallel(Seq(
+        () => IndexLayout.stageAppendBatch(spark, path, "bands", tag,
           banded, Some("band")),
-        "shingles" -> IndexLayout.stageAppendBatch(spark, path, "shingles",
+        () => IndexLayout.stageAppendBatch(spark, path, "shingles",
           tag, sh.withColumn("bucket", idBucket(col(idCol), buckets)),
           Some("bucket")),
-        "sizes" -> IndexLayout.stageAppendBatch(spark, path, "sizes", tag,
+        () => IndexLayout.stageAppendBatch(spark, path, "sizes", tag,
           sizes.withColumn("bucket", idBucket(col(idCol), buckets)),
-          Some("bucket")))
+          Some("bucket"))))
+      val staged = Seq("bands" -> stBands, "shingles" -> stShingles,
+          "sizes" -> stSizes)
         .collect { case (n, Some(e)) => n -> e }.toMap
       sh.unpersist()
       if (staged.nonEmpty) IndexLayout.commitAppend(spark, path, m, staged)
@@ -830,13 +844,21 @@ object Dedup {
             .distinct()
             .collect().map(_.getInt(0)).toSeq // ≤ buckets rows: bounded action
           val newGen = IndexLayout.intParam(m, path, "gen") + 1
-          val staged = Map(
-            "shingles" -> IndexLayout.stageCompactFrame(spark, path, m,
+          // the three frame stagings write disjoint newGen roots from
+          // one fixed manifest + the pinned tombstone set — independent
+          // jobs, overlapped so the verb costs ~the slowest staging
+          // instead of their sum (IndexLayout.inParallel)
+          val Seq(stShingles, stSizes, stBands) = IndexLayout.inParallel(Seq(
+            () => IndexLayout.stageCompactFrame(spark, path, m,
               "shingles", "bucket", affected, tomb, idCol, newGen),
-            "sizes" -> IndexLayout.stageCompactFrame(spark, path, m,
+            () => IndexLayout.stageCompactFrame(spark, path, m,
               "sizes", "bucket", affected, tomb, idCol, newGen),
-            "bands" -> IndexLayout.stageRewriteFrame(spark, path, m,
-              "bands", "band", tomb, idCol, newGen),
+            () => IndexLayout.stageRewriteFrame(spark, path, m,
+              "bands", "band", tomb, idCol, newGen)))
+          val staged = Map(
+            "shingles" -> stShingles,
+            "sizes" -> stSizes,
+            "bands" -> stBands,
             "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen))
           // heartbeat + still-the-owner assertion right before the commit
           IndexLayout.renewLease(spark, path, lease)

@@ -1115,6 +1115,33 @@ private[graft] object IndexLayout {
   def stageKeepFrame(m: Map[String, String], name: String)
       : (Seq[String], Seq[String]) = (frameEntries(m, name), Seq.empty)
 
+  /** Run INDEPENDENT per-frame staging closures concurrently on the
+    * shared session. A maintenance verb stages each of its frames into
+    * its own fresh generation/batch root — disjoint directories, no
+    * shared mutable state, manifest untouched until the single commit
+    * that follows — so the stagings are independent jobs by
+    * construction, and running them sequentially leaves most of the
+    * cluster idle through each job's scheduling latency and stage
+    * tails. Submitting them from one thread per frame lets Spark's
+    * FIFO scheduler back-fill one staging's idle cores with the next
+    * one's tasks (the guide's overlap-independent-jobs discipline);
+    * the verb's wall time drops to roughly the slowest single staging
+    * at every tier, local or cluster. Failure semantics match the
+    * sequential form: the first exception propagates to the caller
+    * (before any manifest write, so a half-staged verb leaves only
+    * unreferenced staging directories, exactly like a killed
+    * sequential verb). */
+  private[graft] def inParallel[A](fs: Seq[() => A]): Seq[A] =
+    if (fs.lengthCompare(1) <= 0) fs.map(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
   /** Session conf key for the MINIMUM AGE (milliseconds) a retired
     * directory must reach before [[dropRetired]] physically deletes
     * it. Default 0: the structural one-compaction-interval grace alone

@@ -1002,24 +1002,32 @@ object Similarity {
             .select("list_id").distinct()
             .collect().map(_.get(0)).toSeq // ≤ nList rows: bounded
           val newGen = IndexLayout.intParam(m, path, "gen") + 1
+          // the lists staging and (for quantized layouts) the parallel
+          // fp staging write disjoint newGen roots from one fixed
+          // manifest — overlapped via IndexLayout.inParallel below
+          val quantized = m.getOrElse("storage", "fp") != "fp"
+          val framesStaged = IndexLayout.inParallel(
+            Seq(() => IndexLayout.stageCompactFrame(spark, path, m,
+              "lists", "list_id", affected, tomb, idCol, newGen)) ++
+            (if (quantized)
+              Seq(() => IndexLayout.stageCompactFrame(spark, path, m,
+                "fp", "list_id", affected, tomb, idCol, newGen))
+             else Seq.empty))
           val staged = Map(
-            "lists" -> IndexLayout.stageCompactFrame(spark, path, m,
-              "lists", "list_id", affected, tomb, idCol, newGen),
+            "lists" -> framesStaged.head,
             "centroids" -> IndexLayout.stageKeepFrame(m, "centroids"),
             "tombstones" -> IndexLayout.stageDropFrame(m, "tombstones", newGen)) ++
             // a quantized layout (int8 / pq) carries the parallel
             // full-precision frame — compacted with the same affected
-            // lists and the same flip. Gated on the SAME storage
+            // lists and the same flip (staged above, concurrently with
+            // the lists). Gated on the SAME storage
             // parameter serve and append read (one source of truth); a
             // manifest claiming a quantized storage without a stored fp
             // schema fails loudly inside the staging read. The pq
             // codebook frame, like the centroids, carries through every
             // flip untouched (both quantizers are immutable after
             // build).
-            (if (m.getOrElse("storage", "fp") != "fp")
-              Map("fp" -> IndexLayout.stageCompactFrame(spark, path, m,
-                "fp", "list_id", affected, tomb, idCol, newGen))
-             else Map.empty)
+            (if (quantized) Map("fp" -> framesStaged(1)) else Map.empty)
           // heartbeat + still-the-owner assertion right before the commit
           IndexLayout.renewLease(spark, path, lease)
           IndexLayout.flip(spark, path, m, newGen, staged, carried)
