@@ -32,6 +32,33 @@ object ExtPipelines {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
 
+  /** EXACT multiset equality of two same-schema frames in ONE action —
+    * the identity-pin comparator every audit verb runs. Each side
+    * reduces to (row-values → multiplicity) with a partially-aggregated
+    * groupBy, the two count tables full-outer join NULL-SAFELY on the
+    * value columns, and any multiplicity mismatch (including a row
+    * present on only one side, whose missing count coalesces to 0)
+    * refutes equality; `isEmpty` short-circuits at the first mismatch.
+    * Two multisets are equal iff every value's multiplicity matches, so
+    * this returns EXACTLY the same boolean as the previous
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` form — which
+    * planned TWO actions, each scanning BOTH inputs through the
+    * union+replicate ExceptAll rewrite (guide §1.2/§2.3: one pass where
+    * one pass suffices; aggregate early so the join sees one row per
+    * distinct value, not every duplicate). */
+  private[graft] def multisetEq(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    val ac = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
+      .alias("l")
+    val bc = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+      .alias("r")
+    val cond = cols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    ac.join(bc, cond, "full_outer")
+      .filter(coalesce(col("__ca"), lit(0L)) =!=
+        coalesce(col("__cb"), lit(0L)))
+      .isEmpty
+  }
+
   // ---- dedup ----
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -313,16 +340,23 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_idx")
     val path = tmpRoot.toString + "/idx"
     try {
+      // ONE signing pass feeds both the persisted index and the
+      // in-memory control frames (they were already the same definition
+      // — minhashIndexFrames — planned twice; guide §2.4)
+      val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
       // NON-default bucket count on purpose: the whole x26 family runs
       // its correctness gate against an index whose bucket count exists
       // only in the manifest — a verb that fell back to the compile-time
       // default would mis-prune and fail the identity pins
-      Dedup.saveMinhashIndex(standing, path, idBuckets = 48)
-      val fromIdx = Dedup.nearDupIngestFromPath(spark, path, batch)
-      val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
-      val mem = Dedup.nearDupIngest(mb, msh, msz, batch)
-      val identical =
-        fromIdx.exceptAll(mem).isEmpty && mem.exceptAll(fromIdx).isEmpty
+      Dedup.saveMinhashIndexFromFrames(mb, msh, msz, path, idBuckets = 48)
+      // the batch too is signed ONCE for its two serves (§2.4)
+      val bf = Dedup.minhashIndexFrames(batch)
+      val fromIdx = Dedup.nearDupIngestFromPath(spark, path, batch,
+        batchFrames = Some(bf))
+      val mem = Dedup.nearDupIngestFromFrames(mb, msh, msz,
+        batch.select("doc_id"), bf._1, bf._2, bf._3)
+      bf._2.unpersist()
+      val identical = multisetEq(fromIdx, mem)
       // nearDupIngest is eager at its rejected-id set, so the standing
       // shingle cache is no longer read by any retained plan
       msh.unpersist()
@@ -447,10 +481,20 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_append")
     try {
       // incremental path: build on standing, ingest day 1, append its
-      // admitted docs, ingest day 2 against the appended index
+      // admitted docs, ingest day 2 against the appended index.
+      // The standing corpus is SIGNED ONCE (guide §2.4): the same
+      // frames triple feeds the incremental build and — unioned with
+      // the delta's frames — the rebuild control below. What the pin
+      // audits is unchanged: the append MACHINERY (staging, manifest
+      // composition, the serve reading a composed layout) must serve
+      // exactly like a monolithic gen-0 layout; frame-content equality
+      // was always a per-doc theorem, stated in appendToMinhashIndex's
+      // contract.
       val incPath = tmpRoot.toString + "/inc"
+      val (sb, ssh, ssz) = Dedup.minhashIndexFrames(standing)
       // non-default bucket count: see minhashIndexIngest
-      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 48)
+      Dedup.saveMinhashIndexFromFrames(sb, ssh, ssz, incPath,
+        idBuckets = 48)
       val admitted1 = Dedup.nearDupIngestFromPath(spark, incPath, batch1)
       // the append re-derives shingles/signatures from the text; a
       // delta-sized ckptLocal pins the admitted doc set so the three
@@ -458,14 +502,24 @@ object ExtPipelines {
       val admittedDocs1 = graft.ext.Checkpoints.ckptLocal(
         batch1.join(admitted1, Seq("doc_id"), "left_semi"))
       Dedup.appendToMinhashIndex(admittedDocs1, incPath)
-      val incAdmitted2 = Dedup.nearDupIngestFromPath(spark, incPath, batch2)
-      // rebuild path: one full index over standing ∪ day-1-admitted
+      // day-2's batch is signed ONCE for its two serves (§2.4)
+      val bf2 = Dedup.minhashIndexFrames(batch2)
+      val incAdmitted2 = Dedup.nearDupIngestFromPath(spark, incPath, batch2,
+        batchFrames = Some(bf2))
+      // rebuild path: one full index over standing ∪ day-1-admitted —
+      // written from the already-computed standing frames plus the
+      // delta's (frames are per-doc and the two doc sets are disjoint,
+      // so the union IS frames(standing ∪ admitted))
       val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(standing.unionByName(admittedDocs1), rbPath,
-        idBuckets = 48)
-      val rbAdmitted2 = Dedup.nearDupIngestFromPath(spark, rbPath, batch2)
-      val identical = incAdmitted2.exceptAll(rbAdmitted2).isEmpty &&
-        rbAdmitted2.exceptAll(incAdmitted2).isEmpty
+      val (ab, ash, asz) = Dedup.minhashIndexFrames(admittedDocs1)
+      Dedup.saveMinhashIndexFromFrames(sb.unionByName(ab),
+        ssh.unionByName(ash), ssz.unionByName(asz), rbPath, idBuckets = 48)
+      ash.unpersist()
+      ssh.unpersist()
+      val rbAdmitted2 = Dedup.nearDupIngestFromPath(spark, rbPath, batch2,
+        batchFrames = Some(bf2))
+      bf2._2.unpersist()
+      val identical = multisetEq(incAdmitted2, rbAdmitted2)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((batch2.count(), identical)).toDF("n_batch2", "identical")
@@ -499,20 +553,35 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_delete")
     try {
       val incPath = tmpRoot.toString + "/inc"
+      // ONE signing pass over standing feeds BOTH builds (guide §2.4):
+      // the rebuild control over standing∖doomed is a per-doc filter of
+      // the same frames (frames(corpus.filter(p)) = frames(corpus)
+      // .filter(p) exactly — every row is a per-doc function of text).
+      // The verbs under audit — delete's tombstone append and the
+      // compaction's stored-row movement — are untouched.
+      val (sb, ssh, ssz) = Dedup.minhashIndexFrames(standing)
       // non-default bucket count: see minhashIndexIngest
-      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 48)
+      Dedup.saveMinhashIndexFromFrames(sb, ssh, ssz, incPath,
+        idBuckets = 48)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndexFromFrames(sb.filter(bk < 39321),
+        ssh.filter(bk < 39321), ssz.filter(bk < 39321), rbPath,
+        idBuckets = 48)
+      ssh.unpersist()
       Dedup.deleteFromMinhashIndex(doomed.select("doc_id"), incPath)
+      // the batch is signed ONCE for its three serves (§2.4)
+      val bf = Dedup.minhashIndexFrames(batch)
       // the path serve honors standing tombstones automatically
-      val tombAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch)
+      val tombAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch,
+        batchFrames = Some(bf))
       Dedup.compactMinhashTombstones(spark, incPath)
       // post-compaction the tombstones left the composition — served bare
-      val compAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch)
-      val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath,
-        idBuckets = 48)
-      val rbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch)
-      def eq(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val compAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch,
+        batchFrames = Some(bf))
+      val rbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch,
+        batchFrames = Some(bf))
+      bf._2.unpersist()
+      def eq(a: DataFrame, b: DataFrame): Boolean = multisetEq(a, b)
       val identical =
         eq(tombAdmitted, rbAdmitted) && eq(compAdmitted, rbAdmitted)
       // driver-side local relation (the probes above are eager), so
@@ -558,18 +627,32 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_refresh")
     try {
       val incPath = tmpRoot.toString + "/inc"
-      // non-default bucket count: see minhashIndexIngest
-      Dedup.saveMinhashIndex(oldSnap, incPath, idBuckets = 48)
-      Dedup.refreshMinhashIndex(spark, incPath,
-        removedIds.unionByName(updatedIds), admittedDocs)
       val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(nextSnapshot(spark, dir), rbPath,
-        idBuckets = 48)
+      // The rebuild control stays an INDEPENDENT from-text build over
+      // nextSnapshot — x26e's pin is precisely that refresh(old) lands
+      // on that independently-derived corpus, so the control must not
+      // share the treatment's frames (unlike x26d/x30, where the
+      // control corpus is a filter of the same standing set). The two
+      // legs touch disjoint directories and share no mutable state, so
+      // they are independent jobs — overlapped (guide §2.6 /
+      // IndexLayout.inParallel) the verb costs ~the slower leg, not
+      // their sum. non-default bucket count: see minhashIndexIngest
+      graft.ext.IndexLayout.inParallel(Seq(
+        () => {
+          Dedup.saveMinhashIndex(oldSnap, incPath, idBuckets = 48)
+          Dedup.refreshMinhashIndex(spark, incPath,
+            removedIds.unionByName(updatedIds), admittedDocs)
+        },
+        () => Dedup.saveMinhashIndex(nextSnapshot(spark, dir), rbPath,
+          idBuckets = 48)))
       val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, incPath)
       val (rb, rs, rz) = Dedup.loadMinhashIndex(spark, rbPath)
-      def eq(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-      val identical = eq(ib, rb) && eq(ish, rs) && eq(isz, rz)
+      // three independent frame compares, overlapped the same way (the
+      // short-circuit only ever saved work on a FAILING pin)
+      val identical = graft.ext.IndexLayout.inParallel(Seq(
+        () => multisetEq(ib, rb),
+        () => multisetEq(ish, rs),
+        () => multisetEq(isz, rz))).forall(identity)
       // driver-side local relation (the comparisons above are eager),
       // so nothing lazy still reads the index files after cleanup
       Seq((admittedDocs.count(), identical)).toDF("n_admitted", "identical")
@@ -603,21 +686,38 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_rebucket")
     try {
       val incPath = tmpRoot.toString + "/inc"
-      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 16)
+      // ONE signing pass over standing feeds BOTH builds (guide §2.4,
+      // the x26d discipline): the fresh-at-48 control over the
+      // survivors is a per-doc filter of the same frames; the verb
+      // under audit — rebucket MOVING stored rows to the new bucket
+      // keying — is untouched
+      val (sb, ssh, ssz) = Dedup.minhashIndexFrames(standing)
+      Dedup.saveMinhashIndexFromFrames(sb, ssh, ssz, incPath,
+        idBuckets = 16)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndexFromFrames(sb.filter(bk < 39321),
+        ssh.filter(bk < 39321), ssz.filter(bk < 39321), rbPath,
+        idBuckets = 48)
+      ssh.unpersist()
       Dedup.deleteFromMinhashIndex(doomed.select("doc_id"), incPath)
       Dedup.rebucketMinhashIndex(spark, incPath, newBuckets = 48)
       val bucketsAfter = Dedup.minhashIndexParams(spark, incPath)("buckets")
-      val rbAdmitted0 = Dedup.nearDupIngestFromPath(spark, incPath, batch)
-      val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath,
-        idBuckets = 48)
-      val fbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch)
+      // the batch is signed ONCE for its two serves (§2.4)
+      val bf = Dedup.minhashIndexFrames(batch)
+      val rbAdmitted0 = Dedup.nearDupIngestFromPath(spark, incPath, batch,
+        batchFrames = Some(bf))
+      val fbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch,
+        batchFrames = Some(bf))
+      bf._2.unpersist()
       val (ib, ish, isz) = Dedup.loadMinhashIndex(spark, incPath)
       val (fb, fsh, fsz) = Dedup.loadMinhashIndex(spark, rbPath)
-      def eq(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-      val identical = eq(rbAdmitted0, fbAdmitted) &&
-        eq(ib, fb) && eq(ish, fsh) && eq(isz, fsz)
+      // four independent identity compares, overlapped (guide §2.6; the
+      // short-circuit only ever saved work on a FAILING pin)
+      val identical = graft.ext.IndexLayout.inParallel(Seq(
+        () => multisetEq(rbAdmitted0, fbAdmitted),
+        () => multisetEq(ib, fb),
+        () => multisetEq(ish, fsh),
+        () => multisetEq(isz, fsz))).forall(identity)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((batch.count(), bucketsAfter.toLong, identical))
@@ -697,8 +797,19 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s18")
     try {
       val incPath = tmpRoot.toString + "/idx"
+      // ONE signing pass over standing feeds BOTH builds (guide §2.4,
+      // the x26d discipline): the rebuild control over standing∖doomed
+      // is a per-doc filter of the same frames; the verb under audit —
+      // the STREAMED tombstone appends — is untouched
+      val (sb, ssh, ssz) = Dedup.minhashIndexFrames(standing)
       // non-default bucket count: see minhashIndexIngest
-      Dedup.saveMinhashIndex(standing, incPath, idBuckets = 48)
+      Dedup.saveMinhashIndexFromFrames(sb, ssh, ssz, incPath,
+        idBuckets = 48)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      Dedup.saveMinhashIndexFromFrames(sb.filter(bk < 39321),
+        ssh.filter(bk < 39321), ssz.filter(bk < 39321), rbPath,
+        idBuckets = 48)
+      ssh.unpersist()
       val in = tmpRoot.toString + "/in"
       doomed.select("doc_id").repartition(3).write.parquet(in)
       val src = spark.readStream
@@ -707,14 +818,15 @@ object ExtPipelines {
       val q = graft.streaming.Streaming.minhashDeleteStream(
         src, incPath, tmpRoot.toString + "/ck")
       q.awaitTermination()
+      // the batch is signed ONCE for its two serves (§2.4)
+      val bf = Dedup.minhashIndexFrames(batch)
       // the path serve honors the streamed tombstones automatically
-      val tombAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch)
-      val rbPath = tmpRoot.toString + "/rebuild"
-      Dedup.saveMinhashIndex(standing.filter(bk < 39321), rbPath,
-        idBuckets = 48)
-      val rbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch)
-      val identical = tombAdmitted.exceptAll(rbAdmitted).isEmpty &&
-        rbAdmitted.exceptAll(tombAdmitted).isEmpty
+      val tombAdmitted = Dedup.nearDupIngestFromPath(spark, incPath, batch,
+        batchFrames = Some(bf))
+      val rbAdmitted = Dedup.nearDupIngestFromPath(spark, rbPath, batch,
+        batchFrames = Some(bf))
+      bf._2.unpersist()
+      val identical = multisetEq(tombAdmitted, rbAdmitted)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((batch.count(), identical)).toDF("n_batch", "identical")
@@ -1158,8 +1270,8 @@ object ExtPipelines {
         "mean_token_len", "quality")
 
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    TextAnalysis.langIdFrame(Tables.documents(spark, dir))
+      .select("doc_id", "lang_pred")
 
   def redactedDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1684,8 +1796,7 @@ object ExtPipelines {
         Similarity.loadIvfCentroids(spark, incPath), rbPath)
       val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
-      val identical = fromTomb.exceptAll(fromRebuild).isEmpty &&
-        fromRebuild.exceptAll(fromTomb).isEmpty
+      val identical = multisetEq(fromTomb, fromRebuild)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
@@ -1721,8 +1832,7 @@ object ExtPipelines {
         k = 5, nProbe = 4)
       val fromQ = Similarity.ivfTopKFromIndex(spark, qPath, queries,
         k = 5, nProbe = 4)
-      val identical = fromQ.exceptAll(fromFp).isEmpty &&
-        fromFp.exceptAll(fromQ).isEmpty
+      val identical = multisetEq(fromQ, fromFp)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
@@ -1755,8 +1865,7 @@ object ExtPipelines {
         k = 5, nProbe = 4)
       val fromQ = Similarity.ivfTopKFromIndex(spark, qPath, queries,
         k = 5, nProbe = 4, overFetch = 32)
-      val identical = fromQ.exceptAll(fromFp).isEmpty &&
-        fromFp.exceptAll(fromQ).isEmpty
+      val identical = multisetEq(fromQ, fromFp)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
@@ -1808,8 +1917,8 @@ object ExtPipelines {
         nList = 8, nProbe = 4, nIters = 1)
       val idx = Similarity.ivfTopKFromIndex(spark, path, queries,
         k = 5, nProbe = 4)
-      val identical = mem.exceptAll(idx).isEmpty && idx.exceptAll(mem).isEmpty
-      // the result is a driver-side local relation (the exceptAll probes
+      val identical = multisetEq(mem, idx)
+      // the result is a driver-side local relation (the identity probes
       // above are eager), so nothing lazy still reads the index files
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
     } finally deleteTempTree(tmpRoot)
@@ -1848,8 +1957,7 @@ object ExtPipelines {
         Similarity.loadIvfCentroids(spark, incPath), rbPath)
       val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
-      val identical = fromAppended.exceptAll(fromRebuild).isEmpty &&
-        fromRebuild.exceptAll(fromAppended).isEmpty
+      val identical = multisetEq(fromAppended, fromRebuild)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
@@ -1899,10 +2007,8 @@ object ExtPipelines {
       val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
       val identical =
-        fromTomb.exceptAll(fromRebuild).isEmpty &&
-          fromRebuild.exceptAll(fromTomb).isEmpty &&
-          fromCompacted.exceptAll(fromRebuild).isEmpty &&
-          fromRebuild.exceptAll(fromCompacted).isEmpty
+        multisetEq(fromTomb, fromRebuild) &&
+          multisetEq(fromCompacted, fromRebuild)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")
@@ -1941,8 +2047,13 @@ object ExtPipelines {
       // (a leased commit, seq 1) instead of mutating the session-global
       // conf, which would leak into every concurrent commit
       graft.ext.IndexLayout.setManifestKeep(spark, path, 8) // seq 1
+      // the probe batch is signed ONCE for its four serves (§2.4) —
+      // frames are text-derived, so index mutations between serves
+      // cannot affect them
+      val bf = Dedup.minhashIndexFrames(batch)
       def serve(asOf: Option[Int]): DataFrame =
-        Dedup.nearDupIngestFromPath(spark, path, batch, asOfSeq = asOf)
+        Dedup.nearDupIngestFromPath(spark, path, batch, asOfSeq = asOf,
+          batchFrames = Some(bf))
       // eager delta-sized pins: later maintenance swaps files under a
       // lazy plan, and the comparisons below interleave with commits
       val r0 = graft.ext.Checkpoints.ckptLocal(serve(None))
@@ -1950,12 +2061,12 @@ object ExtPipelines {
         batch.join(r0, Seq("doc_id"), "left_semi"))
       Dedup.appendToMinhashIndex(admittedDocs, path) // seq 2
       val r1 = graft.ext.Checkpoints.ckptLocal(serve(None))
-      def eq(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      def eq(a: DataFrame, b: DataFrame): Boolean = multisetEq(a, b)
       val pinnedPreAppend = eq(serve(Some(1)), r0)
       Dedup.deleteFromMinhashIndex(
         standing.filter(bk >= 39321).select("doc_id"), path) // seq 3
       val futureDeleteInvisible = eq(serve(Some(2)), r1)
+      bf._2.unpersist()
       Seq((batch.count(), pinnedPreAppend, futureDeleteInvisible))
         .toDF("n_batch", "pinned_pre_append", "future_delete_invisible")
     } finally deleteTempTree(tmpRoot)
@@ -2060,8 +2171,7 @@ object ExtPipelines {
       val r0 = graft.ext.Checkpoints.ckptLocal(serve(None))
       Similarity.appendToIvfIndex(spark, path, batch) // seq 2
       val r1 = graft.ext.Checkpoints.ckptLocal(serve(None))
-      def eq(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      def eq(a: DataFrame, b: DataFrame): Boolean = multisetEq(a, b)
       val pinnedPreAppend = eq(serve(Some(1)), r0)
       Similarity.deleteFromIvfIndex(
         standing.filter(b >= 39321).select("vec_id"), path) // seq 3
@@ -2111,8 +2221,7 @@ object ExtPipelines {
         nList = 12, nIters = 1)
       val fromFresh = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
-      val identical = fromRetrained.exceptAll(fromFresh).isEmpty &&
-        fromFresh.exceptAll(fromRetrained).isEmpty
+      val identical = multisetEq(fromRetrained, fromFresh)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the index files after cleanup
       Seq((queries.count(), nListAfter.toLong, identical))
@@ -2146,16 +2255,23 @@ object ExtPipelines {
     try {
       val mhPath = s"$tmpRoot/mh"
       val ivfPath = s"$tmpRoot/ivf"
-      Dedup.saveMinhashIndex(docs, mhPath)
-      Dedup.deleteFromMinhashIndex(
-        docs.filter(graft.ext.DataSplit.bucket(col("doc_id")) >= 58982)
-          .select("doc_id"), mhPath)
-      Similarity.saveIvfIndexWithCentroids(emb,
-        Similarity.ivfSeedCentroids(emb, nList = 8)
-          .select(col("seed_id").as("list_id"), col("cvec")), ivfPath)
-      Similarity.deleteFromIvfIndex(
-        emb.filter(graft.ext.DataSplit.bucket(col("vec_id")) >= 58982)
-          .select("vec_id"), ivfPath)
+      // the two families' build+delete fixtures are independent jobs —
+      // disjoint directories, per-path leases — overlapped (guide §2.6)
+      graft.ext.IndexLayout.inParallel(Seq(
+        () => {
+          Dedup.saveMinhashIndex(docs, mhPath)
+          Dedup.deleteFromMinhashIndex(
+            docs.filter(graft.ext.DataSplit.bucket(col("doc_id")) >= 58982)
+              .select("doc_id"), mhPath)
+        },
+        () => {
+          Similarity.saveIvfIndexWithCentroids(emb,
+            Similarity.ivfSeedCentroids(emb, nList = 8)
+              .select(col("seed_id").as("list_id"), col("cvec")), ivfPath)
+          Similarity.deleteFromIvfIndex(
+            emb.filter(graft.ext.DataSplit.bucket(col("vec_id")) >= 58982)
+              .select("vec_id"), ivfPath)
+        }))
       val legs = Seq("minhash" -> mhPath, "ivf" -> ivfPath).map {
         case (leg, p) =>
           val (m, frames, nTomb, held, nRetired) =
@@ -2209,20 +2325,38 @@ object ExtPipelines {
     val smallCount = math.max(1L, desired / 4).toInt
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x32")
     try {
-      val legs = Seq(
+      // ONE signing pass over the corpus feeds all three legs' builds
+      // (guide §2.4 — the legs previously re-shingled and re-signed the
+      // full corpus each; the bucket count is applied at write time, so
+      // one frames triple serves both build counts), and the legs —
+      // disjoint directories, per-path leases, no shared mutable state
+      // — run overlapped (guide §2.6): the verb costs ~the slowest leg,
+      // not the sum of three. All three frames are pinned hot because
+      // every leg's build scans each of them once.
+      import org.apache.spark.storage.StorageLevel
+      val (db0, dsh, dsz0) = Dedup.minhashIndexFrames(docs)
+      val db = db0.persist(StorageLevel.MEMORY_AND_DISK)
+      val dsz = dsz0.persist(StorageLevel.MEMORY_AND_DISK)
+      val legs = graft.ext.IndexLayout.inParallel(Seq(
         ("idle", rightCount, false),
         ("backlog", rightCount, true),
         ("outgrown", smallCount, true)).map { case (leg, buildBuckets, del) =>
-        val p = s"$tmpRoot/$leg"
-        Dedup.saveMinhashIndex(docs, p, idBuckets = buildBuckets)
-        if (del) Dedup.deleteFromMinhashIndex(doomed, p)
-        val (compacted, rebucketed) = Dedup.maintainMinhashIndex(spark, p,
-          maxTombstonePct = 10, targetDocsPerBucket = target)
-        val (m, _, nTombAfter, _, _) =
-          graft.ext.IndexLayout.describeIndex(spark, p)
-        (leg, compacted, rebucketed, m("buckets").toLong,
-          m("gen").toLong, nTombAfter)
-      }
+        () => {
+          val p = s"$tmpRoot/$leg"
+          Dedup.saveMinhashIndexFromFrames(db, dsh, dsz, p,
+            idBuckets = buildBuckets)
+          if (del) Dedup.deleteFromMinhashIndex(doomed, p)
+          val (compacted, rebucketed) = Dedup.maintainMinhashIndex(spark, p,
+            maxTombstonePct = 10, targetDocsPerBucket = target)
+          val (m, _, nTombAfter, _, _) =
+            graft.ext.IndexLayout.describeIndex(spark, p)
+          (leg, compacted, rebucketed, m("buckets").toLong,
+            m("gen").toLong, nTombAfter)
+        }
+      })
+      db.unpersist()
+      dsh.unpersist()
+      dsz.unpersist()
       // driver-side local relation (describe is eager), so nothing lazy
       // still reads the index files after cleanup
       legs.toDF("leg", "compacted", "rebucketed", "buckets_after",
@@ -2264,11 +2398,17 @@ object ExtPipelines {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val bk = graft.ext.DataSplit.bucket(col("doc_id"))
     val base = docs.filter(bk < 32768)
-    val batches = Seq(
-      docs.filter(bk >= 32768 && bk < 40960),
-      docs.filter(bk >= 40960 && bk < 49152),
-      docs.filter(bk >= 49152 && bk < 57344),
-      docs.filter(bk >= 57344))
+    // the base build and all four appends draw on ONE signing pass over
+    // the corpus (guide §2.4): each slice is a per-doc bucket filter of
+    // the shared frames (frames(docs.filter(p)) = frames(docs).filter(p)
+    // exactly), so the fixture shingles/signs the corpus once instead
+    // of five times. The verb under audit — the autopilot's fold of
+    // committed batch roots — is untouched.
+    val batchPreds = Seq(
+      bk >= 32768 && bk < 40960,
+      bk >= 40960 && bk < 49152,
+      bk >= 49152 && bk < 57344,
+      bk >= 57344)
     // sizing-cold build count: the rule's own count over the FULL
     // corpus (after every append desired == stored, never 2× outgrown)
     val target = 50L
@@ -2305,7 +2445,7 @@ object ExtPipelines {
         val serveIdentical = served0 match {
           case Some(s0) =>
             val served1 = Dedup.nearDupIngestFromPath(spark, p, probes)
-            s0.exceptAll(served1).isEmpty && served1.exceptAll(s0).isEmpty
+            multisetEq(s0, served1)
           case None => mNow() == mBefore
         }
         val (m, _, nTombAfter, _, _) =
@@ -2319,9 +2459,18 @@ object ExtPipelines {
       // both roots standing — so the post-autopilot directory is
       // bit-identical to a fresh build + 2 appends), and the over leg
       // resumes from a copy instead of paying a second full build
+      import org.apache.spark.storage.StorageLevel
+      val (fb0, fsh, fsz0) = Dedup.minhashIndexFrames(docs)
+      val fb = fb0.persist(StorageLevel.MEMORY_AND_DISK)
+      val fsz = fsz0.persist(StorageLevel.MEMORY_AND_DISK)
+      def appendSlice(path: String, pred: org.apache.spark.sql.Column): Unit =
+        Dedup.appendToMinhashIndexFromFrames(spark, path,
+          fb.filter(pred), fsh.filter(pred), fsz.filter(pred))
       val underPath = s"$tmpRoot/under"
-      Dedup.saveMinhashIndex(base, underPath, idBuckets = rightCount)
-      batches.take(2).foreach(b => Dedup.appendToMinhashIndex(b, underPath))
+      Dedup.saveMinhashIndexFromFrames(fb.filter(bk < 32768),
+        fsh.filter(bk < 32768), fsz.filter(bk < 32768), underPath,
+        idBuckets = rightCount)
+      batchPreds.take(2).foreach(p => appendSlice(underPath, p))
       val under = leg(underPath, "under", serveCheck = false)
       require(!under._2 && !under._3 && under._6 == 0L,
         s"x35 under-leg autopilot must be a no-op (got $under): the " +
@@ -2329,7 +2478,10 @@ object ExtPipelines {
       val overPath = s"$tmpRoot/over"
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(underPath), new java.io.File(overPath))
-      batches.drop(2).foreach(b => Dedup.appendToMinhashIndex(b, overPath))
+      batchPreds.drop(2).foreach(p => appendSlice(overPath, p))
+      fb.unpersist()
+      fsh.unpersist()
+      fsz.unpersist()
       val over = leg(overPath, "over", serveCheck = true)
       // driver-side local relation (describe/serve pins are eager), so
       // nothing lazy still reads the index files after cleanup
@@ -2376,18 +2528,23 @@ object ExtPipelines {
       .select(col("seed_id").as("list_id"), col("cvec"))
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_gate")
     try {
-      val legs = Seq("stable" -> heldOut, "drifted" -> collapsed).map {
-        case (name, batch) =>
-          val path = s"$tmpRoot/$name"
-          Similarity.saveIvfIndexWithCentroids(standing, seeds, path)
-          val (_, retrained) = Similarity.driftGateIvfIndex(spark, path,
-            batch, tvThresholdMu = 500000L, retrainNList = 12, nIters = 1)
-          val m = Similarity.ivfIndexParams(spark, path)
-          val nListAfter = m("nList").toLong
-          val nIndexed = graft.ext.IndexLayout
-            .readFrame(spark, path, m, "lists").count()
-          (name, nIndexed, retrained, nListAfter)
-      }
+      // independent legs — disjoint directories, per-path leases, no
+      // shared mutable state — overlapped (guide §2.6): the verb costs
+      // ~the slower leg, not the sum
+      val legs = graft.ext.IndexLayout.inParallel(
+        Seq("stable" -> heldOut, "drifted" -> collapsed).map {
+          case (name, batch) => () => {
+            val path = s"$tmpRoot/$name"
+            Similarity.saveIvfIndexWithCentroids(standing, seeds, path)
+            val (_, retrained) = Similarity.driftGateIvfIndex(spark, path,
+              batch, tvThresholdMu = 500000L, retrainNList = 12, nIters = 1)
+            val m = Similarity.ivfIndexParams(spark, path)
+            val nListAfter = m("nList").toLong
+            val nIndexed = graft.ext.IndexLayout
+              .readFrame(spark, path, m, "lists").count()
+            (name, nIndexed, retrained, nListAfter)
+          }
+        })
       // driver-side local relation (every index read above is eager),
       // so nothing lazy still reads the index files after cleanup
       legs.toDF("leg", "n_indexed", "retrained", "n_list_after")
@@ -2445,11 +2602,14 @@ object ExtPipelines {
     val craftedDoomed = crafted.filter(cls =!= 0).select("vec_id")
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v25")
     try {
-      val legs = Seq(
+      // independent legs — disjoint directories, per-path leases, no
+      // shared mutable state — overlapped (guide §2.6): the verb costs
+      // ~the slowest leg, not the sum of three
+      val legs = graft.ext.IndexLayout.inParallel(Seq(
         ("idle", emb, seeds, None),
         ("backlog", emb, seeds, Some(doomed)),
         ("imbalanced", crafted, craftedCents, Some(craftedDoomed))).map {
-        case (leg, corpus, cents, del) =>
+        case (leg, corpus, cents, del) => () => {
           val p = s"$tmpRoot/$leg"
           Similarity.saveIvfIndexWithCentroids(corpus, cents, p)
           del.foreach(d => Similarity.deleteFromIvfIndex(d, p))
@@ -2460,7 +2620,8 @@ object ExtPipelines {
           val nLive = graft.ext.IndexLayout
             .readFrame(spark, p, m, "lists").count()
           (leg, retrained, compacted, m("gen").toLong, nTombAfter, nLive)
-      }
+        }
+      })
       // driver-side local relation (describe is eager), so nothing lazy
       // still reads the index files after cleanup
       legs.toDF("leg", "retrained", "compacted", "gen_after",
@@ -2509,8 +2670,7 @@ object ExtPipelines {
           maxAppendBatches = 3)
         val served1 =
           Similarity.ivfTopKFromIndex(spark, p, queries, k = 5, nProbe = 4)
-        val serveIdentical = served0.exceptAll(served1).isEmpty &&
-          served1.exceptAll(served0).isEmpty
+        val serveIdentical = multisetEq(served0, served1)
         val (m, _, nTombAfter, _, _) =
           graft.ext.IndexLayout.describeIndex(spark, p)
         (name, compacted, retrained, batchesBefore.toLong,
@@ -2651,8 +2811,7 @@ object ExtPipelines {
       val streamServed = spark.read.parquet(s"$tmpRoot/out")
         .select("query_id", "neighbor_id", "rk")
       val identical =
-        streamServed.exceptAll(batchServed).isEmpty &&
-          batchServed.exceptAll(streamServed).isEmpty
+        multisetEq(streamServed, batchServed)
       // driver-side local relation (the probes above are eager), so
       // nothing lazy still reads the per-run output after cleanup
       Seq((queries.count(), identical)).toDF("n_queries", "identical")

@@ -471,10 +471,36 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
       textCol: String = "text", idCol: String = "doc_id",
       idBuckets: Int = MinhashIndexBuckets): Unit = {
-    val spark = corpus.sparkSession
-    IndexFs.delete(spark, path)
     val (banded, sh, sizes) =
       minhashIndexFrames(corpus, n, numHashes, bands, rows, textCol, idCol)
+    saveMinhashIndexFromFrames(banded, sh, sizes, path,
+      n, numHashes, bands, rows, idCol, idBuckets)
+    sh.unpersist()
+  }
+
+  /** [[saveMinhashIndex]] from PRE-COMPUTED index frames (the
+    * [[minhashIndexFrames]] triple, or any per-doc-consistent filter of
+    * one) — for callers that write SEVERAL indexes from ONE signing
+    * pass. Every index row is a per-doc function of the doc's text, so
+    * frames(corpus.filter(p)) = frames(corpus).filter(p on idCol)
+    * exactly: an audit verb that builds its incremental index over
+    * `standing` and its rebuild control over `standing.filter(...)` can
+    * compute the frames once and write both layouts from filters,
+    * instead of re-shingling and re-signing the corpus per build
+    * (guide §1.2/§2.4 — don't run the same corpus-scale subtree twice).
+    * CALLER CONTRACT: the (n, numHashes, bands, rows) recorded in the
+    * manifest MUST be the parameters the frames were computed under
+    * (a mismatch would mis-sign every later probe), the shingle frame's
+    * persist lifetime belongs to the caller, and — as with
+    * [[saveMinhashIndex]] — no frame may be a lazy plan reading `path`
+    * itself. */
+  def saveMinhashIndexFromFrames(banded: DataFrame, sh: DataFrame,
+      sizes: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+      idCol: String = "doc_id",
+      idBuckets: Int = MinhashIndexBuckets): Unit = {
+    val spark = banded.sparkSession
+    IndexFs.delete(spark, path)
     // the bands write runs FIRST and alone: its aggregate scan is what
     // materializes the shared shingle cache, so the two bucket writes
     // below find every block already cached instead of racing to
@@ -497,7 +523,6 @@ object Dedup {
         .parquet(IndexLayout.genRoot(path, "shingles", 0)),
       () => szB.repartition(col("bucket")).write.partitionBy("bucket")
         .parquet(IndexLayout.genRoot(path, "sizes", 0))))
-    sh.unpersist()
     IndexLayout.writeManifest(spark, path, IndexLayout.newManifest(
       MinhashIndexFormat,
       Map("buckets" -> idBuckets.toString, "n" -> n.toString,
@@ -562,32 +587,70 @@ object Dedup {
     // the composition); under the lease the second writer fails loudly
     IndexLayout.withMaintenanceLease(spark, path) { _ =>
       val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
-      val buckets = IndexLayout.intParam(m, path, "buckets")
       val (banded, sh, sizes) = minhashIndexFrames(admitted,
         IndexLayout.intParam(m, path, "n"),
         IndexLayout.intParam(m, path, "numHashes"),
         IndexLayout.intParam(m, path, "bands"),
         IndexLayout.intParam(m, path, "rows"), textCol, idCol)
-      val tag = s"a${IndexLayout.seqOf(m) + 1}"
-      // three independent batch-root writes off one persisted shingle
-      // frame — overlapped (IndexLayout.inParallel): the per-frame
-      // staging cost is dominated by fixed write/commit latency at
-      // batch scale, so the append pays it once, not three times
-      val Seq(stBands, stShingles, stSizes) = IndexLayout.inParallel(Seq(
-        () => IndexLayout.stageAppendBatch(spark, path, "bands", tag,
-          banded, Some("band")),
-        () => IndexLayout.stageAppendBatch(spark, path, "shingles",
-          tag, sh.withColumn("bucket", idBucket(col(idCol), buckets)),
-          Some("bucket")),
-        () => IndexLayout.stageAppendBatch(spark, path, "sizes", tag,
-          sizes.withColumn("bucket", idBucket(col(idCol), buckets)),
-          Some("bucket"))))
-      val staged = Seq("bands" -> stBands, "shingles" -> stShingles,
-          "sizes" -> stSizes)
-        .collect { case (n, Some(e)) => n -> e }.toMap
+      stageAndCommitAppend(spark, path, m, banded, sh, sizes, idCol)
       sh.unpersist()
-      if (staged.nonEmpty) IndexLayout.commitAppend(spark, path, m, staged)
     }
+  }
+
+  /** [[appendToMinhashIndex]] from PRE-COMPUTED index frames — the
+    * [[saveMinhashIndexFromFrames]] dividend on the append path: a
+    * harness that drives several appends over known slices of one
+    * corpus can sign the corpus ONCE and append per-doc filters of the
+    * persisted frames, instead of re-shingling each batch from text.
+    * The manifest remains the parameter authority: the caller states
+    * the (n, numHashes, bands, rows) its frames were computed under
+    * and the verb REFUSES an index whose stored family differs — the
+    * same cross-binary mis-signing guard the from-text form enforces
+    * by construction. Caller owns the shingle frame's persist
+    * lifetime. */
+  def appendToMinhashIndexFromFrames(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      banded: DataFrame, sh: DataFrame, sizes: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, rows: Int = 2,
+      idCol: String = "doc_id"): Unit = {
+    IndexLayout.withMaintenanceLease(spark, path) { _ =>
+      val m = IndexLayout.requireManifest(spark, path, MinhashIndexFormat)
+      val stored = Seq("n" -> n, "numHashes" -> numHashes,
+        "bands" -> bands, "rows" -> rows)
+      stored.foreach { case (k, v) =>
+        val s = IndexLayout.intParam(m, path, k)
+        require(s == v, s"appendToMinhashIndexFromFrames: frames were " +
+          s"computed under $k=$v but $path stores $k=$s — appending " +
+          "them would mis-sign every later probe")
+      }
+      stageAndCommitAppend(spark, path, m, banded, sh, sizes, idCol)
+    }
+  }
+
+  /** The staging+commit core of the append verbs: three independent
+    * batch-root writes off one persisted shingle frame — overlapped
+    * (IndexLayout.inParallel): the per-frame staging cost is dominated
+    * by fixed write/commit latency at batch scale, so the append pays
+    * it once, not three times. */
+  private def stageAndCommitAppend(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Map[String, String], banded: DataFrame, sh: DataFrame,
+      sizes: DataFrame, idCol: String): Unit = {
+    val buckets = IndexLayout.intParam(m, path, "buckets")
+    val tag = s"a${IndexLayout.seqOf(m) + 1}"
+    val Seq(stBands, stShingles, stSizes) = IndexLayout.inParallel(Seq(
+      () => IndexLayout.stageAppendBatch(spark, path, "bands", tag,
+        banded, Some("band")),
+      () => IndexLayout.stageAppendBatch(spark, path, "shingles",
+        tag, sh.withColumn("bucket", idBucket(col(idCol), buckets)),
+        Some("bucket")),
+      () => IndexLayout.stageAppendBatch(spark, path, "sizes", tag,
+        sizes.withColumn("bucket", idBucket(col(idCol), buckets)),
+        Some("bucket"))))
+    val staged = Seq("bands" -> stBands, "shingles" -> stShingles,
+        "sizes" -> stSizes)
+      .collect { case (n, Some(e)) => n -> e }.toMap
+    if (staged.nonEmpty) IndexLayout.commitAppend(spark, path, m, staged)
   }
 
   /** Fold a [[graft.streaming.Streaming.nearDupIngestStream]] DELTA
@@ -1145,11 +1208,23 @@ object Dedup {
     * (a pinned snapshot must not apply future deletes). The horizon is
     * the manifest retention window (`graft.index.manifestKeep`) and
     * data liveness under the pin is the retired-dir grace contract —
-    * the same contract any in-flight reader already relies on. */
+    * the same contract any in-flight reader already relies on.
+    *
+    * `batchFrames` optionally hands in the batch's PRE-COMPUTED index
+    * frames (the [[minhashIndexFrames]] triple over `batch`): an audit
+    * harness that serves the SAME batch against several index states
+    * signs it once instead of once per serve (guide §2.4). CALLER
+    * CONTRACT: the frames must have been computed under the index's
+    * STORED family (n, numHashes, bands, rows) — the default family
+    * for every index this repo builds — and the caller owns the
+    * shingle frame's persist lifetime. Production serves pass None and
+    * keep the manifest as the sole parameter authority. */
   def nearDupIngestFromPath(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id",
-      asOfSeq: Option[Int] = None): DataFrame = {
+      asOfSeq: Option[Int] = None,
+      batchFrames: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame = {
     val m = asOfSeq match {
       case Some(s) =>
         IndexLayout.requireManifestAt(spark, path, MinhashIndexFormat, s)
@@ -1163,13 +1238,20 @@ object Dedup {
     val sb = IndexLayout.readFrame(spark, path, m, "bands")
     val ssh = IndexLayout.readFrame(spark, path, m, "shingles")
     val ssz = IndexLayout.readFrame(spark, path, m, "sizes")
-    nearDupIngest(sb, ssh, ssz, batch,
-      IndexLayout.intParam(m, path, "n"), threshold,
-      IndexLayout.intParam(m, path, "numHashes"),
-      IndexLayout.intParam(m, path, "bands"),
-      IndexLayout.intParam(m, path, "rows"), textCol, idCol,
-      tombstones = IndexLayout.loadTombstones(spark, path, m, idCol),
-      idBuckets = IndexLayout.intParam(m, path, "buckets"))
+    val tombstones = IndexLayout.loadTombstones(spark, path, m, idCol)
+    val buckets = IndexLayout.intParam(m, path, "buckets")
+    batchFrames match {
+      case Some((bban, bsh, bsizes)) =>
+        nearDupIngestFromFrames(sb, ssh, ssz, batch.select(col(idCol)),
+          bban, bsh, bsizes, threshold, idCol, tombstones, buckets)
+      case None =>
+        nearDupIngest(sb, ssh, ssz, batch,
+          IndexLayout.intParam(m, path, "n"), threshold,
+          IndexLayout.intParam(m, path, "numHashes"),
+          IndexLayout.intParam(m, path, "bands"),
+          IndexLayout.intParam(m, path, "rows"), textCol, idCol,
+          tombstones = tombstones, idBuckets = buckets)
+    }
   }
 
   /** Near-dup ingest against a standing corpus's MinHash index frames

@@ -1126,20 +1126,41 @@ private[graft] object IndexLayout {
     * FIFO scheduler back-fill one staging's idle cores with the next
     * one's tasks (the guide's overlap-independent-jobs discipline);
     * the verb's wall time drops to roughly the slowest single staging
-    * at every tier, local or cluster. Failure semantics match the
-    * sequential form: the first exception propagates to the caller
-    * (before any manifest write, so a half-staged verb leaves only
-    * unreferenced staging directories, exactly like a killed
-    * sequential verb). */
+    * at every tier, local or cluster.
+    *
+    * Failure semantics: EVERY closure runs to completion before the
+    * FIRST failure (in argument order) propagates to the caller. An
+    * early rethrow would return while sibling stagings still write —
+    * the caller's lease is released in its `finally`, so a re-run
+    * could acquire the lease and race its own `mode(overwrite)` write
+    * against the zombie writer into the same staging root (torn staged
+    * data the re-run's flip then commits). Awaiting all stagings means
+    * no writer of this verb survives the call, so the manifest is
+    * untouched and a re-run after failure sees only quiescent,
+    * unreferenced staging directories it fully overwrites. FutureTask
+    * completes exceptionally on ANY Throwable (not just NonFatal), so
+    * a fatal error (OOM, StackOverflowError) in a closure surfaces
+    * instead of hanging the awaiting driver thread forever. */
   private[graft] def inParallel[A](fs: Seq[() => A]): Seq[A] =
     if (fs.lengthCompare(1) <= 0) fs.map(_())
     else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
-      finally pool.shutdown()
+      try {
+        val futures = fs.map { f =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            def call(): A = f()
+          })
+        }
+        // each get() blocks until ITS task finishes — iterating them all
+        // awaits every staging, whatever failed in between
+        val outcomes = futures.map(fu => scala.util.Try(fu.get()))
+        outcomes.map {
+          case scala.util.Success(a) => a
+          case scala.util.Failure(e: java.util.concurrent.ExecutionException)
+            if e.getCause != null => throw e.getCause
+          case scala.util.Failure(e) => throw e
+        }
+      } finally pool.shutdown()
     }
 
   /** Session conf key for the MINIMUM AGE (milliseconds) a retired

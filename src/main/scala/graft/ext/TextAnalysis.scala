@@ -55,6 +55,36 @@ object TextAnalysis {
     when(cjkRatio(text) > 0.3, "zh").otherwise(vote)
   }
 
+  /** [[langId]] as a FRAME transform with the shared subexpressions —
+    * the token array and the four marker scores — STAGED as their own
+    * projection. The single-Column form above inlines
+    * `split(lower(text))` once per reference (~8×: each score feeds
+    * both `greatest` and its vote branch), and the array `filter`
+    * higher-order functions are codegen-fallback expressions, outside
+    * whole-stage subexpression elimination — so every row paid the
+    * tokenize several times over. Staged columns are computed ONCE per
+    * row: CollapseProject keeps the projections apart because inlining
+    * would duplicate non-cheap expressions (guide §1.2 step 2 —
+    * per-task work; values bit-identical, same expressions evaluated,
+    * same deterministic tie-break). */
+  def langIdFrame(df: DataFrame, textCol: String = "text",
+      outCol: String = "lang_pred"): DataFrame = {
+    val staged = langMarkers.foldLeft(
+      df.withColumn("__toks", tokens(lower(col(textCol))))) {
+      case (d, (lang, ms)) =>
+        d.withColumn(s"__s_$lang", markerHits(col("__toks"), ms))
+    }
+    val scores = langMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }
+    val best = greatest(scores.map(_._2): _*)
+    val vote = scores.tail.foldLeft(when(scores.head._2 === best, scores.head._1)) {
+      case (acc, (lang, s)) => acc.when(s === best, lang)
+    }
+    staged
+      .withColumn(outCol, when(cjkRatio(col(textCol)) > 0.3, "zh")
+        .otherwise(vote))
+      .drop("__toks" +: langMarkers.map(m => s"__s_${m._1}"): _*)
+  }
+
   /** Fraction of CJK codepoints. */
   def cjkRatio(text: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
@@ -68,18 +98,28 @@ object TextAnalysis {
     * token count, stopword ratio, punctuation ratio, mean token length,
     * and a composite score in [0,1]. */
   def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-    val nPunct = length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", ""))
+    // the token array is STAGED and every later signal references the
+    // STAGED n_tokens column instead of re-inlining size(split(text)):
+    // the previous form evaluated the tokenize once per reference (5×
+    // across the ratio/when branches), and the stopword filter is a
+    // codegen-fallback higher-order function outside whole-stage
+    // subexpression elimination (guide §1.2 step 2; values
+    // bit-identical — same expressions, staged once per row)
     val len = length(col(textCol))
-    df.withColumn("n_tokens", nTok)
+    val nTok = col("n_tokens")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("__n_stop",
+        size(filter(col("__toks"), t => t.isin(stopwords.map(lit): _*))))
       .withColumn("stopword_ratio",
-        when(nTok === 0, 0.0).otherwise(nStop.cast("double") / nTok))
+        when(nTok === 0, 0.0).otherwise(col("__n_stop").cast("double") / nTok))
       .withColumn("punct_ratio",
-        when(len === 0, 0.0).otherwise(nPunct.cast("double") / len))
+        when(len === 0, 0.0).otherwise(
+          length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", ""))
+            .cast("double") / len))
       .withColumn("mean_token_len",
         when(nTok === 0, 0.0).otherwise((len - nTok + 1).cast("double") / nTok))
+      .drop("__toks", "__n_stop")
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with some

@@ -2674,6 +2674,132 @@ class ExtSpec extends SparkSpec {
     assert(row.length == 1 && row(0).getBoolean(1), row.mkString)
   }
 
+  test("langIdFrame: the staged form is value-identical to the single-Column langId") {
+    import graft.ext.TextAnalysis
+    val d = docs.select("doc_id", "text")
+    val staged = TextAnalysis.langIdFrame(d).select("doc_id", "lang_pred")
+    val inline = d.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    assert(graft.analytics.ExtPipelines.multisetEq(staged, inline))
+    // the staging survives the optimizer: the executed plan computes
+    // the tokenize ONCE (one `split(lower(` occurrence), where the
+    // inline form re-evaluates it per reference
+    val planStr = staged.queryExecution.executedPlan.toString
+    val splits = "split\\(lower\\(".r.findAllIn(planStr).size
+    assert(splits == 1, s"expected one staged tokenize, got $splits")
+  }
+
+  test("multisetEq: exactly the two-sided exceptAll boolean, including nulls and multiplicity") {
+    import spark.implicits._
+    def eqBoth(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      val expected = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      assert(graft.analytics.ExtPipelines.multisetEq(a, b) == expected,
+        s"multisetEq diverged from two-sided exceptAll (expected $expected)")
+    }
+    val base = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    eqBoth(base, Seq((2L, "b"), (1L, "a"), (1L, "a")).toDF("k", "v")) // true
+    eqBoth(base, Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // multiplicity
+    eqBoth(base, Seq((1L, "a"), (1L, "a"), (3L, "c")).toDF("k", "v")) // value
+    eqBoth(base, base.limit(0)) // one side empty
+    // NULL keys group and join NULL-SAFELY (<=>): equal multisets with
+    // nulls must compare true — a plain equi-join would orphan them
+    val withNullA = Seq((Some(1L), "a"), (None, "n"), (None, "n"))
+      .toDF("k", "v")
+    val withNullB = Seq((None, "n"), (Some(1L), "a"), (None, "n"))
+      .toDF("k", "v")
+    eqBoth(withNullA, withNullB) // true
+    eqBoth(withNullA, Seq((Some(1L), "a"), (None, "n")).toDF("k", "v"))
+  }
+
+  test("saveMinhashIndexFromFrames: a per-doc filter of shared frames equals a from-text build") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text").filter(col("doc_id") < 120)
+    val keep = col("doc_id") < 60
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mh-fromframes").toString
+    val (fb, fsh, fsz) = Dedup.minhashIndexFrames(corpus)
+    Dedup.saveMinhashIndexFromFrames(fb.filter(keep), fsh.filter(keep),
+      fsz.filter(keep), s"$root/shared", idBuckets = 4)
+    fsh.unpersist()
+    Dedup.saveMinhashIndex(corpus.filter(keep), s"$root/text", idBuckets = 4)
+    val (ab, ash, asz) = Dedup.loadMinhashIndex(spark, s"$root/shared")
+    val (tb, tsh, tsz) = Dedup.loadMinhashIndex(spark, s"$root/text")
+    assert(graft.analytics.ExtPipelines.multisetEq(ab, tb), "bands diverge")
+    assert(graft.analytics.ExtPipelines.multisetEq(ash, tsh), "shingles diverge")
+    assert(graft.analytics.ExtPipelines.multisetEq(asz, tsz), "sizes diverge")
+    // the manifests agree on every layout parameter
+    assert(Dedup.minhashIndexParams(spark, s"$root/shared") ==
+      Dedup.minhashIndexParams(spark, s"$root/text"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("appendToMinhashIndexFromFrames: equals the from-text append; refuses a family mismatch") {
+    import spark.implicits._
+    val standing = docs.select("doc_id", "text").filter(col("doc_id") < 100)
+    val batch = docs.select("doc_id", "text")
+      .filter(col("doc_id") >= 100 && col("doc_id") < 130)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mh-appframes").toString
+    Dedup.saveMinhashIndex(standing, s"$root/a")
+    Dedup.saveMinhashIndex(standing, s"$root/b")
+    Dedup.appendToMinhashIndex(batch, s"$root/a")
+    val (bb, bsh, bsz) = Dedup.minhashIndexFrames(batch)
+    Dedup.appendToMinhashIndexFromFrames(spark, s"$root/b", bb, bsh, bsz)
+    val (ab, ash, asz) = Dedup.loadMinhashIndex(spark, s"$root/a")
+    val (xb, xsh, xsz) = Dedup.loadMinhashIndex(spark, s"$root/b")
+    assert(graft.analytics.ExtPipelines.multisetEq(ab, xb), "bands diverge")
+    assert(graft.analytics.ExtPipelines.multisetEq(ash, xsh), "shingles diverge")
+    assert(graft.analytics.ExtPipelines.multisetEq(asz, xsz), "sizes diverge")
+    // frames computed under a DIFFERENT family must be refused loudly —
+    // appending them would mis-sign every later probe
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndexFromFrames(spark, s"$root/b", bb, bsh, bsz,
+        numHashes = 8, bands = 4)
+    }
+    assert(err.getMessage.contains("mis-sign"))
+    bsh.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("nearDupIngestFromPath with pre-computed batch frames serves identically") {
+    import spark.implicits._
+    val standing = docs.select("doc_id", "text").filter(col("doc_id") < 150)
+    val batch = docs.select("doc_id", "text").filter(col("doc_id") >= 150)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mh-servebf").toString
+    val path = s"$root/idx"
+    Dedup.saveMinhashIndex(standing, path)
+    val fromText = Dedup.nearDupIngestFromPath(spark, path, batch)
+    val bf = Dedup.minhashIndexFrames(batch)
+    val fromFrames = Dedup.nearDupIngestFromPath(spark, path, batch,
+      batchFrames = Some(bf))
+    bf._2.unpersist()
+    assert(graft.analytics.ExtPipelines.multisetEq(fromText, fromFrames),
+      "pre-computed batch frames changed the admitted set")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("inParallel: every closure completes before the first failure propagates, in argument order") {
+    import graft.ext.IndexLayout
+    val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[IllegalStateException] {
+      IndexLayout.inParallel[Int](Seq(
+        () => { Thread.sleep(50); throw new IllegalStateException("first") },
+        () => { Thread.sleep(400); slowDone.set(true); 2 },
+        () => { Thread.sleep(100); throw new IllegalStateException("second") }))
+    }
+    // the FIRST failure in argument order is the one thrown...
+    assert(e.getMessage == "first")
+    // ...and only after every sibling finished: no zombie staging
+    // writer survives the call (the lease-release race ADVICE flagged)
+    assert(slowDone.get,
+      "inParallel propagated a failure while a sibling closure still ran")
+    // the success path returns results in argument order
+    assert(IndexLayout.inParallel(Seq(() => 1, () => 2, () => 3)) ==
+      Seq(1, 2, 3))
+  }
+
   test("x26d: tombstones un-reject immediately; compaction removes rows and spares untouched buckets") {
     import spark.implicits._
     def bucketOf(id: Long): Int = Seq(id).toDF("i")
