@@ -495,26 +495,33 @@ object ExtPipelines {
       // non-default bucket count: see minhashIndexIngest
       Dedup.saveMinhashIndexFromFrames(sb, ssh, ssz, incPath,
         idBuckets = 48)
-      val admitted1 = Dedup.nearDupIngestFromPath(spark, incPath, batch1)
-      // the append re-derives shingles/signatures from the text; a
-      // delta-sized ckptLocal pins the admitted doc set so the three
-      // appended frames agree even if the plan re-executes
-      val admittedDocs1 = graft.ext.Checkpoints.ckptLocal(
-        batch1.join(admitted1, Seq("doc_id"), "left_semi"))
-      Dedup.appendToMinhashIndex(admittedDocs1, incPath)
+      // day-1's batch is signed ONCE for its serve, the append, and the
+      // rebuild union below (§2.4): the admitted slice of its frames IS
+      // frames(admitted docs) — per-doc rows, id-semi-joined against
+      // the eagerly-pinned admitted set (the pin keeps the three
+      // appended frames agreeing even if a plan re-executes, the same
+      // job the old ckptLocal of the admitted TEXT did)
+      val bf1 = Dedup.minhashIndexFrames(batch1)
+      val admitted1 = graft.ext.Checkpoints.ckptLocal(
+        Dedup.nearDupIngestFromPath(spark, incPath, batch1,
+          batchFrames = Some(bf1)))
+      def adm(df: DataFrame): DataFrame =
+        df.join(admitted1, Seq("doc_id"), "left_semi")
+      Dedup.appendToMinhashIndexFromFrames(spark, incPath,
+        adm(bf1._1), adm(bf1._2), adm(bf1._3))
       // day-2's batch is signed ONCE for its two serves (§2.4)
       val bf2 = Dedup.minhashIndexFrames(batch2)
       val incAdmitted2 = Dedup.nearDupIngestFromPath(spark, incPath, batch2,
         batchFrames = Some(bf2))
       // rebuild path: one full index over standing ∪ day-1-admitted —
       // written from the already-computed standing frames plus the
-      // delta's (frames are per-doc and the two doc sets are disjoint,
-      // so the union IS frames(standing ∪ admitted))
+      // admitted slice of day-1's (frames are per-doc and the two doc
+      // sets are disjoint, so the union IS frames(standing ∪ admitted))
       val rbPath = tmpRoot.toString + "/rebuild"
-      val (ab, ash, asz) = Dedup.minhashIndexFrames(admittedDocs1)
-      Dedup.saveMinhashIndexFromFrames(sb.unionByName(ab),
-        ssh.unionByName(ash), ssz.unionByName(asz), rbPath, idBuckets = 48)
-      ash.unpersist()
+      Dedup.saveMinhashIndexFromFrames(sb.unionByName(adm(bf1._1)),
+        ssh.unionByName(adm(bf1._2)), ssz.unionByName(adm(bf1._3)),
+        rbPath, idBuckets = 48)
+      bf1._2.unpersist()
       ssh.unpersist()
       val rbAdmitted2 = Dedup.nearDupIngestFromPath(spark, rbPath, batch2,
         batchFrames = Some(bf2))
@@ -1789,11 +1796,19 @@ object ExtPipelines {
         src, incPath, tmpRoot.toString + "/ck")
       q.awaitTermination()
       val queries = emb.filter(col("vec_id") < 10)
-      val fromTomb = Similarity.ivfTopKFromIndex(spark, incPath, queries,
-        k = 5, nProbe = 4)
+      // the tombstoned serve (k-bounded, pinned eagerly) and the
+      // rebuild twin's build are independent jobs — overlapped
+      // (guide §2.6); no later mutation, so the pin is for overlap
+      // only, not ordering
       val rbPath = tmpRoot.toString + "/rebuild"
-      Similarity.saveIvfIndexWithCentroids(standing.filter(b < 39321),
-        Similarity.loadIvfCentroids(spark, incPath), rbPath)
+      var fromTomb: DataFrame = null
+      graft.ext.IndexLayout.inParallel[Unit](Seq(
+        () => fromTomb = graft.ext.Checkpoints.ckptLocal(
+          Similarity.ivfTopKFromIndex(spark, incPath, queries,
+            k = 5, nProbe = 4)),
+        () => Similarity.saveIvfIndexWithCentroids(
+          standing.filter(b < 39321),
+          Similarity.loadIvfCentroids(spark, incPath), rbPath)))
       val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
       val identical = multisetEq(fromTomb, fromRebuild)
@@ -1822,11 +1837,19 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v21")
     try {
       val fpPath = tmpRoot.toString + "/fp"
-      Similarity.saveIvfIndex(emb, fpPath, nList = 8, nIters = 1)
       val qPath = tmpRoot.toString + "/int8"
-      Similarity.saveIvfIndexWithCentroids(emb,
-        Similarity.loadIvfCentroids(spark, fpPath), qPath,
-        storage = "int8")
+      // the quantizer is trained ONCE and handed to both builds (the
+      // old form trained it in the fp build and read it back for the
+      // int8 one — double-precision parquet round-trips bit-stably, so
+      // the handed-in frame IS what loadIvfCentroids returned); with
+      // the training hoisted the two builds are independent jobs on
+      // disjoint directories — overlapped (guide §2.4/§2.6)
+      val cent = graft.ext.Checkpoints.ckptLocal(
+        Similarity.ivfCentroids(emb, nList = 8, nIters = 1))
+      graft.ext.IndexLayout.inParallel[Unit](Seq(
+        () => Similarity.saveIvfIndexWithCentroids(emb, cent, fpPath),
+        () => Similarity.saveIvfIndexWithCentroids(emb, cent, qPath,
+          storage = "int8")))
       val queries = emb.filter(col("vec_id") < 10)
       val fromFp = Similarity.ivfTopKFromIndex(spark, fpPath, queries,
         k = 5, nProbe = 4)
@@ -1855,11 +1878,14 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_v22")
     try {
       val fpPath = tmpRoot.toString + "/fp"
-      Similarity.saveIvfIndex(emb, fpPath, nList = 8, nIters = 1)
       val qPath = tmpRoot.toString + "/pq"
-      Similarity.saveIvfIndexWithCentroids(emb,
-        Similarity.loadIvfCentroids(spark, fpPath), qPath,
-        storage = "pq")
+      // one training, two overlapped builds — v21's rationale verbatim
+      val cent = graft.ext.Checkpoints.ckptLocal(
+        Similarity.ivfCentroids(emb, nList = 8, nIters = 1))
+      graft.ext.IndexLayout.inParallel[Unit](Seq(
+        () => Similarity.saveIvfIndexWithCentroids(emb, cent, fpPath),
+        () => Similarity.saveIvfIndexWithCentroids(emb, cent, qPath,
+          storage = "pq")))
       val queries = emb.filter(col("vec_id") < 10)
       val fromFp = Similarity.ivfTopKFromIndex(spark, fpPath, queries,
         k = 5, nProbe = 4)
@@ -1996,14 +2022,20 @@ object ExtPipelines {
       val fromTomb = graft.ext.Checkpoints.ckptLocal(
         Similarity.ivfTopKFromIndex(spark, incPath, queries,
           k = 5, nProbe = 4))
-      Similarity.compactIvfTombstones(spark, incPath)
+      // the compaction and the rebuild twin are independent jobs on
+      // disjoint directories (the centroids the rebuild reuses are
+      // carried UNTOUCHED through every flip, and retired dirs outlive
+      // one full compaction interval by the grace contract) —
+      // overlapped (guide §2.6). rebuild twin: SAME stored quantizer,
+      // lists re-assigned over the surviving vectors in one pass
+      val rbPath = tmpRoot.toString + "/rebuild"
+      graft.ext.IndexLayout.inParallel(Seq(
+        () => Similarity.compactIvfTombstones(spark, incPath),
+        () => Similarity.saveIvfIndexWithCentroids(
+          standing.filter(b < 39321),
+          Similarity.loadIvfCentroids(spark, incPath), rbPath)))
       val fromCompacted = Similarity.ivfTopKFromIndex(spark, incPath, queries,
         k = 5, nProbe = 4)
-      // rebuild twin: SAME stored quantizer, lists re-assigned over the
-      // surviving vectors in one pass
-      val rbPath = tmpRoot.toString + "/rebuild"
-      Similarity.saveIvfIndexWithCentroids(standing.filter(b < 39321),
-        Similarity.loadIvfCentroids(spark, incPath), rbPath)
       val fromRebuild = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
       val identical =
@@ -2057,9 +2089,13 @@ object ExtPipelines {
       // eager delta-sized pins: later maintenance swaps files under a
       // lazy plan, and the comparisons below interleave with commits
       val r0 = graft.ext.Checkpoints.ckptLocal(serve(None))
-      val admittedDocs = graft.ext.Checkpoints.ckptLocal(
-        batch.join(r0, Seq("doc_id"), "left_semi"))
-      Dedup.appendToMinhashIndex(admittedDocs, path) // seq 2
+      // the append re-uses the batch's frames (the admitted slice of
+      // per-doc rows, semi-joined on the eagerly-pinned r0) instead of
+      // re-shingling the admitted docs from text (§2.4)
+      def adm(df: DataFrame): DataFrame =
+        df.join(r0, Seq("doc_id"), "left_semi")
+      Dedup.appendToMinhashIndexFromFrames(spark, path,
+        adm(bf._1), adm(bf._2), adm(bf._3)) // seq 2
       val r1 = graft.ext.Checkpoints.ckptLocal(serve(None))
       def eq(a: DataFrame, b: DataFrame): Boolean = multisetEq(a, b)
       val pinnedPreAppend = eq(serve(Some(1)), r0)
@@ -2113,9 +2149,19 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_x34")
     try {
       val p = tmpRoot.toString + "/idx"
-      Dedup.saveMinhashIndex(standing, p, idBuckets = 48) // seq 0
+      // the build and the append draw on ONE signing pass over the
+      // corpus (guide §2.4; per-doc bucket filters of shared frames —
+      // the x35 discipline); the verbs' commit-log effects, which are
+      // what x34 diffs, are untouched
+      val (db, dsh, dsz) = Dedup.minhashIndexFrames(docs)
+      Dedup.saveMinhashIndexFromFrames(db.filter(bk < 52428),
+        dsh.filter(bk < 52428), dsz.filter(bk < 52428), p,
+        idBuckets = 48) // seq 0
       graft.ext.IndexLayout.setManifestKeep(spark, p, 16) // seq 1
-      Dedup.appendToMinhashIndex(batch, p) // seq 2
+      Dedup.appendToMinhashIndexFromFrames(spark, p,
+        db.filter(bk >= 52428), dsh.filter(bk >= 52428),
+        dsz.filter(bk >= 52428)) // seq 2
+      dsh.unpersist()
       Dedup.deleteFromMinhashIndex(
         standing.filter(bk >= 39321).select("doc_id"), p) // seq 3
       Dedup.compactMinhashTombstones(spark, p) // seq 4, gen 1
@@ -2207,18 +2253,25 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_retrain")
     try {
       val incPath = tmpRoot.toString + "/inc"
-      Similarity.saveIvfIndex(standing, incPath, nList = 8, nIters = 1)
-      Similarity.deleteFromIvfIndex(doomed.select("vec_id"), incPath)
-      Similarity.retrainIvfIndex(spark, incPath, nList = 12, nIters = 1)
+      val rbPath = tmpRoot.toString + "/rebuild"
+      // the two legs are fully independent — the fresh twin trains its
+      // OWN deterministic quantizer over the survivors, touching only
+      // its own directory — so they run overlapped (guide §2.6)
+      graft.ext.IndexLayout.inParallel(Seq(
+        () => {
+          Similarity.saveIvfIndex(standing, incPath, nList = 8, nIters = 1)
+          Similarity.deleteFromIvfIndex(doomed.select("vec_id"), incPath)
+          Similarity.retrainIvfIndex(spark, incPath, nList = 12, nIters = 1)
+        },
+        // fresh twin: the SAME deterministic training over the
+        // identical survivor multiset — the form the retrain must be
+        // equal to
+        () => Similarity.saveIvfIndex(standing.filter(b < 39321), rbPath,
+          nList = 12, nIters = 1)))
       val nListAfter = Similarity.ivfIndexParams(spark, incPath)("nList")
       val queries = emb.filter(col("vec_id") < 10)
       val fromRetrained = Similarity.ivfTopKFromIndex(spark, incPath, queries,
         k = 5, nProbe = 4)
-      // fresh twin: the SAME deterministic training over the identical
-      // survivor multiset — the form the retrain must be equal to
-      val rbPath = tmpRoot.toString + "/rebuild"
-      Similarity.saveIvfIndex(standing.filter(b < 39321), rbPath,
-        nList = 12, nIters = 1)
       val fromFresh = Similarity.ivfTopKFromIndex(spark, rbPath, queries,
         k = 5, nProbe = 4)
       val identical = multisetEq(fromRetrained, fromFresh)

@@ -402,21 +402,30 @@ object Streaming {
               tombstones = IndexLayout.loadTombstones(spark, indexPath,
                 mB, "doc_id"),
               idBuckets = idBuckets))
-          admitted
-            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
           def admittedOnly(frame: DataFrame): DataFrame =
             frame.join(admitted, Seq("doc_id"), "left_semi")
-          admittedOnly(bban).repartition(col("band"))
-            .write.mode("overwrite")
-            .partitionBy("band").parquet(s"$deltaPath/bands/batch=$batchId")
-          admittedOnly(bsh)
-            .withColumn("bucket", Dedup.idBucket(col("doc_id"), idBuckets))
-            .repartition(col("bucket")).write.mode("overwrite")
-            .partitionBy("bucket").parquet(s"$deltaPath/shingles/batch=$batchId")
-          admittedOnly(bsizes)
-            .withColumn("bucket", Dedup.idBucket(col("doc_id"), idBuckets))
-            .repartition(col("bucket")).write.mode("overwrite")
-            .partitionBy("bucket").parquet(s"$deltaPath/sizes/batch=$batchId")
+          // the four per-batch writes are independent jobs into
+          // disjoint per-batch roots off the one pinned admitted set —
+          // overlapped (guide §2.6 / IndexLayout.inParallel): the
+          // micro-batch pays ~the slowest write's latency, not the sum
+          // of four. Ordering is immaterial to exactly-once: a replay
+          // overwrites every one of these directories.
+          IndexLayout.inParallel[Unit](Seq(
+            () => admitted
+              .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId"),
+            () => admittedOnly(bban).repartition(col("band"))
+              .write.mode("overwrite")
+              .partitionBy("band").parquet(s"$deltaPath/bands/batch=$batchId"),
+            () => admittedOnly(bsh)
+              .withColumn("bucket", Dedup.idBucket(col("doc_id"), idBuckets))
+              .repartition(col("bucket")).write.mode("overwrite")
+              .partitionBy("bucket")
+              .parquet(s"$deltaPath/shingles/batch=$batchId"),
+            () => admittedOnly(bsizes)
+              .withColumn("bucket", Dedup.idBucket(col("doc_id"), idBuckets))
+              .repartition(col("bucket")).write.mode("overwrite")
+              .partitionBy("bucket")
+              .parquet(s"$deltaPath/sizes/batch=$batchId")))
         } finally {
           bsh.unpersist()
           // the per-batch checkpoint blocks are superseded the moment
