@@ -469,7 +469,11 @@ object Bench {
     // median-of-3 keeps the added wall time bounded.
     val (m1p10Sec, m2p10Sec) = try {
       val tierDir = "target/scale/sf1"
-      if (!new java.io.File(s"$tierDir/_REPLICATED").exists())
+      // marker check via ScaleBench's own versioned constant — the
+      // hard-coded pre-v2 name here used to miss the marker and
+      // re-replicate the tier on EVERY bench run (untimed, but ~20 s
+      // of pointless I/O ahead of the timed 10x experiment)
+      if (!ScaleBench.isReplicated(tierDir))
         ScaleBench.replicate(spark, sfDir, tierDir, 10)
       val ev10 = Tables.events(spark, tierDir)
       val partDir10 = "/tmp/graft_bench_events_by_day_10x"

@@ -64,7 +64,15 @@ object ScaleBench {
     * it invalidates cached `target/scale` tiers built by older
     * generator code (which e.g. lacked the beacon token) so a stale
     * tier is rebuilt instead of silently measured. */
-  private val ReplicatedMarker = "_REPLICATED_v2"
+  private[graft] val ReplicatedMarker = "_REPLICATED_v2"
+
+  /** Whether `dir` holds a COMPLETE tier built by THIS generator
+    * version — the check every tier consumer must use. Bench once
+    * hard-coded the pre-v2 marker name here, so its 10x experiment
+    * silently re-replicated the tier on every run (~20 s of untimed
+    * I/O per bench invocation). */
+  private[graft] def isReplicated(dir: String): Boolean =
+    new java.io.File(s"$dir/$ReplicatedMarker").exists()
 
   private val keyCols: Map[String, Seq[String]] = Map(
     "customer" -> Seq("c_custkey"),

@@ -340,16 +340,16 @@ object ExtPipelines {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mh_idx")
     val path = tmpRoot.toString + "/idx"
     try {
-      // ONE signing pass feeds both the persisted index and the
-      // in-memory control frames (they were already the same definition
-      // — minhashIndexFrames — planned twice; guide §2.4)
-      val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
       // NON-default bucket count on purpose: the whole x26 family runs
       // its correctness gate against an index whose bucket count exists
       // only in the manifest — a verb that fell back to the compile-time
       // default would mis-prune and fail the identity pins
+      // ONE signing pass feeds both the persisted index and the
+      // in-memory control frames (they were already the same definition
+      // — minhashIndexFrames — planned twice; guide §2.4), and the
+      // batch is signed once for its two serves
+      val (mb, msh, msz) = Dedup.minhashIndexFrames(standing)
       Dedup.saveMinhashIndexFromFrames(mb, msh, msz, path, idBuckets = 48)
-      // the batch too is signed ONCE for its two serves (§2.4)
       val bf = Dedup.minhashIndexFrames(batch)
       val fromIdx = Dedup.nearDupIngestFromPath(spark, path, batch,
         batchFrames = Some(bf))
