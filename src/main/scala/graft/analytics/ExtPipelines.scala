@@ -509,20 +509,23 @@ object ExtPipelines {
         df.join(admitted1, Seq("doc_id"), "left_semi")
       Dedup.appendToMinhashIndexFromFrames(spark, incPath,
         adm(bf1._1), adm(bf1._2), adm(bf1._3))
-      // day-2's batch is signed ONCE for its two serves (§2.4)
-      val bf2 = Dedup.minhashIndexFrames(batch2)
-      val incAdmitted2 = Dedup.nearDupIngestFromPath(spark, incPath, batch2,
-        batchFrames = Some(bf2))
       // rebuild path: one full index over standing ∪ day-1-admitted —
       // written from the already-computed standing frames plus the
       // admitted slice of day-1's (frames are per-doc and the two doc
-      // sets are disjoint, so the union IS frames(standing ∪ admitted))
+      // sets are disjoint, so the union IS frames(standing ∪ admitted)).
+      // Written HERE, right after the append, so the standing and
+      // day-1 shingle caches free before day-2's frames are pinned —
+      // at most one corpus-scale cached frame lives at a time
       val rbPath = tmpRoot.toString + "/rebuild"
       Dedup.saveMinhashIndexFromFrames(sb.unionByName(adm(bf1._1)),
         ssh.unionByName(adm(bf1._2)), ssz.unionByName(adm(bf1._3)),
         rbPath, idBuckets = 48)
       bf1._2.unpersist()
       ssh.unpersist()
+      // day-2's batch is signed ONCE for its two serves (§2.4)
+      val bf2 = Dedup.minhashIndexFrames(batch2)
+      val incAdmitted2 = Dedup.nearDupIngestFromPath(spark, incPath, batch2,
+        batchFrames = Some(bf2))
       val rbAdmitted2 = Dedup.nearDupIngestFromPath(spark, rbPath, batch2,
         batchFrames = Some(bf2))
       bf2._2.unpersist()
@@ -2390,14 +2393,25 @@ object ExtPipelines {
       val (db0, dsh, dsz0) = Dedup.minhashIndexFrames(docs)
       val db = db0.persist(StorageLevel.MEMORY_AND_DISK)
       val dsz = dsz0.persist(StorageLevel.MEMORY_AND_DISK)
-      val legs = graft.ext.IndexLayout.inParallel(Seq(
+      val legSpecs = Seq(
         ("idle", rightCount, false),
         ("backlog", rightCount, true),
-        ("outgrown", smallCount, true)).map { case (leg, buildBuckets, del) =>
-        () => {
-          val p = s"$tmpRoot/$leg"
-          Dedup.saveMinhashIndexFromFrames(db, dsh, dsz, p,
+        ("outgrown", smallCount, true))
+      // phase 1: the three builds (the only consumers of the pinned
+      // frames), overlapped; the caches free BEFORE the maintain phase
+      // so its rewrites don't run against three pinned corpus frames
+      graft.ext.IndexLayout.inParallel[Unit](legSpecs.map {
+        case (leg, buildBuckets, _) => () =>
+          Dedup.saveMinhashIndexFromFrames(db, dsh, dsz, s"$tmpRoot/$leg",
             idBuckets = buildBuckets)
+      })
+      db.unpersist()
+      dsh.unpersist()
+      dsz.unpersist()
+      // phase 2: delete + autopilot + describe per leg, overlapped
+      val legs = graft.ext.IndexLayout.inParallel(legSpecs.map {
+        case (leg, _, del) => () => {
+          val p = s"$tmpRoot/$leg"
           if (del) Dedup.deleteFromMinhashIndex(doomed, p)
           val (compacted, rebucketed) = Dedup.maintainMinhashIndex(spark, p,
             maxTombstonePct = 10, targetDocsPerBucket = target)
@@ -2407,9 +2421,6 @@ object ExtPipelines {
             m("gen").toLong, nTombAfter)
         }
       })
-      db.unpersist()
-      dsh.unpersist()
-      dsz.unpersist()
       // driver-side local relation (describe is eager), so nothing lazy
       // still reads the index files after cleanup
       legs.toDF("leg", "compacted", "rebucketed", "buckets_after",
